@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet stores ts as TIMESTAMP(NANOS); read as long, converted
+      // to a µs timestamp in Tables.events (matches DuckDB's ns→µs cast).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs (not INT96) so the driver's reader sees the same values
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [queryName...]
+
+Mimics the driver: for each query result parquet written by graft.Verify,
+run the matching oracle SQL from oracle_sql.json in DuckDB over views named
+after the fixture tables, then compare rows/schema/values (worst case:
+order-sensitive, column-name-sorted).
+"""
+import sys, json, os, math
+import duckdb
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = n_noracle = 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    for name in names:
+        if only and name not in only:
+            continue
+        spark_df = con.execute(
+            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'").fetchdf()
+        if name not in oracle:
+            n_noracle += 1
+            print(f"  [rows-only] {name}: {len(spark_df)} rows")
+            continue
+        try:
+            ora_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            n_fail += 1
+            print(f"  [FAIL-oracle-sql] {name}: {str(e).splitlines()[0][:160]}")
+            continue
+        s = spark_df[sorted(spark_df.columns)]
+        o = ora_df[sorted(ora_df.columns)]
+        if list(s.columns) != list(o.columns):
+            n_fail += 1
+            print(f"  [FAIL-cols] {name}: spark={list(s.columns)} oracle={list(o.columns)}")
+            continue
+        if len(s) != len(o):
+            n_fail += 1
+            print(f"  [FAIL-rows] {name}: spark={len(s)} oracle={len(o)}")
+            continue
+        bad = None
+        for c in s.columns:
+            sv, ov = list(s[c]), list(o[c])
+            for i, (a, b) in enumerate(zip(sv, ov)):
+                if a is None and b is None:
+                    continue
+                try:
+                    if isinstance(a, float) or isinstance(b, float):
+                        an = a is None or (isinstance(a, float) and math.isnan(a))
+                        bn = b is None or (isinstance(b, float) and math.isnan(b))
+                        if an and bn:
+                            continue
+                        if an != bn or float(a) != float(b):
+                            bad = (c, i, a, b); break
+                    elif str(a) != str(b):
+                        bad = (c, i, a, b); break
+                except Exception:
+                    bad = (c, i, a, b); break
+            if bad:
+                break
+        if bad:
+            n_fail += 1
+            c, i, a, b = bad
+            print(f"  [FAIL-val] {name}: col={c} row={i} spark={a!r} oracle={b!r}")
+        else:
+            n_pass += 1
+            print(f"  [PASS] {name}: {len(s)} rows, {len(s.columns)} cols")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
