@@ -55,11 +55,321 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- joins
+
+  /** TPC-H Q5 shape: 5-way join region⋈nation⋈customer⋈orders⋈lineitem.
+    * At 100 TB the dims broadcast (AQE auto-selects under the threshold)
+    * and the fact⋈fact join shuffles on orderkey — the scalable plan.
+    */
+  val joinMultiway: Q = (s, dir) => {
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .join(Tables.t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name")
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("line_cnt"))
+      .orderBy("n_name")
+  }
+
+  /** Left outer join: every customer keeps a row; unmatched aggregate
+    * columns are coalesced to 0 so the result is null-stable. */
+  val joinLeft: Q = (s, dir) => {
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("big_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("big_total"))
+      .orderBy("c_custkey")
+  }
+
+  /** Right outer join (mirror orientation of joinLeft). */
+  val joinRight: Q = (s, dir) => {
+    Tables.t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .join(Tables.t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("f_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join of two filtered per-nation aggregates (asymmetric
+    * sides so both unmatched directions occur). */
+  val joinFull: Q = (s, dir) => {
+    val cust = Tables.t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("cust_cnt"))
+    val supp = Tables.t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("supp_cnt"))
+    cust.join(supp, col("nk") === col("nk2"), "full")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("cust_cnt"), lit(0L)).as("cust_cnt"),
+        coalesce(col("supp_cnt"), lit(0L)).as("supp_cnt"))
+      .orderBy("nationkey")
+  }
+
+  /** Left semi join — the IN/EXISTS rewrite target. */
+  val joinSemi: Q = (s, dir) => {
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left anti join — the NOT IN/NOT EXISTS rewrite target. */
+  val joinAnti: Q = (s, dir) => {
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Guarded cartesian product (dims only — never facts at scale). */
+  val joinCross: Q = (s, dir) => {
+    Tables.t(s, dir, "region").select("r_name")
+      .crossJoin(Tables.t(s, dir, "nation").select("n_name"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** θ-join (pure non-equi ⇒ BroadcastNestedLoopJoin): supplier×customer
+    * account-balance band match. The small side broadcasts; at 100 TB a
+    * band join like this must keep one side broadcastable (it does: the
+    * supplier dim), otherwise it degenerates to a cartesian shuffle. */
+  val joinTheta: Q = (s, dir) => {
+    val supp = Tables.t(s, dir, "supplier")
+    val cust = Tables.t(s, dir, "customer")
+    supp.join(cust,
+        col("c_acctbal") > col("s_acctbal") - 100 &&
+        col("c_acctbal") <= col("s_acctbal") + 100)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("near_cust_cnt"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Explicit broadcast-hint join (Hive MAPJOIN hint equivalent). */
+  val joinBroadcast: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .join(broadcast(Tables.t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy("p_brand")
+  }
+
+  // -------------------------------------------------------------- set ops
+
+  val setopUnionAll: Q = (s, dir) => {
+    Tables.t(s, dir, "customer")
+      .select(col("c_custkey").as("key"), lit("customer").as("src"))
+      .union(Tables.t(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), lit("supplier").as("src")))
+      .orderBy("src", "key")
+  }
+
+  val setopUnionDistinct: Q = (s, dir) => {
+    Tables.t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      .union(Tables.t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+  }
+
+  val setopIntersect: Q = (s, dir) => {
+    Tables.t(s, dir, "customer").filter(col("c_acctbal") > 9500)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersect(Tables.t(s, dir, "supplier")
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  val setopIntersectAll: Q = (s, dir) => {
+    Tables.t(s, dir, "customer").filter(col("c_acctbal") > 9500)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersectAll(Tables.t(s, dir, "supplier")
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  val setopExcept: Q = (s, dir) => {
+    Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+      .except(Tables.t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  val setopExceptAll: Q = (s, dir) => {
+    Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+      .exceptAll(Tables.t(s, dir, "supplier")
+        .select(col("s_nationkey").cast("int").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  // -------------------------------------------------------- sorts / limits
+
+  /** Ordered top-K → TakeOrderedAndProjectExec (Hive TopNHash): the heap
+    * runs per-partition before a single bounded merge — no global sort. */
+  val sortTopK: Q = (s, dir) => {
+    Tables.t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+  }
+
+  /** Global multi-column ORDER BY (range-partitioned sort — beats Hive's
+    * single-reducer ORDER BY at any scale). */
+  val sortGlobal: Q = (s, dir) => {
+    Tables.t(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .orderBy(col("o_orderdate"), col("o_orderpriority").desc, col("o_orderkey"))
+  }
+
+  /** CLUSTER BY ≈ DISTRIBUTE BY + SORT BY: repartition on the key then
+    * sort within partitions (Hive ReduceSink semantics). A final global
+    * order makes the result oracle-comparable. */
+  val sortClusterBy: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .repartition(col("l_returnflag"))
+      .sortWithinPartitions("l_returnflag", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  /** TABLESAMPLE — seeded, deterministic within Spark but not replayable
+    * in DuckDB ⇒ registered rows-only (no oracle entry). */
+  val sortTablesample: Q = (s, dir) => {
+    Tables.t(s, dir, "orders").sample(withReplacement = false, 0.1, seed = 42)
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q1_pricing_summary" -> q1PricingSummary
+    "q1_pricing_summary" -> q1PricingSummary,
+    "join_multiway" -> joinMultiway,
+    "join_left" -> joinLeft,
+    "join_right" -> joinRight,
+    "join_full" -> joinFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_cross" -> joinCross,
+    "join_theta" -> joinTheta,
+    "join_broadcast" -> joinBroadcast,
+    "setop_union_all" -> setopUnionAll,
+    "setop_union_distinct" -> setopUnionDistinct,
+    "setop_intersect" -> setopIntersect,
+    "setop_intersect_all" -> setopIntersectAll,
+    "setop_except" -> setopExcept,
+    "setop_except_all" -> setopExceptAll,
+    "sort_topk" -> sortTopK,
+    "sort_global" -> sortGlobal,
+    "sort_cluster_by" -> sortClusterBy,
+    "sort_tablesample" -> sortTablesample
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1PricingSummarySql
+    "q1_pricing_summary" -> q1PricingSummarySql,
+    "join_multiway" ->
+      s"""SELECT n_name, ${oSum("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |COUNT(*) AS line_cnt
+         |FROM region JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_left" ->
+      s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS big_orders,
+         |COALESCE(${oSum("o_totalprice")}, 0.0) AS big_total
+         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+         |ON o.o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS f_orders
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        |RIGHT JOIN customer ON o.o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full" ->
+      """SELECT COALESCE(nk, nk2) AS nationkey,
+        |COALESCE(cust_cnt, 0) AS cust_cnt, COALESCE(supp_cnt, 0) AS supp_cnt
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS cust_cnt FROM customer
+        |      WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk2, COUNT(*) AS supp_cnt FROM supplier
+        |      WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+        |ON nk = nk2 ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM (SELECT r_name FROM region) r
+        |CROSS JOIN (SELECT n_name FROM nation) n
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta" ->
+      """SELECT s_suppkey, COUNT(*) AS near_cust_cnt
+        |FROM supplier JOIN customer
+        |ON c_acctbal > s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "join_broadcast" ->
+      s"""SELECT p_brand, ${oSum("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |COUNT(*) AS line_cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "setop_union_all" ->
+      """SELECT * FROM (
+        |SELECT c_custkey AS key, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS key, 'supplier' AS src FROM supplier) t
+        |ORDER BY src, key""".stripMargin,
+    "setop_union_distinct" ->
+      """SELECT * FROM (
+        |SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+    "setop_intersect" ->
+      """SELECT * FROM (
+        |SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 9500
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+    "setop_intersect_all" ->
+      """SELECT * FROM (
+        |SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 9500
+        |INTERSECT ALL
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+    "setop_except" ->
+      """SELECT * FROM (
+        |SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier WHERE s_acctbal > 5000) t
+        |ORDER BY nationkey""".stripMargin,
+    "setop_except_all" ->
+      """SELECT * FROM (
+        |SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT ALL
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+    "sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+    "sort_global" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+        |ORDER BY o_orderdate, o_orderpriority DESC, o_orderkey""".stripMargin,
+    "sort_cluster_by" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin
   )
 }
