@@ -1,0 +1,298 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** §2.4 aggregation surface: the complete Hive 2.3.10 builtin-UDAF registry
+  * re-expressed over Spark's partial/final HashAggregate.
+  *
+  * Reference: `GroupByOperator` modes PARTIAL1/PARTIAL2/FINAL/HASH (the
+  * largest operator class in the reference jar, SURVEY.md §2.1) and the
+  * `GenericUDAF*` inventory (SURVEY.md §2.4). Spark's two-phase
+  * HashAggregateExec with map-side partial aggregation is the same
+  * execution strategy, already spill-capable and codegen'd.
+  *
+  * Determinism: moment-based stats (variance/covar/corr/regr) are computed
+  * by different merge orders in Spark vs DuckDB, so oracle-checked outputs
+  * go through [[dround]] at a scale with ≥100× margin over the observed
+  * cross-engine drift; inputs are modest-magnitude columns (quantity,
+  * discount, tax) to keep that margin wide.
+  */
+object Aggregates {
+
+  /** count / count-distinct / sum(long) / min / max over doubles, strings
+    * and timestamps + stable avg. */
+  val aggBasic: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("l_suppkey")).as("ndv_supp"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_quantity")).as("avg_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_linestatus")).as("min_ls"),
+        max(col("l_linestatus")).as("max_ls"))
+      .orderBy("l_returnflag")
+  }
+
+  /** variance / var_pop / var_samp / stddev family (GenericUDAFVariance*). */
+  val aggVariance: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dround(var_pop(col("l_quantity")), 6).as("varp_qty"),
+        dround(var_samp(col("l_quantity")), 6).as("vars_qty"),
+        dround(stddev_pop(col("l_quantity")), 6).as("stdp_qty"),
+        dround(stddev_samp(col("l_quantity")), 6).as("stds_qty"),
+        dround(var_pop(col("l_discount")), 10).as("varp_disc"),
+        dround(stddev_samp(col("l_discount")), 10).as("stds_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** covar_pop / covar_samp / corr (GenericUDAFCovariance/Correlation). */
+  val aggCovarCorr: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dround(covar_pop(col("l_quantity"), col("l_discount")), 8).as("covp"),
+        dround(covar_samp(col("l_quantity"), col("l_discount")), 8).as("covs"),
+        dround(corr(col("l_quantity"), col("l_discount")), 8).as("corr_qd"),
+        dround(corr(col("l_quantity"), col("l_tax")), 8).as("corr_qt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** regr_* family (GenericUDAFBinarySetFunctions). */
+  val aggRegr: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        regr_count(col("l_quantity"), col("l_discount")).as("r_count"),
+        dround(regr_slope(col("l_quantity"), col("l_discount")), 6).as("r_slope"),
+        dround(regr_intercept(col("l_quantity"), col("l_discount")), 6).as("r_icept"),
+        dround(regr_r2(col("l_quantity"), col("l_discount")), 8).as("r_r2"),
+        dround(regr_sxx(col("l_quantity"), col("l_discount")), 6).as("r_sxx"),
+        dround(regr_syy(col("l_quantity"), col("l_discount")), 2).as("r_syy"),
+        dround(regr_sxy(col("l_quantity"), col("l_discount")), 4).as("r_sxy"),
+        dround(regr_avgx(col("l_quantity"), col("l_discount")), 8).as("r_avgx"),
+        dround(regr_avgy(col("l_quantity"), col("l_discount")), 6).as("r_avgy"))
+      .orderBy("l_returnflag")
+  }
+
+  /** collect_list / collect_set (MkCollectionEvaluator) — emitted as
+    * sorted joined strings so the compare is order- and type-stable. */
+  val aggCollect: Q = (s, dir) => {
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
+        count(lit(1)).as("cust_cnt"),
+        concat_ws(",", sort_array(collect_list(col("c_mktsegment").substr(lit(1), lit(1))))).as("seg_initials"))
+      .orderBy("n_name")
+  }
+
+  /** Multiple DISTINCT aggregates in one GROUP BY
+    * (HiveExpandDistinctAggregatesRule ≈ Spark RewriteDistinctAggregates). */
+  val aggMultiDistinct: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("ndv_part"),
+        countDistinct(col("l_suppkey")).as("ndv_supp"),
+        countDistinct(col("l_linenumber")).as("ndv_line"),
+        sum_distinct(col("l_linenumber")).as("sumd_line"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ROLLUP with grouping() / grouping_id() (GenericUDFGrouping). */
+  val aggRollup: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** CUBE. */
+  val aggCube: Q = (s, dir) => {
+    Tables.t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** GROUPING SETS via SQL (parser path, like Hive's grammar). */
+  val aggGroupingSets: Q = (s, dir) => {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Exact percentile / median (UDAFPercentile): interpolated, like
+    * DuckDB's quantile_cont. */
+  val aggPercentile: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        dround(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+        dround(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+        dround(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+        dround(expr("median(l_discount)"), 8).as("med_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** percentile_approx (GenericUDAFPercentileApprox) — sketch-based, no
+    * cross-engine oracle (algorithms differ) ⇒ rows-only; exactness is
+    * covered by aggPercentile above. */
+  val aggPercentileApprox: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"),
+        expr("percentile_approx(l_quantity, array(0.25, 0.75), 1000)").as("approx_iqr"))
+      .orderBy("l_returnflag")
+  }
+
+  /** histogram_numeric (GenericUDAFHistogramNumeric) — native in Spark,
+    * sketch-based ⇒ rows-only. */
+  val aggHistogram: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("histogram_numeric(l_quantity, 5)").as("hist"))
+      .orderBy("l_returnflag")
+  }
+
+  /** approx_count_distinct (HLL++, ≈ Hive compute_stats FM-sketch NDV) —
+    * rows-only (sketch), paired with the exact NDV for eyeballing. */
+  val aggApproxNdv: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("andv_part"),
+        countDistinct(col("l_partkey")).as("ndv_part"))
+      .orderBy("l_returnflag")
+  }
+
+  /** sum-empty-is-zero (GenericUDAFSumEmptyIsZero): groups whose filtered
+    * sum has no rows yield 0, not NULL. */
+  val aggSumEmptyZero: Q = (s, dir) => {
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        coalesce(dsum(when(col("o_totalprice") > 450000, col("o_totalprice"))), lit(0.0))
+          .as("huge_total"),
+        count(when(col("o_totalprice") > 450000, lit(1))).as("huge_cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "agg_basic" -> aggBasic,
+    "agg_variance" -> aggVariance,
+    "agg_covar_corr" -> aggCovarCorr,
+    "agg_regr" -> aggRegr,
+    "agg_collect" -> aggCollect,
+    "agg_multi_distinct" -> aggMultiDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_percentile" -> aggPercentile,
+    "agg_percentile_approx" -> aggPercentileApprox,
+    "agg_histogram" -> aggHistogram,
+    "agg_approx_ndv" -> aggApproxNdv,
+    "agg_sum_empty_zero" -> aggSumEmptyZero
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_basic" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |COUNT(DISTINCT l_suppkey) AS ndv_supp,
+         |CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+         |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |${oAvg("l_quantity")} AS avg_qty,
+         |MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+         |MIN(l_linestatus) AS min_ls, MAX(l_linestatus) AS max_ls
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_variance" ->
+      s"""SELECT l_returnflag,
+         |${oRound("var_pop(l_quantity)", 6)} AS varp_qty,
+         |${oRound("var_samp(l_quantity)", 6)} AS vars_qty,
+         |${oRound("stddev_pop(l_quantity)", 6)} AS stdp_qty,
+         |${oRound("stddev_samp(l_quantity)", 6)} AS stds_qty,
+         |${oRound("var_pop(l_discount)", 10)} AS varp_disc,
+         |${oRound("stddev_samp(l_discount)", 10)} AS stds_disc
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_covar_corr" ->
+      s"""SELECT l_returnflag,
+         |${oRound("covar_pop(l_quantity, l_discount)", 8)} AS covp,
+         |${oRound("covar_samp(l_quantity, l_discount)", 8)} AS covs,
+         |${oRound("corr(l_quantity, l_discount)", 8)} AS corr_qd,
+         |${oRound("corr(l_quantity, l_tax)", 8)} AS corr_qt
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_regr" ->
+      s"""SELECT l_returnflag,
+         |regr_count(l_quantity, l_discount) AS r_count,
+         |${oRound("regr_slope(l_quantity, l_discount)", 6)} AS r_slope,
+         |${oRound("regr_intercept(l_quantity, l_discount)", 6)} AS r_icept,
+         |${oRound("regr_r2(l_quantity, l_discount)", 8)} AS r_r2,
+         |${oRound("regr_sxx(l_quantity, l_discount)", 6)} AS r_sxx,
+         |${oRound("regr_syy(l_quantity, l_discount)", 2)} AS r_syy,
+         |${oRound("regr_sxy(l_quantity, l_discount)", 4)} AS r_sxy,
+         |${oRound("regr_avgx(l_quantity, l_discount)", 8)} AS r_avgx,
+         |${oRound("regr_avgy(l_quantity, l_discount)", 6)} AS r_avgy
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect" ->
+      """SELECT n_name,
+        |string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |COUNT(*) AS cust_cnt,
+        |string_agg(substr(c_mktsegment, 1, 1), ',' ORDER BY substr(c_mktsegment, 1, 1)) AS seg_initials
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |COUNT(DISTINCT l_partkey) AS ndv_part,
+        |COUNT(DISTINCT l_suppkey) AS ndv_supp,
+        |COUNT(DISTINCT l_linenumber) AS ndv_line,
+        |CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sumd_line
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |${oSum("l_quantity")} AS sum_qty,
+         |CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+         |CAST(2*GROUPING(l_returnflag)+GROUPING(l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         |${oSum("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_percentile" ->
+      s"""SELECT l_returnflag,
+         |${oRound("quantile_cont(l_quantity, 0.25)", 6)} AS q25,
+         |${oRound("quantile_cont(l_quantity, 0.5)", 6)} AS q50,
+         |${oRound("quantile_cont(l_quantity, 0.75)", 6)} AS q75,
+         |${oRound("median(l_discount)", 8)} AS med_disc
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_sum_empty_zero" ->
+      s"""SELECT o_orderpriority,
+         |COALESCE(${oSum("CASE WHEN o_totalprice > 450000 THEN o_totalprice END")}, 0.0) AS huge_total,
+         |COUNT(CASE WHEN o_totalprice > 450000 THEN 1 END) AS huge_cnt
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}
