@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-    graft.queries.Aggregates.queries
+    graft.queries.Aggregates.queries ++
+    graft.queries.Windows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
-    graft.queries.Aggregates.oracleSql
+    graft.queries.Aggregates.oracleSql ++
+    graft.queries.Windows.oracleSql
 }
