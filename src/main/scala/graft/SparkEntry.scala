@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Aggregates.queries ++
-    graft.queries.Windows.queries
+    graft.queries.Windows.queries ++
+    graft.queries.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
     graft.queries.Aggregates.oracleSql ++
-    graft.queries.Windows.oracleSql
+    graft.queries.Windows.oracleSql ++
+    graft.queries.Scalars.oracleSql
 }
