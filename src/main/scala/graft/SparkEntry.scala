@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Aggregates.queries ++
     graft.queries.Windows.queries ++
-    graft.queries.Scalars.queries
+    graft.queries.Scalars.queries ++
+    graft.queries.Generators.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
     graft.queries.Aggregates.oracleSql ++
     graft.queries.Windows.oracleSql ++
-    graft.queries.Scalars.oracleSql
+    graft.queries.Scalars.oracleSql ++
+    graft.queries.Generators.oracleSql
 }
