@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Aggregates.queries ++
     graft.queries.Windows.queries ++
     graft.queries.Scalars.queries ++
-    graft.queries.Generators.queries
+    graft.queries.Generators.queries ++
+    graft.queries.Text.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Aggregates.oracleSql ++
     graft.queries.Windows.oracleSql ++
     graft.queries.Scalars.oracleSql ++
-    graft.queries.Generators.oracleSql
+    graft.queries.Generators.oracleSql ++
+    graft.queries.Text.oracleSql
 }

@@ -1,0 +1,393 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GapFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** §2.9 LLM-data-pipeline operators over documents/embeddings: exact +
+  * near deduplication (MinHash/LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (language ID,
+  * quality scoring, token counting, fingerprinting).
+  *
+  * 100 TB design notes:
+  *  - Near-dedup is BANDED LSH: each doc explodes to `bands` rows, pairs
+  *    form only inside identical (band, signature) buckets — never an
+  *    all-pairs product. Candidate verification joins shingle sets only
+  *    for candidate pairs.
+  *  - Cross-engine determinism: shingle hashes come from md5 hex prefixes
+  *    (7 hex chars < 2^28, so seedᵢ·h + bᵢ stays < 2^63 in both engines),
+  *    then integer min-hash arithmetic — bit-identical in Spark and DuckDB.
+  *  - Brute-force cosine is the sf-small oracle baseline; the LSH-bucketed
+  *    ANN (`llm_ann_lsh`) is the scale path (bucket join, not crossJoin).
+  */
+object Text {
+
+  private val P = 2147483647L // 2^31-1
+  /** MinHash seed pairs (aᵢ, bᵢ) — 12 hashes = 4 bands × 3 rows. */
+  private val seeds: Seq[(Long, Long)] = Seq(
+    (1000003L, 12345L), (1000033L, 54321L), (1000211L, 11111L),
+    (1000231L, 22222L), (1000249L, 33333L), (1000253L, 44444L),
+    (1000273L, 55555L), (1000289L, 66666L), (1000291L, 77777L),
+    (1000303L, 88888L), (1000313L, 99999L), (1000333L, 10101L))
+  private val bands = 4
+  private val rowsPerBand = 3
+
+  /** Spark-side: distinct 3-word shingles of `text`. */
+  private def shingleSet(text: Column): Column =
+    array_distinct(GapFunctions.shingles(split(text, " "), 3))
+
+  /** Spark-side: md5-prefix integer hash of each shingle (28-bit). */
+  private def shingleHashes(sh: Column): Column =
+    transform(sh, s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
+
+  /** Exact dedup via content hash (sha2-256), keeper = min doc_id. */
+  val llmExactDedup: Q = (s, dir) => {
+    Tables.t(s, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+      .orderBy("keeper")
+  }
+
+  /** Dedup with real duplicates: lineitem's (orderkey, linenumber) is
+    * non-unique in the fixtures — keep row_number()=1 per key under a
+    * total order (the hash-partitioned, fully distributed dedup shape). */
+  val llmDedupRows: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey", "l_linenumber")
+      .orderBy("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    Tables.t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("kept"), dsum(col("l_quantity")).as("kept_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Banded MinHash-LSH near-dedup: candidates from band buckets, then
+    * exact shingle-Jaccard verification ≥ 0.5. */
+  val llmMinhashLsh: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", shingleHashes(col("sh")))
+    val withMh = seeds.zipWithIndex.foldLeft(docs) { case (df, ((a, b), i)) =>
+      df.withColumn(s"mh$i",
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P))))
+    }
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}")): _*).as("sig"))
+    }
+    val buckets = withMh
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val a = buckets.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = buckets.select(col("band"), col("sig"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+      .distinct()
+      .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), dround(col("jac"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash fingerprint from word-hash bit votes. */
+  val llmSimhash: Q = (s, dir) => {
+    val words = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long"))
+    val votes = (0 until 16).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+    }
+    val sim = (0 until 16).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact word-bigram Jaccard for same-language adjacent doc pairs. */
+  val llmNgramJaccard: Q = (s, dir) => {
+    def grams(c: Column) = array_distinct(GapFunctions.shingles(split(c, " "), 2))
+    val d = Tables.t(s, dir, "documents")
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), grams(col("text")).as("g_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang"), grams(col("text")).as("g_b"))
+    a.join(b, Seq("lang")).filter(col("doc_b") === col("doc_a") + 1)
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        dround(size(array_intersect(col("g_a"), col("g_b"))) * lit(1.0) /
+          size(array_union(col("g_a"), col("g_b"))), 6).as("bigram_jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force cosine top-k (oracle baseline; scale path = llm_ann_lsh).
+    * Query set is small (20 vecs) and broadcast against all candidates. */
+  val llmCosineTopk: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
+    val norm = (x: Column) =>
+      sqrt(aggregate(transform(x, e => e * e), lit(0.0), (acc, e) => acc + e))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val sims = broadcast(q).join(emb.filter(col("vec_id") >= 20))
+      .select(col("q_id"), col("vec_id"),
+        dround(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH-bucketed ANN — the 100 TB path: vectors hash to
+    * sign-pattern buckets; pairs form per bucket (shuffle on bucket id),
+    * no crossJoin. Deterministic pseudo-random planes from integer
+    * arithmetic (no RNG). Rows-only (cross-checked vs brute force in
+    * ScalaTest). */
+  val llmAnnLsh: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    def planeW(p: Int): Column = transform(sequence(lit(0), lit(63)),
+      d => (((lit(p) * 73856093 + d * 19349663) % 2000).cast("double") / 1000.0) - 1.0)
+    def dotW(p: Int): Column =
+      aggregate(zip_with(col("v"), planeW(p), (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
+    val sig = (0 until 8).map(p => when(dotW(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
+    val bucketed = emb.withColumn("bucket", sig)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, e) => acc + e)
+    val norm = (x: Column) =>
+      sqrt(aggregate(transform(x, e => e * e), lit(0.0), (acc, e) => acc + e))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("bucket"), col("id_a"), col("id_b"),
+        dround(dot(col("v_a"), col("v_b")) / (norm(col("v_a")) * norm(col("v_b"))), 6).as("cos"))
+      .filter(col("cos") > 0.3)
+      .orderBy("bucket", "id_a", "id_b")
+  }
+
+  private val stopEn = Seq("the", "a", "and", "of", "to")
+  private val stopMarkers: Map[String, Seq[String]] = Map(
+    "en" -> stopEn,
+    "q" -> Seq("query", "table", "scan"),
+    "j" -> Seq("join", "merge", "hash"))
+
+  /** Heuristic language/topic ID: marker-set hit counts, argmax with
+    * lexicographic tie-break (n-gram-heuristic shape from the brief). */
+  val llmLangId: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    def hits(ms: Seq[String]) =
+      size(array_intersect(words, array(ms.map(lit): _*)))
+    val d = Tables.t(s, dir, "documents")
+    val scored = d.select(col("doc_id"), col("lang"),
+      hits(stopMarkers("en")).as("sc_en"),
+      hits(stopMarkers("q")).as("sc_q"),
+      hits(stopMarkers("j")).as("sc_j"))
+    scored.select(col("doc_id"), col("lang"), col("sc_en"), col("sc_q"), col("sc_j"),
+      when(col("sc_en") >= col("sc_q") && col("sc_en") >= col("sc_j"), "en")
+        .when(col("sc_q") >= col("sc_j"), "q")
+        .otherwise("j").as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/word/stopword/char-class ratios + composite. */
+  val llmQualityScore: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val stopHits = size(filter(words, w => w.isin(stopEn: _*)))
+    val d = Tables.t(s, dir, "documents")
+    d.select(col("doc_id"), col("n_chars"),
+      nWords.as("n_words"),
+      dround(col("n_chars").cast("double") / nWords, 6).as("avg_word_len"),
+      dround(stopHits * lit(1.0) / nWords, 6).as("stop_ratio"),
+      regexp_count(col("text"), lit("[aeiou]")).cast("int").as("vowels"),
+      dround(
+        least(nWords / lit(100.0), lit(1.0)) * 0.5 +
+          (lit(1.0) - stopHits * lit(1.0) / nWords) * 0.5, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */
+  val llmTokenCount: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    d.select(col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("int").as("bpe_tokens"),
+      length(col("text")).as("chars"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).as("spaces"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: rolling polynomial hash over word codes —
+    * deterministic integer fold, identical in both engines. */
+  val llmFingerprint: Q = (s, dir) => {
+    val codes = transform(split(col("text"), " "),
+      w => length(w).cast("long") * 256 + ascii(substring(w, 1, 1)))
+    val fp = aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % lit(P))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal plumbing: text → binary payload column + typed metadata
+    * struct, "decode" = deterministic stub features (octet length, hex
+    * prefix) — the schema/partitioning/batch shape is real, the codec is
+    * stubbed (no image libs offline; SURVEY.md §2.9). */
+  val llmMultimodal: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(col("lang").as("lang"), col("source").as("source"),
+          col("n_chars").as("n_chars")).as("meta"))
+    d.select(col("doc_id"),
+      octet_length(col("payload")).as("payload_bytes"),
+      hex(substring(col("payload"), 1, 4)).as("magic"),
+      col("meta").getField("lang").as("lang"),
+      col("meta").getField("n_chars").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_exact_dedup" -> llmExactDedup,
+    "llm_dedup_rows" -> llmDedupRows,
+    "llm_minhash_lsh" -> llmMinhashLsh,
+    "llm_simhash" -> llmSimhash,
+    "llm_ngram_jaccard" -> llmNgramJaccard,
+    "llm_cosine_topk" -> llmCosineTopk,
+    "llm_ann_lsh" -> llmAnnLsh,
+    "llm_lang_id" -> llmLangId,
+    "llm_quality_score" -> llmQualityScore,
+    "llm_token_count" -> llmTokenCount,
+    "llm_fingerprint" -> llmFingerprint,
+    "llm_multimodal" -> llmMultimodal
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val shingleSql =
+    """SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+      |  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+      |WHERE len(w) >= 3""".stripMargin
+
+  private val minhashSql: String = {
+    val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> ($a*h + $b) % $P)) AS mh$i"
+    }.mkString(",\n")
+    val bandRows = (0 until bands).map { j =>
+      val sig = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(" || '_' || ")
+      s"SELECT doc_id, sh, $j AS band, $sig AS sig FROM mh"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sh AS ($shingleSql),
+       |hsrc AS (SELECT doc_id, sh,
+       |  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh),
+       |mh AS (SELECT doc_id, sh, $mhCols FROM hsrc),
+       |buckets AS ($bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
+       |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, ${oRound("jac", 6)} AS jaccard
+       |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val votes = (0 until 16).map(i => s"SUM(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n")
+    val combine = (0 until 16).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH wh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 7))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t),
+       |v AS (SELECT doc_id, $votes FROM wh GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_exact_dedup" ->
+      """SELECT h AS content_hash, min(doc_id) AS keeper, COUNT(*) AS copies
+        |FROM (SELECT doc_id, sha256(text) AS h FROM documents) t
+        |GROUP BY h ORDER BY keeper""".stripMargin,
+    "llm_dedup_rows" ->
+      s"""WITH ranked AS (
+         |  SELECT l_returnflag, l_quantity,
+         |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+         |      ORDER BY l_quantity, l_extendedprice, l_discount, l_tax,
+         |               l_returnflag, l_linestatus, l_shipdate) AS rn
+         |  FROM lineitem)
+         |SELECT l_returnflag, COUNT(*) AS kept, ${oSum("l_quantity")} AS kept_qty
+         |FROM ranked WHERE rn = 1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "llm_minhash_lsh" -> minhashSql,
+    "llm_simhash" -> simhashSql,
+    "llm_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, list_distinct(list_transform(range(len(w)-1),
+        |    i -> w[i+1] || ' ' || w[i+2])) AS g
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) t)
+        |SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(FLOOR((len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0 /
+        |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
+        |FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |    ${oRound("list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v)))", 6)} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM sims)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "llm_lang_id" ->
+      """SELECT doc_id, lang,
+        |CAST(len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['the','a','and','of','to'], x))) AS INT) AS sc_en,
+        |CAST(len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['query','table','scan'], x))) AS INT) AS sc_q,
+        |CAST(len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['join','merge','hash'], x))) AS INT) AS sc_j,
+        |CASE WHEN len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['the','a','and','of','to'], x)))
+        |       >= len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['query','table','scan'], x)))
+        |      AND len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['the','a','and','of','to'], x)))
+        |       >= len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['join','merge','hash'], x)))
+        |     THEN 'en'
+        |     WHEN len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['query','table','scan'], x)))
+        |       >= len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['join','merge','hash'], x)))
+        |     THEN 'q' ELSE 'j' END AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_quality_score" ->
+      s"""SELECT doc_id, n_chars,
+         |CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         |${oRound("n_chars * 1.0 / len(string_split(text, ' '))", 6)} AS avg_word_len,
+         |${oRound("len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to'], w))) * 1.0 / len(string_split(text, ' '))", 6)} AS stop_ratio,
+         |CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS vowels,
+         |${oRound("least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5 + (1.0 - len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to'], w))) * 1.0 / len(string_split(text, ' '))) * 0.5", 6)} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
+        |CAST(length(text) AS INT) AS chars,
+        |CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS spaces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      s"""SELECT doc_id,
+         |list_reduce(list_prepend(0::BIGINT,
+         |  list_transform(string_split(text, ' '),
+         |    w -> length(w)::BIGINT * 256 + ascii(w[1]))),
+         |  (a, b) -> (a * 31 + b) % $P) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_multimodal" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+        |upper(array_to_string(list_transform(range(1, 5), i -> to_hex(ascii(text[i]))), '')) AS magic,
+        |lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
