@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Windows.queries ++
     graft.queries.Scalars.queries ++
     graft.queries.Generators.queries ++
-    graft.queries.Text.queries
+    graft.queries.Text.queries ++
+    graft.streaming.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Windows.oracleSql ++
     graft.queries.Scalars.oracleSql ++
     graft.queries.Generators.oracleSql ++
-    graft.queries.Text.oracleSql
+    graft.queries.Text.oracleSql ++
+    graft.streaming.Events.oracleSql
 }

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.Tables
+import graft.queries.{dsum, oSum, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.8 streaming extension (north-star addition — the reference has no
+  * event-time processing; SURVEY.md §1.1/§2.8).
+  *
+  * Batch-equivalent window aggregations run through the oracle gate; the
+  * identical queries execute over `readStream` in the ScalaTest smoke
+  * (StreamingSpec), proving the operators are Structured-Streaming-ready.
+  *
+  * Scale: event-time windows groupBy (window, key) — hash-partitioned
+  * state, watermark bounds it; no global ordering anywhere.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event_type. */
+  val streamTumbling: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("cnt"), col("val_sum"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Sliding 1-hour windows every 30 minutes. */
+  val streamSliding: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("cnt"), col("val_sum"))
+      .orderBy("win_start")
+  }
+
+  /** Session windows (10-minute gap) per user. */
+  val streamSession: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("sess_start"),
+        col("w.end").cast("timestamp_ntz").as("sess_end"),
+        col("cnt"), col("val_sum"))
+      .orderBy("user_id", "sess_start")
+  }
+
+  /** Deterministic stateful dedup shape: first event per (user, type) by
+    * event time (streaming twin: dropDuplicatesWithinWatermark). */
+  val streamDedupFirst: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("first_ts"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Late-data drop semantics (watermark analogue in batch): events more
+    * than 1 hour behind the max seen ts per user are dropped. */
+  val streamWatermarkDrop: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val maxTs = e.groupBy("user_id").agg(max(col("ts")).as("max_ts"))
+    e.join(maxTs, "user_id")
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("recent_cnt"), dsum(col("value")).as("recent_sum"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_dedup_first" -> streamDedupFirst,
+    "stream_watermark_drop" -> streamWatermarkDrop
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+         |event_type, COUNT(*) AS cnt, ${oSum("value")} AS val_sum
+         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      s"""WITH t AS (
+         |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS w1, value FROM events
+         |), win AS (
+         |  SELECT w1 AS win_start, value FROM t
+         |  UNION ALL
+         |  SELECT w1 - INTERVAL '30 minutes' AS win_start, value FROM t)
+         |SELECT win_start, COUNT(*) AS cnt, ${oSum("value")} AS val_sum
+         |FROM win GROUP BY win_start ORDER BY win_start""".stripMargin,
+    "stream_session" ->
+      s"""WITH ordered AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              <= INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_sess
+         |  FROM events),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM ordered)
+         |SELECT user_id, MIN(ts) AS sess_start,
+         |  MAX(ts) + INTERVAL '10 minutes' AS sess_end,
+         |  COUNT(*) AS cnt, ${oSum("value")} AS val_sum
+         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
+    "stream_dedup_first" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS first_ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, first_ts, value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "stream_watermark_drop" ->
+      s"""WITH m AS (SELECT user_id, MAX(ts) AS max_ts FROM events GROUP BY user_id)
+         |SELECT e.user_id AS user_id, COUNT(*) AS recent_cnt, ${oSum("value")} AS recent_sum
+         |FROM events e JOIN m ON e.user_id = m.user_id
+         |WHERE e.ts >= m.max_ts - INTERVAL '1 hour'
+         |GROUP BY e.user_id ORDER BY user_id""".stripMargin
+  )
+
+  /** Streaming twin of [[streamTumbling]] for the readStream smoke test:
+    * same aggregation over a file-source stream. */
+  def tumblingStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("cnt"), col("val_sum"))
+  }
+}
