@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Scalars.queries ++
     graft.queries.Generators.queries ++
     graft.queries.Text.queries ++
-    graft.streaming.Events.queries
+    graft.streaming.Events.queries ++
+    graft.sources.WritePaths.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.Scalars.oracleSql ++
     graft.queries.Generators.oracleSql ++
     graft.queries.Text.oracleSql ++
-    graft.streaming.Events.oracleSql
+    graft.streaming.Events.oracleSql ++
+    graft.sources.WritePaths.oracleSql
 }

@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.Tables
+import graft.queries.{dsum, oSum, Q}
+import org.apache.spark.sql.functions._
+
+/** §2.2 sources/sinks beyond plain parquet reads: CSV/JSON/text/regex
+  * sources and partitioned parquet/ORC write paths with read-back.
+  *
+  * Reference: LazySimpleSerDe/OpenCSVSerde/DelimitedJSONSerDe/RegexSerDe +
+  * `FileSinkOperator` with dynamic partitions (SURVEY.md §2.2).
+  *
+  * The sink queries write under java.io.tmpdir then read back and
+  * aggregate — the oracle computes the same aggregate from the original source
+  * table, so a round-trip corruption would hash-mismatch. Writes are
+  * partitioned (`partitionBy`) — the dynamic-partition-insert shape; at
+  * scale the same call distributes one file per (task × partition-value).
+  */
+object WritePaths {
+
+  private def tmp(name: String, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_sink/$tag/$name"
+  }
+
+  /** CSV round-trip (LazySimpleSerDe ≈ delimited text): write nation as
+    * custom-delimited csv, read back with explicit schema. */
+  val srcCsvRoundtrip: Q = (s, dir) => {
+    val out = tmp("nation_csv", dir)
+    Tables.t(s, dir, "nation")
+      .write.mode("overwrite").option("delimiter", "|").option("header", "true")
+      .csv(out)
+    s.read.option("delimiter", "|").option("header", "true")
+      .option("inferSchema", "true").csv(out)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** JSON round-trip + from_json/to_json (DelimitedJSONSerDe shape). */
+  val srcJsonRoundtrip: Q = (s, dir) => {
+    val out = tmp("region_json", dir)
+    Tables.t(s, dir, "region").write.mode("overwrite").json(out)
+    s.read.json(out)
+      .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+
+  /** Text source + RegexSerDe shape: write `key|name` lines, read as raw
+    * text, regexp_extract the fields back. */
+  val srcRegexText: Q = (s, dir) => {
+    val out = tmp("supplier_txt", dir)
+    Tables.t(s, dir, "supplier")
+      .select(concat(col("s_suppkey"), lit("|"), col("s_name")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(
+        regexp_extract(col("value"), "^([0-9]+)\\|", 1).cast("long").as("s_suppkey"),
+        regexp_extract(col("value"), "\\|(.*)$", 1).as("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Partitioned parquet sink (dynamic-partition insert) + read-back agg.
+    * Partition column round-trips through directory names. */
+  val sinkPartitionedParquet: Q = (s, dir) => {
+    val out = tmp("orders_part", dir)
+    Tables.t(s, dir, "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** ORC write + read-back (predicate pushdown capable source). */
+  val sinkOrcRoundtrip: Q = (s, dir) => {
+    val out = tmp("customer_orc", dir)
+    Tables.t(s, dir, "customer").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .filter(col("c_acctbal") > 5000)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal"), 2).as("bal_sum"))
+      .orderBy("c_mktsegment")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "src_csv_roundtrip" -> srcCsvRoundtrip,
+    "src_json_roundtrip" -> srcJsonRoundtrip,
+    "src_regex_text" -> srcRegexText,
+    "sink_partitioned_parquet" -> sinkPartitionedParquet,
+    "sink_orc_roundtrip" -> sinkOrcRoundtrip
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |CAST(n_regionkey AS INT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "src_json_roundtrip" ->
+      """SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "src_regex_text" ->
+      "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
+    "sink_partitioned_parquet" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${oSum("o_totalprice", 2)} AS total
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_orc_roundtrip" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oSum("c_acctbal", 2)} AS bal_sum
+         |FROM customer WHERE c_acctbal > 5000
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
