@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** 100 TB plan-shape audits (SURVEY.md §7.7): filters reach the scan,
+  * projections prune columns, small joins broadcast, bucketed SMB joins
+  * elide shuffles, and no operator collects to the driver. */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    executedPlan(df).toString
+
+  test("q1: filter is pushed into the parquet scan") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    val s = df.queryExecution.sparkPlan.toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$s")
+  }
+
+  test("q1: scan reads only the needed columns (pruning)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    val s = df.queryExecution.sparkPlan.toString
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q1: aggregation is two-phase (partial + final HashAggregate)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    val s = planString(df)
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s)
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    val df = SparkEntry.queries("join_broadcast")(spark, sfDir)
+    df.collect() // let AQE finalize
+    assert(planString(df).contains("BroadcastHashJoin"))
+  }
+
+  test("join_multiway broadcasts the dimension tables under AQE") {
+    val df = SparkEntry.queries("join_multiway")(spark, sfDir)
+    df.collect()
+    assert(planString(df).contains("BroadcastHashJoin"))
+  }
+
+  test("sort_topk plans TakeOrderedAndProject (no global sort)") {
+    val df = SparkEntry.queries("sort_topk")(spark, sfDir)
+    assert(planString(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("q1 stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    // codegen'd stages print as "*(n) Operator" in the executed plan
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(planString(df)).nonEmpty,
+      planString(df))
+  }
+
+  test("bucketed SMB join elides the shuffle exchange") {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS or_bucketed")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/li_bucketed"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/or_bucketed"))
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val or = Tables.t(spark, sfDir, "orders")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    or.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("or_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("or_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    val s = joined.queryExecution.executedPlan.toString
+    // bucketed SMJ: the join inputs must not re-shuffle on the join key
+    val exchanges = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(s).size +
+      "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(s).size
+    assert(exchanges == 0, s"join inputs re-shuffled:\n$s")
+    assert(s.contains("SortMergeJoin"), s)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("minhash LSH plan contains no cartesian product") {
+    val df = SparkEntry.queries("llm_minhash_lsh")(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("AQE is enabled in the session") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+}

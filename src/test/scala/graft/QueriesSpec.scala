@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every SparkEntry query runs at sf0.001 and returns a sane result; plus
+  * targeted semantic assertions per module. */
+class QueriesSpec extends SparkSpec {
+
+  test("every registered query executes at sf0.001") {
+    val emptyOk = Set("llm_minhash_lsh") // no near-dups guaranteed at tiny sf
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+      if (!emptyOk(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 aggregates match a direct recomputation") {
+    val row = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+      .collect().head
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp") &&
+        col("l_returnflag") === "A" && col("l_linestatus") === "F")
+    assert(row.getAs[Long]("count_order") == li.count())
+  }
+
+  test("join_semi + join_anti partition the customer set") {
+    val semi = SparkEntry.queries("join_semi")(spark, sfDir).count()
+    val anti = SparkEntry.queries("join_anti")(spark, sfDir).count()
+    val all = Tables.t(spark, sfDir, "customer").count()
+    assert(semi + anti == all)
+  }
+
+  test("setop intersect/except agree with distinct membership") {
+    val i = SparkEntry.queries("setop_intersect")(spark, sfDir)
+      .collect().map(_.getInt(0)).toSet
+    val supp = Tables.t(spark, sfDir, "supplier")
+      .select(col("s_nationkey").cast("int")).collect().map(_.getInt(0)).toSet
+    assert(i.subsetOf(supp))
+  }
+
+  test("window running count is a 1..n permutation per partition") {
+    val df = SparkEntry.queries("win_agg_rows")(spark, sfDir)
+    val bad = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), countDistinct(col("running_cnt")).as("nd"),
+        max(col("running_cnt")).as("mx"))
+      .filter(col("n") =!= col("nd") || col("n") =!= col("mx")).count()
+    assert(bad == 0)
+  }
+
+  test("exact dedup keeps one row per content hash") {
+    val df = SparkEntry.queries("llm_exact_dedup")(spark, sfDir)
+    assert(df.select("content_hash").distinct().count() == df.count())
+  }
+
+  test("cosine top-k neighbors are ranked descending") {
+    val df = SparkEntry.queries("llm_cosine_topk")(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rnk")
+    val bad = df.withColumn("prev", lag(col("cos"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("cos")).count()
+    assert(bad == 0)
+  }
+
+  test("ANN LSH pairs are a subset of brute-force high-cosine pairs") {
+    val ann = SparkEntry.queries("llm_ann_lsh")(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force all-pairs cosine > 0.3 on the tiny sf
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, e) => acc + e)
+    val nrm = (x: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(transform(x, e => e * e), lit(0.0), (acc, e) => acc + e))
+    val bf = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (nrm(col("va")) * nrm(col("vb")))).as("cos"))
+      .filter(col("cos") > 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(bf))
+    // LSH recall on same-bucket survivors should be nontrivial if any exist
+    if (bf.nonEmpty) assert(ann.nonEmpty)
+  }
+
+  test("fingerprint is stable across runs") {
+    val a = SparkEntry.queries("llm_fingerprint")(spark, sfDir).collect()
+    val b = SparkEntry.queries("llm_fingerprint")(spark, sfDir).collect()
+    assert(a.sameElements(b))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** readStream smoke: the tumbling-window aggregation produces identical
+  * results via Structured Streaming (file source, one micro-batch) and
+  * the batch query (SURVEY.md §5.2 item 5). */
+class StreamingSpec extends SparkSpec {
+
+  test("tumbling window: streaming result == batch result") {
+    val streamDir = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = graft.streaming.Events.tumblingStream(spark, streamDir.toString)
+    val q = stream.writeStream
+      .format("memory").queryName("tumbling_smoke")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("tumbling_smoke")
+      .orderBy("win_start", "event_type").collect()
+    val batch = graft.streaming.Events.streamTumbling(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
+  test("stateful dedup twin: dropDuplicates over stream equals batch first-rows count") {
+    val batch = graft.streaming.Events.streamDedupFirst(spark, sfDir).count()
+    val direct = Tables.events(spark, sfDir)
+      .select("user_id", "event_type").distinct().count()
+    assert(batch == direct)
+  }
+}
