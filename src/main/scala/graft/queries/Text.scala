@@ -66,30 +66,48 @@ object Text {
   }
 
   /** Banded MinHash-LSH near-dedup: candidates from band buckets, then
-    * exact shingle-Jaccard verification ≥ 0.5. */
+    * exact shingle-Jaccard verification ≥ 0.5.
+    *
+    * Signature computation explodes shingles to rows so each md5 is hashed
+    * exactly once and the 12 min-hash aggregates run as flat codegen'd
+    * min() aggregations (higher-order array lambdas are interpreted in
+    * Spark — the exploded shape is both faster and the scalable layout:
+    * one map-side-combined shuffle on doc_id). */
   val llmMinhashLsh: Q = (s, dir) => {
     val docs = Tables.t(s, dir, "documents")
       .select(col("doc_id"), shingleSet(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("hs", shingleHashes(col("sh")))
-    val withMh = seeds.zipWithIndex.foldLeft(docs) { case (df, ((a, b), i)) =>
-      df.withColumn(s"mh$i",
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P))))
+    val hashRows = docs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long").as("h"))
+    val mhAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"mh$i")
     }
+    val withMh = hashRows.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}")): _*).as("sig"))
     }
+    // Buckets carry only ids — the (usually large) shingle arrays are NOT
+    // shuffled through the bucket self-join; candidates re-join them after
+    // dedup. At 100 TB this is the difference between shuffling doc bodies
+    // 4x and shuffling 16-byte id rows.
     val buckets = withMh
-      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    val a = buckets.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("sig"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = buckets.alias("a")
+      .join(buckets.alias("b"), Seq("band", "sig"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
           size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
-      .distinct()
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), dround(col("jac"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -111,16 +129,31 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** Exact word-bigram Jaccard for same-language adjacent doc pairs. */
+  /** Exact word-bigram Jaccard for same-language adjacent doc pairs.
+    * Exploded-bigram shape: |A∩B| comes from a gram-equality join and
+    * |A|,|B| from per-doc counts — flat codegen'd operators throughout,
+    * shuffling (doc, gram) rows rather than materializing array pairs. */
   val llmNgramJaccard: Q = (s, dir) => {
-    def grams(c: Column) = array_distinct(GapFunctions.shingles(split(c, " "), 2))
     val d = Tables.t(s, dir, "documents")
-    val a = d.select(col("doc_id").as("doc_a"), col("lang"), grams(col("text")).as("g_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("lang"), grams(col("text")).as("g_b"))
-    a.join(b, Seq("lang")).filter(col("doc_b") === col("doc_a") + 1)
+    val grams = d
+      .select(col("doc_id"), explode(GapFunctions.shingles(split(col("text"), " "), 2)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = d.select(col("doc_id").as("doc_a"), col("lang")).alias("a")
+      .join(d.select(col("doc_id").as("doc_b"), col("lang")).alias("b"),
+        col("a.lang") === col("b.lang") && col("doc_b") === col("doc_a") + 1)
+      .select(col("a.lang").as("lang"), col("doc_a"), col("doc_b"))
+    val inter = pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(col("lang"), col("doc_a"), col("doc_b"),
-        dround(size(array_intersect(col("g_a"), col("g_b"))) * lit(1.0) /
-          size(array_union(col("g_a"), col("g_b"))), 6).as("bigram_jac"))
+        dround(coalesce(col("n_inter"), lit(0L)) * lit(1.0) /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6).as("bigram_jac"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -154,8 +187,8 @@ object Text {
   val llmAnnLsh: Q = (s, dir) => {
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    def planeW(p: Int): Column = transform(sequence(lit(0), lit(63)),
-      d => (((lit(p) * 73856093 + d * 19349663) % 2000).cast("double") / 1000.0) - 1.0)
+    def planeW(p: Int): Column = typedLit(
+      (0 until 64).map(d => ((p.toLong * 73856093 + d.toLong * 19349663) % 2000).toDouble / 1000.0 - 1.0))
     def dotW(p: Int): Column =
       aggregate(zip_with(col("v"), planeW(p), (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
     val sig = (0 until 8).map(p => when(dotW(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
