@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Generators.queries ++
     graft.queries.Text.queries ++
     graft.streaming.Events.queries ++
-    graft.sources.WritePaths.queries
+    graft.sources.WritePaths.queries ++
+    graft.queries.Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.Generators.oracleSql ++
     graft.queries.Text.oracleSql ++
     graft.streaming.Events.oracleSql ++
-    graft.sources.WritePaths.oracleSql
+    graft.sources.WritePaths.oracleSql ++
+    graft.queries.Extras.oracleSql
 }
