@@ -160,12 +160,11 @@ object Text {
   /** Brute-force cosine top-k (oracle baseline; scale path = llm_ann_lsh).
     * Query set is small (20 vecs) and broadcast against all candidates. */
   val llmCosineTopk: Q = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val dot = (x: Column, y: Column) =>
-      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
-    val norm = (x: Column) =>
-      sqrt(aggregate(transform(x, e => e * e), lit(0.0), (acc, e) => acc + e))
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val norm = (x: Column) => sqrt(call_function("dot_product", x, x))
     val q = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val sims = broadcast(q).join(emb.filter(col("vec_id") >= 20))
@@ -185,20 +184,18 @@ object Text {
     * arithmetic (no RNG). Rows-only (cross-checked vs brute force in
     * ScalaTest). */
   val llmAnnLsh: Q = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     def planeW(p: Int): Column = typedLit(
       (0 until 64).map(d => ((p.toLong * 73856093 + d.toLong * 19349663) % 2000).toDouble / 1000.0 - 1.0))
-    def dotW(p: Int): Column =
-      aggregate(zip_with(col("v"), planeW(p), (a, b) => a * b), lit(0.0), (acc, e) => acc + e)
+    def dotW(p: Int): Column = call_function("dot_product", col("v"), planeW(p))
     val sig = (0 until 8).map(p => when(dotW(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
     val bucketed = emb.withColumn("bucket", sig)
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
-    val dot = (x: Column, y: Column) =>
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, e) => acc + e)
-    val norm = (x: Column) =>
-      sqrt(aggregate(transform(x, e => e * e), lit(0.0), (acc, e) => acc + e))
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val norm = (x: Column) => sqrt(call_function("dot_product", x, x))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("bucket"), col("id_a"), col("id_b"),
         dround(dot(col("v_a"), col("v_b")) / (norm(col("v_a")) * norm(col("v_b"))), 6).as("cos"))

@@ -131,3 +131,27 @@ class FunctionsSpec extends SparkSpec {
     assert(whole == split)
   }
 }
+
+class VectorExpressionsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("dot_product matches the higher-order fold bit-for-bit") {
+    graft.functions.VectorExpressions.register(spark)
+    val df = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val cmp = df.select(
+      call_function("dot_product", col("v"), col("v")).as("native"),
+      aggregate(transform(col("v"), e => e * e), lit(0.0), (a, e) => a + e).as("ho"))
+    assert(cmp.filter(col("native") =!= col("ho")).count() == 0)
+  }
+
+  test("dot_product nulls and length mismatch") {
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d)) AS short""".stripMargin)
+      .collect().head
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 3.0)
+  }
+}
