@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.Text.queries ++
     graft.streaming.Events.queries ++
     graft.sources.WritePaths.queries ++
-    graft.queries.Extras.queries
+    graft.queries.Extras.queries ++
+    graft.queries.Extras2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.queries.Text.oracleSql ++
     graft.streaming.Events.oracleSql ++
     graft.sources.WritePaths.oracleSql ++
-    graft.queries.Extras.oracleSql
+    graft.queries.Extras.oracleSql ++
+    graft.queries.Extras2.oracleSql
 }

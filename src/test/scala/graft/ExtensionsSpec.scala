@@ -1,0 +1,61 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions path: the shared test session is built with
+  * spark.sql.extensions=graft.GraftExtensions, so the native functions
+  * resolve by name with no per-query registration. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("extensions inject dot_product and parse_url_tuple session-wide") {
+    val dot = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+    val row = spark.sql(
+      """SELECT t.host, t.query_k FROM (SELECT 'http://h.io/p?k=9' AS u)
+        |LATERAL VIEW parse_url_tuple(u, 'HOST', 'QUERY:k') t AS host, query_k
+        |""".stripMargin).collect().head
+    assert(row.getString(0) == "h.io")
+    assert(row.getString(1) == "9")
+  }
+}
+
+/** Custom arbitrary-state operator (§2.8 row 79's
+  * flatMapGroupsWithState): per-user sessionization with explicit state,
+  * equal to the declarative session_window result. */
+class StatefulOpsSpec extends SparkSpec {
+
+  test("mapGroups-based sessionization matches session_window counts") {
+    import spark.implicits._
+    val gapMs = 10 * 60 * 1000L
+    val sessions = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long").as("tsSec"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroups { (user, rows) =>
+        // explicit-state sessionizer: sorted events, split on gap
+        val sorted = rows.map(_._3.getTime).toSeq.sorted
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val sessionSizes = scala.collection.mutable.ArrayBuffer[Int]()
+          var cnt = 1
+          var prev = sorted.head
+          sorted.tail.foreach { t =>
+            if (t - prev > gapMs) { sessionSizes += cnt; cnt = 0 }
+            cnt += 1
+            prev = t
+          }
+          sessionSizes += cnt
+          sessionSizes.iterator.map(n => (user, n))
+        }
+      }
+    val custom = sessions.groupByKey(_._1).count().collect()
+      .map { case (u, n) => (u, n) }.toMap
+    val declarative = graft.streaming.Events.streamSession(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(custom == declarative)
+  }
+}
