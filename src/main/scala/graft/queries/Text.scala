@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.GapFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -15,9 +14,10 @@ import org.apache.spark.sql.functions._
   *    form only inside identical (band, signature) buckets — never an
   *    all-pairs product. Candidate verification joins shingle sets only
   *    for candidate pairs.
-  *  - Cross-engine determinism: shingle hashes come from md5 hex prefixes
-  *    (7 hex chars < 2^28, so seedᵢ·h + bᵢ stays < 2^63 in both engines),
-  *    then integer min-hash arithmetic — bit-identical in Spark and DuckDB.
+  *  - Cross-engine determinism: word hashes come from md5 hex prefixes
+  *    (7 hex chars < 2^28), shingle ids from base-multiplier combination
+  *    mod P, then integer min-hash arithmetic — every step stays < 2^63
+  *    and is bit-identical in Spark and DuckDB.
   *  - Brute-force cosine is the sf-small oracle baseline; the LSH-bucketed
   *    ANN (`llm_ann_lsh`) is the scale path (bucket join, not crossJoin).
   */
@@ -33,13 +33,30 @@ object Text {
   private val bands = 4
   private val rowsPerBand = 3
 
-  /** Spark-side: distinct 3-word shingles of `text`. */
-  private def shingleSet(text: Column): Column =
-    array_distinct(GapFunctions.shingles(split(text, " "), 3))
+  /** Hash-shingling bases: shingle id = (h₁·B1 + h₂·B2 + h₃·B3) mod P over
+    * 28-bit word hashes — never materializes shingle strings. Products stay
+    * < 2^49 and the mod-P reduction keeps minhash arithmetic (a·sid + b)
+    * < 2^51, overflow-safe in both engines. */
+  private val (b1, b2, b3) = (1000003L, 1000033L, 1000211L)
 
-  /** Spark-side: md5-prefix integer hash of each shingle (28-bit). */
-  private def shingleHashes(sh: Column): Column =
-    transform(sh, s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
+  /** Exploded (doc_id, pos, word-hash) rows: one codegen'd md5 per word —
+    * the scalable shape (no array lambdas, no shingle-string allocation). */
+  private def wordHashRows(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long").as("h"))
+
+  /** (doc_id, sid) 3-word shingle-id rows via window lead over word order —
+    * one shuffle on doc_id, fully codegen'd except the WindowExec itself. */
+  private def shingleIdRows(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    wordHashRows(s, dir)
+      .select(col("doc_id"),
+        ((col("h") * lit(b1) + lead(col("h"), 1).over(w) * lit(b2) +
+          lead(col("h"), 2).over(w) * lit(b3)) % lit(P)).as("sid"))
+      .filter(col("sid").isNotNull)
+  }
 
   /** Exact dedup via content hash (sha2-256), keeper = min doc_id. */
   val llmExactDedup: Q = (s, dir) => {
@@ -68,32 +85,36 @@ object Text {
   /** Banded MinHash-LSH near-dedup: candidates from band buckets, then
     * exact shingle-Jaccard verification ≥ 0.5.
     *
-    * Signature computation explodes shingles to rows so each md5 is hashed
-    * exactly once and the 12 min-hash aggregates run as flat codegen'd
-    * min() aggregations (higher-order array lambdas are interpreted in
-    * Spark — the exploded shape is both faster and the scalable layout:
-    * one map-side-combined shuffle on doc_id). */
+    * Everything runs on integer shingle IDs (hash-shingling): one codegen'd
+    * md5 per word, shingle ids from window-lead arithmetic, and ONE
+    * aggregation produces both the 12 min-hash signature values (min over
+    * the sid multiset ≡ min over the set) and the collect_set used for
+    * exact Jaccard verification. A naive array-lambda shape is both slower
+    * (interpreted lambdas, and Catalyst's projection collapse re-evaluates
+    * the word-hash array per element) and shuffles shingle strings instead
+    * of 8-byte ids. */
   val llmMinhashLsh: Q = (s, dir) => {
-    val docs = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val hashRows = docs
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long").as("h"))
     val mhAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"mh$i")
+      min((lit(a) * col("sid") + lit(b)) % lit(P)).as(s"mh$i")
     }
-    val withMh = hashRows.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    // One row per doc: signature + sid set. Feeds three consumers (buckets
+    // + both sides of the verification join); persisted so the corpus scan
+    // happens once — the checkpointed intermediate a production dedup
+    // pipeline materializes anyway (MEMORY_AND_DISK spills, never OOMs).
+    val sets = shingleIdRows(s, dir)
+      .groupBy("doc_id")
+      .agg(collect_set(col("sid")).as("sh"), mhAggs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count() // eager: downstream stages run concurrently and would
+                 // otherwise race to populate the cache, tripling the work
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}")): _*).as("sig"))
     }
-    // Buckets carry only ids — the (usually large) shingle arrays are NOT
-    // shuffled through the bucket self-join; candidates re-join them after
-    // dedup. At 100 TB this is the difference between shuffling doc bodies
-    // 4x and shuffling 16-byte id rows.
-    val buckets = withMh
+    // Buckets carry only ids — the sid arrays are NOT shuffled through the
+    // bucket self-join; candidates re-join them after dedup. At 100 TB this
+    // is the difference between shuffling doc contents 4x and 16-byte rows.
+    val buckets = sets
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val cand = buckets.alias("a")
@@ -101,7 +122,7 @@ object Text {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    val sh = docs.select(col("doc_id"), col("sh"))
+    val sh = sets.select(col("doc_id"), col("sh"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -130,14 +151,23 @@ object Text {
   }
 
   /** Exact word-bigram Jaccard for same-language adjacent doc pairs.
-    * Exploded-bigram shape: |A∩B| comes from a gram-equality join and
-    * |A|,|B| from per-doc counts — flat codegen'd operators throughout,
-    * shuffling (doc, gram) rows rather than materializing array pairs. */
+    * Exploded integer-bigram shape (same hash-shingling as llmMinhashLsh,
+    * window-lead over word hashes): |A∩B| comes from a gram-equality join
+    * and |A|,|B| from per-doc counts — flat codegen'd operators
+    * throughout, shuffling (doc, gram-id) long pairs rather than
+    * materializing bigram strings. */
   val llmNgramJaccard: Q = (s, dir) => {
     val d = Tables.t(s, dir, "documents")
-    val grams = d
-      .select(col("doc_id"), explode(GapFunctions.shingles(split(col("text"), " "), 2)).as("g"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    // Materialize-once: the gram table feeds the per-doc size aggregate and
+    // both sides of the intersection join (8-byte ids — cheap to cache).
+    val grams = wordHashRows(s, dir)
+      .select(col("doc_id"),
+        ((col("h") * lit(b1) + lead(col("h"), 1).over(w) * lit(b2)) % lit(P)).as("g"))
+      .filter(col("g").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager for the same cache-race reason as llmMinhashLsh
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = d.select(col("doc_id").as("doc_a"), col("lang")).alias("a")
       .join(d.select(col("doc_id").as("doc_b"), col("lang")).alias("b"),
@@ -201,6 +231,52 @@ object Text {
         dround(dot(col("v_a"), col("v_b")) / (norm(col("v_a")) * norm(col("v_b"))), 6).as("cos"))
       .filter(col("cos") > 0.3)
       .orderBy("bucket", "id_a", "id_b")
+  }
+
+  /** IVF (inverted-file) ANN — the second 100 TB scale path beside
+    * random-hyperplane LSH: a deterministic coarse quantizer (every 50th
+    * vector serves as a centroid) assigns vectors to cells; each query
+    * probes only its `nprobe` nearest cells and scans those inverted
+    * lists. The candidate join is (queries × probed cells) on the cell
+    * key — never a full cross product — and the centroid table is tiny
+    * and broadcast. Rows-only (value-checked against brute force in
+    * ScalaTest). */
+  val llmAnnIvf: Q = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
+    val nprobe = 2
+    val emb = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val norm = (x: Column) => sqrt(call_function("dot_product", x, x))
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    def cellSim = dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))
+    // assign every vector to its nearest centroid; max_by keeps the argmax
+    // inside a codegen'd two-phase aggregate (no window over all pairs)
+    val assigned = emb.filter(col("vec_id") >= 20).join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("c_id"), cellSim.as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), col("csim")).as("cell"), first(col("v")).as("v"))
+    // queries probe their nprobe nearest cells
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")).join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("csim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+    // scan only the probed inverted lists
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, "cell")
+      .select(col("q_id"), col("vec_id"),
+        dround(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cos"))
+      .withColumn("rnk", row_number().over(topW))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+      .orderBy("q_id", "rnk")
   }
 
   private val stopEn = Seq("the", "a", "and", "of", "to")
@@ -292,6 +368,7 @@ object Text {
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_ann_lsh" -> llmAnnLsh,
+    "llm_ann_ivf" -> llmAnnIvf,
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_token_count" -> llmTokenCount,
@@ -301,24 +378,30 @@ object Text {
 
   // ---------------------------------------------------------------- oracle
 
+  /** DuckDB twin of `wordHashRows`→`shingleIdRows`: 28-bit md5 word
+    * hashes combined with the same B1/B2/B3 · mod-P arithmetic. */
+  private val wordHashSql =
+    """SELECT doc_id, lang,
+      |  list_transform(string_split(text, ' '),
+      |    w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hs
+      |FROM documents""".stripMargin
+
   private val shingleSql =
-    """SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
-      |  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
-      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
-      |WHERE len(w) >= 3""".stripMargin
+    s"""SELECT doc_id, list_distinct(list_transform(range(len(hs)-2),
+       |  i -> (hs[i+1]*$b1 + hs[i+2]*$b2 + hs[i+3]*$b3) % $P)) AS sh
+       |FROM ($wordHashSql) t
+       |WHERE len(hs) >= 3""".stripMargin
 
   private val minhashSql: String = {
     val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform(hs, h -> ($a*h + $b) % $P)) AS mh$i"
+      s"list_min(list_transform(sh, h -> ($a*h + $b) % $P)) AS mh$i"
     }.mkString(",\n")
     val bandRows = (0 until bands).map { j =>
       val sig = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(" || '_' || ")
       s"SELECT doc_id, sh, $j AS band, $sig AS sig FROM mh"
     }.mkString("\nUNION ALL\n")
     s"""WITH sh AS ($shingleSql),
-       |hsrc AS (SELECT doc_id, sh,
-       |  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs FROM sh),
-       |mh AS (SELECT doc_id, sh, $mhCols FROM hsrc),
+       |mh AS (SELECT doc_id, sh, $mhCols FROM sh),
        |buckets AS ($bandRows),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -357,15 +440,15 @@ object Text {
     "llm_minhash_lsh" -> minhashSql,
     "llm_simhash" -> simhashSql,
     "llm_ngram_jaccard" ->
-      """WITH g AS (
-        |  SELECT doc_id, lang, list_distinct(list_transform(range(len(w)-1),
-        |    i -> w[i+1] || ' ' || w[i+2])) AS g
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) t)
-        |SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(FLOOR((len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0 /
-        |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
-        |FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, list_distinct(list_transform(range(len(hs)-1),
+         |    i -> (hs[i+1]*$b1 + hs[i+2]*$b2) % $P)) AS g
+         |  FROM ($wordHashSql) t)
+         |SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(FLOOR((len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0 /
+         |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
+         |FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sims AS (

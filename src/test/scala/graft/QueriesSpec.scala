@@ -96,6 +96,29 @@ class QueriesSpec extends SparkSpec {
     if (bf.nonEmpty) assert(ann.nonEmpty)
   }
 
+  test("ANN IVF returns correctly-valued cosines from probed cells") {
+    val ivf = SparkEntry.queries("llm_ann_ivf")(spark, sfDir)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    // at most k=5 per query, ranked descending
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    perQ.values.foreach { rs =>
+      assert(rs.length <= 5)
+      val cosines = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(cosines.sameElements(cosines.sortBy(-_)))
+    }
+    // every reported cosine matches an independent brute-force recomputation
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { r =>
+      val q = emb(r.getAs[Long]("q_id")); val c = emb(r.getAs[Long]("vec_id"))
+      val dot = q.zip(c).map { case (x, y) => x * y }.sum
+      val expect = dot / (math.sqrt(q.map(x => x * x).sum) * math.sqrt(c.map(x => x * x).sum))
+      assert(math.abs(r.getAs[Double]("cos") - expect) < 1e-5)
+    }
+  }
+
   test("fingerprint is stable across runs") {
     val a = SparkEntry.queries("llm_fingerprint")(spark, sfDir).collect()
     val b = SparkEntry.queries("llm_fingerprint")(spark, sfDir).collect()
