@@ -7,10 +7,22 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries are forced through the `noop` sink — a full materialization of
   * every output column (a bare `count()` would let Catalyst prune the
-  * projections being measured). Each timing includes its first-run codegen
-  * cost, matching how a user would experience a cold query.
+  * projections being measured). Each timing still includes that query's
+  * own planning + whole-stage-codegen compile (a user's cold query pays
+  * those); the untimed warmup below only absorbs SHARED JVM costs — JIT
+  * of Spark's executor internals (Expand/Window/ObjectHashAggregate/join
+  * paths) and first-touch parquet footer reads — which otherwise land
+  * arbitrarily on whichever queries happen to run first.
   */
 object Bench {
+  /** One representative query per major executor shape. */
+  private val warmupQueries = Seq(
+    "q1_pricing_summary", // scan + filter + 2-phase HashAggregate
+    "agg_basic",          // count(DISTINCT) Expand path
+    "agg_collect",        // ObjectHashAggregate (collect_list/set)
+    "win_ranking",        // WindowExec
+    "join_multiway",      // BroadcastHashJoin + SortMergeJoin
+    "fn_ngrams")          // typed Aggregator (ObjectAggregationIterator)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,8 +37,10 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // JVM/IO warmup outside any per-query timing (shared, not per-query)
-    SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    warmupQueries.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // Optional comma-separated subset for local iteration (unset = all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
