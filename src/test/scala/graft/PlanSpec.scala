@@ -95,4 +95,15 @@ class PlanSpec extends SparkSpec {
   test("AQE is enabled in the session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
+
+  test("no registered query plans an accidental cartesian product") {
+    // join_cross IS a cartesian product by design (guarded dims-only).
+    val intentional = Set("join_cross")
+    val offenders = SparkEntry.queries.collect {
+      case (name, fn) if !intentional(name) &&
+        fn(spark, sfDir).queryExecution.sparkPlan.toString
+          .contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
