@@ -4,7 +4,15 @@ import graft.Tables
 import graft.queries.{dsum, oSum, Q}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Typed rows for the flatMapGroupsWithState path. Values are quantized to
+  * 1e-4 longs on the way in (the dsum trick) so state arithmetic is exact
+  * and cross-engine-stable. */
+case class UserEvent(user_id: Long, event_id: Long, ts_us: Long, q_value: Long)
+case class SessState(nEvents: Long, nSessions: Long, qSum: Long, lastTs: Long)
+case class UserStats(user_id: Long, n_events: Long, n_sessions: Long, total_value: Double)
 
 /** §2.8 streaming extension (north-star addition — the reference has no
   * event-time processing; SURVEY.md §1.1/§2.8).
@@ -76,8 +84,49 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** The custom-state update function shared by the batch query and the
+    * streaming twin: per-user event/session counts with a 10-minute gap
+    * rule. State carries (counts, exact value sum, last event time) across
+    * micro-batches; in batch mode it starts empty and each group is
+    * processed exactly once, which is what makes this oracle-checkable. */
+  private[streaming] val sessionStats:
+      (Long, Iterator[UserEvent], GroupState[SessState]) => Iterator[UserStats] =
+    (user, it, state) => {
+      val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val st0 = state.getOption.getOrElse(SessState(0L, 0L, 0L, Long.MinValue))
+      var (n, sess, qsum, last) = (st0.nEvents, st0.nSessions, st0.qSum, st0.lastTs)
+      evs.foreach { e =>
+        n += 1; qsum += e.q_value
+        if (last == Long.MinValue || e.ts_us - last > 600000000L) sess += 1
+        last = e.ts_us
+      }
+      state.update(SessState(n, sess, qsum, last))
+      Iterator.single(UserStats(user, n, sess, qsum / 1e4))
+    }
+
+  private def typedEvents(s: SparkSession, df: DataFrame) = {
+    import s.implicits._
+    df.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("q_value"))
+      .as[UserEvent]
+  }
+
+  /** §2.8 custom state: `KeyValueGroupedDataset.flatMapGroupsWithState`
+    * (the API the survey names for arbitrary stateful processing). Scale:
+    * state is hash-partitioned by user_id and bounded by the key space;
+    * the same function runs over readStream in StreamingSpec. */
+  val streamStatefulSessions: Q = (s, dir) => {
+    import s.implicits._
+    typedEvents(s, Tables.events(s, dir))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionStats)
+      .toDF()
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
+    "stream_stateful_sessions" -> streamStatefulSessions,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_dedup_first" -> streamDedupFirst,
@@ -85,6 +134,20 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_stateful_sessions" ->
+      s"""WITH ordered AS (
+         |  SELECT user_id, value,
+         |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+         |           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+         |               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |           > 600000000
+         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+         |  ${oSum("value")} AS total_value
+         |FROM ordered GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
          |event_type, COUNT(*) AS cnt, ${oSum("value")} AS val_sum
@@ -129,14 +192,27 @@ object Events {
          |GROUP BY e.user_id ORDER BY user_id""".stripMargin
   )
 
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming twin of [[streamStatefulSessions]]: the same custom-state
+    * function over a file-source stream. */
+  def statefulStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    typedEvents(spark, raw)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionStats)
+      .toDF()
+  }
+
   /** Streaming twin of [[streamTumbling]] for the readStream smoke test:
     * same aggregation over a file-source stream. */
   def tumblingStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(eventsDir)
+    spark.readStream.schema(eventsSchema).parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
