@@ -83,7 +83,40 @@ object WritePaths {
       .orderBy("c_mktsegment")
   }
 
+  /** Bucketed sort-merge-bucket join (SURVEY.md §2.1 row 8 / §2.3 row 29):
+    * both sides written bucketed+sorted on the join key (`bucketBy` +
+    * `sortBy` saveAsTable — Hive's CLUSTERED BY ... SORTED BY ... INTO n
+    * BUCKETS), then merge-joined. The bucketing metadata lets the
+    * SortMergeJoin elide both shuffle exchanges (PlanSpec asserts this) —
+    * at 100 TB, pre-bucketing the fact tables turns every subsequent
+    * key join into a zero-shuffle merge. The `merge` hint pins the SMJ
+    * strategy so the showcase isn't silently broadcast. */
+  val joinSmb: Q = (s, dir) => {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val li = s"graft_li_smb_$tag"; val or = s"graft_or_smb_$tag"
+    // a leftover managed-table directory from a previous JVM blocks
+    // saveAsTable(overwrite) because the fresh in-memory catalog doesn't
+    // own it — drop from the catalog AND clear the location
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq(li, or).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
+    }
+    Tables.t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(li)
+    Tables.t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(or)
+    s.table(li).hint("merge")
+      .join(s.table(or), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice"), 2).as("price_sum"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_smb" -> joinSmb,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_json_roundtrip" -> srcJsonRoundtrip,
     "src_regex_text" -> srcRegexText,
@@ -92,6 +125,11 @@ object WritePaths {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_smb" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |${oSum("l_extendedprice", 2)} AS price_sum
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "src_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         |CAST(n_regionkey AS INT) AS n_regionkey

@@ -96,6 +96,15 @@ class PlanSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
+  test("join_smb joins bucketed tables without re-shuffling the join keys") {
+    val df = SparkEntry.queries("join_smb")(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("SortMergeJoin"), s)
+    val exchanges = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(s).size +
+      "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(s).size
+    assert(exchanges == 0, s"join inputs re-shuffled:\n$s")
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
