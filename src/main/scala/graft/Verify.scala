@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write µs (not INT96) so the driver's reader sees the same values
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // managed tables (join_smb's bucketed sides) go to tmp, not ./spark-warehouse
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
