@@ -160,6 +160,42 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** As-of join — an operator the reference (and Spark) lacks as a builtin,
+    * composed scale-safely: tag both streams, union, and take the last
+    * order seen per key in event-time order (`last(..., ignoreNulls)` over
+    * an unbounded-preceding row frame). ONE shuffle on the join key — no
+    * per-row range scan, no range cross join — which is the shape that
+    * survives 100 TB. Orders are pre-deduped to one per (custkey, date) so
+    * tie-breaks are deterministic in both engines; the DuckDB oracle uses
+    * its native ASOF LEFT JOIN. */
+  val joinAsof: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val ord = Tables.t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    val tagged = ord.select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp_ntz").as("t"), lit(1).as("is_o"),
+        col("o_orderkey"), col("o_totalprice"), lit(null).cast("long").as("event_id"))
+      .unionByName(ev.select(col("user_id").as("k"), col("ts").as("t"),
+        lit(0).as("is_o"), lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"), col("event_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("t"), col("is_o").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tagged
+      .withColumn("last_okey",
+        last(when(col("is_o") === 1, col("o_orderkey")), ignoreNulls = true).over(w))
+      .withColumn("last_total",
+        last(when(col("is_o") === 1, col("o_totalprice")), ignoreNulls = true).over(w))
+      .filter(col("is_o") === 0)
+      .select(col("k").as("user_id"), col("event_id"), col("t").as("ts"),
+        col("last_okey").as("o_orderkey"), col("last_total").as("o_totalprice"))
+      .orderBy("user_id", "event_id")
+  }
+
   // -------------------------------------------------------------- set ops
 
   val setopUnionAll: Q = (s, dir) => {
@@ -258,6 +294,7 @@ object Relational {
     "join_cross" -> joinCross,
     "join_theta" -> joinTheta,
     "join_broadcast" -> joinBroadcast,
+    "join_asof" -> joinAsof,
     "setop_union_all" -> setopUnionAll,
     "setop_union_distinct" -> setopUnionDistinct,
     "setop_intersect" -> setopIntersect,
@@ -325,6 +362,17 @@ object Relational {
          |COUNT(*) AS line_cnt
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.user_id AS user_id, e.event_id AS event_id,
+        |  CAST(e.ts AS TIMESTAMP) AS ts, o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        |ORDER BY user_id, event_id""".stripMargin,
     "setop_union_all" ->
       """SELECT * FROM (
         |SELECT c_custkey AS key, 'customer' AS src FROM customer
