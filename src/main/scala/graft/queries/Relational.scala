@@ -196,6 +196,28 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Binned range join — the scale path for pure time-range joins (no key
+    * equality): a naive range predicate plans as a nested-loop join (fine
+    * for the θ-join showcase, fatal at 100 TB on two fact tables). Here
+    * each order's 1-day window explodes into its covering day bins and
+    * events equi-join on their own day bin, with the exact range predicate
+    * as a post-filter. Shuffle on the bin key, candidate set bounded by
+    * bin width — the standard interval-bucketing rewrite. */
+  val joinRangeBin: Q = (s, dir) => {
+    val big = Tables.t(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("d0"))
+      .withColumn("bin", explode(expr("transform(sequence(0, 6), i -> date_add(d0, i))")))
+    val all = Tables.t(s, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d2"), col("o_totalprice"))
+      .withColumn("bin", col("d2"))
+    big.join(all, "bin")
+      .filter(col("d2") >= col("d0") && col("d2") < date_add(col("d0"), 7))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("follow_cnt"), dsum(col("o_totalprice"), 2).as("follow_total"))
+      .orderBy("o_orderpriority")
+  }
+
   // -------------------------------------------------------------- set ops
 
   val setopUnionAll: Q = (s, dir) => {
@@ -295,6 +317,7 @@ object Relational {
     "join_theta" -> joinTheta,
     "join_broadcast" -> joinBroadcast,
     "join_asof" -> joinAsof,
+    "join_range_bin" -> joinRangeBin,
     "setop_union_all" -> setopUnionAll,
     "setop_union_distinct" -> setopUnionDistinct,
     "setop_intersect" -> setopIntersect,
@@ -373,6 +396,14 @@ object Relational {
         |ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
         |ORDER BY user_id, event_id""".stripMargin,
+    "join_range_bin" ->
+      s"""SELECT o1.o_orderpriority AS o_orderpriority, COUNT(*) AS follow_cnt,
+         |${oSum("o2.o_totalprice", 2)} AS follow_total
+         |FROM orders o1 JOIN orders o2
+         |  ON o2.o_orderdate >= o1.o_orderdate
+         | AND o2.o_orderdate < o1.o_orderdate + INTERVAL 7 DAY
+         |WHERE o1.o_totalprice > 450000
+         |GROUP BY o1.o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "setop_union_all" ->
       """SELECT * FROM (
         |SELECT c_custkey AS key, 'customer' AS src FROM customer
