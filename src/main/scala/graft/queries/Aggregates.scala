@@ -22,6 +22,11 @@ object Aggregates {
 
   /** count / count-distinct / sum(long) / min / max over doubles, strings
     * and timestamps + stable avg. */
+  // Plan note: min/max over the STRING column forces SortAggregate for the
+  // whole aggregation (HashAggregate needs fixed-width agg buffers), which
+  // is the correct — and spill-safe — plan for var-width buffers at any
+  // scale. If the string extrema weren't required, dropping them (or
+  // aggregating a fixed-width code) keeps the query in HashAggregate.
   val aggBasic: Q = (s, dir) => {
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")

@@ -123,12 +123,14 @@ object Text {
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
     val sh = sets.select(col("doc_id"), col("sh"))
+    // |A∪B| = |A|+|B|-|A∩B|: one intersect per pair, never a union array
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))) * lit(1.0) /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jac"))
+        (col("ni") * lit(1.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("ni"))).as("jac"))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), dround(col("jac"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -406,7 +408,8 @@ object Text {
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
-       |    len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+       |    (len(a.sh) + len(b.sh)
+       |     - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jac
        |  FROM buckets a JOIN buckets b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, ${oRound("jac", 6)} AS jaccard
