@@ -102,7 +102,18 @@ object Extras2 {
       .orderBy("p_partkey")
   }
 
+  /** Hive virtual columns: INPUT__FILE__NAME ≈ input_file_name() (resolved
+    * per split at scan time; BLOCK__OFFSET__INSIDE__FILE has no Spark
+    * equivalent — documented non-goal). */
+  val fnVirtualCols: Q = (s, dir) => {
+    Tables.t(s, dir, "nation")
+      .select(col("n_nationkey").cast("int").as("n_nationkey"),
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("fname"))
+      .orderBy("n_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_virtual_cols" -> fnVirtualCols,
     "subq_in" -> subqIn,
     "subq_exists" -> subqExists,
     "subq_scalar" -> subqScalar,
@@ -113,6 +124,10 @@ object Extras2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fn_virtual_cols" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+        |'nation.parquet' AS fname
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "subq_in" ->
       """SELECT c_mktsegment, COUNT(*) AS cnt
         |FROM customer

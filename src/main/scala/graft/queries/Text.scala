@@ -136,20 +136,50 @@ object Text {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 16-bit SimHash fingerprint from word-hash bit votes. */
-  val llmSimhash: Q = (s, dir) => {
+  /** `bits`-wide SimHash fingerprints from word-hash bit votes (word
+    * hashes are 28-bit md5 prefixes, so up to 28 fingerprint bits; the
+    * shape widens to 64 bits unchanged given a wider word hash). */
+  private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String,
+      bits: Int): DataFrame = {
     val words = Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long"))
-    val votes = (0 until 16).map { i =>
+    val votes = (0 until bits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
     }
-    val sim = (0 until 16).map { i =>
+    val sim = (0 until bits).map { i =>
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     words.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sim.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  val llmSimhash: Q = (s, dir) => simhashDf(s, dir, 16).orderBy("doc_id")
+
+  /** SimHash near-dup pairing over a 24-bit fingerprint: 12-bit bands
+    * bucket the fingerprints (a pair within hamming ≤ 1 must agree on one
+    * 12-bit half exactly, by pigeonhole), candidates verify with
+    * `bit_count(xor)` — banded bucket join, never all-pairs, same scale
+    * shape as the MinHash path. Band width trades recall radius against
+    * bucket size: wider bands → fewer, tighter candidates. */
+  val llmSimhashNeardup: Q = (s, dir) => {
+    val sim = simhashDf(s, dir, 24)
+    val bandCols = (0 until 2).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("sig"))
+    }
+    val buckets = sim
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    buckets.alias("a").join(buckets.alias("b"), Seq("band", "sig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= 1)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Exact word-bigram Jaccard for same-language adjacent doc pairs.
@@ -367,6 +397,7 @@ object Text {
     "llm_dedup_rows" -> llmDedupRows,
     "llm_minhash_lsh" -> llmMinhashLsh,
     "llm_simhash" -> llmSimhash,
+    "llm_simhash_neardup" -> llmSimhashNeardup,
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_ann_lsh" -> llmAnnLsh,
@@ -416,15 +447,33 @@ object Text {
        |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private val simhashSql: String = {
-    val votes = (0 until 16).map(i => s"SUM(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n")
-    val combine = (0 until 16).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    s"""WITH wh AS (
+  /** CTE block yielding `sim(doc_id, simhash)` — DuckDB twin of simhashDf. */
+  private def simhashCoreSql(bits: Int): String = {
+    val votes = (0 until bits).map(i => s"SUM(((h >> $i) & 1) * 2 - 1) AS s$i").mkString(",\n")
+    val combine = (0 until bits).map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""wh AS (
        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 7))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t),
-       |v AS (SELECT doc_id, $votes FROM wh GROUP BY doc_id)
-       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+       |v AS (SELECT doc_id, $votes FROM wh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM v)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"WITH ${simhashCoreSql(16)}\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"
+
+  private val simhashNeardupSql: String =
+    s"""WITH ${simhashCoreSql(24)},
+       |buckets AS (
+       |  SELECT doc_id, simhash, b.band, (simhash >> (12*b.band)) & 4095 AS sig
+       |  FROM sim, (SELECT unnest(range(2)) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" ->
@@ -442,6 +491,7 @@ object Text {
          |FROM ranked WHERE rn = 1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "llm_minhash_lsh" -> minhashSql,
     "llm_simhash" -> simhashSql,
+    "llm_simhash_neardup" -> simhashNeardupSql,
     "llm_ngram_jaccard" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang, list_distinct(list_transform(range(len(hs)-1),
