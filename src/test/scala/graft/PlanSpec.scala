@@ -105,6 +105,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 0, s"join inputs re-shuffled:\n$s")
   }
 
+  test("ANALYZE TABLE statistics reach the optimizer (CBO input)") {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/nation_stats"))
+    Tables.t(spark, sfDir, "nation").write.mode("overwrite").saveAsTable("nation_stats")
+    spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("nation_stats").queryExecution.optimizedPlan.stats
+      assert(stats.sizeInBytes > 0)
+      assert(stats.rowCount.exists(_ == 25), s"rowCount=${stats.rowCount}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
