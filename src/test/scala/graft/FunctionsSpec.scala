@@ -122,6 +122,16 @@ class FunctionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("registry stragglers: chr / unhex / tz conversion round-trip") {
+    assert(one(expr("char(65)")) == "A") // Hive chr ≡ Spark char
+    assert(new String(one(unhex(lit("4A6F"))).asInstanceOf[Array[Byte]]) == "Jo")
+    // UTC session: to_utc_timestamp interprets its input in the given zone
+    assert(one(to_utc_timestamp(lit("2024-06-01 00:00:00"), "America/Los_Angeles"))
+      .toString == "2024-06-01 07:00:00.0")
+    assert(one(from_utc_timestamp(lit("2024-06-01 07:00:00"), "America/Los_Angeles"))
+      .toString == "2024-06-01 00:00:00.0")
+  }
+
   test("property: partial+final == complete aggregation (repartitioned)") {
     import spark.implicits._
     val docs = (1 to 40).map(i => Seq.fill(5)(((i % 4) + 97).toChar.toString))
