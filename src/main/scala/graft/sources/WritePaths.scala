@@ -60,6 +60,24 @@ object WritePaths {
       .orderBy("s_suppkey")
   }
 
+  /** Malformed-row tolerance (LazySimpleSerDe semantics: a bad row yields
+    * nulls, the query keeps going): every 10th supplier row is replaced by
+    * garbage text, read back with an explicit schema under PERMISSIVE
+    * mode. The oracle recomputes the same counts from the clean source. */
+  val srcCsvMalformed: Q = (s, dir) => {
+    val out = tmp("supplier_bad", dir)
+    Tables.t(s, dir, "supplier")
+      .select(when(col("s_suppkey") % 10 === 0, lit("###garbage###"))
+        .otherwise(concat_ws("|", col("s_suppkey"), col("s_name"), col("s_acctbal")))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.schema("s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE")
+      .option("delimiter", "|").option("mode", "PERMISSIVE").csv(out)
+      .agg(count(lit(1)).as("total"),
+        count(when(col("s_suppkey").isNull, 1)).as("corrupt"),
+        dsum(col("s_acctbal"), 2).as("good_bal"))
+  }
+
   /** Partitioned parquet sink (dynamic-partition insert) + read-back agg.
     * Partition column round-trips through directory names. */
   val sinkPartitionedParquet: Q = (s, dir) => {
@@ -120,6 +138,7 @@ object WritePaths {
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_json_roundtrip" -> srcJsonRoundtrip,
     "src_regex_text" -> srcRegexText,
+    "src_csv_malformed" -> srcCsvMalformed,
     "sink_partitioned_parquet" -> sinkPartitionedParquet,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip
   )
@@ -139,6 +158,11 @@ object WritePaths {
         |FROM region ORDER BY r_regionkey""".stripMargin,
     "src_regex_text" ->
       "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
+    "src_csv_malformed" ->
+      s"""SELECT COUNT(*) AS total,
+         |CAST(SUM(CASE WHEN s_suppkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS corrupt,
+         |${oSum("CASE WHEN s_suppkey % 10 <> 0 THEN s_acctbal END", 2)} AS good_bal
+         |FROM supplier""".stripMargin,
     "sink_partitioned_parquet" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt, ${oSum("o_totalprice", 2)} AS total
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
