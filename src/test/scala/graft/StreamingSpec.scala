@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("foreachBatch sink: streamed micro-batches land in parquet and match batch") {
+    val streamDir = Files.createTempDirectory("graft_feb_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val outDir = Files.createTempDirectory("graft_feb_out").toString
+
+    val stream = graft.streaming.Events.tumblingStream(spark, streamDir.toString)
+    val q = stream.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val landed = spark.read.parquet(outDir)
+      .orderBy("win_start", "event_type").collect()
+    val batch = graft.streaming.Events.streamTumbling(spark, sfDir).collect()
+    assert(landed.length == batch.length)
+    assert(landed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
   test("stateful dedup twin: dropDuplicates over stream equals batch first-rows count") {
     val batch = graft.streaming.Events.streamDedupFirst(spark, sfDir).count()
     val direct = Tables.events(spark, sfDir)
