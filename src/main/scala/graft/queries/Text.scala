@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   *  - Brute-force cosine is the sf-small oracle baseline; the LSH-bucketed
   *    ANN (`llm_ann_lsh`) is the scale path (bucket join, not crossJoin).
   */
+/** Typed rows for the batched multimodal decode path. */
+case class MmRow(doc_id: Long, payload: Array[Byte], lang: String)
+case class MmFeat(doc_id: Long, lang: String, bytes: Int,
+  width: Int, height: Int, frames: Int)
+
 object Text {
 
   private val P = 2147483647L // 2^31-1
@@ -392,6 +397,26 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Batched multimodal decode plumbing — the Scala analogue of a Pandas
+    * UDF over mapInPandas: a typed `mapPartitions` (iterator→iterator, one
+    * JVM call per partition batch, partitioning preserved) whose decode
+    * step is a deterministic STUB (no image/audio codecs offline; the
+    * schema, batch shape, and feature contract are real and oracle-checked
+    * — swap the stub for a real codec and nothing else changes). */
+  val llmMultimodalDecode: Q = (s, dir) => {
+    import s.implicits._
+    val ds = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("lang"))
+      .as[MmRow]
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val b0 = if (n > 0) r.payload(0) & 0xff else 0
+        MmFeat(r.doc_id, r.lang, n, 64 + n % 640, 64 + (b0 * 3) % 480, 1 + n % 30)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
@@ -406,7 +431,8 @@ object Text {
     "llm_quality_score" -> llmQualityScore,
     "llm_token_count" -> llmTokenCount,
     "llm_fingerprint" -> llmFingerprint,
-    "llm_multimodal" -> llmMultimodal
+    "llm_multimodal" -> llmMultimodal,
+    "llm_multimodal_decode" -> llmMultimodalDecode
   )
 
   // ---------------------------------------------------------------- oracle
@@ -549,6 +575,13 @@ object Text {
          |    w -> length(w)::BIGINT * 256 + ascii(w[1]))),
          |  (a, b) -> (a * 31 + b) % $P) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_multimodal_decode" ->
+      """SELECT doc_id, lang,
+        |CAST(octet_length(encode(text)) AS INT) AS bytes,
+        |CAST(64 + octet_length(encode(text)) % 640 AS INT) AS width,
+        |CAST(64 + (CASE WHEN length(text) > 0 THEN ascii(text[1]) ELSE 0 END * 3) % 480 AS INT) AS height,
+        |CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id,
         |CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
