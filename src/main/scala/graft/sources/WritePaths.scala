@@ -120,10 +120,15 @@ object WritePaths {
       s.sql(s"DROP TABLE IF EXISTS $t")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/$t"))
     }
+    // repartition on the bucket key first (same Murmur3 hash as bucketBy):
+    // each task then holds exactly one bucket → 8 files instead of
+    // tasks×buckets small files, and the read side lists 8 splits
     Tables.t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      .repartition(8, col("l_orderkey"))
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(li)
     Tables.t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      .repartition(8, col("o_orderkey"))
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable(or)
     s.table(li).hint("merge")
