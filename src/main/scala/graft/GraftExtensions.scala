@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parse_url_tuple"),
       new ExpressionInfo(classOf[ParseUrlTupleGen].getName, "parse_url_tuple"),
       (exprs: Seq[Expression]) => ParseUrlTupleGen(exprs)))
+    // grouped top-k pushdown: optimizer rewrite + planner strategy
+    // (the full custom-operator ladder — see graft.plans.TopKPerKey)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Grouped top-k pushdown — the full custom-operator ladder (SURVEY.md
+  * §2.10 / builder-brief option (c)): a `Rule[LogicalPlan]` rewrites the
+  * ubiquitous `Filter(row_number() <= k over (partition by p order by o))`
+  * pattern into a dedicated logical node, an injected `Strategy` plans it,
+  * and the physical operator keeps a bounded heap per key instead of
+  * fully sorting every partition the way `WindowExec` must.
+  *
+  * Hive's analogue is `TopNHash` inside ReduceSinkOperator (map-side top-N
+  * for ORDER BY LIMIT); this is its per-key generalization.
+  *
+  * Scale: memory is O(keys-per-partition × k) instead of a full
+  * per-partition sort buffer; input needs hash partitioning on the keys
+  * but NO sort — at 100 TB this removes the dominant n·log n term and the
+  * spill pressure of sort-based windowing for top-k queries.
+  * All registered via [[graft.GraftExtensions]]; semantics are covered by
+  * the oracle gate because the test session runs with the extension on.
+  */
+case class TopKPerKeyNode(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    rnAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    rnAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partitionExprs.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(partitionExprs) :: Nil
+
+  // deliberately NO requiredChildOrdering — avoiding the sort is the point
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val childOutput = child.output
+    val partExprs = partitionExprs
+    val sortOrder = order
+    child.execute().mapPartitions ({ it =>
+      val keyProj = UnsafeProjection.create(partExprs, childOutput)
+      val ord = GenerateOrdering.generate(
+        sortOrder.map(BindReferences.bindReference(_, childOutput)))
+      // max-heap under the requested order: head = worst retained row
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val cmp = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyProj(row)
+        var pq = heaps.get(key)
+        if (pq == null) {
+          pq = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp)
+          heaps.put(key.copy(), pq)
+        }
+        if (pq.size() < kLocal) {
+          pq.add(row.copy())
+        } else if (ord.compare(row, pq.peek()) < 0) {
+          pq.poll(); pq.add(row.copy())
+        }
+      }
+      val outProj = UnsafeProjection.create(childOutput :+ rnAttr, childOutput :+ rnAttr)
+      val rnRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { pq =>
+        val rows = new Array[InternalRow](pq.size())
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = pq.poll(); i -= 1 } // drain: worst-first → reverse fill
+        rows.iterator.zipWithIndex.map { case (r, idx) =>
+          rnRow.setInt(0, idx + 1)
+          outProj(joined(r, rnRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Rewrites `Filter(rn <= k)` / `Filter(rn < k+1)` / `Filter(rn = 1)` over
+  * a single-function `row_number()` Window into [[TopKPerKeyNode]]. */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  private def limitFrom(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v - 1)
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1)
+    case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+          WindowSpecDefinition(_, _, _)), _)), partitionSpec, orderSpec, child, _)) =>
+      limitFrom(cond, alias.toAttribute) match {
+        case Some(k) if k > 0 && orderSpec.nonEmpty =>
+          TopKPerKeyNode(k, partitionSpec, orderSpec, alias.toAttribute, child)
+        case _ => f
+      }
+  }
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, part, order, rn, child) =>
+      TopKPerKeyExec(k, part, order, rn, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

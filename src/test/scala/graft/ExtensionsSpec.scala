@@ -20,6 +20,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getString(0) == "h.io")
     assert(row.getString(1) == "9")
   }
+
+  test("TopKRewrite: row_number filter plans as TopKPerKeyExec") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("TopKPerKeyExec result equals the un-rewritten window computation") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val topk = Tables.t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+      .collect()
+    assert(topk.nonEmpty)
+    // reference: disable the rewrite by shaping the filter so it can't match
+    // (rn pulled through an extra projection barrier via a no-op arithmetic)
+    val ref = Tables.t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rn2", col("rn") + 0)
+      .filter(col("rn2") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+      .collect()
+    assert(topk.map(_.toString).sameElements(ref.map(_.toString)))
+  }
+
+  test("TopKRewrite leaves rank()/unfiltered windows untouched") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val df = Tables.t(spark, sfDir, "orders")
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
 }
 
 /** Custom arbitrary-state operator (§2.8 row 79's
