@@ -53,6 +53,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(topk.map(_.toString).sameElements(ref.map(_.toString)))
   }
 
+  test("property: TopKPerKey equals window top-k on random data, varied k") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val data = Seq.tabulate(2000)(i =>
+      (rng.nextInt(17).toLong, i.toLong, rng.nextInt(1000) / 7.0))
+    val df = data.toDF("key", "id", "score").repartition(5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("score").desc, col("id"))
+    for (k <- Seq(1, 3, 10, 500)) {
+      val got = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .orderBy("key", "rn").collect()
+      // reference computed driver-side from the same data
+      val expect = data.groupBy(_._1).toSeq.flatMap { case (key, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case ((_, id, score), i) => (key, id, score, i + 1) }
+      }.sortBy(r => (r._1, r._4))
+      assert(got.length == expect.length, s"k=$k size")
+      got.zip(expect).foreach { case (row, (key, id, score, rn)) =>
+        assert(row.getLong(0) == key && row.getLong(1) == id &&
+          row.getDouble(2) == score && row.getInt(3) == rn, s"k=$k row=$row")
+      }
+    }
+  }
+
   test("TopKRewrite leaves rank()/unfiltered windows untouched") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
