@@ -19,8 +19,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // One resolved relation per (session, file): what a catalog gives you —
+  // repeated t() calls reuse the analyzed plan instead of re-listing the
+  // path and re-reading parquet footers per query. DataFrames are
+  // immutable plans, so sharing is safe.
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relationCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS). Spark reads
     * it as LongType when `spark.sql.legacy.parquet.nanosAsLong=true` (set in
