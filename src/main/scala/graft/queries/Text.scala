@@ -225,18 +225,20 @@ object Text {
   }
 
   /** Brute-force cosine top-k (oracle baseline; scale path = llm_ann_lsh).
-    * Query set is small (20 vecs) and broadcast against all candidates. */
+    * Query set is small (20 vecs) and broadcast against all candidates.
+    * Norms are precomputed once per vector in the projection — per pair
+    * only the single dot-product traversal remains. */
   val llmCosineTopk: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
-    val norm = (x: Column) => sqrt(call_function("dot_product", x, x))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val q = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val sims = broadcast(q).join(emb.filter(col("vec_id") >= 20))
       .select(col("q_id"), col("vec_id"),
-        dround(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cos"))
+        dround(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     sims.withColumn("rnk", row_number().over(w))
@@ -252,20 +254,20 @@ object Text {
     * ScalaTest). */
   val llmAnnLsh: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     def planeW(p: Int): Column = typedLit(
       (0 until 64).map(d => ((p.toLong * 73856093 + d.toLong * 19349663) % 2000).toDouble / 1000.0 - 1.0))
     def dotW(p: Int): Column = call_function("dot_product", col("v"), planeW(p))
     val sig = (0 until 8).map(p => when(dotW(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
     val bucketed = emb.withColumn("bucket", sig)
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
-    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
-    val norm = (x: Column) => sqrt(call_function("dot_product", x, x))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("bucket"), col("id_a"), col("id_b"),
-        dround(dot(col("v_a"), col("v_b")) / (norm(col("v_a")) * norm(col("v_b"))), 6).as("cos"))
+        dround(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
       .filter(col("cos") > 0.3)
       .orderBy("bucket", "id_a", "id_b")
   }
@@ -281,35 +283,38 @@ object Text {
   val llmAnnIvf: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
     val nprobe = 2
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    // norms once per vector; per candidate pair only the dot remains
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
-    val norm = (x: Column) => sqrt(call_function("dot_product", x, x))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val cents = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    def cellSim = dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def cellSim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
     // assign every vector to its nearest centroid; max_by keeps the argmax
     // inside a codegen'd two-phase aggregate (no window over all pairs)
     val assigned = emb.filter(col("vec_id") >= 20).join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("c_id"), cellSim.as("csim"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"), cellSim.as("csim"))
       .groupBy("vec_id")
-      .agg(max_by(col("c_id"), col("csim")).as("cell"), first(col("v")).as("v"))
+      .agg(max_by(col("c_id"), col("csim")).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
     // queries probe their nprobe nearest cells
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))
     val probes = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("qv")).join(broadcast(cents))
-      .select(col("q_id"), col("qv"), col("c_id"),
-        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("csim"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("csim"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
     // scan only the probed inverted lists
     val topW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     probes.join(assigned, "cell")
       .select(col("q_id"), col("vec_id"),
-        dround(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6).as("cos"))
+        dround(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
       .withColumn("rnk", row_number().over(topW))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
