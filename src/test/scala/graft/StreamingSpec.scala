@@ -72,6 +72,27 @@ class StreamingSpec extends SparkSpec {
     assert(landed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("update output mode: per-key aggregate streams with watermark") {
+    val streamDir = Files.createTempDirectory("graft_upd_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = graft.streaming.Events.tumblingStream(spark, streamDir.toString)
+    val q = stream.writeStream
+      .format("memory").queryName("update_smoke")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // one micro-batch → update mode emits every changed (= every) group
+    val streamed = spark.table("update_smoke")
+      .orderBy("win_start", "event_type").collect()
+    val batch = graft.streaming.Events.streamTumbling(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
   test("stateful dedup twin: dropDuplicates over stream equals batch first-rows count") {
     val batch = graft.streaming.Events.streamDedupFirst(spark, sfDir).count()
     val direct = Tables.events(spark, sfDir)
