@@ -292,12 +292,16 @@ object Text {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     def cellSim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
     // assign every vector to its nearest centroid; max_by keeps the argmax
-    // inside a codegen'd two-phase aggregate (no window over all pairs)
-    val assigned = emb.filter(col("vec_id") >= 20).join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"), cellSim.as("csim"))
+    // inside a codegen'd two-phase aggregate (no window over all pairs).
+    // The aggregation carries ONLY fixed-width columns (vec_id, c_id,
+    // csim) so it stays in HashAggregate — carrying the vector through
+    // first(v) would put an array in the agg buffer and force
+    // SortAggregate; the vectors re-join by id afterwards instead.
+    val cells = emb.filter(col("vec_id") >= 20).join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"), cellSim.as("csim"))
       .groupBy("vec_id")
-      .agg(max_by(col("c_id"), col("csim")).as("cell"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .agg(max_by(col("c_id"), col("csim")).as("cell"))
+    val assigned = cells.join(emb.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
     // queries probe their nprobe nearest cells
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))
