@@ -11,6 +11,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = () // shared session, never stopped per-suite
 }
 
+/** Driver-contract formatting: the bench line must be strict JSON. */
+class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("bench JSON line is parseable and locale-stable") {
+    val line = Bench.jsonLine(Seq("q1" -> 1.23456, "q2" -> 0.0004), "/data/sf0.1")
+    assert(line ==
+      """{"metric":"total","value":1.235,"unit":"sec","queries":{"q1":1.235,"q2":0.000},"sf":"/data/sf0.1"}""")
+    val empty = Bench.jsonLine(Nil, "/x")
+    assert(empty == """{"metric":"total","value":0.000,"unit":"sec","queries":{},"sf":"/x"}""")
+  }
+}
+
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
