@@ -325,6 +325,51 @@ object Text {
       .orderBy("q_id", "rnk")
   }
 
+  /** Incremental dedup — the production shape: a NEW batch (doc_id ≥ 250)
+    * dedups against an EXISTING corpus (doc_id < 250), not against itself.
+    * Exact layer: anti-join on content hash. Near layer: minhash band
+    * buckets computed per side, candidates only where a new doc shares a
+    * bucket with a corpus doc, verified by exact sid-set Jaccard ≥ 0.5.
+    * Survivors = new docs passing both layers. At 100 TB the corpus side's
+    * signatures are a precomputed table; only the new batch is hashed. */
+  val llmDedupIncremental: Q = (s, dir) => {
+    val mhAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("sid") + lit(b)) % lit(P)).as(s"mh$i")
+    }
+    val sets = shingleIdRows(s, dir)
+      .groupBy("doc_id")
+      .agg(collect_set(col("sid")).as("sh"), mhAggs: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count() // eager (same cache-race rationale as llmMinhashLsh)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${j * rowsPerBand + r}")): _*).as("sig"))
+    }
+    val buckets = sets
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val hashes = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val corpusHashes = hashes.filter(col("doc_id") < 250).select(col("h"))
+    // exact layer: new docs whose content hash is unseen in the corpus
+    val exactSurvivors = hashes.filter(col("doc_id") >= 250)
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .select(col("doc_id"))
+    // near layer: candidate (new, corpus) pairs from shared band buckets
+    val nearDups = buckets.filter(col("doc_id") >= 250).alias("n")
+      .join(buckets.filter(col("doc_id") < 250).alias("c"), Seq("band", "sig"))
+      .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+      .join(sets.select(col("doc_id"), col("sh")), "doc_id")
+      .join(sets.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .withColumn("ni", size(array_intersect(col("sh"), col("sh_c"))))
+      .filter(col("ni") * lit(1.0) /
+        (size(col("sh")) + size(col("sh_c")) - col("ni")) >= 0.5)
+      .select(col("doc_id")).distinct()
+    exactSurvivors.join(nearDups, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   private val stopEn = Seq("the", "a", "and", "of", "to")
   private val stopMarkers: Map[String, Seq[String]] = Map(
     "en" -> stopEn,
@@ -430,6 +475,7 @@ object Text {
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
     "llm_minhash_lsh" -> llmMinhashLsh,
+    "llm_dedup_incremental" -> llmDedupIncremental,
     "llm_simhash" -> llmSimhash,
     "llm_simhash_neardup" -> llmSimhashNeardup,
     "llm_ngram_jaccard" -> llmNgramJaccard,
@@ -493,6 +539,36 @@ object Text {
        |sim AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM v)""".stripMargin
   }
 
+  private val dedupIncrementalSql: String = {
+    val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(sh, h -> ($a*h + $b) % $P)) AS mh$i"
+    }.mkString(",\n")
+    val bandRows = (0 until bands).map { j =>
+      val sig = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(" || '_' || ")
+      s"SELECT doc_id, sh, $j AS band, $sig AS sig FROM mh"
+    }.mkString("\nUNION ALL\n")
+    val jac = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    s"""WITH sh AS ($shingleSql),
+       |mh AS (SELECT doc_id, sh, $mhCols FROM sh),
+       |buckets AS ($bandRows),
+       |corpus_h AS (SELECT sha256(text) AS h FROM documents WHERE doc_id < 250),
+       |exact_surv AS (
+       |  SELECT d.doc_id FROM
+       |    (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id >= 250) d
+       |  WHERE d.h NOT IN (SELECT h FROM corpus_h)),
+       |near AS (
+       |  SELECT DISTINCT n.doc_id
+       |  FROM buckets n JOIN buckets c
+       |    ON n.band = c.band AND n.sig = c.sig
+       |   AND n.doc_id >= 250 AND c.doc_id < 250
+       |  JOIN sh a ON a.doc_id = n.doc_id
+       |  JOIN sh b ON b.doc_id = c.doc_id
+       |  WHERE $jac * 1.0 / (len(a.sh) + len(b.sh) - $jac) >= 0.5)
+       |SELECT doc_id FROM exact_surv
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val simhashSql: String =
     s"WITH ${simhashCoreSql(16)}\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"
 
@@ -525,6 +601,7 @@ object Text {
          |SELECT l_returnflag, COUNT(*) AS kept, ${oSum("l_quantity")} AS kept_qty
          |FROM ranked WHERE rn = 1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "llm_minhash_lsh" -> minhashSql,
+    "llm_dedup_incremental" -> dedupIncrementalSql,
     "llm_simhash" -> simhashSql,
     "llm_simhash_neardup" -> simhashNeardupSql,
     "llm_ngram_jaccard" ->

@@ -90,6 +90,25 @@ object WritePaths {
       .orderBy("o_orderstatus")
   }
 
+  /** Sharded training-data export: quality-filtered documents written as
+    * bounded-size shards (`maxRecordsPerFile`) — the file-count/size
+    * discipline a 100 TB training-data export needs (downstream loaders
+    * want many uniform shards, not one file per reducer). Oracle
+    * recomputes the aggregate from the source; the shard bound itself is
+    * asserted in ScalaTest. */
+  val sinkShardedExport: Q = (s, dir) => {
+    val out = tmp("doc_shards", dir)
+    Tables.t(s, dir, "documents")
+      .filter(col("n_chars") >= 200)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(2)
+      .write.mode("overwrite").option("maxRecordsPerFile", 100).parquet(out)
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
+      .orderBy("lang")
+  }
+
   /** ORC write + read-back (predicate pushdown capable source). */
   val sinkOrcRoundtrip: Q = (s, dir) => {
     val out = tmp("customer_orc", dir)
@@ -145,6 +164,7 @@ object WritePaths {
     "src_regex_text" -> srcRegexText,
     "src_csv_malformed" -> srcCsvMalformed,
     "sink_partitioned_parquet" -> sinkPartitionedParquet,
+    "sink_sharded_export" -> sinkShardedExport,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip
   )
 
@@ -174,6 +194,11 @@ object WritePaths {
     "sink_orc_roundtrip" ->
       s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${oSum("c_acctbal", 2)} AS bal_sum
          |FROM customer WHERE c_acctbal > 5000
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "sink_sharded_export" ->
+      """SELECT lang, COUNT(*) AS docs,
+        |CAST(SUM(length(text)) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

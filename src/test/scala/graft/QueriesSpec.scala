@@ -119,6 +119,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("sharded export honors maxRecordsPerFile") {
+    SparkEntry.queries("sink_sharded_export")(spark, sfDir).collect() // writes shards
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sink/$tag/doc_shards"
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 100, f.getName)
+    }
+  }
+
+  test("incremental dedup survivors exclude corpus content hashes") {
+    val surv = SparkEntry.queries("llm_dedup_incremental")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv.forall(_ >= 250))
+    val d = Tables.t(spark, sfDir, "documents")
+    val corpusHashes = d.filter(col("doc_id") < 250)
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0)).toSet
+    val survHashes = d.filter(col("doc_id").isin(surv.toSeq: _*))
+      .select(sha2(col("text"), 256)).collect().map(_.getString(0)).toSet
+    assert(survHashes.intersect(corpusHashes).isEmpty)
+  }
+
   test("fingerprint is stable across runs") {
     val a = SparkEntry.queries("llm_fingerprint")(spark, sfDir).collect()
     val b = SparkEntry.queries("llm_fingerprint")(spark, sfDir).collect()
