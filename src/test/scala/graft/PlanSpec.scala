@@ -105,6 +105,37 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 0, s"join inputs re-shuffled:\n$s")
   }
 
+  test("AQE splits skewed join partitions (skew=true)") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // 95% of the left side lands on one key → one fat shuffle partition;
+      // payload kept poorly-compressible (skew detection reads COMPRESSED
+      // map-output sizes — constant rows would vanish under lz4)
+      val left = spark.range(200000)
+        .select(when(col("id") < 190000, lit(7L)).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("v"))
+      val right = spark.range(2000).select((col("id") % 50).as("k"), col("id").as("w"))
+      // no key-aligned operator downstream: a groupBy(k) would require the
+      // exact hash partitioning the skew split must break, so AQE would
+      // (correctly) decline to split
+      val j = left.join(right, "k").agg(count(col("v")).as("n"))
+      j.collect()
+      val s = j.queryExecution.executedPlan.toString
+      assert(s.contains("skew=true"), s.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ANALYZE TABLE statistics reach the optimizer (CBO input)") {
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
     spark.sql("DROP TABLE IF EXISTS nation_stats")
