@@ -185,11 +185,14 @@ object Relational {
       .partitionBy("k").orderBy(col("t"), col("is_o").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // both carried columns in ONE select → a single Window pass (an
+    // interleaved withColumn projection would block CollapseWindow)
     tagged
-      .withColumn("last_okey",
-        last(when(col("is_o") === 1, col("o_orderkey")), ignoreNulls = true).over(w))
-      .withColumn("last_total",
-        last(when(col("is_o") === 1, col("o_totalprice")), ignoreNulls = true).over(w))
+      .select(col("*"),
+        last(when(col("is_o") === 1, col("o_orderkey")), ignoreNulls = true)
+          .over(w).as("last_okey"),
+        last(when(col("is_o") === 1, col("o_totalprice")), ignoreNulls = true)
+          .over(w).as("last_total"))
       .filter(col("is_o") === 0)
       .select(col("k").as("user_id"), col("event_id"), col("t").as("ts"),
         col("last_okey").as("o_orderkey"), col("last_total").as("o_totalprice"))
