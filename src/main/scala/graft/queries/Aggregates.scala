@@ -160,21 +160,32 @@ object Aggregates {
     * cross-engine oracle (algorithms differ) ⇒ rows-only; exactness is
     * covered by aggPercentile above. */
   val aggPercentileApprox: Q = (s, dir) => {
+    // scalar output columns only (the multi-quantile array is unpacked):
+    // the driver's comparator sorts every column, which an array breaks
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"),
-        expr("percentile_approx(l_quantity, array(0.25, 0.75), 1000)").as("approx_iqr"))
+        expr("percentile_approx(l_quantity, array(0.25, 0.75), 1000)").as("iqr"))
+      .select(col("l_returnflag"),
+        col("approx_med"),
+        element_at(col("iqr"), 1).as("approx_q25"),
+        element_at(col("iqr"), 2).as("approx_q75"))
       .orderBy("l_returnflag")
   }
 
   /** histogram_numeric (GenericUDAFHistogramNumeric) — native in Spark,
     * sketch-based ⇒ rows-only. */
   val aggHistogram: Q = (s, dir) => {
+    // bins exploded to (group, bin_idx, x, y) rows — scalar columns only,
+    // same driver-comparator constraint as aggPercentileApprox
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("histogram_numeric(l_quantity, 5)").as("hist"))
-      .orderBy("l_returnflag")
+      .select(col("l_returnflag"), posexplode(col("hist")).as(Seq("bin_idx", "bin")))
+      .select(col("l_returnflag"), col("bin_idx"),
+        col("bin.x").as("x"), col("bin.y").as("y"))
+      .orderBy("l_returnflag", "bin_idx")
   }
 
   /** approx_count_distinct (HLL++, ≈ Hive compute_stats FM-sketch NDV) —

@@ -79,10 +79,18 @@ object WritePaths {
   }
 
   /** Partitioned parquet sink (dynamic-partition insert) + read-back agg.
-    * Partition column round-trips through directory names. */
+    * Partition column round-trips through directory names.
+    *
+    * The write repartitions on the partition column first — without it
+    * every one of the N shuffle tasks opens a writer per partition value
+    * (N×V small files: a commit storm here, a listing/open storm for every
+    * downstream reader at 100 TB). Clustered, each partition value is
+    * written by one task as one file. A skewed/huge partition value would
+    * add a salt term (`repartition(n, col, salt)`) to spread it. */
   val sinkPartitionedParquet: Q = (s, dir) => {
     val out = tmp("orders_part", dir)
     Tables.t(s, dir, "orders")
+      .repartition(col("o_orderstatus"))
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     s.read.parquet(out)
       .groupBy("o_orderstatus")
@@ -91,18 +99,25 @@ object WritePaths {
   }
 
   /** Sharded training-data export: quality-filtered documents written as
-    * bounded-size shards (`maxRecordsPerFile`) — the file-count/size
-    * discipline a 100 TB training-data export needs (downstream loaders
-    * want many uniform shards, not one file per reducer). Oracle
-    * recomputes the aggregate from the source; the shard bound itself is
-    * asserted in ScalaTest. */
+    * bounded-size shards — the file-count/size discipline a 100 TB
+    * training-data export needs (downstream loaders want many uniform
+    * shards, not one file per reducer and not a small-files storm).
+    *
+    * The shard count derives from input volume (bytes ÷ target shard
+    * size), not a constant: the same code yields ~4 shards here and ~400k
+    * shards at 100 TB. The demo target is 256 KiB because the fixtures are
+    * KB-scale; a production export targets ~256 MiB. `maxRecordsPerFile`
+    * stays only as a safety cap against estimate drift. */
   val sinkShardedExport: Q = (s, dir) => {
     val out = tmp("doc_shards", dir)
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val targetShardBytes = 256L * 1024
+    val nShards = math.max(1L, (src.length() + targetShardBytes - 1) / targetShardBytes).toInt
     Tables.t(s, dir, "documents")
       .filter(col("n_chars") >= 200)
       .select(col("doc_id"), col("lang"), col("text"))
-      .repartition(2)
-      .write.mode("overwrite").option("maxRecordsPerFile", 100).parquet(out)
+      .repartition(nShards)
+      .write.mode("overwrite").option("maxRecordsPerFile", 5000).parquet(out)
     s.read.parquet(out)
       .groupBy("lang")
       .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))

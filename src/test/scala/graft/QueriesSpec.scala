@@ -119,15 +119,19 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("sharded export honors maxRecordsPerFile") {
+  test("sharded export derives shard count from input volume") {
     SparkEntry.queries("sink_sharded_export")(spark, sfDir).collect() // writes shards
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sink/$tag/doc_shards"
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.getName.endsWith(".parquet"))
     assert(files.nonEmpty)
+    val srcBytes = new java.io.File(s"$sfDir/documents.parquet").length()
+    val expected = math.max(1L, (srcBytes + 256 * 1024 - 1) / (256 * 1024)).toInt
+    // one file per derived shard (maxRecordsPerFile cap not hit at test sf)
+    assert(files.length === expected)
     files.foreach { f =>
-      assert(spark.read.parquet(f.getPath).count() <= 100, f.getName)
+      assert(spark.read.parquet(f.getPath).count() <= 5000, f.getName)
     }
   }
 
