@@ -25,7 +25,9 @@ object SparkEntry {
     graft.streaming.Events.queries ++
     graft.sources.WritePaths.queries ++
     graft.queries.Extras.queries ++
-    graft.queries.Extras2.queries
+    graft.queries.Extras2.queries ++
+    graft.queries.Maintenance.queries ++
+    graft.queries.Sequences.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +41,7 @@ object SparkEntry {
     graft.streaming.Events.oracleSql ++
     graft.sources.WritePaths.oracleSql ++
     graft.queries.Extras.oracleSql ++
-    graft.queries.Extras2.oracleSql
+    graft.queries.Extras2.oracleSql ++
+    graft.queries.Maintenance.oracleSql ++
+    graft.queries.Sequences.oracleSql
 }

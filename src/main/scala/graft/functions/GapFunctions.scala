@@ -84,6 +84,24 @@ object GapFunctions {
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
 
+  /** Hive UNIONTYPE encoding (serde UnionTypeInfo, SURVEY.md §1.2): a
+    * tagged union value is a struct `{tag, field0…fieldN}` where exactly
+    * the tagged field is non-null — the struct-tag layout Hive's
+    * ObjectInspector uses, expressible losslessly in Spark's type system.
+    * `create_union(tag, v0, v1, …)` composer; codegen'd `when` chain. */
+  def createUnion(tag: Column, values: Column*): Column = {
+    val t = tag.cast("int")
+    struct((t.as("tag") +: values.zipWithIndex.map { case (v, i) =>
+      when(t === i, v).as(s"field$i")
+    }): _*)
+  }
+
+  /** Hive `extract_union(u)` tag accessor. */
+  def extractUnionTag(u: Column): Column = u.getField("tag")
+
+  /** Hive `extract_union(u, i)` field accessor (null unless tagged i). */
+  def extractUnion(u: Column, i: Int): Column = u.getField(s"field$i")
+
   /** Register SQL-callable names (Hive CREATE TEMPORARY FUNCTION path ≈
     * spark.udf.register, SURVEY.md §2.10). */
   def registerAll(spark: SparkSession): Unit = {

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{ContextNGramsAgg, GapFunctions, NGramsAgg, ParseUrlTupleGen}
+import graft.functions.{BloomFunctions, ContextNGramsAgg, GapFunctions, NGramsAgg, ParseUrlTupleGen}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
@@ -72,13 +72,18 @@ object Extras {
   /** Bloom-filter runtime pre-filter (GenericUDAFBloomFilter shape): a
     * compact sketch of the supplier keys filters the fact table before
     * any join — the Hive bloom runtime-filtering pattern. The sketch is
-    * built driver-side (like a broadcast) and ships to every task. */
+    * a distributed `bloom_filter_agg` (partial sketches OR-merged), its
+    * bytes ship as a literal to every task (like a broadcast), and the
+    * probe is the native codegen'd `BloomFilterMightContain` — no Scala
+    * UDF serialization wall anywhere in the per-row path. */
   val bloomPrefilter: Q = (s, dir) => {
-    val bf = Tables.t(s, dir, "supplier").filter(col("s_acctbal") > 0)
-      .stat.bloomFilter("s_suppkey", 1000, 0.001)
-    val might = udf((k: Long) => bf.mightContain(k))
+    BloomFunctions.register(s)
+    val sketch = Tables.t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+      .select(call_function("bloom_filter_agg",
+        xxhash64(col("s_suppkey")), lit(1000L), lit(14378L)).as("bf"))
+      .head.getAs[Array[Byte]](0)
     Tables.t(s, dir, "lineitem")
-      .filter(might(col("l_suppkey")))
+      .filter(call_function("bloom_might_contain", lit(sketch), xxhash64(col("l_suppkey"))))
       .join(broadcast(Tables.t(s, dir, "supplier").filter(col("s_acctbal") > 0)),
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_returnflag")

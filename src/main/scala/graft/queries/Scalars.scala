@@ -281,7 +281,24 @@ object Scalars {
       .orderBy("p_partkey")
   }
 
+  /** UNIONTYPE round-trip (§1.2 serde UnionTypeInfo): build a tagged
+    * union over (int | string), extract tag and both fields, render the
+    * active branch. Scalar output columns only (driver-comparator rule). */
+  val fnUniontype: Q = (s, dir) => {
+    val p = Tables.t(s, dir, "part").filter(col("p_partkey") < 300)
+    val u = GapFunctions.createUnion(col("p_partkey") % 2,
+      col("p_size"), col("p_brand"))
+    p.select(col("p_partkey"),
+      GapFunctions.extractUnionTag(u).as("utag"),
+      GapFunctions.extractUnion(u, 0).as("as_int"),
+      GapFunctions.extractUnion(u, 1).as("as_str"),
+      coalesce(GapFunctions.extractUnion(u, 0).cast("string"),
+        GapFunctions.extractUnion(u, 1)).as("shown"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_uniontype" -> fnUniontype,
     "fn_math" -> fnMath,
     "fn_bitwise" -> fnBitwise,
     "fn_string" -> fnString,
@@ -303,6 +320,14 @@ object Scalars {
     s"regexp_replace(regexp_replace(regexp_replace($e,'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')"
 
   val oracleSql: Map[String, String] = Map(
+    "fn_uniontype" ->
+      """SELECT p_partkey,
+        |CAST(p_partkey % 2 AS INT) AS utag,
+        |CASE WHEN p_partkey % 2 = 0 THEN p_size END AS as_int,
+        |CASE WHEN p_partkey % 2 = 1 THEN p_brand END AS as_str,
+        |COALESCE(CAST(CASE WHEN p_partkey % 2 = 0 THEN p_size END AS VARCHAR),
+        |         CASE WHEN p_partkey % 2 = 1 THEN p_brand END) AS shown
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
     "fn_math" ->
       s"""SELECT p_partkey,
          |abs(p_retailprice - 1000) AS abs_v,

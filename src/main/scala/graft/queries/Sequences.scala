@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.MatchPath
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence rows fed to the matcher (ts as µs long — sorting and
+  * equality stay integer-exact across engines). */
+case class SeqEvent(user_id: Long, event_id: Long, tsu: Long, sym: String,
+  value: Double)
+
+/** One emitted row per pattern match. */
+case class SeqMatchRow(user_id: Long, match_idx: Int, start_event_id: Long,
+  n_steps: Int, total_value: Double)
+
+/** MatchPath-style sequence matching over `events` (SURVEY.md §2 PTF gap;
+  * reference `[exec!ql/udf/ptf/MatchPath.class]`): the funnel pattern
+  * `click . view+ . purchase` per user, in (ts, event_id) order.
+  *
+  * Execution shape: `groupByKey(user).flatMapSortedGroups(ts, event_id)`
+  * — one shuffle on the group key, Spark's shuffle machinery delivers
+  * each group PRE-SORTED (no per-group buffer/sort), and the matcher
+  * streams it with a bounded candidate window. This is exactly Hive's
+  * PTF `PARTITION BY user ORDER BY ts` contract, and the only shape that
+  * survives million-event users at 100 TB.
+  */
+object Sequences {
+
+  private val funnel = MatchPath.compile("c.v+.p")
+
+  private def seqEvents(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"),
+        // event types have distinct first letters: c,e,p,s,v
+        substring(col("event_type"), 1, 1).as("sym"),
+        col("value"))
+      .as[SeqEvent]
+  }
+
+  private def matches(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    seqEvents(s, dir)
+      .groupByKey(_.user_id)
+      .flatMapSortedGroups($"tsu", $"event_id") { (uid, it) =>
+        MatchPath.scan(it, (e: SeqEvent) => e.sym.head, funnel)
+          .iterator.zipWithIndex.map { case ((_, evs), idx) =>
+            SeqMatchRow(uid, idx + 1, evs.head.event_id, evs.size,
+              math.floor(evs.map(_.value).sum * 100 + 0.5) / 100)
+          }
+      }
+  }
+
+  /** Per-match rows: who, which match, where it started, how many steps,
+    * what the funnel was worth. Rows-only in the driver (per-match value
+    * sums aren't SQL-replayable); exact-value coverage in SequenceSpec. */
+  val seqMatchpath: Q = (s, dir) =>
+    matches(s, dir).toDF().orderBy("user_id", "match_idx")
+
+  /** Aggregated twin with a full DuckDB oracle: per-user match count and
+    * total matched steps replayed as `regexp_extract_all` over the
+    * ordered symbol string (greedy non-overlapping scan = the matcher's
+    * semantics for distinct-symbol patterns). */
+  val seqMatchpathCounts: Q = (s, dir) =>
+    matches(s, dir).toDF()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("n_steps")).cast("long").as("n_steps_total"))
+      .orderBy("user_id")
+
+  val queries: Map[String, Q] = Map(
+    "seq_matchpath" -> seqMatchpath,
+    "seq_matchpath_counts" -> seqMatchpathCounts
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "seq_matchpath_counts" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS sym
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(sym, 'cv+p') AS ms FROM seq)
+        |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
+        |       CAST(list_sum(list_transform(ms, x -> len(x))) AS BIGINT) AS n_steps_total
+        |FROM m WHERE len(ms) > 0 ORDER BY user_id""".stripMargin
+  )
+}

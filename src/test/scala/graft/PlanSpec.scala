@@ -92,6 +92,15 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("bloom_prefilter probes with the native expression, not a UDF") {
+    val df = SparkEntry.queries("bloom_prefilter")(spark, sfDir)
+    val s = planString(df)
+    assert(s.contains("might_contain"), s.take(4000))
+    // no per-row serialization wall: neither a Scala UDF invoke nor a
+    // Python batch evaluator anywhere in the plan
+    assert(!s.contains("UDF") && !s.contains("BatchEvalPython"), s.take(4000))
+  }
+
   test("AQE is enabled in the session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
