@@ -51,24 +51,31 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0 // sentinel: a broken query must not read as a fast one
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     println(jsonLine(results, sfDir))
     spark.stop()
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 
   /** The driver parses this single line with json.load — locale-pinned
-    * number formatting (a comma-decimal locale would corrupt it). */
+    * number formatting (a comma-decimal locale would corrupt it).
+    * Failed queries report -1 (and a "failed" list) rather than their
+    * wall time, so a broken query can't masquerade as a fast one. */
   def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 }

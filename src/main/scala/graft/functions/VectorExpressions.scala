@@ -11,11 +11,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * hot path (SURVEY.md §2.10: custom `Expression` beats UDF): sequential
   * dot product of two double arrays.
   *
-  * The accumulation order (ascending index, `acc + a(i)*b(i)`) is exactly
-  * the fold order of `aggregate(zip_with(...))` and of DuckDB's
-  * `list_inner_product`, so swapping this in changes nothing about
-  * oracle-checked results — it only removes the interpreted higher-order
-  * lambda from the per-row inner loop.
+  * Semantics match `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)` and
+  * DuckDB's `list_inner_product` exactly: the accumulation order is the
+  * same ascending-index fold, and a length mismatch or a null element
+  * yields NULL (null propagates through `x*y` into the higher-order
+  * fold). Swapping this in changes nothing about oracle-checked results
+  * — it only removes the interpreted lambda from the per-row inner loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,14 +33,21 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null on length mismatch / null element, even for non-null inputs
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -49,12 +57,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -155,13 +155,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(cmp.filter(col("native") =!= col("ho")).count() == 0)
   }
 
-  test("dot_product nulls and length mismatch") {
+  test("dot_product nulls and length mismatch propagate like zip_with") {
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql(
       """SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n,
-        |       dot_product(array(1.0d, 2.0d), array(3.0d)) AS short""".stripMargin)
+        |       dot_product(array(1.0d, 2.0d), array(3.0d)) AS shorter,
+        |       dot_product(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS elemnull,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok""".stripMargin)
       .collect().head
     assert(r.isNullAt(0))
-    assert(r.getDouble(1) == 3.0)
+    assert(r.isNullAt(1)) // zip_with over unequal lengths pads with null
+    assert(r.isNullAt(2)) // null element nulls the product, then the fold
+    assert(r.getDouble(3) == 11.0)
   }
 }

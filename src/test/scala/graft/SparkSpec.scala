@@ -16,9 +16,13 @@ class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("bench JSON line is parseable and locale-stable") {
     val line = Bench.jsonLine(Seq("q1" -> 1.23456, "q2" -> 0.0004), "/data/sf0.1")
     assert(line ==
-      """{"metric":"total","value":1.235,"unit":"sec","queries":{"q1":1.235,"q2":0.000},"sf":"/data/sf0.1"}""")
+      """{"metric":"total","value":1.235,"unit":"sec","queries":{"q1":1.235,"q2":0.000},"failed":[],"sf":"/data/sf0.1"}""")
     val empty = Bench.jsonLine(Nil, "/x")
-    assert(empty == """{"metric":"total","value":0.000,"unit":"sec","queries":{},"sf":"/x"}""")
+    assert(empty == """{"metric":"total","value":0.000,"unit":"sec","queries":{},"failed":[],"sf":"/x"}""")
+    // a failed query is excluded from the total and named in "failed"
+    val withFail = Bench.jsonLine(Seq("ok" -> 2.0, "bad" -> -1.0), "/x")
+    assert(withFail ==
+      """{"metric":"total","value":2.000,"unit":"sec","queries":{"ok":2.000,"bad":-1.000},"failed":["bad"],"sf":"/x"}""")
   }
 }
 
