@@ -268,12 +268,11 @@ object Text {
       .orderBy("q_id", "rnk")
   }
 
-  /** Random-hyperplane LSH-bucketed ANN — the 100 TB path: vectors hash to
-    * sign-pattern buckets; pairs form per bucket (shuffle on bucket id),
-    * no crossJoin. Deterministic pseudo-random planes from integer
-    * arithmetic (no RNG). Rows-only (cross-checked vs brute force in
-    * ScalaTest). */
-  val llmAnnLsh: Q = (s, dir) => {
+  /** Random-hyperplane LSH candidate pairs — vectors hash to sign-pattern
+    * buckets; pairs form per bucket (shuffle on bucket id), no crossJoin.
+    * Deterministic pseudo-random planes from integer arithmetic (no RNG),
+    * so the DuckDB oracle replays the bucketing bit-for-bit. */
+  private def lshCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     val emb = Tables.t(s, dir, "embeddings")
@@ -290,8 +289,26 @@ object Text {
       .select(col("bucket"), col("id_a"), col("id_b"),
         dround(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
       .filter(col("cos") > 0.3)
-      .orderBy("bucket", "id_a", "id_b")
   }
+
+  /** LSH-bucketed ANN — the 100 TB similarity-search path (scale twin of
+    * the brute-force `llm_cosine_topk` baseline). Oracle-checked: DuckDB
+    * recomputes planes, buckets, and cosines. */
+  val llmAnnLsh: Q = (s, dir) =>
+    lshCandidatePairs(s, dir).orderBy("bucket", "id_a", "id_b")
+
+  /** Embedding-cosine near-dedup (brief §dedup): LSH candidates collapse
+    * to a keeper/duplicate mapping — every vector with a lower-id
+    * candidate partner above the threshold is a duplicate of its lowest
+    * such partner. Same banded scale shape as the MinHash path: pairs
+    * only ever form inside buckets. (Synthetic fixtures have no true
+    * near-dups, so the demo threshold is the candidate cut 0.3; a real
+    * corpus would use ~0.95 — the plan shape is identical.) */
+  val llmEmbedNeardup: Q = (s, dir) =>
+    lshCandidatePairs(s, dir)
+      .groupBy(col("id_b").as("dup_id"))
+      .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("best_cos"))
+      .orderBy("dup_id")
 
   /** IVF (inverted-file) ANN — the second 100 TB scale path beside
     * random-hyperplane LSH: a deterministic coarse quantizer (every 50th
@@ -517,6 +534,7 @@ object Text {
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_ann_lsh" -> llmAnnLsh,
+    "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_ann_ivf" -> llmAnnIvf,
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
@@ -622,6 +640,24 @@ object Text {
        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 1
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB twin of `lshCandidatePairs`: same integer-arithmetic planes,
+    * same sign-pattern buckets, same rounded-then-thresholded cosines. */
+  private val lshPairsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id, v,
+      |    (SELECT CAST(SUM(CASE WHEN list_inner_product(e2.v,
+      |        list_transform(range(0,64), d -> ((p*73856093 + d*19349663) % 2000)/1000.0 - 1.0)) > 0
+      |        THEN 1<<p ELSE 0 END) AS INT)
+      |     FROM range(0,8) t(p)) AS bucket
+      |  FROM e e2),
+      |pairs0 AS (
+      |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(FLOOR((list_inner_product(a.v, b.v) /
+      |      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS cos
+      |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |pairs AS (SELECT * FROM pairs0 WHERE cos > 0.3)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" ->
       """SELECT h AS content_hash, min(doc_id) AS keeper, COUNT(*) AS copies
@@ -650,6 +686,11 @@ object Text {
          |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
          |FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_ann_lsh" -> s"$lshPairsSql\nSELECT bucket, id_a, id_b, cos FROM pairs ORDER BY bucket, id_a, id_b",
+    "llm_embed_neardup" ->
+      s"""$lshPairsSql
+         |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
+         |FROM pairs GROUP BY id_b ORDER BY dup_id""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sims AS (
