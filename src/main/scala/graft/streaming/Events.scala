@@ -124,8 +124,33 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Stream-stream interval join, batch-equivalent form: purchases
+    * attributed to the same user's clicks within the preceding hour.
+    * Equi-join on user_id with an event-time band — in streaming the
+    * band + watermarks bound the join state (Spark evicts rows once
+    * they can no longer match); the identical query runs over two
+    * readStream sources in StreamingSpec. */
+  val streamIntervalJoin: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(pts) - unix_micros(cts)) DIV 60000000")
+          .as("mins_between"),
+        col("value"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
+    "stream_interval_join" -> streamIntervalJoin,
     "stream_stateful_sessions" -> streamStatefulSessions,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -134,6 +159,16 @@ object Events {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id,
+        |       (epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) // 60000000 AS mins_between,
+        |       p.value AS value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour'
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     "stream_stateful_sessions" ->
       s"""WITH ordered AS (
          |  SELECT user_id, value,
@@ -207,6 +242,31 @@ object Events {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionStats)
       .toDF()
+  }
+
+  /** Streaming twin of [[streamIntervalJoin]]: a genuine stream-stream
+    * inner join — two file-source streams, watermarks on BOTH sides plus
+    * the time-band condition let Spark bound the join state (each side's
+    * rows are evicted once the other side's watermark passes their match
+    * window). */
+  def intervalJoinStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    def src = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", "2 hours")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value"))
+      .withWatermark("pts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(pts) - unix_micros(cts)) DIV 60000000")
+          .as("mins_between"),
+        col("value"))
   }
 
   /** Streaming twin of [[streamTumbling]] for the readStream smoke test:

@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("stream-stream interval join: streaming result == batch result") {
+    val streamDir = Files.createTempDirectory("graft_ssj_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = graft.streaming.Events.intervalJoinStream(spark, streamDir.toString)
+    val q = stream.writeStream
+      .format("memory").queryName("ssj_smoke")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ssj_smoke")
+      .orderBy("user_id", "click_id", "purchase_id").collect()
+    val batch = graft.streaming.Events.streamIntervalJoin(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
   test("stateful dedup twin: dropDuplicates over stream equals batch first-rows count") {
     val batch = graft.streaming.Events.streamDedupFirst(spark, sfDir).count()
     val direct = Tables.events(spark, sfDir)
