@@ -124,6 +124,32 @@ object WritePaths {
       .orderBy("lang")
   }
 
+  /** SequenceFile round-trip (Hive's SequenceFile storage: LazySimpleSerDe
+    * rows in the value, key ignored): write supplier as (key, delimited
+    * value) records through Hadoop I/O, read back, re-split the fields.
+    * There is no DataFrame writer for SequenceFile without the Hive
+    * module, so this drops to the RDD Hadoop-format bridge exactly once —
+    * the legitimate "genuine per-partition IO" escape hatch; everything
+    * around it stays DataFrame. The double column round-trips through its
+    * shortest string form, which re-parses exactly. */
+  val srcSequenceFile: Q = (s, dir) => {
+    import s.implicits._
+    val out = tmp("supplier_seq", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    Tables.t(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        concat_ws("|", col("s_name"), col("s_acctbal")).as("v"))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .coalesce(4)
+      .saveAsSequenceFile(out)
+    s.sparkContext.sequenceFile[Long, String](out)
+      .toDF("s_suppkey", "v")
+      .select(col("s_suppkey"),
+        substring_index(col("v"), "|", 1).as("s_name"),
+        substring_index(col("v"), "|", -1).cast("double").as("s_acctbal"))
+      .orderBy("s_suppkey")
+  }
+
   /** ORC write + read-back (predicate pushdown capable source). */
   val sinkOrcRoundtrip: Q = (s, dir) => {
     val out = tmp("customer_orc", dir)
@@ -178,6 +204,7 @@ object WritePaths {
     "src_json_roundtrip" -> srcJsonRoundtrip,
     "src_regex_text" -> srcRegexText,
     "src_csv_malformed" -> srcCsvMalformed,
+    "src_sequencefile" -> srcSequenceFile,
     "sink_partitioned_parquet" -> sinkPartitionedParquet,
     "sink_sharded_export" -> sinkShardedExport,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip
@@ -198,6 +225,8 @@ object WritePaths {
         |FROM region ORDER BY r_regionkey""".stripMargin,
     "src_regex_text" ->
       "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
+    "src_sequencefile" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
     "src_csv_malformed" ->
       s"""SELECT COUNT(*) AS total,
          |CAST(SUM(CASE WHEN s_suppkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS corrupt,
