@@ -101,6 +101,27 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("UDF") && !s.contains("BatchEvalPython"), s.take(4000))
   }
 
+  test("partitioned-table reads prune partitions (COW MERGE's rewrite read)") {
+    // the property merge_upsert's touched-partition rewrite relies on: a
+    // filter on the partition column must become a PartitionFilter (driver
+    // lists only matching directories), never a row-level post-filter scan
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_prune_check"
+    Tables.t(spark, sfDir, "orders")
+      .repartition(col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("o_orderstatus") === "O")
+    val s = pruned.queryExecution.executedPlan.toString
+    assert(s.contains("PartitionFilters: [isnotnull(o_orderstatus"), s.take(2000))
+    // only the one matching directory is scanned (runtime scan metrics;
+    // the unfiltered table has 3 partition dirs / 3 files)
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }
+    assert(scanned == Seq(1L), s"numFiles per scan: $scanned")
+  }
+
   test("AQE is enabled in the session") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
