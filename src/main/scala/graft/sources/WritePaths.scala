@@ -27,7 +27,9 @@ object WritePaths {
     * custom-delimited csv, read back with explicit schema. */
   val srcCsvRoundtrip: Q = (s, dir) => {
     val out = tmp("nation_csv", dir)
-    Tables.t(s, dir, "nation")
+    // dim-table write → one file (32 near-empty task files would cost a
+    // commit round-trip each; same discipline as the sized shard export)
+    Tables.t(s, dir, "nation").coalesce(1)
       .write.mode("overwrite").option("delimiter", "|").option("header", "true")
       .csv(out)
     s.read.option("delimiter", "|").option("header", "true")
@@ -40,7 +42,7 @@ object WritePaths {
   /** JSON round-trip + from_json/to_json (DelimitedJSONSerDe shape). */
   val srcJsonRoundtrip: Q = (s, dir) => {
     val out = tmp("region_json", dir)
-    Tables.t(s, dir, "region").write.mode("overwrite").json(out)
+    Tables.t(s, dir, "region").coalesce(1).write.mode("overwrite").json(out)
     s.read.json(out)
       .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
       .orderBy("r_regionkey")
@@ -52,7 +54,7 @@ object WritePaths {
     val out = tmp("supplier_txt", dir)
     Tables.t(s, dir, "supplier")
       .select(concat(col("s_suppkey"), lit("|"), col("s_name")).as("value"))
-      .write.mode("overwrite").text(out)
+      .coalesce(2).write.mode("overwrite").text(out)
     s.read.text(out)
       .select(
         regexp_extract(col("value"), "^([0-9]+)\\|", 1).cast("long").as("s_suppkey"),
@@ -70,7 +72,7 @@ object WritePaths {
       .select(when(col("s_suppkey") % 10 === 0, lit("###garbage###"))
         .otherwise(concat_ws("|", col("s_suppkey"), col("s_name"), col("s_acctbal")))
         .as("value"))
-      .write.mode("overwrite").text(out)
+      .coalesce(2).write.mode("overwrite").text(out)
     s.read.schema("s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE")
       .option("delimiter", "|").option("mode", "PERMISSIVE").csv(out)
       .agg(count(lit(1)).as("total"),
@@ -153,7 +155,8 @@ object WritePaths {
   /** ORC write + read-back (predicate pushdown capable source). */
   val sinkOrcRoundtrip: Q = (s, dir) => {
     val out = tmp("customer_orc", dir)
-    Tables.t(s, dir, "customer").write.mode("overwrite").orc(out)
+    // bound output files: a 15k-row table does not need 32 ORC files
+    Tables.t(s, dir, "customer").coalesce(4).write.mode("overwrite").orc(out)
     s.read.orc(out)
       .filter(col("c_acctbal") > 5000)
       .groupBy("c_mktsegment")
