@@ -55,7 +55,31 @@ object Maintenance {
       .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
         col("o_orderstatus"), lit(1000.0).as("o_totalprice"))
 
-    val target = s.read.parquet(out)
+    cowMerge(s, out, updates, deletes, inserts)
+
+    s.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The copy-on-write MERGE core, reused by `merge_upsert` and tested
+    * in isolation (MaintenanceSpec proves untouched partitions keep their
+    * exact files): compute touched partition values (metadata-sized
+    * driver list), merge ONLY those partitions' rows with the batch, and
+    * rewrite them via dynamic partition overwrite — every other
+    * partition's files are left physically untouched.
+    *
+    * Schemas: target at `targetPath` = (o_orderkey, o_orderstatus,
+    * o_totalprice) partitioned by o_orderstatus; `updates` =
+    * (o_orderkey, u_price); `deletes` = (o_orderkey); `inserts` = full
+    * target schema. DELETE precedes UPDATE on overlap (Hive MERGE clause
+    * order). */
+  def cowMerge(s: org.apache.spark.sql.SparkSession, targetPath: String,
+      updates: org.apache.spark.sql.DataFrame,
+      deletes: org.apache.spark.sql.DataFrame,
+      inserts: org.apache.spark.sql.DataFrame): Unit = {
+    val target = s.read.parquet(targetPath)
     val touched = target
       .join(updates.select("o_orderkey").union(deletes), "o_orderkey")
       .select("o_orderstatus")
@@ -73,16 +97,11 @@ object Maintenance {
     val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.repartition(col("o_orderstatus"))
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(targetPath)
     finally saved match {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-
-    s.read.parquet(out)
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice"), 2).as("total"))
-      .orderBy("o_orderstatus")
   }
 
   /** Materialized view build → use → rebuild (parser KWs
