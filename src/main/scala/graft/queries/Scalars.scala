@@ -244,19 +244,23 @@ object Scalars {
 
   /** Cast matrix (§2.7 type conversion; Hive cast semantics).
     *
-    * d2dec goes double→string→decimal: a direct double→decimal cast is
-    * engine-divergent near .5 cent boundaries (Spark rounds the exact
-    * binary expansion via BigDecimal HALF_UP, DuckDB scales-and-rounds the
-    * double — see queries/package.scala dsum note), while both engines
-    * print a double as its shortest round-trip decimal string and parse
-    * that string into an exact decimal. */
+    * d2dec goes double→string→decimal→string: the middle leg avoids the
+    * engine-divergent direct double→decimal rounding (Spark rounds the
+    * exact binary expansion via BigDecimal HALF_UP, DuckDB
+    * scales-and-rounds the double — see queries/package.scala dsum note),
+    * and the final to-string leg pins the OUTPUT representation: a bare
+    * decimal column survives Spark→parquet→pandas as `Decimal('2547.40')`
+    * but DuckDB→pandas as float64 `2547.4` — numerically equal, rendered
+    * differently, so a value-hash comparator flags it. Both engines print
+    * DECIMAL(12,2) with fixed two-digit scale, so the string leg is
+    * bit-stable across the whole toolchain. */
   val fnCast: Q = (s, dir) => {
     val c = Tables.t(s, dir, "customer").filter(col("c_custkey") < 300)
     c.select(col("c_custkey"),
       col("c_custkey").cast("string").as("l2s"),
       substring(col("c_name"), 10, 9).cast("long").as("s2l"),
       col("c_acctbal").cast("int").as("d2i"),
-      col("c_acctbal").cast("string").cast("decimal(12,2)").as("d2dec"),
+      col("c_acctbal").cast("string").cast("decimal(12,2)").cast("string").as("d2dec"),
       concat(col("c_nationkey"), lit(".5")).cast("double").as("s2d"),
       (col("c_custkey") % 2 === 0).as("l2b"),
       col("c_nationkey").cast("tinyint").as("i2t"),
@@ -499,7 +503,7 @@ object Scalars {
         |CAST(c_custkey AS VARCHAR) AS l2s,
         |CAST(substr(c_name, 10, 9) AS BIGINT) AS s2l,
         |CAST(trunc(c_acctbal) AS INT) AS d2i,
-        |CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(12,2)) AS d2dec,
+        |CAST(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(12,2)) AS VARCHAR) AS d2dec,
         |CAST(c_nationkey || '.5' AS DOUBLE) AS s2d,
         |c_custkey % 2 = 0 AS l2b,
         |CAST(c_nationkey AS TINYINT) AS i2t,

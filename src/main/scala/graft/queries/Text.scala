@@ -44,43 +44,40 @@ object Text {
     * < 2^51, overflow-safe in both engines. */
   private val (b1, b2, b3) = (1000003L, 1000033L, 1000211L)
 
-  /** Exploded (doc_id, pos, word-hash) rows: one codegen'd md5 per word —
-    * the scalable shape (no array lambdas, no shingle-string allocation).
-    * Takes the (possibly pre-filtered) docs relation so callers can prune
-    * the scan to just the slice they hash. */
-  private def wordHashRowsOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long").as("h"))
+  /** Word-hash array per doc: one codegen'd md5 per word, materialized as a
+    * single array column. Kept as its OWN projection step — the alias is
+    * non-cheap and referenced repeatedly downstream, so CollapseProject
+    * leaves it in place and the md5 pass runs exactly once per row. */
+  private def wordHashCol: Column =
+    transform(split(col("text"), " "),
+      w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
 
-  private def wordHashRows(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    wordHashRowsOf(Tables.t(s, dir, "documents"))
-
-  /** (doc_id, sid) 3-word shingle-id rows via window lead over word order —
-    * one shuffle on doc_id, fully codegen'd except the WindowExec itself. */
-  private def shingleIdRowsOf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    wordHashRowsOf(docs)
-      .select(col("doc_id"),
-        ((col("h") * lit(b1) + lead(col("h"), 1).over(w) * lit(b2) +
-          lead(col("h"), 2).over(w) * lit(b3)) % lit(P)).as("sid"))
-      .filter(col("sid").isNotNull)
-  }
-
-  private def shingleIdRows(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    shingleIdRowsOf(Tables.t(s, dir, "documents"))
+  /** Distinct 3-word shingle ids from a word-hash array column `hs` —
+    * pure per-row array arithmetic (requires size(hs) >= 3). */
+  private def shingleSetCol: Column =
+    array_distinct(transform(sequence(lit(0), size(col("hs")) - 3),
+      i => (element_at(col("hs"), i + 1) * b1 +
+        element_at(col("hs"), i + 2) * b2 +
+        element_at(col("hs"), i + 3) * b3) % P))
 
   /** One row per doc: 12-value minhash signature + exact shingle-id set —
     * the dedup "signature table" schema shared by the self-dedup and
-    * incremental paths. */
+    * incremental paths.
+    *
+    * This is a pure PROJECTION — no explode, no window, no aggregation:
+    * word hashes, shingle ids, and all 12 minhash values are per-row array
+    * arithmetic, so the signature build is embarrassingly parallel and
+    * shuffle-free (the r3 shape exploded to word rows and paid a full
+    * shuffle+sort through WindowExec plus a collect_set aggregation —
+    * measurably the suite's hottest path on slow-shuffle-disk hosts). */
   private def signaturesOf(docs: DataFrame): DataFrame = {
-    val mhAggs = seeds.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("sid") + lit(b)) % lit(P)).as(s"mh$i")
+    val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("sh"), sid => (lit(a) * sid + lit(b)) % lit(P))).as(s"mh$i")
     }
-    shingleIdRowsOf(docs)
-      .groupBy("doc_id")
-      .agg(collect_set(col("sid")).as("sh"), mhAggs: _*)
+    docs.select(col("doc_id"), wordHashCol.as("hs"))
+      .filter(size(col("hs")) >= 3)
+      .select(col("doc_id"), shingleSetCol.as("sh"))
+      .select(col("doc_id") +: col("sh") +: mhCols: _*)
   }
 
   /** (band, sig) struct per LSH band, built from mh0..mh11 columns. */
@@ -123,13 +120,11 @@ object Text {
     * exact shingle-Jaccard verification ≥ 0.5.
     *
     * Everything runs on integer shingle IDs (hash-shingling): one codegen'd
-    * md5 per word, shingle ids from window-lead arithmetic, and ONE
-    * aggregation produces both the 12 min-hash signature values (min over
-    * the sid multiset ≡ min over the set) and the collect_set used for
-    * exact Jaccard verification. A naive array-lambda shape is both slower
-    * (interpreted lambdas, and Catalyst's projection collapse re-evaluates
-    * the word-hash array per element) and shuffles shingle strings instead
-    * of 8-byte ids. */
+    * md5 per word, then shingle ids, the sid set, and all 12 min-hash
+    * signature values are per-row array arithmetic — the whole signature
+    * build is a shuffle-free projection (see [[signaturesOf]]). The only
+    * shuffles left are the ones the algorithm genuinely needs: the band
+    * bucket self-join and the candidate-verification joins. */
   val llmMinhashLsh: Q = (s, dir) => {
     // One row per doc: signature + sid set. Feeds three consumers (buckets
     // + both sides of the verification join); persisted so the corpus scan
@@ -209,31 +204,33 @@ object Text {
   }
 
   /** Exact word-bigram Jaccard for same-language adjacent doc pairs.
-    * Exploded integer-bigram shape (same hash-shingling as llmMinhashLsh,
-    * window-lead over word hashes): |A∩B| comes from a gram-equality join
-    * and |A|,|B| from per-doc counts — flat codegen'd operators
-    * throughout, shuffling (doc, gram-id) long pairs rather than
-    * materializing bigram strings. */
+    * Same hash-shingling as llmMinhashLsh: the distinct bigram-id SET per
+    * doc is a shuffle-free per-row array projection; |A∩B| comes from a
+    * gram-equality join over the exploded sets and |A|,|B| from array
+    * sizes — shuffling only (doc, gram-id) long pairs for the
+    * intersection, never bigram strings. */
   val llmNgramJaccard: Q = (s, dir) => {
-    val d = Tables.t(s, dir, "documents")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    // Materialize-once: the gram table feeds the per-doc size aggregate and
-    // both sides of the intersection join (8-byte ids — cheap to cache).
-    val grams = wordHashRows(s, dir)
-      .select(col("doc_id"),
-        ((col("h") * lit(b1) + lead(col("h"), 1).over(w) * lit(b2)) % lit(P)).as("g"))
-      .filter(col("g").isNotNull)
-      .distinct()
+    val gramSet = when(size(col("hs")) >= 2,
+      array_distinct(transform(sequence(lit(0), size(col("hs")) - 2),
+        i => (element_at(col("hs"), i + 1) * b1 +
+          element_at(col("hs"), i + 2) * b2) % P)))
+      .otherwise(array().cast("array<long>"))
+    // Materialize-once: the per-doc gram sets feed the size lookup and both
+    // sides of the intersection join (8-byte ids — cheap to cache).
+    val g = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), wordHashCol.as("hs"))
+      .select(col("doc_id"), col("lang"), gramSet.as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    grams.count() // eager for the same cache-race reason as llmMinhashLsh
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = d.select(col("doc_id").as("doc_a"), col("lang")).alias("a")
-      .join(d.select(col("doc_id").as("doc_b"), col("lang")).alias("b"),
+    g.count() // eager for the same cache-race reason as llmMinhashLsh
+    val sizes = g.select(col("doc_id"), size(col("g")).as("n"))
+    val pairs = g.select(col("doc_id").as("doc_a"), col("lang")).alias("a")
+      .join(g.select(col("doc_id").as("doc_b"), col("lang")).alias("b"),
         col("a.lang") === col("b.lang") && col("doc_b") === col("doc_a") + 1)
       .select(col("a.lang").as("lang"), col("doc_a"), col("doc_b"))
+    val ex = g.select(col("doc_id"), explode(col("g")).as("g"))
     val inter = pairs
-      .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .join(ex.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
@@ -381,8 +378,15 @@ object Text {
     * shuffle-free on the corpus side. */
   val llmDedupIncremental: Q = (s, dir) => {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val sigPath =
-      s"${System.getProperty("java.io.tmpdir")}/graft_dedup_state/$tag/corpus_signatures"
+    // State path is keyed by a fingerprint of the SOURCE data (file size +
+    // mtime) plus a signature-scheme version, so regenerated fixtures or a
+    // changed signature algorithm rebuild state instead of silently serving
+    // stale results (a production pipeline would key on snapshot id).
+    val srcFile = new java.io.File(dir, "documents.parquet")
+    val schemeVersion = "v2" // v2: projection-shaped signaturesOf
+    val fingerprint = s"${schemeVersion}_${srcFile.length()}_${srcFile.lastModified()}"
+    val sigPath = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_state/" +
+      s"${tag}_$fingerprint/corpus_signatures"
     val docs = Tables.t(s, dir, "documents")
     if (!new java.io.File(sigPath, "_SUCCESS").exists()) {
       // One state table: minhash signature + sid set + content hash per
@@ -447,20 +451,25 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** Quality scoring: length/word/stopword/char-class ratios + composite. */
+  /** Quality scoring: length/word/stopword/char-class ratios + composite.
+    * The split-words array and the stopword filter are materialized ONCE
+    * in their own projection steps (non-cheap aliases, so CollapseProject
+    * keeps them); inlining them would re-run split() and the interpreted
+    * filter lambda once per referencing output column. */
   val llmQualityScore: Q = (s, dir) => {
-    val words = split(col("text"), " ")
-    val nWords = size(words)
-    val stopHits = size(filter(words, w => w.isin(stopEn: _*)))
-    val d = Tables.t(s, dir, "documents")
-    d.select(col("doc_id"), col("n_chars"),
-      nWords.as("n_words"),
-      dround(col("n_chars").cast("double") / nWords, 6).as("avg_word_len"),
-      dround(stopHits * lit(1.0) / nWords, 6).as("stop_ratio"),
-      regexp_count(col("text"), lit("[aeiou]")).cast("int").as("vowels"),
-      dround(
-        least(nWords / lit(100.0), lit(1.0)) * 0.5 +
-          (lit(1.0) - stopHits * lit(1.0) / nWords) * 0.5, 6).as("quality"))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        size(col("ws")).as("n_words"),
+        size(filter(col("ws"), w => w.isin(stopEn: _*))).as("stop_hits"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        dround(col("n_chars").cast("double") / col("n_words"), 6).as("avg_word_len"),
+        dround(col("stop_hits") * lit(1.0) / col("n_words"), 6).as("stop_ratio"),
+        regexp_count(col("text"), lit("[aeiou]")).cast("int").as("vowels"),
+        dround(
+          least(col("n_words") / lit(100.0), lit(1.0)) * 0.5 +
+            (lit(1.0) - col("stop_hits") * lit(1.0) / col("n_words")) * 0.5, 6).as("quality"))
       .orderBy("doc_id")
   }
 

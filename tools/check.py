@@ -27,8 +27,15 @@ def main():
     for name in names:
         if only and name not in only:
             continue
-        spark_df = con.execute(
-            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'").fetchdf()
+        # Read the Spark result the way the driver harness does — pyarrow,
+        # NOT through DuckDB. The distinction matters: DuckDB coerces
+        # DECIMAL to float64 on fetch while pyarrow yields Decimal objects,
+        # so a decimal column that only LOOKS equal numerically (2547.40 vs
+        # 2547.4) passes a DuckDB-read compare but fails the driver's
+        # representation-level hash (the r3 fn_cast lesson).
+        import pyarrow.dataset as pads
+        spark_df = pads.dataset(
+            os.path.join(out_dir, name), format="parquet").to_table().to_pandas()
         if name not in oracle:
             n_noracle += 1
             print(f"  [rows-only] {name}: {len(spark_df)} rows")
@@ -56,6 +63,19 @@ def main():
                 if a is None and b is None:
                     continue
                 try:
+                    # Decimal-vs-float across readers hashes differently at
+                    # the driver even when numerically equal — hard-fail.
+                    import decimal, datetime
+                    if isinstance(a, decimal.Decimal) != isinstance(b, decimal.Decimal):
+                        bad = (c, i, a, b); break
+                    # pyarrow yields datetime.date for DATE columns while
+                    # DuckDB fetchdf yields midnight datetime64 — the driver
+                    # treats these as equal (fn_datetime is hash-green), so
+                    # coerce date -> midnight datetime before comparing.
+                    if type(a) is datetime.date:
+                        a = datetime.datetime.combine(a, datetime.time())
+                    if type(b) is datetime.date:
+                        b = datetime.datetime.combine(b, datetime.time())
                     if isinstance(a, float) or isinstance(b, float):
                         an = a is None or (isinstance(a, float) and math.isnan(a))
                         bn = b is None or (isinstance(b, float) and math.isnan(b))
