@@ -59,23 +59,56 @@ object Bench {
         name -> -1.0 // sentinel: a broken query must not read as a fast one
       }
     }
+    // Full per-query detail for humans — prefix-tagged so the driver's
+    // JSON scan can never pick it up in place of the contract line.
+    println("BENCH-FULL " + fullDetail(results))
     println(jsonLine(results, sfDir))
     spark.stop()
     if (results.exists(_._2 < 0)) sys.exit(1)
   }
 
-  /** The driver parses this single line with json.load — locale-pinned
-    * number formatting (a comma-decimal locale would corrupt it).
-    * Failed queries report -1 (and a "failed" list) rather than their
-    * wall time, so a broken query can't masquerade as a fast one. */
-  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
-    def num(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+  /** Queries whose timing the contract line reports individually — one per
+    * major executor shape. Everything else is folded into "value" (the
+    * whole-suite total) and the BENCH-FULL detail line. The subset exists
+    * because the driver keeps only the LAST 2000 chars of output: a line
+    * carrying all ~120 query timings is ~2.5 KB, gets truncated mid-line,
+    * and parses as nothing (r02–r04 all recorded "parsed": null). */
+  private val headline = Seq(
+    "q1_pricing_summary", "agg_basic", "agg_rollup", "agg_multi_distinct",
+    "join_broadcast", "join_multiway", "join_smb", "join_salted",
+    "join_asof", "join_range_bin", "win_ranking", "win_agg_rows",
+    "sort_topk", "sort_global", "setop_except_all", "gen_lateral_view",
+    "llm_exact_dedup", "llm_minhash_lsh", "llm_simhash_neardup",
+    "llm_cosine_topk", "llm_ann_lsh", "llm_dedup_incremental",
+    "stream_tumbling", "stream_stateful_sessions",
+    "merge_upsert", "sink_partitioned_parquet")
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** All query timings, one JSON object (informational, not the contract). */
+  def fullDetail(results: Seq[(String, Double)]): String =
+    results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+
+  /** The driver parses this single line with json.load — locale-pinned
+    * number formatting (a comma-decimal locale would corrupt it). MUST
+    * stay well under 2000 chars INCLUDING sbt's trailing "[success]"
+    * line, or the driver's tail capture truncates it (see `headline`).
+    * "value" totals ALL queries (n = how many); "queries" lists the
+    * headline subset. Failed queries report -1 (and a "failed" list)
+    * rather than their wall time, so a broken query can't read as fast. */
+  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
+    val byName = results.toMap
+    val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + num(v)))
+      .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    // Cap the failed list so a mass failure can't push the line past the
+    // tail window; the full list is on stderr + the BENCH-FULL line.
+    val failed = (failedNames.take(15).map("\"" + _ + "\"") ++
+      (if (failedNames.size > 15) Seq("\"(+" + (failedNames.size - 15) + " more)\"") else Nil))
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 }

@@ -378,15 +378,31 @@ object Text {
     * shuffle-free on the corpus side. */
   val llmDedupIncremental: Q = (s, dir) => {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    // State path is keyed by a fingerprint of the SOURCE data (file size +
-    // mtime) plus a signature-scheme version, so regenerated fixtures or a
-    // changed signature algorithm rebuild state instead of silently serving
-    // stale results (a production pipeline would key on snapshot id).
+    // State path is keyed by a fingerprint of the SOURCE data (per-file
+    // size + mtime over the resolved file list, so a Spark-written
+    // DIRECTORY source fingerprints its data files, not the directory
+    // inode) plus a signature-scheme version: regenerated fixtures or a
+    // changed algorithm rebuild state instead of silently serving stale
+    // results (a production pipeline would key on snapshot id). A missing
+    // source fails fast rather than collapsing to a constant fingerprint.
     val srcFile = new java.io.File(dir, "documents.parquet")
+    require(srcFile.exists(), s"llm_dedup_incremental: source not found: $srcFile")
+    val srcParts: Seq[java.io.File] =
+      if (srcFile.isDirectory)
+        srcFile.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
+          .sortBy(_.getName).toSeq
+      else Seq(srcFile)
     val schemeVersion = "v2" // v2: projection-shaped signaturesOf
-    val fingerprint = s"${schemeVersion}_${srcFile.length()}_${srcFile.lastModified()}"
-    val sigPath = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_state/" +
-      s"${tag}_$fingerprint/corpus_signatures"
+    val fingerprint = schemeVersion + "_" +
+      srcParts.map(f => s"${f.length()}_${f.lastModified()}").mkString("_").hashCode.toHexString
+    val stateRoot = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_dedup_state")
+    // Reap stale state for this source tag (older fingerprints/schemes) so
+    // fixture regenerations don't accumulate dead state dirs unboundedly.
+    Option(stateRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith(s"${tag}_") && d.getName != s"${tag}_$fingerprint")
+      .foreach(deleteRecursively)
+    val sigPath = s"$stateRoot/${tag}_$fingerprint/corpus_signatures"
     val docs = Tables.t(s, dir, "documents")
     if (!new java.io.File(sigPath, "_SUCCESS").exists()) {
       // One state table: minhash signature + sid set + content hash per
@@ -425,6 +441,11 @@ object Text {
       .select(col("doc_id")).distinct()
     exactSurvivors.join(nearDups, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   private val stopEn = Seq("the", "a", "and", "of", "to")

@@ -11,18 +11,33 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = () // shared session, never stopped per-suite
 }
 
-/** Driver-contract formatting: the bench line must be strict JSON. */
+/** Driver-contract formatting: the bench line must be strict JSON AND fit
+  * inside the driver's 2000-char tail capture (with sbt's "[success]"
+  * epilogue after it) — r02–r04 all shipped a ~2.5 KB all-queries line
+  * that was truncated mid-line and recorded as "parsed": null. */
 class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
-  test("bench JSON line is parseable and locale-stable") {
-    val line = Bench.jsonLine(Seq("q1" -> 1.23456, "q2" -> 0.0004), "/data/sf0.1")
+  test("bench JSON line is parseable, locale-stable, headline-only") {
+    val line = Bench.jsonLine(
+      Seq("q1_pricing_summary" -> 1.23456, "not_a_headline" -> 0.0004), "/data/sf0.1")
     assert(line ==
-      """{"metric":"total","value":1.235,"unit":"sec","queries":{"q1":1.235,"q2":0.000},"failed":[],"sf":"/data/sf0.1"}""")
+      """{"metric":"total","value":1.235,"unit":"sec","n":2,"queries":{"q1_pricing_summary":1.235},"failed":[],"sf":"/data/sf0.1"}""")
     val empty = Bench.jsonLine(Nil, "/x")
-    assert(empty == """{"metric":"total","value":0.000,"unit":"sec","queries":{},"failed":[],"sf":"/x"}""")
+    assert(empty == """{"metric":"total","value":0.000,"unit":"sec","n":0,"queries":{},"failed":[],"sf":"/x"}""")
     // a failed query is excluded from the total and named in "failed"
-    val withFail = Bench.jsonLine(Seq("ok" -> 2.0, "bad" -> -1.0), "/x")
+    val withFail = Bench.jsonLine(Seq("ok" -> 2.0, "join_smb" -> -1.0), "/x")
     assert(withFail ==
-      """{"metric":"total","value":2.000,"unit":"sec","queries":{"ok":2.000,"bad":-1.000},"failed":["bad"],"sf":"/x"}""")
+      """{"metric":"total","value":2.000,"unit":"sec","n":2,"queries":{"join_smb":-1.000},"failed":["join_smb"],"sf":"/x"}""")
+  }
+
+  test("contract line from the FULL registry stays under the tail window") {
+    // Worst realistic case: every registered query present, long sf path,
+    // every headline query failed (adds the whole failed list).
+    val all = SparkEntry.queries.keys.toSeq.sorted.map(_ -> -1.0)
+    val line = Bench.jsonLine(all, "/root/testdata/sf0.1")
+    assert(line.length < 1500, s"bench line too long for driver tail: ${line.length}")
+    // strict-JSON check with an independent parser
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    assert((parsed \ "metric") == org.json4s.JString("total"))
   }
 }
 

@@ -8,8 +8,9 @@ run the matching oracle SQL from oracle_sql.json in DuckDB over views named
 after the fixture tables, then compare rows/schema/values (worst case:
 order-sensitive, column-name-sorted).
 """
-import sys, json, os, math
+import sys, json, os, math, decimal, datetime
 import duckdb
+import pyarrow.dataset as pads
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -33,7 +34,6 @@ def main():
         # so a decimal column that only LOOKS equal numerically (2547.40 vs
         # 2547.4) passes a DuckDB-read compare but fails the driver's
         # representation-level hash (the r3 fn_cast lesson).
-        import pyarrow.dataset as pads
         spark_df = pads.dataset(
             os.path.join(out_dir, name), format="parquet").to_table().to_pandas()
         if name not in oracle:
@@ -57,6 +57,7 @@ def main():
             print(f"  [FAIL-rows] {name}: spark={len(s)} oracle={len(o)}")
             continue
         bad = None
+        bad_kind = "val"
         for c in s.columns:
             sv, ov = list(s[c]), list(o[c])
             for i, (a, b) in enumerate(zip(sv, ov)):
@@ -64,10 +65,10 @@ def main():
                     continue
                 try:
                     # Decimal-vs-float across readers hashes differently at
-                    # the driver even when numerically equal — hard-fail.
-                    import decimal, datetime
+                    # the driver even when numerically equal — hard-fail,
+                    # tagged as a TYPE mismatch (the values may print equal).
                     if isinstance(a, decimal.Decimal) != isinstance(b, decimal.Decimal):
-                        bad = (c, i, a, b); break
+                        bad = (c, i, a, b); bad_kind = "type"; break
                     # pyarrow yields datetime.date for DATE columns while
                     # DuckDB fetchdf yields midnight datetime64 — the driver
                     # treats these as equal (fn_datetime is hash-green), so
@@ -92,7 +93,8 @@ def main():
         if bad:
             n_fail += 1
             c, i, a, b = bad
-            print(f"  [FAIL-val] {name}: col={c} row={i} spark={a!r} oracle={b!r}")
+            print(f"  [FAIL-{bad_kind}] {name}: col={c} row={i} "
+                  f"spark={a!r} ({type(a).__name__}) oracle={b!r} ({type(b).__name__})")
         else:
             n_pass += 1
             print(f"  [PASS] {name}: {len(s)} rows, {len(s.columns)} cols")
