@@ -125,7 +125,9 @@ object Text {
     * build is a shuffle-free projection (see [[signaturesOf]]). The only
     * shuffles left are the ones the algorithm genuinely needs: the band
     * bucket self-join and the candidate-verification joins. */
-  val llmMinhashLsh: Q = (s, dir) => {
+  /** Verified near-dup pairs (doc_a < doc_b, shingle-Jaccard ≥ 0.5) — the
+    * edge list shared by `llm_minhash_lsh` and the cluster builder. */
+  private def minhashDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     // One row per doc: signature + sid set. Feeds three consumers (buckets
     // + both sides of the verification join); persisted so the corpus scan
     // happens once — the checkpointed intermediate a production dedup
@@ -154,7 +156,62 @@ object Text {
           (size(col("sh_a")) + size(col("sh_b")) - col("ni"))).as("jac"))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), dround(col("jac"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  val llmMinhashLsh: Q = (s, dir) =>
+    minhashDupPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** Near-dup CLUSTERING: connected components over the verified LSH edge
+    * list, so each group of mutual near-dups collapses to one canonical
+    * keeper (min doc_id) — the step after pairing that a production dedup
+    * actually ships. Pairwise LSH alone can't do this: near-dup is not
+    * transitive pairwise, but the dedup decision must be (keep ONE doc per
+    * component).
+    *
+    * Algorithm: iterative min-label contraction on the LABEL graph (the
+    * Kiveris-et-al MapReduce-CC family, not naive neighbor propagation):
+    * each round computes root(l) = min(l, min neighbor), rewrites both
+    * edge endpoints through root, drops self-loops, and re-points the
+    * doc→label table. The label graph shrinks geometrically — O(log d)
+    * rounds on a diameter-d component vs O(d) for naive propagation — and
+    * each round is one hash join + partial/final min-aggregate, all
+    * key-partitioned. Driver code only steers (an isEmpty probe per
+    * round); every data pass is distributed. At 100 TB the per-round
+    * label table would be checkpointed to truncate lineage; here rounds
+    * are few and each round's edge set is persisted and the prior one
+    * freed. */
+  val llmDedupCc: Q = (s, dir) => {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // symmetric edge list: min-labels must flow both directions
+    var redges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("a", "b").persist(MEMORY_AND_DISK)
+    var labels = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    var iter = 0
+    while (redges.limit(1).count() > 0 && iter < 25) {
+      val rootmap = redges.groupBy("a").agg(min(col("b")).as("nb"))
+        .select(col("a").as("l"), least(col("a"), col("nb")).as("root"))
+        .persist(MEMORY_AND_DISK)
+      rootmap.count() // eager: feeds the edge rewrite twice + the re-point
+      labels = labels.join(rootmap, col("label") === col("l"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("label")).as("label"))
+      val contracted = redges
+        .join(rootmap.select(col("l").as("a"), col("root").as("ra")), Seq("a"))
+        .join(rootmap.select(col("l").as("b"), col("root").as("rb")), Seq("b"))
+        .select(col("ra").as("a"), col("rb").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      contracted.count()
+      redges.unpersist()
+      redges = contracted
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** `bits`-wide SimHash fingerprints from word-hash bit votes (word

@@ -152,6 +152,121 @@ object WritePaths {
       .orderBy("s_suppkey")
   }
 
+  /** Avro round-trip (Hive's AvroSerDe `[serde!…/avro/AvroSerDe.class]`,
+    * SURVEY.md §2.2): the spark-avro connector isn't in the offline jars,
+    * but avro-mapred is — so this drops to the Hadoop-format bridge once
+    * (same escape hatch as [[srcSequenceFile]]): rows → GenericRecord →
+    * `AvroKeyOutputFormat`, read back via `AvroKeyInputFormat` and
+    * projected straight back to columns. Field extraction happens inside
+    * the same mapPartitions that deserializes — Avro reuses record
+    * objects per reader and GenericRecord is not serializable, so nothing
+    * Avro-typed ever crosses a stage boundary. Everything around the
+    * bridge stays DataFrame. */
+  val srcAvroRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    val out = tmp("supplier_avro", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val schemaJson =
+      """{"type":"record","name":"supplier","fields":[
+        |{"name":"s_suppkey","type":"long"},
+        |{"name":"s_name","type":"string"},
+        |{"name":"s_acctbal","type":"double"}]}""".stripMargin
+    val wJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(wJob, new Schema.Parser().parse(schemaJson))
+    Tables.t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .coalesce(4)
+      .rdd.mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        it.map { r =>
+          val rec: GenericRecord = new GenericData.Record(schema)
+          rec.put("s_suppkey", r.getLong(0))
+          rec.put("s_name", r.getString(1))
+          rec.put("s_acctbal", r.getDouble(2))
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        wJob.getConfiguration)
+    val rJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(rJob, new Schema.Parser().parse(schemaJson))
+    s.sparkContext.newAPIHadoopFile(out,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        rJob.getConfiguration)
+      .mapPartitions(_.map { case (k, _) =>
+        val r = k.datum()
+        (r.get("s_suppkey").asInstanceOf[Long],
+          r.get("s_name").toString,
+          r.get("s_acctbal").asInstanceOf[Double])
+      })
+      .toDF("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  /** RCFile round-trip (Hive's columnar RCFile: `ColumnarSerDe` /
+    * `RCFileInputFormat` `[serde!…/columnar/ColumnarSerDe.class]`,
+    * SURVEY.md §2.2 row "SequenceFile / RCFile"): hive-exec-core +
+    * hive-serde ARE on the offline classpath, so the legacy columnar
+    * format round-trips for real through the old-API Hadoop bridge —
+    * each row becomes a `BytesRefArrayWritable` of UTF-8 column cells
+    * (text encoding, LazySimpleSerDe-style), written via
+    * `RCFileOutputFormat` and re-read via `RCFileInputFormat`. Cells are
+    * decoded to strings inside the reading mapPartitions (the record
+    * reader reuses writables), then cast back; the double column
+    * round-trips through its shortest string form, which re-parses
+    * exactly. */
+  val srcRcfileRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.hadoop.hive.ql.io.{RCFileInputFormat, RCFileOutputFormat}
+    import org.apache.hadoop.hive.serde2.columnar.{BytesRefArrayWritable, BytesRefWritable}
+    import org.apache.hadoop.io.LongWritable
+    import org.apache.hadoop.mapred.JobConf
+    val out = tmp("nation_rcfile", dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val jc = new JobConf(s.sparkContext.hadoopConfiguration)
+    RCFileOutputFormat.setColumnNumber(jc, 3)
+    Tables.t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1) // 25-row dim table → one columnar file
+      .rdd.mapPartitions(_.map { r =>
+        val cells = new BytesRefArrayWritable(3)
+        Seq(r.getInt(0).toString, r.getString(1), r.getInt(2).toString)
+          .zipWithIndex.foreach { case (v, i) =>
+            val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            cells.set(i, new BytesRefWritable(b, 0, b.length))
+          }
+        (org.apache.hadoop.io.NullWritable.get(), cells)
+      })
+      .saveAsHadoopFile(out, classOf[org.apache.hadoop.io.NullWritable],
+        classOf[BytesRefArrayWritable],
+        // RCFileOutputFormat's raw-typed Java generics hide the
+        // OutputFormat[_, _] bound from scalac; the class genuinely is one
+        classOf[TaskPathRCFileOutputFormat]
+          .asInstanceOf[Class[org.apache.hadoop.mapred.OutputFormat[_, _]]],
+        jc)
+    s.sparkContext.hadoopFile(out,
+        classOf[RCFileInputFormat[LongWritable, BytesRefArrayWritable]],
+        classOf[LongWritable], classOf[BytesRefArrayWritable])
+      .mapPartitions(_.map { case (_, cells) =>
+        def cell(i: Int): String = {
+          val ref = cells.get(i)
+          new String(ref.getData, ref.getStart, ref.getLength,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        (cell(0).toInt, cell(1), cell(2).toInt)
+      })
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   /** ORC write + read-back (predicate pushdown capable source). */
   val sinkOrcRoundtrip: Q = (s, dir) => {
     val out = tmp("customer_orc", dir)
@@ -208,6 +323,8 @@ object WritePaths {
     "src_regex_text" -> srcRegexText,
     "src_csv_malformed" -> srcCsvMalformed,
     "src_sequencefile" -> srcSequenceFile,
+    "src_avro_roundtrip" -> srcAvroRoundtrip,
+    "src_rcfile_roundtrip" -> srcRcfileRoundtrip,
     "sink_partitioned_parquet" -> sinkPartitionedParquet,
     "sink_sharded_export" -> sinkShardedExport,
     "sink_orc_roundtrip" -> sinkOrcRoundtrip
@@ -230,6 +347,10 @@ object WritePaths {
       "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
     "src_sequencefile" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "src_avro_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey",
+    "src_rcfile_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "src_csv_malformed" ->
       s"""SELECT COUNT(*) AS total,
          |CAST(SUM(CASE WHEN s_suppkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS corrupt,
