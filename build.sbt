@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run JVM's stdout/stderr straight through instead of via
+// sbt's logger: the logger prefixes every line with "[info] ", which
+// defeats the driver's bare-JSON scan of Bench's contract line (the
+// "parsed": null in BENCH_r01–r05). StdoutOutput emits child output raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,16 +48,26 @@ object Bench {
 
     // Optional comma-separated subset for local iteration (unset = all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Per-query repeats with median: a single timing per query showed 2-3×
+    // run-to-run swings on untouched code (r4→r5), making cross-round
+    // deltas unattributable. Each repeat re-builds and re-plans the query
+    // (fn returns a fresh DataFrame), so planning stays in the measurement;
+    // only JVM JIT / codegen-cache warmth is amortized. Execution order is
+    // fixed (sorted by name) so rounds are comparable.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0 // sentinel: a broken query must not read as a fast one
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // sentinel: a broken query must not read as a fast one
+        }
       }
+      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
     // Full per-query detail for humans — prefix-tagged so the driver's
     // JSON scan can never pick it up in place of the contract line.
@@ -82,6 +92,11 @@ object Bench {
     "llm_cosine_topk", "llm_ann_lsh", "llm_dedup_incremental",
     "stream_tumbling", "stream_stateful_sessions",
     "merge_upsert", "sink_partitioned_parquet")
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
