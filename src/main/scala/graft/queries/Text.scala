@@ -180,39 +180,58 @@ object Text {
     * label table would be checkpointed to truncate lineage; here rounds
     * are few and each round's edge set is persisted and the prior one
     * freed. */
-  val llmDedupCc: Q = (s, dir) => {
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val p = pairs.toDF("a", "b")
+    // Each round's outputs are localCheckpoint'd (eager, MEMORY_AND_DISK):
+    // persist alone caches RESULTS but leaves the LOGICAL plan nested —
+    // rootmap references redges 3×, so the plan tree grows ~4× per round
+    // and the per-action plan stringification (SQL listener) OOMs after a
+    // handful of rounds. Checkpointing truncates lineage to the
+    // materialized RDD, exactly what a 100 TB run would do (with reliable
+    // checkpoints); superseded rounds are freed by the context cleaner
+    // once unreferenced.
     // symmetric edge list: min-labels must flow both directions
-    var redges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("a", "b").persist(MEMORY_AND_DISK)
-    var labels = Tables.t(s, dir, "documents")
+    var redges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = nodes.toDF("doc_id")
       .select(col("doc_id"), col("doc_id").as("label"))
     var iter = 0
-    while (redges.limit(1).count() > 0 && iter < 25) {
+    val maxIter = 25
+    while (iter < maxIter && redges.limit(1).count() > 0) {
       val rootmap = redges.groupBy("a").agg(min(col("b")).as("nb"))
         .select(col("a").as("l"), least(col("a"), col("nb")).as("root"))
         .persist(MEMORY_AND_DISK)
       rootmap.count() // eager: feeds the edge rewrite twice + the re-point
-      labels = labels.join(rootmap, col("label") === col("l"), "left")
+      val repointed = labels.join(rootmap, col("label") === col("l"), "left")
         .select(col("doc_id"), coalesce(col("root"), col("label")).as("label"))
+        .localCheckpoint()
       val contracted = redges
         .join(rootmap.select(col("l").as("a"), col("root").as("ra")), Seq("a"))
         .join(rootmap.select(col("l").as("b"), col("root").as("rb")), Seq("b"))
         .select(col("ra").as("a"), col("rb").as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
-        .persist(MEMORY_AND_DISK)
-      contracted.count()
-      redges.unpersist()
+        .localCheckpoint()
+      rootmap.unpersist() // both consumers are checkpointed above
+      labels = repointed
       redges = contracted
       iter += 1
     }
-    labels
-      .select(col("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    // Rounds shrink the label graph geometrically, so a graph that still
+    // has edges after maxIter rounds signals a bug; returning the partial
+    // contraction would silently split clusters.
+    if (redges.limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
+
+  val llmDedupCc: Q = (s, dir) =>
+    connectedComponents(
+      Tables.t(s, dir, "documents").select("doc_id"),
+      minhashDupPairs(s, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
 
   /** `bits`-wide SimHash fingerprints from word-hash bit votes (word
     * hashes are 28-bit md5 prefixes, so up to 28 fingerprint bits; the
@@ -449,15 +468,25 @@ object Text {
         srcFile.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
           .sortBy(_.getName).toSeq
       else Seq(srcFile)
-    val schemeVersion = "v2" // v2: projection-shaped signaturesOf
-    val fingerprint = schemeVersion + "_" +
-      srcParts.map(f => s"${f.length()}_${f.lastModified()}").mkString("_").hashCode.toHexString
+    val schemeVersion = "v3" // v3: sha-256 source fingerprint
+    // 64-bit sha-256 prefix (not String.hashCode: 32 bits collide too
+    // easily to key correctness-bearing state).
+    val srcDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(srcParts.map(f => s"${f.length()}_${f.lastModified()}")
+        .mkString("_").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val fingerprint = s"${schemeVersion}_$srcDigest"
     val stateRoot = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_dedup_state")
     // Reap stale state for this source tag (older fingerprints/schemes) so
     // fixture regenerations don't accumulate dead state dirs unboundedly.
+    // Match the exact `<tag>_v<N>_<hex>` shape rather than a bare tag
+    // prefix: a prefix test would also claim (and delete) the live state
+    // of a DIFFERENT dataset whose tag merely extends this one
+    // (".../sf0_1" vs ".../sf0_1_big").
+    val ownState = s"^${java.util.regex.Pattern.quote(tag)}_v[0-9]+_[0-9a-f]+$$".r
     Option(stateRoot.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.getName.startsWith(s"${tag}_") && d.getName != s"${tag}_$fingerprint")
+      .filter(d => ownState.matches(d.getName) && d.getName != s"${tag}_$fingerprint")
       .foreach(deleteRecursively)
     val sigPath = s"$stateRoot/${tag}_$fingerprint/corpus_signatures"
     val docs = Tables.t(s, dir, "documents")
@@ -615,6 +644,7 @@ object Text {
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
     "llm_minhash_lsh" -> llmMinhashLsh,
+    "llm_dedup_cc" -> llmDedupCc,
     "llm_dedup_incremental" -> llmDedupIncremental,
     "llm_simhash" -> llmSimhash,
     "llm_simhash_neardup" -> llmSimhashNeardup,
@@ -647,7 +677,9 @@ object Text {
        |FROM ($wordHashSql) t
        |WHERE len(hs) >= 3""".stripMargin
 
-  private val minhashSql: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b, jac)` — shared by the
+    * minhash pair oracle and the connected-components oracle. */
+  private val minhashPairsCtes: String = {
     val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(sh, h -> ($a*h + $b) % $P)) AS mh$i"
     }.mkString(",\n")
@@ -655,7 +687,7 @@ object Text {
       val sig = (0 until rowsPerBand).map(r => s"mh${j * rowsPerBand + r}").mkString(" || '_' || ")
       s"SELECT doc_id, sh, $j AS band, $sig AS sig FROM mh"
     }.mkString("\nUNION ALL\n")
-    s"""WITH sh AS ($shingleSql),
+    s"""sh AS ($shingleSql),
        |mh AS (SELECT doc_id, sh, $mhCols FROM sh),
        |buckets AS ($bandRows),
        |pairs AS (
@@ -664,10 +696,29 @@ object Text {
        |    (len(a.sh) + len(b.sh)
        |     - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jac
        |  FROM buckets a JOIN buckets b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val minhashSql: String =
+    s"""WITH $minhashPairsCtes
        |SELECT doc_a, doc_b, ${oRound("jac", 6)} AS jaccard
        |FROM pairs WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Connected components replayed in DuckDB: transitive closure by
+    * recursive walk (fixture-scale edge lists only — the Spark side uses
+    * logarithmic min-label contraction instead), min reachable id = the
+    * cluster label. */
+  private val dedupCcSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |dup AS (SELECT doc_a, doc_b FROM pairs WHERE jac >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+       |          UNION SELECT doc_b, doc_a FROM dup),
+       |walk AS (
+       |  SELECT doc_id AS node, doc_id AS reach FROM documents
+       |  UNION
+       |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+       |SELECT node AS doc_id, MIN(reach) AS cluster_id
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
 
   /** CTE block yielding `sim(doc_id, simhash)` — DuckDB twin of simhashDf. */
   private def simhashCoreSql(bits: Int): String = {
@@ -760,6 +811,7 @@ object Text {
          |SELECT l_returnflag, COUNT(*) AS kept, ${oSum("l_quantity")} AS kept_qty
          |FROM ranked WHERE rn = 1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "llm_minhash_lsh" -> minhashSql,
+    "llm_dedup_cc" -> dedupCcSql,
     "llm_dedup_incremental" -> dedupIncrementalSql,
     "llm_simhash" -> simhashSql,
     "llm_simhash_neardup" -> simhashNeardupSql,

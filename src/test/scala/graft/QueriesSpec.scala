@@ -152,4 +152,35 @@ class QueriesSpec extends SparkSpec {
     val b = SparkEntry.queries("llm_fingerprint")(spark, sfDir).collect()
     assert(a.sameElements(b))
   }
+
+  test("connected components: chain + triangle + singleton") {
+    import spark.implicits._
+    // 8-node chain (forces multiple contraction rounds), a triangle, and
+    // an isolated node that must keep its own label.
+    val nodes = ((1L to 8L) ++ Seq(10L, 11L, 12L, 20L)).toDF("doc_id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val got = graft.queries.Text.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (1L to 8L).map(_ -> 1L).toMap ++
+      Seq(10L, 11L, 12L).map(_ -> 10L).toMap + (20L -> 20L)
+    assert(got === expect)
+  }
+
+  test("llm_dedup_cc labels every document and respects pair edges") {
+    val labels = SparkEntry.queries("llm_dedup_cc")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(labels.size === nDocs)
+    // every cluster label is the min doc_id of its member set
+    labels.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._1).min === cl)
+    }
+    // every verified near-dup pair lands in the same cluster
+    SparkEntry.queries("llm_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().foreach { r =>
+        assert(labels(r.getLong(0)) === labels(r.getLong(1)))
+      }
+  }
 }
