@@ -389,8 +389,9 @@ object Text {
     * probes only its `nprobe` nearest cells and scans those inverted
     * lists. The candidate join is (queries × probed cells) on the cell
     * key — never a full cross product — and the centroid table is tiny
-    * and broadcast. Rows-only (value-checked against brute force in
-    * ScalaTest). */
+    * and broadcast. Oracle-checked: the quantizer is deterministic IEEE
+    * arithmetic, so DuckDB replays cells, probes, and top-5 bit-exact
+    * (plus a brute-force value check in ScalaTest). */
   val llmAnnIvf: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
     val nprobe = 2
@@ -796,6 +797,38 @@ object Text {
       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |pairs AS (SELECT * FROM pairs0 WHERE cos > 0.3)""".stripMargin
 
+  /** DuckDB twin of `llmAnnIvf`: same every-50th coarse quantizer, argmax
+    * cell assignment, nprobe=2 probe ranking, and rounded top-5 scan —
+    * all deterministic IEEE arithmetic evaluated in the same order, so
+    * the replay is bit-exact (same approach as `llm_ann_lsh`'s planes). */
+  private val annIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+       |cells AS (
+       |  SELECT vec_id,
+       |    arg_max(c_id, list_inner_product(v, cv)/(nrm*cn)) AS cell
+       |  FROM n, cents WHERE vec_id >= 20 GROUP BY vec_id),
+       |assigned AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT n.vec_id AS q_id, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_inner_product(n.v, c.cv)/(n.nrm*c.cn) DESC, c.c_id) AS pr
+       |    FROM n, cents c WHERE n.vec_id < 20) t
+       |  WHERE pr <= 2),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    ${oRound("list_inner_product(q.v, a.v)/(q.nrm*a.nrm)", 6)} AS cos
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell
+       |  JOIN n q ON q.vec_id = p.q_id)
+       |SELECT q_id, rnk, vec_id, cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM cand) t
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" ->
       """SELECT h AS content_hash, min(doc_id) AS keeper, COUNT(*) AS copies
@@ -826,6 +859,7 @@ object Text {
          |FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
          |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_ann_lsh" -> s"$lshPairsSql\nSELECT bucket, id_a, id_b, cos FROM pairs ORDER BY bucket, id_a, id_b",
+    "llm_ann_ivf" -> annIvfSql,
     "llm_embed_neardup" ->
       s"""$lshPairsSql
          |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
