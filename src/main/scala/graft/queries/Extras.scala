@@ -62,6 +62,26 @@ object Extras {
         |FROM documents_udf WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)
   }
 
+  /** SQL-bodied temporary functions (CREATE TEMPORARY MACRO analogue):
+    * Spark 4's `CREATE TEMPORARY FUNCTION f(...) RETURNS t RETURN expr`
+    * defines a macro whose body Catalyst inlines into the plan — the
+    * expression participates in codegen and pushdown exactly like a
+    * hand-written column, unlike a black-box Scala UDF. */
+  val fnSqlMacro: Q = (s, dir) => {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION flag_tag(f STRING, st STRING)
+        |RETURNS STRING RETURN concat(f, '/', st)""".stripMargin)
+    Tables.t(s, dir, "lineitem")
+      .select(expr("flag_tag(l_returnflag, l_linestatus)").as("tag"),
+        expr("disc_price(l_extendedprice, l_discount)").as("dp"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("cnt"), dsum(col("dp")).as("disc_sum"))
+      .orderBy("tag")
+  }
+
   /** Local relation fast path: VALUES inline table, no file scan. */
   val localValues: Q = (s, _) =>
     s.sql(
@@ -117,6 +137,7 @@ object Extras {
     "fn_ngrams" -> fnNgrams,
     "fn_context_ngrams" -> fnContextNgrams,
     "fn_udf_registry" -> fnUdfRegistry,
+    "fn_sql_macro" -> fnSqlMacro,
     "local_values" -> localValues,
     "bloom_prefilter" -> bloomPrefilter,
     "join_salted" -> joinSalted
@@ -154,6 +175,12 @@ object Extras {
         |CAST(CASE WHEN len(string_split(text, ' ')) < 3 THEN 0
         |  ELSE len(string_split(text, ' ')) - 2 END AS INT) AS n_shingles
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    // macro bodies inlined (the driver runs one statement per oracle;
+    // semantically identical to DuckDB's CREATE MACRO twin)
+    "fn_sql_macro" ->
+      s"""SELECT l_returnflag || '/' || l_linestatus AS tag, COUNT(*) AS cnt,
+         |${oSum("l_extendedprice*(1.0-l_discount)")} AS disc_sum
+         |FROM lineitem GROUP BY 1 ORDER BY tag""".stripMargin,
     "local_values" ->
       """SELECT id, tag, id * 10 AS ten
         |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) t(id, tag)

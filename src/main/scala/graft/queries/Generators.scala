@@ -90,6 +90,28 @@ object Generators {
         |) t ORDER BY okey, prio""".stripMargin)
   }
 
+  /** TRANSFORM with ROW FORMAT DELIMITED on both sides (ScriptOperator's
+    * serde configuration): rows stream to the script '#'-separated and
+    * the script's '#'-separated stdout is split back into columns. The
+    * script (`cut`) selects fields BY the delimiter, so a wrong field
+    * separator on either side breaks the output — the config is load-
+    * bearing, not decorative. (Delimiter choice: Spark's no-serde output
+    * reader splits script stdout with the delimiter AS A REGEX, so a
+    * metachar like '|' would split on every character; '#' is
+    * regex-neutral.) */
+  val genTransformDelimited: Q = (s, dir) => {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders_td")
+    s.sql(
+      """SELECT CAST(k AS BIGINT) AS okey, v AS prio FROM (
+        |  SELECT TRANSFORM(o_orderkey, o_orderstatus, o_orderpriority)
+        |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '#'
+        |    USING 'cut -d"#" -f1,3'
+        |    AS (k STRING, v STRING)
+        |    ROW FORMAT DELIMITED FIELDS TERMINATED BY '#'
+        |  FROM orders_td WHERE o_orderkey < 2000
+        |) t ORDER BY okey, prio""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "gen_explode" -> genExplode,
     "gen_explode_outer" -> genExplodeOuter,
@@ -98,7 +120,8 @@ object Generators {
     "gen_stack" -> genStack,
     "gen_json_tuple" -> genJsonTuple,
     "gen_lateral_view" -> genLateralView,
-    "gen_transform_script" -> genTransformScript
+    "gen_transform_script" -> genTransformScript,
+    "gen_transform_delimited" -> genTransformDelimited
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -142,6 +165,9 @@ object Generators {
         |FROM documents WHERE doc_id < 20
         |ORDER BY doc_id, word""".stripMargin,
     "gen_transform_script" ->
+      """SELECT o_orderkey AS okey, o_orderpriority AS prio
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY okey, prio""".stripMargin,
+    "gen_transform_delimited" ->
       """SELECT o_orderkey AS okey, o_orderpriority AS prio
         |FROM orders WHERE o_orderkey < 2000 ORDER BY okey, prio""".stripMargin
   )

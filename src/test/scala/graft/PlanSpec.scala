@@ -180,6 +180,49 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("ANALYZE column stats flip a join to broadcast without a hint") {
+    // The CBO payoff beyond stats merely existing: with table + column
+    // stats, the
+    // optimizer's filter-selectivity estimate shrinks the filtered side
+    // below the broadcast threshold and JoinSelection picks
+    // BroadcastHashJoin with NO hint; without stats the filtered estimate
+    // stays at full table size and the same query plans a SortMergeJoin.
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+    spark.sql("DROP TABLE IF EXISTS orders_cbo")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$wh/orders_cbo"))
+    Tables.t(spark, sfDir, "orders").write.mode("overwrite").saveAsTable("orders_cbo")
+    val li = Tables.t(spark, sfDir, "lineitem")
+    // initial (pre-AQE) physical plan: isolates the stats-driven strategy
+    // choice from AQE's runtime size-based rewrite
+    def planStr(): String = {
+      val filtered = spark.table("orders_cbo").filter(col("o_orderkey") < 8)
+      li.join(filtered, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .queryExecution.sparkPlan.toString
+    }
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Threshold between the two estimates: WITHOUT stats the build side
+      // still shrinks by column pruning (2 of 9 columns, ~25% of table
+      // size — the Project ratio applies even with CBO off), so the
+      // threshold must sit well below that; WITH column stats the ~0.1%
+      // filter selectivity (o_orderkey < 8, keys spanning 1..6000) pushes
+      // the estimate another ~200× lower. fullSize/20 splits the two with
+      // ~5× margin each way.
+      val fullSize = spark.table("orders_cbo").queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (fullSize / 20).toString)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(planStr().contains("SortMergeJoin"), planStr())
+      spark.sql("ANALYZE TABLE orders_cbo COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE orders_cbo COMPUTE STATISTICS FOR COLUMNS o_orderkey")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      assert(planStr().contains("BroadcastHashJoin"), planStr())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+    }
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
