@@ -53,8 +53,12 @@ object Sequences {
   }
 
   /** Per-match rows: who, which match, where it started, how many steps,
-    * what the funnel was worth. Rows-only in the driver (per-match value
-    * sums aren't SQL-replayable); exact-value coverage in SequenceSpec. */
+    * what the funnel was worth. Oracle-checked: for the funnel `c.v+.p`
+    * a match is exactly "a p whose immediately-preceding maximal v-run
+    * (length ≥ 1) is preceded by a c", and such spans cannot overlap
+    * (their interiors are all v), so gaps-and-islands SQL replays the
+    * matcher per match, offsets included. Exact-value coverage also in
+    * SequenceSpec. */
   val seqMatchpath: Q = (s, dir) =>
     matches(s, dir).toDF().orderBy("user_id", "match_idx")
 
@@ -75,6 +79,34 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "seq_matchpath" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, value, substr(event_type, 1, 1) AS sym,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+         |  FROM events),
+         |vrun AS (
+         |  SELECT user_id, MIN(pos) AS vstart, MAX(pos) AS vend
+         |  FROM (SELECT user_id, pos,
+         |          pos - row_number() OVER (PARTITION BY user_id ORDER BY pos) AS grp
+         |        FROM ev WHERE sym = 'v') t
+         |  GROUP BY user_id, grp),
+         |cand AS (
+         |  SELECT p.user_id, v.vstart - 1 AS cpos, p.pos AS ppos
+         |  FROM ev p
+         |  JOIN vrun v ON v.user_id = p.user_id AND v.vend = p.pos - 1
+         |  JOIN ev c ON c.user_id = p.user_id AND c.pos = v.vstart - 1
+         |  WHERE p.sym = 'p' AND c.sym = 'c'),
+         |m AS (
+         |  SELECT user_id, cpos, ppos,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY cpos) AS match_idx
+         |  FROM cand)
+         |SELECT m.user_id, CAST(m.match_idx AS INT) AS match_idx,
+         |  MIN(CASE WHEN e.pos = m.cpos THEN e.event_id END) AS start_event_id,
+         |  CAST(m.ppos - m.cpos + 1 AS INT) AS n_steps,
+         |  ${oRound("SUM(e.value)", 2)} AS total_value
+         |FROM m JOIN ev e ON e.user_id = m.user_id AND e.pos BETWEEN m.cpos AND m.ppos
+         |GROUP BY m.user_id, m.match_idx, m.cpos, m.ppos
+         |ORDER BY m.user_id, match_idx""".stripMargin,
     "seq_matchpath_counts" ->
       """WITH seq AS (
         |  SELECT user_id,
