@@ -8,6 +8,8 @@ import org.apache.hadoop.hive.ql.io.RCFile;
 import org.apache.hadoop.hive.ql.io.RCFileOutputFormat;
 import org.apache.hadoop.hive.serde2.columnar.BytesRefArrayWritable;
 import org.apache.hadoop.io.WritableComparable;
+import org.apache.hadoop.io.compress.CompressionCodec;
+import org.apache.hadoop.io.compress.DefaultCodec;
 import org.apache.hadoop.mapred.JobConf;
 import org.apache.hadoop.mapred.RecordWriter;
 import org.apache.hadoop.mapred.Reporter;
@@ -29,7 +31,14 @@ public class TaskPathRCFileOutputFormat extends RCFileOutputFormat {
       throws IOException {
     Path file = getTaskOutputPath(job, name);
     FileSystem fs = file.getFileSystem(job);
-    final RCFile.Writer out = new RCFile.Writer(fs, job, file, progress, null);
+    // honor mapred compress-output settings like the stock format does
+    CompressionCodec codec = null;
+    if (getCompressOutput(job)) {
+      Class<? extends CompressionCodec> codecClass =
+          getOutputCompressorClass(job, DefaultCodec.class);
+      codec = org.apache.hadoop.util.ReflectionUtils.newInstance(codecClass, job);
+    }
+    final RCFile.Writer out = new RCFile.Writer(fs, job, file, progress, codec);
     return new RecordWriter<WritableComparable, BytesRefArrayWritable>() {
       @Override
       public void write(WritableComparable key, BytesRefArrayWritable value)
