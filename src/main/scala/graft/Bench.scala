@@ -57,7 +57,7 @@ object Bench {
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -67,6 +67,13 @@ object Bench {
           -1.0 // sentinel: a broken query must not read as a fast one
         }
       }
+      val first = (1 to repeats).map(_ => once())
+      // Sub-0.5s queries are where scheduler/GC noise (~0.1s absolute)
+      // still exceeds ±20% of a 3-run median — two extra repeats there
+      // cost almost nothing and stabilize exactly the noisy bucket.
+      val times =
+        if (first.exists(_ < 0) || median(first) >= 0.5 || repeats != 3) first
+        else first ++ Seq(once(), once())
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
     // Full per-query detail for humans — prefix-tagged so the driver's
