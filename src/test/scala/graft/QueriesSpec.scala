@@ -168,6 +168,34 @@ class QueriesSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("property: connected components match a union-find reference") {
+    import spark.implicits._
+    val prop = org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.choose(1, 12).flatMap { n =>
+        org.scalacheck.Gen.listOfN(15,
+          org.scalacheck.Gen.zip(org.scalacheck.Gen.choose(0L, n - 1L),
+            org.scalacheck.Gen.choose(0L, n - 1L))).map(es => (n, es))
+      }) { case (n, esRaw) =>
+      val edges = esRaw.filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.queries.Text.connectedComponents(
+          (0L until n.toLong).toDF("doc_id"),
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("llm_dedup_cc labels every document and respects pair edges") {
     val labels = SparkEntry.queries("llm_dedup_cc")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
