@@ -235,7 +235,15 @@ object Text {
 
   /** `bits`-wide SimHash fingerprints from word-hash bit votes (word
     * hashes are 28-bit md5 prefixes, so up to 28 fingerprint bits; the
-    * shape widens to 64 bits unchanged given a wider word hash). */
+    * shape widens to 64 bits unchanged given a wider word hash).
+    *
+    * Shape note: explode → two-phase groupBy LOOKS like a word-level
+    * shuffle but is not — the partial HashAggregate combines map-side,
+    * so only per-doc partial vote rows (24 longs each) cross the wire,
+    * and the whole path is codegen'd. A shuffle-free projection variant
+    * (24 `aggregate()` higher-order lambdas over the word-hash array)
+    * measured 2× SLOWER here: HOF lambdas evaluate interpreted,
+    * per-element, outside codegen. */
   private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String,
       bits: Int): DataFrame = {
     val words = Tables.t(s, dir, "documents")
