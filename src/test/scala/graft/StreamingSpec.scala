@@ -119,4 +119,50 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_type").distinct().count()
     assert(batch == direct)
   }
+
+  test("stateful session state survives a checkpointed restart") {
+    // Events arrive in two time-ordered halves with a query stop/restart
+    // between them. The restarted query must resume from the checkpoint:
+    // skip already-processed files AND reload per-user session state. If
+    // state were lost, users spanning the split would report second-half
+    // counts only; if the file log were lost, their events would double-
+    // count — either way the final per-user stats diverge from batch.
+    val streamDir = Files.createTempDirectory("graft_ckpt_stream").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_loc").toString
+    val outDir = Files.createTempDirectory("graft_ckpt_out").toString
+    // raw schema (ts = nanos long under the session's nanosAsLong conf)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    def run(): Unit = {
+      val q = graft.streaming.Events.statefulStream(spark, streamDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    raw.filter(col("ts") <= cut).write.mode("append").parquet(streamDir)
+    run()
+    raw.filter(col("ts") > cut).write.mode("append").parquet(streamDir)
+    run()
+    // Last emission per user wins (n_events grows monotonically across
+    // micro-batches); the time-ordered split makes phase1++phase2 equal
+    // the per-user (ts, event_id)-sorted full sequence, so recovered
+    // state must reproduce the batch result exactly.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalRows = spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "n_sessions", "total_value")
+      .orderBy("user_id").collect()
+    val batch = graft.streaming.Events
+      .queries("stream_stateful_sessions")(spark, sfDir).collect()
+    assert(finalRows.length == batch.length)
+    assert(finalRows.map(_.toString).sameElements(batch.map(_.toString)))
+  }
 }
