@@ -37,6 +37,10 @@ object Text {
     (1000303L, 88888L), (1000313L, 99999L), (1000333L, 10101L))
   private val bands = 4
   private val rowsPerBand = 3
+  /** Hot-bucket cap for LSH pair generation (see minhashDupPairs). Far
+    * above any honest bucket at fixture scale; the guard exists for the
+    * 100 TB pathology of boilerplate-heavy buckets. */
+  private val maxBucket = 1000
 
   /** Hash-shingling bases: shingle id = (h₁·B1 + h₂·B2 + h₃·B3) mod P over
     * 28-bit word hashes — never materializes shingle strings. Products stay
@@ -92,6 +96,21 @@ object Text {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
 
+  /** Hot-bucket guard: a degenerate (band, sig) bucket with B members
+    * yields B² candidate pairs — one templated/boilerplate cluster can
+    * dominate the whole job. Buckets past the cap are dropped (their
+    * members still pair through their other bands; a cluster pathological
+    * in EVERY band is boilerplate to handle upstream of dedup). The
+    * overflow list is tiny or empty, so the guard costs one id-only
+    * aggregation and a broadcast anti-join. Mirrored in the DuckDB
+    * oracle so both engines implement the same semantics. */
+  private[graft] def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
+    val hot = buckets.groupBy("band", "sig")
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > lit(cap))
+      .select(col("band"), col("sig"))
+    buckets.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+  }
+
   /** Exact dedup via content hash (sha2-256), keeper = min doc_id. */
   val llmExactDedup: Q = (s, dir) => {
     Tables.t(s, dir, "documents")
@@ -139,7 +158,7 @@ object Text {
     // Buckets carry only ids — the sid arrays are NOT shuffled through the
     // bucket self-join; candidates re-join them after dedup. At 100 TB this
     // is the difference between shuffling doc contents 4x and 16-byte rows.
-    val buckets = bucketsOf(sets)
+    val buckets = capBuckets(bucketsOf(sets), maxBucket)
     val cand = buckets.alias("a")
       .join(buckets.alias("b"), Seq("band", "sig"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -698,7 +717,11 @@ object Text {
     }.mkString("\nUNION ALL\n")
     s"""sh AS ($shingleSql),
        |mh AS (SELECT doc_id, sh, $mhCols FROM sh),
-       |buckets AS ($bandRows),
+       |buckets0 AS ($bandRows),
+       |hot AS (SELECT band, sig FROM buckets0
+       |        GROUP BY band, sig HAVING COUNT(*) > $maxBucket),
+       |buckets AS (SELECT * FROM buckets0 b WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot h WHERE h.band = b.band AND h.sig = b.sig)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /

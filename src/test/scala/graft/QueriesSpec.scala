@@ -196,6 +196,18 @@ class QueriesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("hot-bucket guard drops only over-cap LSH buckets") {
+    import spark.implicits._
+    val buckets = Seq(
+      (1L, 0, "a"), (2L, 0, "a"), (3L, 0, "a"), // over cap=2 → dropped
+      (4L, 0, "b"), (5L, 0, "b"),               // at cap → kept
+      (6L, 1, "a")                              // singleton → kept
+    ).toDF("doc_id", "band", "sig")
+    val kept = graft.queries.Text.capBuckets(buckets, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(4L, 5L, 6L))
+  }
+
   test("llm_dedup_cc labels every document and respects pair edges") {
     val labels = SparkEntry.queries("llm_dedup_cc")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
