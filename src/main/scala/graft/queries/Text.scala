@@ -104,11 +104,12 @@ object Text {
     * overflow list is tiny or empty, so the guard costs one id-only
     * aggregation and a broadcast anti-join. Mirrored in the DuckDB
     * oracle so both engines implement the same semantics. */
-  private[graft] def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
-    val hot = buckets.groupBy("band", "sig")
+  private[graft] def capBuckets(buckets: DataFrame, cap: Int,
+      keys: Seq[String] = Seq("band", "sig")): DataFrame = {
+    val hot = buckets.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bn")).filter(col("bn") > lit(cap))
-      .select(col("band"), col("sig"))
-    buckets.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      .select(keys.map(col): _*)
+    buckets.join(broadcast(hot), keys, "left_anti")
   }
 
   /** Exact dedup via content hash (sha2-256), keeper = min doc_id. */
@@ -292,9 +293,10 @@ object Text {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("sig"))
     }
-    val buckets = sim
+    val buckets = capBuckets(sim
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig")),
+      maxBucket)
     buckets.alias("a").join(buckets.alias("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -382,7 +384,7 @@ object Text {
       (0 until 64).map(d => ((p.toLong * 73856093 + d.toLong * 19349663) % 2000).toDouble / 1000.0 - 1.0))
     def dotW(p: Int): Column = call_function("dot_product", col("v"), planeW(p))
     val sig = (0 until 8).map(p => when(dotW(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
-    val bucketed = emb.withColumn("bucket", sig)
+    val bucketed = capBuckets(emb.withColumn("bucket", sig), maxBucket, Seq("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -798,9 +800,13 @@ object Text {
 
   private val simhashNeardupSql: String =
     s"""WITH ${simhashCoreSql(24)},
-       |buckets AS (
+       |buckets0 AS (
        |  SELECT doc_id, simhash, b.band, (simhash >> (12*b.band)) & 4095 AS sig
        |  FROM sim, (SELECT unnest(range(2)) AS band) b),
+       |hot AS (SELECT band, sig FROM buckets0
+       |        GROUP BY band, sig HAVING COUNT(*) > $maxBucket),
+       |buckets AS (SELECT * FROM buckets0 b WHERE NOT EXISTS (
+       |  SELECT 1 FROM hot h WHERE h.band = b.band AND h.sig = b.sig)),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.simhash AS sa, b.simhash AS sb
@@ -813,14 +819,17 @@ object Text {
   /** DuckDB twin of `lshCandidatePairs`: same integer-arithmetic planes,
     * same sign-pattern buckets, same rounded-then-thresholded cosines. */
   private val lshPairsSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |sig AS (
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sig0 AS (
       |  SELECT vec_id, v,
       |    (SELECT CAST(SUM(CASE WHEN list_inner_product(e2.v,
       |        list_transform(range(0,64), d -> ((p*73856093 + d*19349663) % 2000)/1000.0 - 1.0)) > 0
       |        THEN 1<<p ELSE 0 END) AS INT)
       |     FROM range(0,8) t(p)) AS bucket
       |  FROM e e2),
+      |hot AS (SELECT bucket FROM sig0 GROUP BY bucket HAVING COUNT(*) > $maxBucket),
+      |sig AS (SELECT * FROM sig0 s WHERE NOT EXISTS (
+      |  SELECT 1 FROM hot h WHERE h.bucket = s.bucket)),
       |pairs0 AS (
       |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
       |    CAST(FLOOR((list_inner_product(a.v, b.v) /
