@@ -4,7 +4,8 @@ import graft.Tables
 import graft.queries.{dsum, oSum, Q}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Typed rows for the flatMapGroupsWithState path. Values are quantized to
@@ -241,6 +242,42 @@ object Events {
     typedEvents(spark, raw)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionStats)
+      .toDF()
+  }
+
+  /** Spark 4 arbitrary-state v2 (`transformWithState`): the same session
+    * logic as [[sessionStats]] re-expressed as a `StatefulProcessor` with
+    * a typed `ValueState` variable over the RocksDB state store (the only
+    * provider the v2 API supports). StreamingSpec asserts it reproduces
+    * the oracle-checked batch result exactly. */
+  class SessionStatsProcessor extends StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var st: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+        tv: TimerValues): Iterator[UserStats] = {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val st0 = if (st.exists()) st.get() else SessState(0L, 0L, 0L, Long.MinValue)
+      var (n, sess, qsum, last) = (st0.nEvents, st0.nSessions, st0.qSum, st0.lastTs)
+      evs.foreach { e =>
+        n += 1; qsum += e.q_value
+        if (last == Long.MinValue || e.ts_us - last > 600000000L) sess += 1
+        last = e.ts_us
+      }
+      st.update(SessState(n, sess, qsum, last))
+      Iterator.single(UserStats(user, n, sess, qsum / 1e4))
+    }
+  }
+
+  /** Streaming twin of [[streamStatefulSessions]] on the v2 API. */
+  def statefulStreamTws(spark: SparkSession, eventsDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    typedEvents(spark, raw)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionStatsProcessor, TimeMode.None(), OutputMode.Append())
       .toDF()
   }
 

@@ -120,6 +120,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch == direct)
   }
 
+  test("transformWithState twin: session stats match the batch result") {
+    val streamDir = Files.createTempDirectory("graft_tws_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // the v2 state API requires the RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.Events.statefulStreamTws(spark, streamDir.toString)
+        .writeStream.format("memory").queryName("tws_smoke")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val streamed = spark.table("tws_smoke").orderBy("user_id").collect()
+      val batch = graft.streaming.Events
+        .queries("stream_stateful_sessions")(spark, sfDir).collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateful session state survives a checkpointed restart") {
     // Events arrive in two time-ordered halves with a query stop/restart
     // between them. The restarted query must resume from the checkpoint:
