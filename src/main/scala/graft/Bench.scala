@@ -91,7 +91,8 @@ object Bench {
     * carrying all ~120 query timings is ~2.5 KB, gets truncated mid-line,
     * and parses as nothing (r02–r04 all recorded "parsed": null). */
   private val headline = Seq(
-    "q1_pricing_summary", "agg_basic", "agg_rollup", "agg_multi_distinct",
+    "q1_pricing_summary", "q5_local_supplier",
+    "agg_basic", "agg_rollup", "agg_multi_distinct",
     "join_broadcast", "join_multiway", "join_smb", "join_salted",
     "join_asof", "join_range_bin", "win_ranking", "win_agg_rows",
     "sort_topk", "sort_global", "setop_except_all", "gen_lateral_view",

@@ -73,6 +73,27 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q5 (local supplier volume): the full six-table join with the
+    * customer-nation = supplier-nation triangle constraint — the classic
+    * broad-join planner test. Dims (region, nation, supplier) broadcast;
+    * the fact-fact orders⋈lineitem is the one genuine shuffle join; the
+    * date filter pushes into the orders scan. */
+  val q5LocalSupplier: Q = (s, dir) => {
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .join(Tables.t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1994-01-01" && col("o_orderdate") < "1996-01-01"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Left outer join: every customer keeps a row; unmatched aggregate
     * columns are coalesced to 0 so the result is null-stable. */
   val joinLeft: Q = (s, dir) => {
@@ -310,6 +331,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
+    "q5_local_supplier" -> q5LocalSupplier,
     "join_multiway" -> joinMultiway,
     "join_left" -> joinLeft,
     "join_right" -> joinRight,
@@ -335,6 +357,18 @@ object Relational {
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
+    "q5_local_supplier" ->
+      s"""SELECT n_name, ${oSum("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= '1994-01-01' AND o_orderdate < '1996-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
     "join_multiway" ->
       s"""SELECT n_name, ${oSum("l_extendedprice*(1.0-l_discount)")} AS revenue,
          |COUNT(*) AS line_cnt
