@@ -611,6 +611,49 @@ object Text {
   }
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */
+  /** Training-data chunking: fixed 50-word windows with 10-word overlap
+    * (stride 40) — the standard pre-tokenization step before packing
+    * sequences. Chunk construction is per-row array arithmetic
+    * (sequence → slice → join); posexplode emits (chunk_idx, chunk).
+    * Shuffle-free except the deterministic output sort. */
+  val llmChunkSplit: Q = (s, dir) => {
+    val chunkW = 50
+    val stride = 40
+    val nChunks = greatest(lit(1),
+      (ceil((size(col("ws")) - chunkW) / lit(stride.toDouble)) + 1).cast("int"))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(col("ws"), i * stride + 1, lit(chunkW)), " "))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk"), " ")).as("n_tokens"), col("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Per-document top-5 terms by tf-idf (linear idf variant: tf·N/df —
+    * no transcendental functions, so the score arithmetic is the same
+    * IEEE sequence in both engines and the ranking replays exactly;
+    * log-idf would hang the oracle on libm last-ulp differences).
+    * Shape: word-count aggregation, df aggregation over distinct terms,
+    * broadcast of the tiny corpus-size scalar, ranked window per doc. */
+  val llmTfidfTop: Q = (s, dir) => {
+    val words = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val total = Tables.t(s, dir, "documents").agg(count(lit(1)).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+    tf.join(dfc, "w").crossJoin(broadcast(total))
+      .withColumn("score", col("tf") * lit(1.0) * col("n") / col("df"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk"), col("w").as("term"),
+        col("tf"), col("df"), dround(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val llmTokenCount: Q = (s, dir) => {
     val d = Tables.t(s, dir, "documents")
     d.select(col("doc_id"),
@@ -686,6 +729,8 @@ object Text {
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_token_count" -> llmTokenCount,
+    "llm_chunk_split" -> llmChunkSplit,
+    "llm_tfidf_top" -> llmTfidfTop,
     "llm_fingerprint" -> llmFingerprint,
     "llm_multimodal" -> llmMultimodal,
     "llm_multimodal_decode" -> llmMultimodalDecode
@@ -944,6 +989,31 @@ object Text {
         |CAST(length(text) AS INT) AS chars,
         |CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS spaces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_chunk_split" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws,
+        |  GREATEST(1, CAST(CEIL((len(ws) - 50)/40.0) AS INT) + 1) AS nc FROM w),
+        |c AS (SELECT doc_id, unnest(range(nc)) AS chunk_idx, ws FROM n),
+        |c2 AS (SELECT doc_id, chunk_idx,
+        |  array_to_string(ws[(chunk_idx*40+1):(chunk_idx*40+50)], ' ') AS chunk FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens, chunk
+        |FROM c2 ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_tfidf_top" ->
+      s"""WITH wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM wrd GROUP BY doc_id, w),
+         |dfc AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |tot AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.w, t.tf, d.df, t.tf * 1.0 * tot.n / d.df AS score
+         |  FROM tf t JOIN dfc d USING (w), tot),
+         |r AS (SELECT doc_id, w, tf, df, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, CAST(rnk AS INT) AS rnk, w AS term,
+         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  ${oRound("score", 6)} AS score
+         |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id,
          |list_reduce(list_prepend(0::BIGINT,
