@@ -654,6 +654,19 @@ object Text {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Deterministic train/val split: bucket = first 16 bits of
+    * md5(doc_id) mod 100, split on the 95th percentile — reproducible
+    * across runs, engines, and partitionings (never rand()), and adding
+    * documents later cannot reshuffle existing assignments. */
+  val llmSplitAssign: Q = (s, dir) => {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        when(bucket < 95, "train").otherwise("val").as("split"))
+      .orderBy("doc_id")
+  }
+
   val llmTokenCount: Q = (s, dir) => {
     val d = Tables.t(s, dir, "documents")
     d.select(col("doc_id"),
@@ -731,6 +744,7 @@ object Text {
     "llm_token_count" -> llmTokenCount,
     "llm_chunk_split" -> llmChunkSplit,
     "llm_tfidf_top" -> llmTfidfTop,
+    "llm_split_assign" -> llmSplitAssign,
     "llm_fingerprint" -> llmFingerprint,
     "llm_multimodal" -> llmMultimodal,
     "llm_multimodal_decode" -> llmMultimodalDecode
@@ -988,6 +1002,12 @@ object Text {
         |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
         |CAST(length(text) AS INT) AS chars,
         |CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS spaces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS INT) AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 < 95
+        |    THEN 'train' ELSE 'val' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_chunk_split" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
