@@ -616,7 +616,9 @@ object Text {
     * sequences. Chunk construction is per-row array arithmetic
     * (sequence → slice → join); posexplode emits (chunk_idx, chunk).
     * Shuffle-free except the deterministic output sort. */
-  val llmChunkSplit: Q = (s, dir) => {
+  /** (lang, doc_id, chunk_idx, n_tokens, chunk) rows — shared by the
+    * chunking query and the sequence packer. */
+  private def chunkRows(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val chunkW = 50
     val stride = 40
     val nChunks = greatest(lit(1),
@@ -624,11 +626,36 @@ object Text {
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => array_join(slice(col("ws"), i * stride + 1, lit(chunkW)), " "))
     Tables.t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx"),
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("lang"), col("chunk_idx"),
         size(split(col("chunk"), " ")).as("n_tokens"), col("chunk"))
+  }
+
+  val llmChunkSplit: Q = (s, dir) =>
+    chunkRows(s, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"), col("chunk"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** Sequence packing (the step after chunking in a pretraining
+    * pipeline): per shard (= lang here), chunks concatenate into one
+    * token stream in (doc_id, chunk_idx) order and split at a
+    * 2048-token budget — bin = which context window a chunk starts in,
+    * offset = where (documents cross bin boundaries, GPT-style).
+    * A running-sum window per shard: one shuffle on the shard key,
+    * deterministic integer arithmetic, so DuckDB replays it exactly.
+    * At 100 TB the shard key is a real shard id (thousands of them),
+    * keeping every window partition executor-sized. */
+  val llmPackSequences: Q = (s, dir) => {
+    val budget = 2048
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id", "chunk_idx")
+    chunkRows(s, dir)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"), col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).cast("int").as("bin"),
+        ((col("cum") - col("n_tokens")) % budget).cast("int").as("bin_offset"))
+      .orderBy("lang", "doc_id", "chunk_idx")
   }
 
   /** Per-document top-5 terms by tf-idf (linear idf variant: tf·N/df —
@@ -745,6 +772,7 @@ object Text {
     "llm_chunk_split" -> llmChunkSplit,
     "llm_tfidf_top" -> llmTfidfTop,
     "llm_split_assign" -> llmSplitAssign,
+    "llm_pack_sequences" -> llmPackSequences,
     "llm_fingerprint" -> llmFingerprint,
     "llm_multimodal" -> llmMultimodal,
     "llm_multimodal_decode" -> llmMultimodalDecode
@@ -1019,6 +1047,22 @@ object Text {
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
         |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens, chunk
         |FROM c2 ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, lang, ws,
+        |  GREATEST(1, CAST(CEIL((len(ws) - 50)/40.0) AS INT) + 1) AS nc FROM w),
+        |c AS (SELECT doc_id, lang, unnest(range(nc)) AS chunk_idx, ws FROM n),
+        |c2 AS (SELECT doc_id, lang, chunk_idx,
+        |  len(string_split(array_to_string(ws[(chunk_idx*40+1):(chunk_idx*40+50)], ' '), ' ')) AS n_tokens
+        |  FROM c),
+        |cum AS (SELECT doc_id, lang, chunk_idx, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM c2)
+        |SELECT lang, doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(FLOOR((cum - n_tokens) / 2048) AS INT) AS bin,
+        |  CAST((cum - n_tokens) % 2048 AS INT) AS bin_offset
+        |FROM cum ORDER BY lang, doc_id, chunk_idx""".stripMargin,
     "llm_tfidf_top" ->
       s"""WITH wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
          |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM wrd GROUP BY doc_id, w),
