@@ -37,6 +37,24 @@ class SequenceSpec extends SparkSpec {
     assert(scanStr(s, "c.v+.p") == Seq((n, "cvp")))
   }
 
+  test("property: matcher equals regex findall on random symbol streams") {
+    val gen = org.scalacheck.Gen.listOf(
+      org.scalacheck.Gen.oneOf('c', 'v', 'p', 'e')).map(_.mkString)
+    def regexFindall(s: String, re: String): List[(Int, String)] = {
+      val m = java.util.regex.Pattern.compile(re).matcher(s)
+      val buf = scala.collection.mutable.ListBuffer[(Int, String)]()
+      while (m.find()) buf += ((m.start, m.group))
+      buf.toList
+    }
+    val prop = org.scalacheck.Prop.forAll(gen) { s =>
+      scanStr(s, "c.v+.p") == regexFindall(s, "cv+p") &&
+        scanStr(s, "c.v*.p") == regexFindall(s, "cv*p")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("seq_matchpath emits consistent per-user funnels on fixtures") {
     val rows = SparkEntry.queries("seq_matchpath")(spark, sfDir).collect()
     assert(rows.nonEmpty)
