@@ -610,6 +610,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Capstone corpus selection — the manifest a training pipeline
+    * actually materializes: exact-dedup keepers ∧ language allowlist ∧
+    * quality threshold ∧ train-split membership, composed from the same
+    * expressions the individual operators use (so the pieces are proven
+    * to compose). Keeper set via hash-group min, everything else per-row
+    * projections; one semi join, one aggregation. */
+  val llmCorpusSelect: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val keepers = d.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val ws = split(col("text"), " ")
+    val quality = least(size(ws) / lit(100.0), lit(1.0)) * 0.5 +
+      (lit(1.0) - size(filter(ws, w => w.isin(stopEn: _*))) * lit(1.0) / size(ws)) * 0.5
+    d.join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        dround(quality, 6).as("quality"))
+      .filter(col("lang").isin("en", "de") && col("bucket") < 95 &&
+        col("quality") >= 0.7)
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */
   /** Training-data chunking: fixed 50-word windows with 10-word overlap
     * (stride 40) — the standard pre-tokenization step before packing
@@ -773,6 +797,7 @@ object Text {
     "llm_tfidf_top" -> llmTfidfTop,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
+    "llm_corpus_select" -> llmCorpusSelect,
     "llm_fingerprint" -> llmFingerprint,
     "llm_multimodal" -> llmMultimodal,
     "llm_multimodal_decode" -> llmMultimodalDecode
@@ -1047,6 +1072,17 @@ object Text {
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
         |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens, chunk
         |FROM c2 ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_corpus_select" ->
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |sel AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT % 100 AS INT) AS bucket,
+         |    ${oRound("least(len(string_split(d.text, ' ')) / 100.0, 1.0) * 0.5 + (1.0 - len(list_filter(string_split(d.text, ' '), w -> list_contains(['the','a','and','of','to'], w))) * 1.0 / len(string_split(d.text, ' '))) * 0.5", 6)} AS quality
+         |  FROM documents d JOIN keep k USING (doc_id))
+         |SELECT doc_id, lang, bucket, quality FROM sel
+         |WHERE lang IN ('en', 'de') AND bucket < 95 AND quality >= 0.7
+         |ORDER BY doc_id""".stripMargin,
     "llm_pack_sequences" ->
       """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
         |n AS (SELECT doc_id, lang, ws,
