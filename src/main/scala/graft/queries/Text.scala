@@ -188,63 +188,80 @@ object Text {
     * transitive pairwise, but the dedup decision must be (keep ONE doc per
     * component).
     *
-    * Algorithm: iterative min-label contraction on the LABEL graph (the
-    * Kiveris-et-al MapReduce-CC family, not naive neighbor propagation):
-    * each round computes root(l) = min(l, min neighbor), rewrites both
-    * edge endpoints through root, drops self-loops, and re-points the
-    * doc→label table. The label graph shrinks geometrically — O(log d)
-    * rounds on a diameter-d component vs O(d) for naive propagation — and
-    * each round is one hash join + partial/final min-aggregate, all
-    * key-partitioned. Driver code only steers (an isEmpty probe per
-    * round); every data pass is distributed. At 100 TB the per-round
-    * label table would be checkpointed to truncate lineage; here rounds
-    * are few and each round's edge set is persisted and the prior one
-    * freed. */
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Large-star re-hangs every strictly-larger neighbor of u onto
+    * m = min(Γ(u) ∪ {u}); small-star re-hangs every smaller neighbor (and
+    * u itself) onto the min of u's smaller neighborhood. The pair of
+    * steps is a distributed pointer-doubling: tree depth at least halves
+    * per round, so a diameter-d component converges in O(log d) rounds —
+    * unlike plain min-neighbor contraction, whose per-round progress on a
+    * path graph is O(1) hop and which therefore needs O(d) rounds. At
+    * convergence the edge set is a disjoint union of stars whose centers
+    * are the component minima; the label map falls out of one left join.
+    * Each step is one symmetric-edge groupBy(min) + one key-partitioned
+    * hash join — no driver-side data, the driver only steers on a
+    * converged-yet probe per round. */
   private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val p = pairs.toDF("a", "b")
-    // Each round's outputs are localCheckpoint'd (eager, MEMORY_AND_DISK):
-    // persist alone caches RESULTS but leaves the LOGICAL plan nested —
-    // rootmap references redges 3×, so the plan tree grows ~4× per round
-    // and the per-action plan stringification (SQL listener) OOMs after a
-    // handful of rounds. Checkpointing truncates lineage to the
-    // materialized RDD, exactly what a 100 TB run would do (with reliable
-    // checkpoints); superseded rounds are freed by the context cleaner
-    // once unreferenced.
-    // symmetric edge list: min-labels must flow both directions
-    var redges = p.union(p.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = nodes.toDF("doc_id")
-      .select(col("doc_id"), col("doc_id").as("label"))
-    var iter = 0
-    val maxIter = 25
-    while (iter < maxIter && redges.limit(1).count() > 0) {
-      val rootmap = redges.groupBy("a").agg(min(col("b")).as("nb"))
-        .select(col("a").as("l"), least(col("a"), col("nb")).as("root"))
-        .persist(MEMORY_AND_DISK)
-      rootmap.count() // eager: feeds the edge rewrite twice + the re-point
-      val repointed = labels.join(rootmap, col("label") === col("l"), "left")
-        .select(col("doc_id"), coalesce(col("root"), col("label")).as("label"))
-        .localCheckpoint()
-      val contracted = redges
-        .join(rootmap.select(col("l").as("a"), col("root").as("ra")), Seq("a"))
-        .join(rootmap.select(col("l").as("b"), col("root").as("rb")), Seq("b"))
-        .select(col("ra").as("a"), col("rb").as("b"))
+    // Canonical orientation (a > b, deduped, self-loops dropped) makes
+    // round-over-round equality a set compare of identical shapes.
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+    // large-star: for each u, hang every neighbor v > u onto
+    // m = min(Γ(u) ∪ {u}). Output (v, m) is already a > b oriented.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a").agg(min(col("b")).as("nb"))
+        .select(col("a"), least(col("a"), col("nb")).as("m"))
+      sym.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star: for each u, hang u and all its SMALLER neighbors onto
+    // the min of that set (input must be a > b oriented).
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("a").agg(min(col("b")).as("m"))
+      e.join(m, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(m.select(col("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .distinct()
+    }
+    // Each round's edge set is localCheckpoint'd (eager): persist alone
+    // caches results but leaves the logical plan nested, so the plan tree
+    // grows multiplicatively per round and per-action plan stringification
+    // OOMs. Checkpointing truncates lineage to the materialized RDD —
+    // exactly what a 100 TB run would do (with reliable checkpoints);
+    // superseded rounds are freed by the context cleaner once
+    // unreferenced.
+    var edges = canon(pairs.toDF("a", "b")).localCheckpoint()
+    var iter = 0
+    var converged = edges.limit(1).count() == 0
+    // O(log d) rounds means 60 covers any representable graph; hitting it
+    // signals a bug, and returning a partial contraction would silently
+    // split clusters — so throw instead.
+    val maxIter = 60
+    while (!converged && iter < maxIter) {
+      val next = smallStar(canon(largeStar(edges)).localCheckpoint())
         .localCheckpoint()
-      rootmap.unpersist() // both consumers are checkpointed above
-      labels = repointed
-      redges = contracted
+      converged = next.except(edges).limit(1).count() == 0 &&
+        edges.except(next).limit(1).count() == 0
+      edges = next
       iter += 1
     }
-    // Rounds shrink the label graph geometrically, so a graph that still
-    // has edges after maxIter rounds signals a bug; returning the partial
-    // contraction would silently split clusters.
-    if (redges.limit(1).count() > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // Converged stars: every non-center node appears exactly once as the
+    // larger endpoint, pointing at its component min.
+    nodes.toDF("doc_id")
+      .join(edges.select(col("a").as("doc_id"), col("b").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
   val llmDedupCc: Q = (s, dir) =>

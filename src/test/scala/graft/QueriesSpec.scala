@@ -168,6 +168,19 @@ class QueriesSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("connected components: 60-node chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // A diameter-59 path — the shape that killed the old min-neighbor
+    // contraction (O(d) rounds, maxIter throw). Large-star/small-star
+    // must collapse it to a single min-rooted star in ~log2(60) rounds.
+    val n = 60L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.queries.Text.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to n).map(_ -> 1L).toMap)
+  }
+
   test("property: connected components match a union-find reference") {
     import spark.implicits._
     val prop = org.scalacheck.Prop.forAll(
