@@ -54,7 +54,9 @@ object Bench {
     // (fn returns a fresh DataFrame), so planning stays in the measurement;
     // only JVM JIT / codegen-cache warmth is amortized. Execution order is
     // fixed (sorted by name) so rounds are comparable.
-    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
+    // Clamped to >=1: median(Seq()) on a zero/negative misconfig would
+    // crash the whole bench instead of flagging the bad env var.
+    val repeats = math.max(1, sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3))
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {

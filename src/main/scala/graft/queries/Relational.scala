@@ -73,11 +73,13 @@ object Relational {
       .orderBy("n_name")
   }
 
-  /** TPC-H Q5 (local supplier volume): the full six-table join with the
-    * customer-nation = supplier-nation triangle constraint — the classic
-    * broad-join planner test. Dims (region, nation, supplier) broadcast;
-    * the fact-fact orders⋈lineitem is the one genuine shuffle join; the
-    * date filter pushes into the orders scan. */
+  /** TPC-H Q5-SHAPED (local supplier volume): the full six-table join
+    * with the customer-nation = supplier-nation triangle constraint — the
+    * classic broad-join planner test. NOT spec Q5: the o_orderdate window
+    * is two years, not the spec's one, because the spec window leaves the
+    * sf0.001 smoke fixture empty (rows>0 is gated). Dims (region, nation,
+    * supplier) broadcast; the fact-fact orders⋈lineitem is the one
+    * genuine shuffle join; the date filter pushes into the orders scan. */
   val q5LocalSupplier: Q = (s, dir) => {
     val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.t(s, dir, "region").filter(col("r_name") === "ASIA")

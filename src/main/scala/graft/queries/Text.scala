@@ -181,6 +181,16 @@ object Text {
   val llmMinhashLsh: Q = (s, dir) =>
     minhashDupPairs(s, dir).orderBy("doc_a", "doc_b")
 
+  /** Hot-bucket guard, oracle-compared: the production cap (1000) never
+    * trips at fixture scale, so this cap=2 twin exists to force real
+    * drops and compare the kept-bucket membership engine-vs-engine — a
+    * Spark/DuckDB divergence in over-cap drop semantics cannot pass
+    * silently. */
+  val llmLshCapped: Q = (s, dir) =>
+    capBuckets(bucketsOf(signaturesOf(Tables.t(s, dir, "documents"))), 2)
+      .select(col("band"), col("sig"), col("doc_id"))
+      .orderBy("band", "sig", "doc_id")
+
   /** Near-dup CLUSTERING: connected components over the verified LSH edge
     * list, so each group of mutual near-dups collapses to one canonical
     * keeper (min doc_id) — the step after pairing that a production dedup
@@ -798,6 +808,7 @@ object Text {
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
     "llm_minhash_lsh" -> llmMinhashLsh,
+    "llm_lsh_capped" -> llmLshCapped,
     "llm_dedup_cc" -> llmDedupCc,
     "llm_dedup_incremental" -> llmDedupIncremental,
     "llm_simhash" -> llmSimhash,
@@ -836,9 +847,9 @@ object Text {
        |FROM ($wordHashSql) t
        |WHERE len(hs) >= 3""".stripMargin
 
-  /** CTE chain ending in `pairs(doc_a, doc_b, jac)` — shared by the
-    * minhash pair oracle and the connected-components oracle. */
-  private val minhashPairsCtes: String = {
+  /** CTE block ending in `buckets(doc_id, sh, band, sig)` — the capped LSH
+    * bucket table; `cap` mirrors the Spark-side [[capBuckets]] threshold. */
+  private def bucketCtes(cap: Int): String = {
     val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(sh, h -> ($a*h + $b) % $P)) AS mh$i"
     }.mkString(",\n")
@@ -850,9 +861,15 @@ object Text {
        |mh AS (SELECT doc_id, sh, $mhCols FROM sh),
        |buckets0 AS ($bandRows),
        |hot AS (SELECT band, sig FROM buckets0
-       |        GROUP BY band, sig HAVING COUNT(*) > $maxBucket),
+       |        GROUP BY band, sig HAVING COUNT(*) > $cap),
        |buckets AS (SELECT * FROM buckets0 b WHERE NOT EXISTS (
-       |  SELECT 1 FROM hot h WHERE h.band = b.band AND h.sig = b.sig)),
+       |  SELECT 1 FROM hot h WHERE h.band = b.band AND h.sig = b.sig))""".stripMargin
+  }
+
+  /** CTE chain ending in `pairs(doc_a, doc_b, jac)` — shared by the
+    * minhash pair oracle and the connected-components oracle. */
+  private val minhashPairsCtes: String = {
+    s"""${bucketCtes(maxBucket)},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) * 1.0 /
@@ -1013,6 +1030,10 @@ object Text {
          |SELECT l_returnflag, COUNT(*) AS kept, ${oSum("l_quantity")} AS kept_qty
          |FROM ranked WHERE rn = 1 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "llm_minhash_lsh" -> minhashSql,
+    "llm_lsh_capped" ->
+      s"""WITH ${bucketCtes(2)}
+         |SELECT band, sig, doc_id FROM buckets
+         |ORDER BY band, sig, doc_id""".stripMargin,
     "llm_dedup_cc" -> dedupCcSql,
     "llm_dedup_incremental" -> dedupIncrementalSql,
     "llm_simhash" -> simhashSql,
