@@ -221,7 +221,9 @@ object Text {
         least(col("a"), col("b")).as("b"))
       .distinct()
     // large-star: for each u, hang every neighbor v > u onto
-    // m = min(Γ(u) ∪ {u}). Output (v, m) is already a > b oriented.
+    // m = min(Γ(u) ∪ {u}). Output (v, m) has v > m strictly (m ≤ u < v),
+    // so it is already canonically a > b oriented and distinct — feeding
+    // smallStar directly, no re-canon (an extra distinct shuffle) needed.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       val m = sym.groupBy("a").agg(min(col("b")).as("nb"))
@@ -248,18 +250,24 @@ object Text {
     // superseded rounds are freed by the context cleaner once
     // unreferenced.
     var edges = canon(pairs.toDF("a", "b")).localCheckpoint()
+    var prevCount = edges.count()
+    var converged = prevCount == 0
     var iter = 0
-    var converged = edges.limit(1).count() == 0
     // O(log d) rounds means 60 covers any representable graph; hitting it
     // signals a bug, and returning a partial contraction would silently
     // split clusters — so throw instead.
     val maxIter = 60
     while (!converged && iter < maxIter) {
-      val next = smallStar(canon(largeStar(edges)).localCheckpoint())
+      val next = smallStar(largeStar(edges).localCheckpoint())
         .localCheckpoint()
-      converged = next.except(edges).limit(1).count() == 0 &&
-        edges.except(next).limit(1).count() == 0
+      val n = next.count()
+      // Both sides are distinct canonical edge sets, so set equality ⇔
+      // equal cardinality + empty one-sided difference. The count is a
+      // cache scan (both frames are materialized checkpoints); the except
+      // shuffle is paid only on the rounds where cardinality plateaus.
+      converged = n == prevCount && next.except(edges).limit(1).count() == 0
       edges = next
+      prevCount = n
       iter += 1
     }
     if (!converged)
