@@ -27,6 +27,8 @@ case class MmFeat(doc_id: Long, lang: String, bytes: Int,
   width: Int, height: Int, frames: Int)
 
 object Text {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
 
   private val P = 2147483647L // 2^31-1
   /** MinHash seed pairs (aᵢ, bᵢ) — 12 hashes = 4 bands × 3 rows. */
@@ -212,7 +214,14 @@ object Text {
     * Each step is one symmetric-edge groupBy(min) + one key-partitioned
     * hash join — no driver-side data, the driver only steers on a
     * converged-yet probe per round. */
-  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(nodes, pairs)._1
+
+  /** [[connectedComponents]] plus the number of star-contraction rounds it
+    * took — exposed so tests can assert the O(log d) round bound and ops
+    * can watch for pathological inputs. */
+  private[graft] def connectedComponentsWithRounds(
+      nodes: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     // Canonical orientation (a > b, deduped, self-loops dropped) makes
     // round-over-round equality a set compare of identical shapes.
     def canon(e: DataFrame): DataFrame = e
@@ -273,13 +282,16 @@ object Text {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds")
+    log.info(s"connectedComponents: converged in $iter rounds, " +
+      s"$prevCount star edges (non-root nodes)")
     // Converged stars: every non-center node appears exactly once as the
     // larger endpoint, pointing at its component min.
-    nodes.toDF("doc_id")
+    val labels = nodes.toDF("doc_id")
       .join(edges.select(col("a").as("doc_id"), col("b").as("root")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    (labels, iter)
   }
 
   val llmDedupCc: Q = (s, dir) =>

@@ -176,9 +176,13 @@ class QueriesSpec extends SparkSpec {
     val n = 60L
     val nodes = (1L to n).toDF("doc_id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = graft.queries.Text.connectedComponents(nodes, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (labels, rounds) =
+      graft.queries.Text.connectedComponentsWithRounds(nodes, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1L to n).map(_ -> 1L).toMap)
+    // log2(59) ≈ 5.9; measured 7 — anything near O(d) (≈30+) is a
+    // regression back to single-hop contraction.
+    assert(rounds <= 10, s"expected O(log d) rounds, took $rounds")
   }
 
   test("property: connected components match a union-find reference") {
@@ -198,11 +202,13 @@ class QueriesSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
-      val got = graft.queries.Text.connectedComponents(
-          (0L until n.toLong).toDF("doc_id"),
-          edges.toDF("doc_a", "doc_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == expect
+      val (labelsDf, rounds) = graft.queries.Text.connectedComponentsWithRounds(
+        (0L until n.toLong).toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"))
+      val got = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // diameter ≤ n-1, so ⌈log2(n)⌉ + slack bounds the round count
+      val bound = math.ceil(math.log(math.max(2, n)) / math.log(2)).toInt + 4
+      got == expect && rounds <= bound
     }
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
