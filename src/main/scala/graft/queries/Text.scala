@@ -906,7 +906,8 @@ object Text {
 
   /** Connected components replayed in DuckDB: transitive closure by
     * recursive walk (fixture-scale edge lists only — the Spark side uses
-    * logarithmic min-label contraction instead), min reachable id = the
+    * logarithmic large-star/small-star contraction instead), min
+    * reachable id = the
     * cluster label. */
   private val dedupCcSql: String =
     s"""WITH RECURSIVE $minhashPairsCtes,
