@@ -251,14 +251,21 @@ object Text {
         .filter(col("a") =!= col("b"))
         .distinct()
     }
-    // Each round's edge set is localCheckpoint'd (eager): persist alone
-    // caches results but leaves the logical plan nested, so the plan tree
-    // grows multiplicatively per round and per-action plan stringification
-    // OOMs. Checkpointing truncates lineage to the materialized RDD —
-    // exactly what a 100 TB run would do (with reliable checkpoints);
+    // Each round's edge set is checkpointed (eager): persist alone caches
+    // results but leaves the logical plan nested, so the plan tree grows
+    // multiplicatively per round and per-action plan stringification
+    // OOMs. Checkpointing truncates lineage to the materialized RDD;
     // superseded rounds are freed by the context cleaner once
-    // unreferenced.
-    var edges = canon(pairs.toDF("a", "b")).localCheckpoint()
+    // unreferenced. When the session has a checkpoint dir configured
+    // (a cluster run), use RELIABLE checkpoints — localCheckpoint blocks
+    // live on executors and an executor loss mid-iteration would kill
+    // the job; on a 1000-executor 100 TB run that is a certainty, not a
+    // tail risk. Local runs (no dir) keep the cheap executor-local path.
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    var edges = ckpt(canon(pairs.toDF("a", "b")))
     var prevCount = edges.count()
     var converged = prevCount == 0
     var iter = 0
@@ -267,8 +274,7 @@ object Text {
     // split clusters — so throw instead.
     val maxIter = 60
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges).localCheckpoint())
-        .localCheckpoint()
+      val next = ckpt(smallStar(ckpt(largeStar(edges))))
       val n = next.count()
       // Both sides are distinct canonical edge sets, so set equality ⇔
       // equal cardinality + empty one-sided difference. The count is a

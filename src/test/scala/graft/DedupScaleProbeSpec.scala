@@ -92,6 +92,24 @@ class DedupScaleProbeSpec extends SparkSpec {
     uniqueIds.foreach(id => assert(labels(id) === id))
   }
 
+  test("connected components takes the reliable-checkpoint path on clusters") {
+    import spark.implicits._
+    // A cluster session has a checkpoint dir configured; CC must then use
+    // reliable checkpoints (executor-local blocks don't survive executor
+    // loss). Both paths are semantically identical, so setting the dir on
+    // the shared session only changes where later CC tests materialize.
+    val ckptDir = Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val got = graft.queries.Text.connectedComponents(
+        (1L to 6L).toDF("doc_id"),
+        Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // the reliable path actually wrote checkpoint data
+    val wrote = new java.io.File(ckptDir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+  }
+
   test("corpus selection collapses the boilerplate to at most one keeper") {
     val manifest = SparkEntry.queries("llm_corpus_select")(spark, probeDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
