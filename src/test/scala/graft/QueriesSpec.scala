@@ -168,6 +168,16 @@ class QueriesSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("connected components: empty edge list yields all singletons") {
+    import spark.implicits._
+    val (labels, rounds) = graft.queries.Text.connectedComponentsWithRounds(
+      (1L to 5L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 5L).map(i => i -> i).toMap)
+    assert(rounds === 0)
+  }
+
   test("connected components: 60-node chain converges in O(log d) rounds") {
     import spark.implicits._
     // A diameter-59 path — the shape that killed the old min-neighbor
