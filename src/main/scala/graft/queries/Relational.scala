@@ -324,9 +324,28 @@ object Relational {
   }
 
   /** TABLESAMPLE — seeded, deterministic within Spark but not replayable
-    * in DuckDB ⇒ registered rows-only (no oracle entry). */
+    * in DuckDB ⇒ registered rows-only (no oracle entry). The
+    * oracle-checkable production shape is [[sortHashsample]] below. */
   val sortTablesample: Q = (s, dir) => {
     Tables.t(s, dir, "orders").sample(withReplacement = false, 0.1, seed = 42)
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic hash sampling — the honest 100 TB sampling shape.
+    * `TABLESAMPLE`'s seeded RNG is engine-private (not replayable in
+    * DuckDB, and in Spark it isn't even stable across partition
+    * re-planning), so at scale the reproducible pattern is a threshold on
+    * a cryptographic digest of the key: md5 is bit-identical everywhere,
+    * the predicate pushes down to the scan, and the sample is stable under
+    * repartitioning, AQE re-plans, and engine swaps. First hex nibble in
+    * {0,1} ⇒ an exact 2/16 = 12.5 % expected rate. Ref: Hive's
+    * TABLESAMPLE(BUCKET x OUT OF y ON col) hashes a column the same way
+    * for deterministic sampling (SURVEY.md §2 row 58). */
+  val sortHashsample: Q = (s, dir) => {
+    Tables.t(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .isin("0", "1"))
       .select("o_orderkey", "o_custkey")
       .orderBy("o_orderkey")
   }
@@ -354,7 +373,8 @@ object Relational {
     "sort_topk" -> sortTopK,
     "sort_global" -> sortGlobal,
     "sort_cluster_by" -> sortClusterBy,
-    "sort_tablesample" -> sortTablesample
+    "sort_tablesample" -> sortTablesample,
+    "sort_hashsample" -> sortHashsample
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -488,6 +508,10 @@ object Relational {
     "sort_cluster_by" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem WHERE l_quantity >= 49
-        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "sort_hashsample" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
