@@ -495,7 +495,16 @@ object Text {
       .select(col("vec_id"), col("c_id"), cellSim.as("csim"))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), col("csim")).as("cell"))
-    val assigned = cells.join(emb.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+    // Hot-cell guard, same posture as the LSH/MinHash capBuckets: a cell
+    // holding >maxBucket vectors means the coarse quantizer collapsed on a
+    // boilerplate embedding cluster, and the (queries × probed cells) join
+    // would scan that whole list for every probing query. Dropping the
+    // cell bounds the candidate join; a quantizer that degenerate needs
+    // retraining upstream, not a bigger scan. Mirrored in the DuckDB
+    // oracle (annIvfSql) so both engines share the drop semantics.
+    val assigned = capBuckets(
+      cells.join(emb.select(col("vec_id"), col("v"), col("nrm")), "vec_id"),
+      maxBucket, Seq("cell"))
     // queries probe their nprobe nearest cells
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))
@@ -1022,7 +1031,10 @@ object Text {
        |  SELECT vec_id,
        |    arg_max(c_id, list_inner_product(v, cv)/(nrm*cn)) AS cell
        |  FROM n, cents WHERE vec_id >= 20 GROUP BY vec_id),
-       |assigned AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
+       |assigned0 AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
+       |hotcell AS (SELECT cell FROM assigned0 GROUP BY cell HAVING COUNT(*) > $maxBucket),
+       |assigned AS (SELECT * FROM assigned0 a
+       |  WHERE NOT EXISTS (SELECT 1 FROM hotcell h WHERE h.cell = a.cell)),
        |probes AS (
        |  SELECT q_id, cell FROM (
        |    SELECT n.vec_id AS q_id, c.c_id AS cell,

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+/** Adversarial ANN scale-probe, the similarity-search twin of
+  * DedupScaleProbeSpec: a boilerplate EMBEDDING cluster (1,100 vectors on
+  * one direction) collapses both scale paths' partitions — it lands in a
+  * single random-hyperplane LSH bucket AND a single IVF cell, each past
+  * the cap of 1000. Without the hot-bucket / hot-cell guards the LSH
+  * self-join would emit C(1100,2) ≈ 600k pairs and every IVF query
+  * probing the collapsed cell would scan all 1,100 vectors; with them,
+  * the degenerate partition is dropped and the healthy cluster still
+  * answers. Run through the REAL pipeline entries (`llm_ann_lsh`,
+  * `llm_ann_ivf`), not unit shims.
+  *
+  * Geometry (64-dim unit basis e0..e63, all arithmetic deterministic):
+  *  - queries (ids 0–19): e0 + 0.01·i·e5 — e0-dominant. id 0 is also the
+  *    every-50th centroid for the e0 region.
+  *  - decoy centroids (ids 50,100,…,1200): distinct basis dims e7,e8,… —
+  *    each anchors its own (near-empty) cell.
+  *  - boilerplate cluster (1,100 ids in 20..1250, none ≡0 mod 50):
+  *    e0 + 0.001·(i mod 97)·e1 — every one assigns to centroid 0's cell
+  *    and hashes to the all-negative LSH bucket, together with the
+  *    queries (1,120 members > cap).
+  *  - healthy cluster (ids 1251–1280): e7 + 0.001·(i mod 7)·e8 — all in
+  *    centroid 50's cell (30 members, under cap) and one healthy bucket.
+  * Dominant components exceed every plane-weight perturbation term, so
+  * bucket signs and argmax cells are strict — no tie-break flake.
+  */
+class AnnScaleProbeSpec extends SparkSpec {
+
+  private val dims = 64
+  private val queryIds = 0L until 20L
+  private val decoyCentroidIds = (1 to 24).map(_ * 50L)
+  private val clusterIds =
+    (20L to 1250L).filterNot(_ % 50 == 0).take(1100)
+  private val healthyIds = 1251L until 1281L
+
+  private def unit(dim: Int, scale: Float = 1.0f): Array[Float] = {
+    val v = Array.fill(dims)(0.0f); v(dim) = scale; v
+  }
+  private def plus(a: Array[Float], b: Array[Float]): Array[Float] =
+    a.zip(b).map { case (x, y) => x + y }
+
+  private lazy val probeDir: String = {
+    val dir = Files.createTempDirectory("graft_ann_probe").toFile.getAbsolutePath
+    import spark.implicits._
+    val queries = queryIds.map(i =>
+      (i, plus(unit(0), unit(5, 0.01f * i)).toSeq, 0))
+    val decoys = decoyCentroidIds.zipWithIndex.map { case (id, k) =>
+      (id, unit(7 + k).toSeq, 1)
+    }
+    val cluster = clusterIds.map(i =>
+      (i, plus(unit(0), unit(1, 0.001f * (i % 97))).toSeq, 2))
+    val healthy = healthyIds.map(i =>
+      (i, plus(unit(7), unit(8, 0.001f * (i % 7))).toSeq, 3))
+    (queries ++ decoys ++ cluster ++ healthy).toSeq
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("LSH hot-bucket guard suppresses the boilerplate embedding cluster") {
+    val pairs = SparkEntry.queries("llm_ann_lsh")(spark, probeDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // healthy cluster members are mutual near-dups (cos ≈ 1) in an
+    // under-cap bucket: they must still pair
+    assert(pairs.nonEmpty, "healthy cluster produced no LSH pairs")
+    // C(1100,2) ≈ 600k without the guard; with it only the healthy
+    // cluster's C(30,2) = 435 pairs can survive
+    assert(pairs.length < 1000, s"LSH pair list blew up: ${pairs.length}")
+    val hot = (clusterIds ++ queryIds).toSet
+    assert(!pairs.exists(p => hot(p._1) || hot(p._2)),
+      "over-cap bucket members must produce no pairs")
+    // centroid 50 IS the e7 direction, so it cohabits the healthy bucket
+    val healthy = healthyIds.toSet + 50L
+    pairs.foreach { case (a, b) =>
+      assert(healthy(a) && healthy(b), s"unexpected pair ($a,$b)")
+    }
+  }
+
+  test("IVF hot-cell guard drops the collapsed cell but answers from healthy cells") {
+    val rows = SparkEntry.queries("llm_ann_ivf")(spark, probeDir).collect()
+    // every query probes {cell 0 (dropped), cell 50 (healthy)} — results
+    // must come exclusively from the healthy inverted list
+    assert(rows.nonEmpty, "no IVF results at all — healthy cell lost too")
+    val cluster = clusterIds.toSet
+    // cell 50's inverted list = healthy cluster + centroid 50 itself
+    val healthy = healthyIds.toSet + 50L
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(!cluster(id),
+        s"vec $id from the over-cap cell surfaced — hot-cell guard did not fire")
+      assert(healthy(id), s"vec $id outside the healthy cell")
+    }
+    // top-5 per query over 30 healthy candidates
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach(rs => assert(rs.length <= 5))
+  }
+}
