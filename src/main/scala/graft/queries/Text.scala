@@ -819,24 +819,52 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Real decode for the one container a pure JVM can parse offline: PNG.
+    * Width/height are the two big-endian u32s of the IHDR chunk, which the
+    * spec pins to bytes 16–23 of the file (signature 0–7, IHDR length 8–11,
+    * "IHDR" tag 12–15) — so the parse needs only the first 24 bytes of the
+    * payload, exactly the bounded-read shape a 100 TB decode stage wants
+    * (header peek first, full-codec fan-out only for rows that match). */
+  private[graft] def pngDims(p: Array[Byte]): Option[(Int, Int)] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def be32(off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    if (p.length >= 24 && p.take(8).sameElements(sig) &&
+        p.slice(12, 16).sameElements("IHDR".getBytes("US-ASCII")))
+      Some((be32(16), be32(20)))
+    else None
+  }
+
+  /** Per-batch feature extraction: PNG payloads decode to their true
+    * dimensions (single frame); everything else falls back to the
+    * deterministic stub features (no other codecs offline — the fallback
+    * keeps the contract total and the oracle replayable for text
+    * payloads). */
+  private[graft] def decodeFeatures(r: MmRow): MmFeat = {
+    val n = r.payload.length
+    pngDims(r.payload) match {
+      case Some((w, h)) => MmFeat(r.doc_id, r.lang, n, w, h, 1)
+      case None =>
+        val b0 = if (n > 0) r.payload(0) & 0xff else 0
+        MmFeat(r.doc_id, r.lang, n, 64 + n % 640, 64 + (b0 * 3) % 480, 1 + n % 30)
+    }
+  }
+
   /** Batched multimodal decode plumbing — the Scala analogue of a Pandas
     * UDF over mapInPandas: a typed `mapPartitions` (iterator→iterator, one
-    * JVM call per partition batch, partitioning preserved) whose decode
-    * step is a deterministic STUB (no image/audio codecs offline; the
-    * schema, batch shape, and feature contract are real and oracle-checked
-    * — swap the stub for a real codec and nothing else changes). */
+    * JVM call per partition batch, partitioning preserved). The decode step
+    * is REAL for PNG payloads (IHDR header parse, see [[pngDims]],
+    * ScalaTest-pinned against ImageIO-written files) and a deterministic
+    * stub for other media (no image/audio codecs offline; the schema,
+    * batch shape, and feature contract are oracle-checked — the fixture
+    * corpus is text, so the DuckDB twin replays the stub branch). */
   val llmMultimodalDecode: Q = (s, dir) => {
     import s.implicits._
     val ds = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"), col("lang"))
       .as[MmRow]
-    ds.mapPartitions { it =>
-      it.map { r =>
-        val n = r.payload.length
-        val b0 = if (n > 0) r.payload(0) & 0xff else 0
-        MmFeat(r.doc_id, r.lang, n, 64 + n % 640, 64 + (b0 * 3) % 480, 1 + n % 30)
-      }
-    }.toDF().orderBy("doc_id")
+    ds.mapPartitions(_.map(decodeFeatures)).toDF().orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

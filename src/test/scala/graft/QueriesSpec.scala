@@ -253,6 +253,40 @@ class QueriesSpec extends SparkSpec {
       }
   }
 
+  test("multimodal decode extracts true dimensions from real PNG payloads") {
+    import spark.implicits._
+    // real PNGs, written by the JDK's own encoder — the decode must
+    // recover the exact dimensions from the IHDR header
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      graft.queries.MmRow(1L, png(37, 23), "en"),
+      graft.queries.MmRow(2L, png(640, 480), "en"),
+      graft.queries.MmRow(3L, "not a png at all".getBytes("UTF-8"), "en"),
+      graft.queries.MmRow(4L, Array.emptyByteArray, "en"))
+    val feats = rows.toDS().mapPartitions(_.map(graft.queries.Text.decodeFeatures))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height, feats(1L).frames) === ((37, 23, 1)))
+    assert((feats(2L).width, feats(2L).height, feats(2L).frames) === ((640, 480, 1)))
+    // non-PNG payloads take the deterministic stub branch
+    val n3 = rows(2).payload.length
+    assert(feats(3L).width === 64 + n3 % 640)
+    assert(feats(4L).bytes === 0)
+    // big-endian u32 parse pinned against a hand-built IHDR (width
+    // 0x00010203 would silently read as little-endian 0x03020100)
+    val hand = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 1, 2, 3, /* width  0x00010203 */
+      0, 0, 1, 0 /* height 0x00000100 */ )
+    assert(graft.queries.Text.pngDims(hand) === Some((0x00010203, 0x00000100)))
+    assert(graft.queries.Text.pngDims("shorty".getBytes) === None)
+  }
+
   // ---- sketch aggregates, tolerance-gated against their exact twins.
   // These queries are rows-only in the oracle gate (sketch algorithms
   // differ across engines); the asserts below pin them to the published
