@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** §2.9 LLM-data-pipeline operators over documents/embeddings: exact +
@@ -265,21 +265,36 @@ object Text {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint()
       else df.localCheckpoint()
-    var edges = ckpt(canon(pairs.toDF("a", "b")))
-    var prevCount = edges.count()
-    var converged = prevCount == 0
+    // Checkpoint + edge count in ONE job: observe() plants a
+    // CollectMetricsExec above the star step, and the eager checkpoint's
+    // internal materialization action delivers the metric — verified to
+    // propagate through both the localCheckpoint and reliable-checkpoint
+    // branches. The alternative (a separate next.count() per round) is a
+    // whole extra job per round; at 1000-executor scale job setup is
+    // nontrivial, so halving jobs/round is real money. obs.get blocks
+    // only until the already-finished action's listener fires. Unlike an
+    // accumulator row-tap via mapPartitions, observe() stays inside
+    // whole-stage codegen and is exactly-once per action.
+    def ckptCounted(df: DataFrame, name: String): (DataFrame, Long) = {
+      val obs = Observation(name)
+      val out = ckpt(df.observe(obs, count(lit(1)).as("n")))
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (edges, prevCount) =
+      ckptCounted(canon(pairs.toDF("a", "b")), "cc_canon")
+    var converged = prevCount == 0L
     var iter = 0
     // O(log d) rounds means 60 covers any representable graph; hitting it
     // signals a bug, and returning a partial contraction would silently
     // split clusters — so throw instead.
     val maxIter = 60
     while (!converged && iter < maxIter) {
-      val next = ckpt(smallStar(ckpt(largeStar(edges))))
-      val n = next.count()
+      val (next, n) =
+        ckptCounted(smallStar(ckpt(largeStar(edges))), s"cc_round_$iter")
       // Both sides are distinct canonical edge sets, so set equality ⇔
-      // equal cardinality + empty one-sided difference. The count is a
-      // cache scan (both frames are materialized checkpoints); the except
-      // shuffle is paid only on the rounds where cardinality plateaus.
+      // equal cardinality + empty one-sided difference. The count rides
+      // the checkpoint job (observe above); the except shuffle is paid
+      // only on the rounds where cardinality plateaus.
       converged = n == prevCount && next.except(edges).limit(1).count() == 0
       edges = next
       prevCount = n
