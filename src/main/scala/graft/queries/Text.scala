@@ -882,6 +882,105 @@ object Text {
     ds.mapPartitions(_.map(decodeFeatures)).toDF().orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing any word 4-gram
+    * with a held-out eval set (the GPT-3/PaLM-style n-gram overlap check —
+    * a training corpus must not contain eval snippets). The eval set here
+    * is carved deterministically from the corpus (doc_id % 97) so the
+    * fixture exercises real hits via its planted near-dup docs.
+    *
+    * Scale shape: gram ids are per-row array arithmetic over the shared
+    * 28-bit word-hash array (same B1/B2/B3 bases as shingling — no gram
+    * strings ever materialize). The eval gram set is tiny relative to the
+    * corpus (eval suites are KBs, corpora are TBs), so the overlap join
+    * broadcasts it: the corpus side streams map-side through a
+    * BroadcastHashJoin into a two-phase count — zero doc-content shuffle,
+    * the only wire traffic is per-doc partial counts. */
+  val llmContamination: Q = (s, dir) => {
+    val gram4 = array_distinct(transform(sequence(lit(0), size(col("hs")) - 4),
+      i => (element_at(col("hs"), i + 1) * b1 +
+        element_at(col("hs"), i + 2) * b2 +
+        element_at(col("hs"), i + 3) * b3 +
+        element_at(col("hs"), i + 4)) % P))
+    val g = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), wordHashCol.as("hs"))
+      .filter(size(col("hs")) >= 4)
+      .select(col("doc_id"), gram4.as("g"))
+    val evalGrams = g.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("g")).as("gm")).distinct()
+    val corpus = g.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("gm"))
+    corpus.join(broadcast(evalGrams), "gm")
+      // per-doc gram sets are distinct, so plain count = distinct overlap
+      .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        col("n_grams").cast("int").as("n_grams"),
+        dround(col("n_shared") * lit(1.0) / col("n_grams"), 6).as("contam_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain mixing + deterministic training order: upsample domains by an
+    * integer epoch weight (the Llama/Dolma-style corpus-mixing step —
+    * low-resource languages here get 3 epochs, en gets 1), then assign
+    * every (doc, epoch) copy a reproducible shuffle position:
+    * shard = md5-bucket of (doc_id, epoch), pos = rank of the md5 key
+    * within the shard. A data loader replays the exact same global order
+    * from (shard, pos) with no RNG state.
+    *
+    * Scale shape: upsampling is a per-row explode (no shuffle); ordering
+    * is a window PARTITIONED BY shard — never a global sort. 8 shards at
+    * fixture scale; at 100 TB the same plan runs with ~100k shards, each
+    * a few GB, and shards are exactly the files a loader reads. */
+  val llmDomainMix: Q = (s, dir) => {
+    val weight = when(col("lang") === "en", 1)
+      .when(col("lang") === "zh", 2).otherwise(3)
+    val keyed = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), weight - 1)).as("epoch"))
+      .withColumn("k", md5(concat_ws("_", col("doc_id"), col("epoch"))))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 4), 16, 10).cast("long") % 8).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("k"), col("doc_id"), col("epoch"))
+    keyed.select(col("doc_id"), col("lang"), col("epoch").cast("int").as("epoch"),
+        col("shard"), row_number().over(w).as("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  /** PII scrubbing: regex redaction of emails / phone numbers / IPv4
+    * addresses, with per-doc redaction counts — the Dolma-style privacy
+    * pass. The fixture corpus is synthetic word soup with no PII, so the
+    * query first PLANTS deterministic PII spans (every doc an email, every
+    * 3rd doc a phone, every 2nd an IP) and then scrubs them; planting and
+    * scrubbing are mirrored in the oracle, so the compare checks the regex
+    * semantics end-to-end. Output carries md5(scrubbed) rather than the
+    * full text to keep the compared rows small.
+    *
+    * Scale shape: pure per-row projection (codegen'd regexp_replace /
+    * regexp_extract_all) — embarrassingly parallel, no shuffle. */
+  val llmPiiScrub: Q = (s, dir) => {
+    val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val ipPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+        .otherwise(lit("")))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("planted"), emailPat, "[EMAIL]"), phonePat, "[PHONE]"), ipPat, "[IP]")
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), planted.as("planted"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("planted"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("planted"), lit(phonePat), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("planted"), lit(ipPat), lit(0))).as("n_ips"),
+        md5(scrubbed).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
@@ -906,7 +1005,10 @@ object Text {
     "llm_corpus_select" -> llmCorpusSelect,
     "llm_fingerprint" -> llmFingerprint,
     "llm_multimodal" -> llmMultimodal,
-    "llm_multimodal_decode" -> llmMultimodalDecode
+    "llm_multimodal_decode" -> llmMultimodalDecode,
+    "llm_contamination" -> llmContamination,
+    "llm_domain_mix" -> llmDomainMix,
+    "llm_pii_scrub" -> llmPiiScrub
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1130,6 +1232,54 @@ object Text {
          |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
          |FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_contamination" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(hs)-3),
+         |    i -> (hs[i+1]*$b1 + hs[i+2]*$b2 + hs[i+3]*$b3 + hs[i+4]) % $P)) AS g
+         |  FROM ($wordHashSql) t WHERE len(hs) >= 4),
+         |eg AS (SELECT DISTINCT unnest(g) AS gm FROM g WHERE doc_id % 97 = 0),
+         |c AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gm
+         |      FROM g WHERE doc_id % 97 != 0)
+         |SELECT c.doc_id, COUNT(*) AS n_shared, CAST(c.n_grams AS INT) AS n_grams,
+         |  ${oRound("COUNT(*) * 1.0 / c.n_grams", 6)} AS contam_ratio
+         |FROM c JOIN eg ON c.gm = eg.gm
+         |GROUP BY c.doc_id, c.n_grams ORDER BY doc_id""".stripMargin,
+    "llm_domain_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 1 WHEN lang = 'zh' THEN 2 ELSE 3 END AS w
+        |  FROM documents),
+        |e AS (SELECT doc_id, lang, unnest(range(w)) AS epoch FROM b),
+        |k AS (SELECT doc_id, lang, CAST(epoch AS INT) AS epoch,
+        |        md5(CAST(doc_id AS VARCHAR) || '_' || CAST(epoch AS VARCHAR)) AS k
+        |      FROM e),
+        |s AS (SELECT doc_id, lang, epoch, k,
+        |        CAST(('0x' || substr(k, 1, 4))::BIGINT % 8 AS INT) AS shard
+        |      FROM k)
+        |SELECT doc_id, lang, epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY k, doc_id, epoch) AS INT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || CASE WHEN doc_id % 3 = 0
+        |           THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+        |           ELSE '' END AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(planted, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', 0)) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(planted, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', 0)) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(planted, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', 0)) AS INT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(planted,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')) AS scrub_hash
+        |FROM p ORDER BY doc_id""".stripMargin,
     "llm_ann_lsh" -> s"$lshPairsSql\nSELECT bucket, id_a, id_b, cos FROM pairs ORDER BY bucket, id_a, id_b",
     "llm_ann_ivf" -> annIvfSql,
     "llm_embed_neardup" ->

@@ -356,4 +356,84 @@ class QueriesSpec extends SparkSpec {
       assert(xs.sameElements(xs.sorted), s"$flag centroids not sorted")
     }
   }
+
+  test("contamination matches a string-level 4-gram overlap reference") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val gramSets = docs.collect { case (id, ws) if ws.length >= 4 =>
+      id -> ws.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = gramSets.collect { case (id, g) if id % 97 == 0 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val expected = gramSets.collect {
+      case (id, g) if id % 97 != 0 && (g & evalGrams).nonEmpty =>
+        id -> ((g & evalGrams).size.toLong, g.size)
+    }
+    val got = SparkEntry.queries("llm_contamination")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Int]("n_grams"))).toMap
+    assert(got == expected, s"contamination mismatch: got $got, want $expected")
+  }
+
+  test("domain mix upsamples by weight and numbers each shard densely") {
+    def weight(lang: String): Int =
+      if (lang == "en") 1 else if (lang == "zh") 2 else 3
+    val rows = SparkEntry.queries("llm_domain_mix")(spark, sfDir).collect()
+    val expectedTotal = Tables.t(spark, sfDir, "documents")
+      .select("lang").collect().map(r => weight(r.getString(0))).sum
+    assert(rows.length == expectedTotal)
+    // each doc appears exactly weight(lang) times, with epochs 0..w-1
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, copies) =>
+      val w = weight(copies.head.getAs[String]("lang"))
+      assert(copies.map(_.getAs[Int]("epoch")).sorted.sameElements(0 until w),
+        s"doc $id epochs wrong")
+    }
+    // positions within a shard are a dense 1..n permutation
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getAs[Int]("pos")).sorted
+      assert(pos.sameElements(1 to rs.length), s"shard $shard not dense")
+    }
+    // deterministic: a second run reproduces the identical order
+    val again = SparkEntry.queries("llm_domain_mix")(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("pii scrub counts and hashes match a java.util.regex reference") {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val ip = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    def countOf(s: String, pat: String): Int = {
+      val m = java.util.regex.Pattern.compile(pat).matcher(s)
+      Iterator.continually(m.find()).takeWhile(identity).size
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    val ref = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val id = r.getLong(0)
+        val planted = r.getString(1) + s" contact user$id@example.com" +
+          (if (id % 3 == 0) f" call +1-555-${id % 10000}%04d" else "") +
+          (if (id % 2 == 0) s" host 10.0.${id % 256}.1" else "")
+        val scrubbed = planted
+          .replaceAll(email, "[EMAIL]")
+          .replaceAll(phone, "[PHONE]")
+          .replaceAll(ip, "[IP]")
+        id -> ((countOf(planted, email), countOf(planted, phone),
+          countOf(planted, ip), md5hex(scrubbed)))
+      }.toMap
+    val got = SparkEntry.queries("llm_pii_scrub")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[Int]("n_ips"), r.getAs[String]("scrub_hash")))).toMap
+    assert(got == ref)
+    // the scrub actually removed every planted span
+    ref.foreach { case (id, (e, p, i, _)) =>
+      assert(e >= 1, s"doc $id: planted email not found")
+      assert((p >= 1) == (id % 3 == 0), s"doc $id: phone count wrong")
+      assert((i >= 1) == (id % 2 == 0), s"doc $id: ip count wrong")
+    }
+  }
 }
