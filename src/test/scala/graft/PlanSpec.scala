@@ -223,6 +223,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("llm_contamination broadcasts the eval gram set") {
+    val df = SparkEntry.queries("llm_contamination")(spark, sfDir)
+    df.collect() // let AQE finalize
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"),
+      "eval-gram overlap join must broadcast (eval suites are KBs, corpora TBs)")
+    assert(!s.contains("SortMergeJoin"), "corpus side must not shuffle-sort")
+  }
+
+  test("llm_domain_mix orders within shards, not globally, before ranking") {
+    val df = SparkEntry.queries("llm_domain_mix")(spark, sfDir)
+    // the row_number window must be partitioned by shard: an empty
+    // partition spec would funnel every row through one partition.
+    // (sparkPlan, not executedPlan: AQE wraps the tree in
+    // AdaptiveSparkPlanExec, which hides children from collect)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected a WindowExec operator")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "global (unpartitioned) window in llm_domain_mix"))
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
