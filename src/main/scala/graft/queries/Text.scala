@@ -901,10 +901,22 @@ object Text {
         element_at(col("hs"), i + 2) * b2 +
         element_at(col("hs"), i + 3) * b3 +
         element_at(col("hs"), i + 4)) % P))
+    // The persist is load-bearing, not a tuning knob: the eval and corpus
+    // branches both explode `g`, and InferFiltersFromGenerate plants
+    // `size(g) > 0` filters below each Generate. Without a cache barrier,
+    // predicate pushdown substitutes the alias chain into those filters
+    // all the way to the scan — inlining the md5 word-hash array INSIDE
+    // the gram lambda, so the scan-level filter recomputes ~n_words md5s
+    // per gram element (measured 174 s at sf0.1 vs <1 s cached; the
+    // CollapseProject multi-reference guard does not protect filter
+    // pushdown substitution). Caching (doc_id, gram-ids) is also the
+    // honest 100 TB shape: 8-byte ids, reused by both branches.
     val g = Tables.t(s, dir, "documents")
       .select(col("doc_id"), wordHashCol.as("hs"))
       .filter(size(col("hs")) >= 4)
       .select(col("doc_id"), gram4.as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    g.count() // eager, same cache-race rationale as llmNgramJaccard
     val evalGrams = g.filter(col("doc_id") % 97 === 0)
       .select(explode(col("g")).as("gm")).distinct()
     val corpus = g.filter(col("doc_id") % 97 =!= 0)
@@ -981,6 +993,49 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition scoring — the Gopher-rule quality filter
+    * that drops template/boilerplate docs BEFORE cross-doc dedup ever sees
+    * them: duplicate-word fraction plus the mass of the single most
+    * frequent word bigram. Flag threshold 0.20 follows the published
+    * Gopher top-2-gram rule.
+    *
+    * Scale shape: word stats are pure per-row array arithmetic over the
+    * shared word-hash array (no strings, no shuffle); the bigram mode
+    * needs a per-(doc, gram) count, done as explode → two-phase
+    * HashAggregate — only (doc_id, gram_id) long pairs reach the wire,
+    * combined map-side (same justified shape as the SimHash vote). */
+  val llmRepetition: Q = (s, dir) => {
+    val bigram = transform(sequence(lit(0), size(col("hs")) - 2),
+      i => (element_at(col("hs"), i + 1) * b1 +
+        element_at(col("hs"), i + 2) * b2) % P)
+    // Load-bearing persist — same InferFiltersFromGenerate pushdown
+    // pathology as llmContamination (see the comment there): without the
+    // cache barrier the explode branch's inferred size(bg) > 0 filter
+    // inlines the md5 word-hash array per bigram element at the scan.
+    val base = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), wordHashCol.as("hs"))
+      .filter(size(col("hs")) >= 2)
+      .select(col("doc_id"), size(col("hs")).as("n_words"),
+        size(array_distinct(col("hs"))).as("n_distinct"),
+        bigram.as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager, same cache-race rationale as llmNgramJaccard
+    val topBigram = base
+      .select(col("doc_id"), explode(col("bg")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_count"))
+    base.join(topBigram, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        dround(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_words"), 6)
+          .as("dup_word_frac"),
+        col("top_bigram_count"),
+        dround(col("top_bigram_count") * lit(1.0) / (col("n_words") - 1), 6)
+          .as("top_bigram_frac"),
+        (col("top_bigram_count") * lit(1.0) / (col("n_words") - 1) > 0.20)
+          .as("repetitive"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
@@ -1008,7 +1063,8 @@ object Text {
     "llm_multimodal_decode" -> llmMultimodalDecode,
     "llm_contamination" -> llmContamination,
     "llm_domain_mix" -> llmDomainMix,
-    "llm_pii_scrub" -> llmPiiScrub
+    "llm_pii_scrub" -> llmPiiScrub,
+    "llm_repetition" -> llmRepetition
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1244,6 +1300,20 @@ object Text {
          |  ${oRound("COUNT(*) * 1.0 / c.n_grams", 6)} AS contam_ratio
          |FROM c JOIN eg ON c.gm = eg.gm
          |GROUP BY c.doc_id, c.n_grams ORDER BY doc_id""".stripMargin,
+    "llm_repetition" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, len(hs) AS n_words, len(list_distinct(hs)) AS n_distinct,
+         |    list_transform(range(len(hs)-1), i -> (hs[i+1]*$b1 + hs[i+2]*$b2) % $P) AS bg
+         |  FROM ($wordHashSql) t WHERE len(hs) >= 2),
+         |gc AS (SELECT doc_id, g, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest(bg) AS g FROM b) u GROUP BY doc_id, g),
+         |tc AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM gc GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
+         |  ${oRound("1.0 - b.n_distinct * 1.0 / b.n_words", 6)} AS dup_word_frac,
+         |  tc.top_bigram_count,
+         |  ${oRound("tc.top_bigram_count * 1.0 / (b.n_words - 1)", 6)} AS top_bigram_frac,
+         |  (tc.top_bigram_count * 1.0 / (b.n_words - 1) > 0.20) AS repetitive
+         |FROM b JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "llm_domain_mix" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -399,6 +399,28 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("repetition stats match a string-level reference") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val expected = docs.collect { case (id, ws) if ws.length >= 2 =>
+      val top = ws.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max
+      id -> ((ws.length, top.toLong,
+        1.0 - ws.distinct.length.toDouble / ws.length))
+    }
+    val got = SparkEntry.queries("llm_repetition")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_words"), r.getAs[Long]("top_bigram_count"),
+          r.getAs[Double]("dup_word_frac")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (n, top, frac)) =>
+      val (gn, gtop, gfrac) = got(id)
+      assert(gn == n && gtop == top, s"doc $id: ($gn,$gtop) != ($n,$top)")
+      assert(math.abs(gfrac - frac) < 1e-6, s"doc $id dup_word_frac")
+    }
+  }
+
   test("pii scrub counts and hashes match a java.util.regex reference") {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
