@@ -246,6 +246,23 @@ class PlanSpec extends SparkSpec {
       "global (unpartitioned) window in llm_domain_mix"))
   }
 
+  test("contamination and repetition keep their load-bearing cache barrier") {
+    // Without the persist, InferFiltersFromGenerate's size(arr) > 0 filter
+    // is pushed through the alias chain to the scan, inlining the md5
+    // word-hash array inside the gram lambda — measured 174 s (vs 0.5 s)
+    // at sf0.1. Guard both the barrier and the symptom: the optimized
+    // plan must contain the InMemoryRelation and only a bounded number of
+    // inlined md5 calls (the cached build plan itself contributes a few;
+    // the pathological plan contained dozens).
+    for (q <- Seq("llm_contamination", "llm_repetition")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("InMemoryRelation"), s"$q lost its persist barrier")
+      val md5s = "md5\\(".r.findAllIn(plan).size
+      assert(md5s <= 6, s"$q inlines md5 $md5s times — pushdown blowup is back")
+    }
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
