@@ -895,7 +895,13 @@ object Text {
     * broadcasts it: the corpus side streams map-side through a
     * BroadcastHashJoin into a two-phase count — zero doc-content shuffle,
     * the only wire traffic is per-doc partial counts. */
-  val llmContamination: Q = (s, dir) => {
+  /** Core of [[llmContamination]], factored over an injectable
+    * (doc_id, text) frame so adversarial probes can feed pathological
+    * corpora through the REAL pipeline (same pattern as
+    * [[connectedComponents]] / DedupScaleProbeSpec). `isEval` partitions
+    * the frame into the held-out eval set and the scanned corpus. */
+  private[graft] def contaminationOf(docs: DataFrame,
+      isEval: Column => Column): DataFrame = {
     val gram4 = array_distinct(transform(sequence(lit(0), size(col("hs")) - 4),
       i => (element_at(col("hs"), i + 1) * b1 +
         element_at(col("hs"), i + 2) * b2 +
@@ -911,15 +917,15 @@ object Text {
     // CollapseProject multi-reference guard does not protect filter
     // pushdown substitution). Caching (doc_id, gram-ids) is also the
     // honest 100 TB shape: 8-byte ids, reused by both branches.
-    val g = Tables.t(s, dir, "documents")
+    val g = docs
       .select(col("doc_id"), wordHashCol.as("hs"))
       .filter(size(col("hs")) >= 4)
       .select(col("doc_id"), gram4.as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     g.count() // eager, same cache-race rationale as llmNgramJaccard
-    val evalGrams = g.filter(col("doc_id") % 97 === 0)
+    val evalGrams = g.filter(isEval(col("doc_id")))
       .select(explode(col("g")).as("gm")).distinct()
-    val corpus = g.filter(col("doc_id") % 97 =!= 0)
+    val corpus = g.filter(!isEval(col("doc_id")))
       .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("gm"))
     corpus.join(broadcast(evalGrams), "gm")
       // per-doc gram sets are distinct, so plain count = distinct overlap
@@ -929,6 +935,10 @@ object Text {
         dround(col("n_shared") * lit(1.0) / col("n_grams"), 6).as("contam_ratio"))
       .orderBy("doc_id")
   }
+
+  val llmContamination: Q = (s, dir) =>
+    contaminationOf(Tables.t(s, dir, "documents").select("doc_id", "text"),
+      id => id % 97 === 0)
 
   /** Domain mixing + deterministic training order: upsample domains by an
     * integer epoch weight (the Llama/Dolma-style corpus-mixing step —
@@ -1004,7 +1014,9 @@ object Text {
     * needs a per-(doc, gram) count, done as explode → two-phase
     * HashAggregate — only (doc_id, gram_id) long pairs reach the wire,
     * combined map-side (same justified shape as the SimHash vote). */
-  val llmRepetition: Q = (s, dir) => {
+  /** Core of [[llmRepetition]] over an injectable (doc_id, text) frame —
+    * see [[contaminationOf]] for the probe-injection rationale. */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     val bigram = transform(sequence(lit(0), size(col("hs")) - 2),
       i => (element_at(col("hs"), i + 1) * b1 +
         element_at(col("hs"), i + 2) * b2) % P)
@@ -1012,7 +1024,7 @@ object Text {
     // pathology as llmContamination (see the comment there): without the
     // cache barrier the explode branch's inferred size(bg) > 0 filter
     // inlines the md5 word-hash array per bigram element at the scan.
-    val base = Tables.t(s, dir, "documents")
+    val base = docs
       .select(col("doc_id"), wordHashCol.as("hs"))
       .filter(size(col("hs")) >= 2)
       .select(col("doc_id"), size(col("hs")).as("n_words"),
@@ -1035,6 +1047,9 @@ object Text {
           .as("repetitive"))
       .orderBy("doc_id")
   }
+
+  val llmRepetition: Q = (s, dir) =>
+    repetitionOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> llmExactDedup,

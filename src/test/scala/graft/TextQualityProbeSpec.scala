@@ -1,0 +1,81 @@
+package graft
+
+/** Adversarial probes for the r10 corpus-hygiene operators, mirroring
+  * DedupScaleProbeSpec: pathological corpora fed through the REAL
+  * operator cores (injectable docs frames), not unit shims.
+  *
+  * The 100 TB pathologies probed:
+  * - a verbatim eval-set leak (decontamination's reason to exist) must
+  *   score contam_ratio exactly 1.0, a partial leak exactly its prefix
+  *   gram count, and a clean doc must not appear;
+  * - one "hot" 4-gram shared by EVERY corpus doc must produce output
+  *   linear in the corpus (one row per doc), never a pair explosion —
+  *   by construction the overlap join is doc × matched-gram, and the
+  *   eval side is distinct gram ids;
+  * - a single-word boilerplate doc (the classic template page) must max
+  *   both repetition metrics and trip the Gopher flag, while an
+  *   all-distinct doc scores zero.
+  */
+class TextQualityProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evalText = (0 until 50).map(i => s"eval$i").mkString(" ")
+  private val cleanText = (0 until 50).map(i => s"clean$i").mkString(" ")
+
+  test("contamination: verbatim and partial eval leaks score exactly") {
+    val partial = evalText.split(" ").take(10).mkString(" ") + " " + cleanText
+    val docs = Seq(
+      (0L, evalText),    // the held-out eval doc
+      (1000L, evalText), // verbatim leak
+      (1001L, cleanText),
+      (1002L, partial)   // 10-word eval prefix → 7 shared 4-grams
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Text.contaminationOf(docs, id => id < 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1000L, 1002L), s"flagged ${out.keySet}")
+    assert(out(1000L).getAs[Double]("contam_ratio") == 1.0)
+    assert(out(1000L).getAs[Long]("n_shared") == 47L)
+    assert(out(1002L).getAs[Long]("n_shared") == 7L)
+  }
+
+  test("contamination: a hot gram in every corpus doc stays linear") {
+    val hot = "hot0 hot1 hot2 hot3"
+    val docs = (Seq((0L, s"$hot $evalText")) ++
+      (1000L until 1500L).map { id =>
+        (id, s"$hot " + (0 until 20).map(i => s"d${id}w$i").mkString(" "))
+      }).toDF("doc_id", "text")
+    val out = graft.queries.Text.contaminationOf(docs, id => id < 100).collect()
+    // one row per corpus doc, each sharing exactly the one hot gram — the
+    // bridging grams (hot3 + doc-unique words) differ per doc
+    assert(out.length == 500)
+    out.foreach(r => assert(r.getAs[Long]("n_shared") == 1L,
+      s"doc ${r.getLong(0)} shared ${r.getAs[Long]("n_shared")}"))
+  }
+
+  test("repetition: boilerplate maxes the metrics, distinct text scores zero") {
+    val docs = Seq(
+      (1L, Array.fill(60)("spam").mkString(" ")),
+      (2L, (0 until 60).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Text.repetitionOf(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val spam = out(1L)
+    assert(spam.getAs[Boolean]("repetitive"), "boilerplate doc not flagged")
+    assert(spam.getAs[Double]("dup_word_frac") > 0.98) // 1 - 1/60
+    assert(spam.getAs[Double]("top_bigram_frac") == 1.0)
+    val varied = out(2L)
+    assert(!varied.getAs[Boolean]("repetitive"))
+    assert(varied.getAs[Double]("dup_word_frac") == 0.0)
+    assert(varied.getAs[Long]("top_bigram_count") == 1L)
+  }
+
+  test("repetition and contamination exclude docs below the gram width") {
+    val docs = Seq((1L, "solo"), (2L, "two words"),
+      (3L, "three word doc"), (4L, "four word doc here")).toDF("doc_id", "text")
+    assert(graft.queries.Text.repetitionOf(docs)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    // docs 1-3 are under 4 words: no grams on either side, no output
+    val contam = graft.queries.Text.contaminationOf(docs, id => id === 4L)
+    assert(contam.collect().isEmpty)
+  }
+}
