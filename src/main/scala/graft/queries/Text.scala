@@ -1053,6 +1053,48 @@ object Text {
   val llmRepetition: Q = (s, dir) =>
     repetitionOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
+  /** Cross-document duplicate-chunk fraction — the MassiveText/Dolma
+    * "duplicate paragraph" filter: per doc, the fraction of its 20-word
+    * chunks that also occur in at least one OTHER doc (or twice in a
+    * corpus overall). Docs past 0.3 are boilerplate-heavy and get flagged
+    * before training. Complements [[llmRepetition]] (intra-doc) and the
+    * MinHash path (whole-doc): this catches the doc that is 40% template
+    * header and 60% unique content, which whole-doc near-dedup misses.
+    *
+    * Scale shape: chunk hashes are per-row array arithmetic (md5 per
+    * 20-word window, distinct per doc); the cross-doc count is a
+    * two-phase agg on the 16-byte hash, then a hash-keyed join back —
+    * only (doc_id, hash) pairs cross the wire. */
+  private[graft] def dupChunksOf(docs: DataFrame): DataFrame = {
+    val W = 20
+    val chunks = transform(
+      sequence(lit(0), floor((size(col("ws")) - 1) / W).cast("int")),
+      i => md5(array_join(slice(col("ws"), i * W + 1, lit(W)), " ")))
+    // load-bearing persist — same InferFiltersFromGenerate pushdown
+    // pathology as llmContamination (see the comment there)
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), array_distinct(chunks).as("ch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager, same cache-race rationale as llmNgramJaccard
+    val byChunk = base.select(explode(col("ch")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+    base.select(col("doc_id"), size(col("ch")).as("n_chunks"),
+        explode(col("ch")).as("h"))
+      .join(byChunk, "h")
+      .groupBy("doc_id", "n_chunks")
+      .agg(sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"),
+        col("n_dup_chunks"),
+        dround(col("n_dup_chunks") * lit(1.0) / col("n_chunks"), 6)
+          .as("dup_chunk_frac"),
+        (col("n_dup_chunks") * lit(1.0) / col("n_chunks") > 0.3).as("dup_heavy"))
+      .orderBy("doc_id")
+  }
+
+  val llmDupChunks: Q = (s, dir) =>
+    dupChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
@@ -1081,7 +1123,8 @@ object Text {
     "llm_contamination" -> llmContamination,
     "llm_domain_mix" -> llmDomainMix,
     "llm_pii_scrub" -> llmPiiScrub,
-    "llm_repetition" -> llmRepetition
+    "llm_repetition" -> llmRepetition,
+    "llm_dup_chunks" -> llmDupChunks
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1331,6 +1374,18 @@ object Text {
          |  ${oRound("tc.top_bigram_count * 1.0 / (b.n_words - 1)", 6)} AS top_bigram_frac,
          |  (tc.top_bigram_count * 1.0 / (b.n_words - 1) > 0.20) AS repetitive
          |FROM b JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "llm_dup_chunks" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |b AS (SELECT doc_id, list_distinct(list_transform(range(((len(ws)-1)//20)+1),
+         |       i -> md5(array_to_string(ws[i*20+1:i*20+20], ' ')))) AS ch FROM w),
+         |e AS (SELECT doc_id, len(ch) AS n_chunks, unnest(ch) AS h FROM b),
+         |c AS (SELECT h, COUNT(*) AS n_docs FROM e GROUP BY h)
+         |SELECT e.doc_id, CAST(e.n_chunks AS INT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  ${oRound("SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / e.n_chunks", 6)} AS dup_chunk_frac,
+         |  (SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / e.n_chunks > 0.3) AS dup_heavy
+         |FROM e JOIN c USING (h)
+         |GROUP BY e.doc_id, e.n_chunks ORDER BY doc_id""".stripMargin,
     "llm_domain_mix" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

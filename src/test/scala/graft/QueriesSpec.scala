@@ -397,6 +397,12 @@ class QueriesSpec extends SparkSpec {
     // deterministic: a second run reproduces the identical order
     val again = SparkEntry.queries("llm_domain_mix")(spark, sfDir).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // md5 sharding must not skew: a data loader reads one shard per
+    // worker, so a hot shard becomes the stragglers' critical path
+    val sizes = rows.groupBy(_.getAs[Int]("shard")).values.map(_.length)
+    assert(sizes.size == 8, s"expected 8 shards, got ${sizes.size}")
+    assert(sizes.max < 2 * sizes.min,
+      s"shard skew: sizes ${sizes.toSeq.sorted}")
   }
 
   test("repetition stats match a string-level reference") {
@@ -419,6 +425,24 @@ class QueriesSpec extends SparkSpec {
       assert(gn == n && gtop == top, s"doc $id: ($gn,$gtop) != ($n,$top)")
       assert(math.abs(gfrac - frac) < 1e-6, s"doc $id dup_word_frac")
     }
+  }
+
+  test("dup-chunk stats match a string-level reference") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val chunkSets = docs.map { case (id, ws) =>
+      id -> ws.grouped(20).map(_.mkString(" ")).toSet
+    }
+    val docCount = chunkSets.values.flatten
+      .groupBy(identity).map { case (c, occ) => c -> occ.size }
+    val expected = chunkSets.map { case (id, cs) =>
+      id -> ((cs.size, cs.count(c => docCount(c) > 1).toLong))
+    }
+    val got = SparkEntry.queries("llm_dup_chunks")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_chunks"), r.getAs[Long]("n_dup_chunks")))).toMap
+    assert(got == expected)
   }
 
   test("pii scrub counts and hashes match a java.util.regex reference") {

@@ -69,6 +69,28 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(varied.getAs[Long]("top_bigram_count") == 1L)
   }
 
+  test("dup-chunks flags the template-header doc whole-doc dedup misses") {
+    val header = (0 until 20).map(i => s"tmpl$i").mkString(" ")
+    def uniq(id: Long) = (0 until 20).map(i => s"u${id}w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$header ${uniq(1)}"),  // 50% template → flagged
+      (2L, s"$header ${uniq(2)}"),  // 50% template → flagged
+      (3L, s"${uniq(3)} ${uniq(30)}"), // fully unique → clean
+      (4L, s"$header"),             // pure template → frac 1.0
+      (5L, s"$header")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.Text.dupChunksOf(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("dup_heavy") &&
+      out(1L).getAs[Double]("dup_chunk_frac") == 0.5)
+    assert(out(2L).getAs[Boolean]("dup_heavy"))
+    assert(!out(3L).getAs[Boolean]("dup_heavy") &&
+      out(3L).getAs[Long]("n_dup_chunks") == 0L)
+    assert(out(4L).getAs[Double]("dup_chunk_frac") == 1.0)
+    // whole-doc near-dedup would NOT pair docs 1 and 2: their 3-shingle
+    // Jaccard is < 0.5 (only the header shingles are shared)
+  }
+
   test("repetition and contamination exclude docs below the gram width") {
     val docs = Seq((1L, "solo"), (2L, "two words"),
       (3L, "three word doc"), (4L, "four word doc here")).toDF("doc_id", "text")
