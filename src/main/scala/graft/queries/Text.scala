@@ -1009,7 +1009,12 @@ object Text {
     * that drops template/boilerplate docs BEFORE cross-doc dedup ever sees
     * them: duplicate-word fraction plus the mass of the single most
     * frequent word bigram. Flag threshold 0.20 follows the published
-    * Gopher top-2-gram rule.
+    * Gopher top-2-gram rule. Note the ratio is trivially high for very
+    * short docs (a 2-word doc's single bigram is 100% of its mass) —
+    * Gopher composes this with a minimum-length gate, which lives in
+    * [[llmQualityScore]]'s length terms here; this operator reports the
+    * raw ratios so the downstream corpus-select can compose its own
+    * thresholds.
     *
     * Scale shape: word stats are pure per-row array arithmetic over the
     * shared word-hash array (no strings, no shuffle); the bigram mode
