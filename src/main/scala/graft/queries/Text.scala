@@ -58,13 +58,26 @@ object Text {
     transform(split(col("text"), " "),
       w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
 
+  /** Windowed hash n-gram ids over the word-hash array column `hs`:
+    * gram(i) = Σⱼ hs[i+j]·Cⱼ mod P with C = (B1, B2, B3, 1) — widths 2/3
+    * are the historical bigram/shingle arithmetic verbatim; width 4
+    * appends an un-scaled fourth term (the sum stays < 2^51,
+    * overflow-safe in both engines). Requires size(hs) >= width; the
+    * single definition keeps every gram consumer (shingles, jaccard,
+    * contamination, repetition) and its DuckDB twin [[hashGramSql]] in
+    * lock-step — a base/width change lands everywhere or nowhere. */
+  private def hashGramCol(width: Int, distinct: Boolean = true): Column = {
+    val coefs = Seq(b1, b2, b3, 1L)
+    val grams = transform(sequence(lit(0), size(col("hs")) - width),
+      i => (0 until width)
+        .map(j => element_at(col("hs"), i + j + 1) * coefs(j))
+        .reduce(_ + _) % P)
+    if (distinct) array_distinct(grams) else grams
+  }
+
   /** Distinct 3-word shingle ids from a word-hash array column `hs` —
     * pure per-row array arithmetic (requires size(hs) >= 3). */
-  private def shingleSetCol: Column =
-    array_distinct(transform(sequence(lit(0), size(col("hs")) - 3),
-      i => (element_at(col("hs"), i + 1) * b1 +
-        element_at(col("hs"), i + 2) * b2 +
-        element_at(col("hs"), i + 3) * b3) % P))
+  private def shingleSetCol: Column = hashGramCol(3)
 
   /** One row per doc: 12-value minhash signature + exact shingle-id set —
     * the dedup "signature table" schema shared by the self-dedup and
@@ -267,14 +280,21 @@ object Text {
       else df.localCheckpoint()
     // Checkpoint + edge count in ONE job: observe() plants a
     // CollectMetricsExec above the star step, and the eager checkpoint's
-    // internal materialization action delivers the metric — verified to
-    // propagate through both the localCheckpoint and reliable-checkpoint
-    // branches. The alternative (a separate next.count() per round) is a
-    // whole extra job per round; at 1000-executor scale job setup is
-    // nontrivial, so halving jobs/round is real money. obs.get blocks
-    // only until the already-finished action's listener fires. Unlike an
-    // accumulator row-tap via mapPartitions, observe() stays inside
-    // whole-stage codegen and is exactly-once per action.
+    // internal materialization action delivers the metric — verified
+    // empirically on Spark 4.1.2 to propagate with the EXACT row count
+    // through both the localCheckpoint and reliable-checkpoint branches
+    // (single traversal each). The alternative (a separate next.count()
+    // per round) is a whole extra job per round; at 1000-executor scale
+    // job setup is nontrivial, so halving jobs/round is real money.
+    // obs.get blocks only until the already-finished action's listener
+    // fires. Unlike an accumulator row-tap via mapPartitions, observe()
+    // stays inside whole-stage codegen. Convergence does NOT depend on
+    // the count being exact: if a Spark version ever re-traversed the
+    // plan when writing reliable checkpoint files (inflating the
+    // metric), every round's count would inflate by the same factor
+    // within a session, the plateau prefilter still fires on equality,
+    // and the except() set-compare remains the authoritative gate — an
+    // inexact count can only mistime the prefilter, never mis-converge.
     def ckptCounted(df: DataFrame, name: String): (DataFrame, Long) = {
       val obs = Observation(name)
       val out = ckpt(df.observe(obs, count(lit(1)).as("n")))
@@ -383,10 +403,7 @@ object Text {
     * sizes — shuffling only (doc, gram-id) long pairs for the
     * intersection, never bigram strings. */
   val llmNgramJaccard: Q = (s, dir) => {
-    val gramSet = when(size(col("hs")) >= 2,
-      array_distinct(transform(sequence(lit(0), size(col("hs")) - 2),
-        i => (element_at(col("hs"), i + 1) * b1 +
-          element_at(col("hs"), i + 2) * b2) % P)))
+    val gramSet = when(size(col("hs")) >= 2, hashGramCol(2))
       .otherwise(array().cast("array<long>"))
     // Materialize-once: the per-doc gram sets feed the size lookup and both
     // sides of the intersection join (8-byte ids — cheap to cache).
@@ -846,9 +863,13 @@ object Text {
       ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
         ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
     if (p.length >= 24 && p.take(8).sameElements(sig) &&
-        p.slice(12, 16).sameElements("IHDR".getBytes("US-ASCII")))
-      Some((be32(16), be32(20)))
-    else None
+        p.slice(12, 16).sameElements("IHDR".getBytes("US-ASCII"))) {
+      val (w, h) = (be32(16), be32(20))
+      // the PNG spec caps dimensions at 2^31-1 and forbids 0; a crafted
+      // header past either bound falls back to the stub rather than
+      // emitting non-positive dimensions into the feature contract
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else None
   }
 
   /** Per-batch feature extraction: PNG payloads decode to their true
@@ -902,11 +923,7 @@ object Text {
     * the frame into the held-out eval set and the scanned corpus. */
   private[graft] def contaminationOf(docs: DataFrame,
       isEval: Column => Column): DataFrame = {
-    val gram4 = array_distinct(transform(sequence(lit(0), size(col("hs")) - 4),
-      i => (element_at(col("hs"), i + 1) * b1 +
-        element_at(col("hs"), i + 2) * b2 +
-        element_at(col("hs"), i + 3) * b3 +
-        element_at(col("hs"), i + 4)) % P))
+    val gram4 = hashGramCol(4)
     // The persist is load-bearing, not a tuning knob: the eval and corpus
     // branches both explode `g`, and InferFiltersFromGenerate plants
     // `size(g) > 0` filters below each Generate. Without a cache barrier,
@@ -1024,9 +1041,8 @@ object Text {
   /** Core of [[llmRepetition]] over an injectable (doc_id, text) frame —
     * see [[contaminationOf]] for the probe-injection rationale. */
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
-    val bigram = transform(sequence(lit(0), size(col("hs")) - 2),
-      i => (element_at(col("hs"), i + 1) * b1 +
-        element_at(col("hs"), i + 2) * b2) % P)
+    // non-distinct: the bigram MODE needs every occurrence
+    val bigram = hashGramCol(2, distinct = false)
     // Load-bearing persist — same InferFiltersFromGenerate pushdown
     // pathology as llmContamination (see the comment there): without the
     // cache barrier the explode branch's inferred size(bg) > 0 filter
@@ -1142,9 +1158,16 @@ object Text {
       |    w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hs
       |FROM documents""".stripMargin
 
+  /** DuckDB twin of [[hashGramCol]] — same coefficients, same mod-P. */
+  private def hashGramSql(width: Int, distinct: Boolean = true): String = {
+    val coefs = Seq(s"*$b1", s"*$b2", s"*$b3", "")
+    val terms = (0 until width).map(j => s"hs[i+${j + 1}]${coefs(j)}").mkString(" + ")
+    val grams = s"list_transform(range(len(hs)-${width - 1}), i -> ($terms) % $P)"
+    if (distinct) s"list_distinct($grams)" else grams
+  }
+
   private val shingleSql =
-    s"""SELECT doc_id, list_distinct(list_transform(range(len(hs)-2),
-       |  i -> (hs[i+1]*$b1 + hs[i+2]*$b2 + hs[i+3]*$b3) % $P)) AS sh
+    s"""SELECT doc_id, ${hashGramSql(3)} AS sh
        |FROM ($wordHashSql) t
        |WHERE len(hs) >= 3""".stripMargin
 
@@ -1345,8 +1368,7 @@ object Text {
     "llm_simhash_neardup" -> simhashNeardupSql,
     "llm_ngram_jaccard" ->
       s"""WITH g AS (
-         |  SELECT doc_id, lang, list_distinct(list_transform(range(len(hs)-1),
-         |    i -> (hs[i+1]*$b1 + hs[i+2]*$b2) % $P)) AS g
+         |  SELECT doc_id, lang, ${hashGramSql(2)} AS g
          |  FROM ($wordHashSql) t)
          |SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(FLOOR((len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0 /
@@ -1355,8 +1377,7 @@ object Text {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_contamination" ->
       s"""WITH g AS (
-         |  SELECT doc_id, list_distinct(list_transform(range(len(hs)-3),
-         |    i -> (hs[i+1]*$b1 + hs[i+2]*$b2 + hs[i+3]*$b3 + hs[i+4]) % $P)) AS g
+         |  SELECT doc_id, ${hashGramSql(4)} AS g
          |  FROM ($wordHashSql) t WHERE len(hs) >= 4),
          |eg AS (SELECT DISTINCT unnest(g) AS gm FROM g WHERE doc_id % 97 = 0),
          |c AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gm
@@ -1368,7 +1389,7 @@ object Text {
     "llm_repetition" ->
       s"""WITH b AS (
          |  SELECT doc_id, len(hs) AS n_words, len(list_distinct(hs)) AS n_distinct,
-         |    list_transform(range(len(hs)-1), i -> (hs[i+1]*$b1 + hs[i+2]*$b2) % $P) AS bg
+         |    ${hashGramSql(2, distinct = false)} AS bg
          |  FROM ($wordHashSql) t WHERE len(hs) >= 2),
          |gc AS (SELECT doc_id, g, COUNT(*) AS c
          |       FROM (SELECT doc_id, unnest(bg) AS g FROM b) u GROUP BY doc_id, g),

@@ -285,6 +285,14 @@ class QueriesSpec extends SparkSpec {
       0, 0, 1, 0 /* height 0x00000100 */ )
     assert(graft.queries.Text.pngDims(hand) === Some((0x00010203, 0x00000100)))
     assert(graft.queries.Text.pngDims("shorty".getBytes) === None)
+    // crafted IHDR with width >= 2^31 (invalid per spec) must fall back
+    // to the stub, not emit a negative dimension
+    val hostile = hand.clone()
+    hostile(16) = 0x80.toByte // width 0x80010203 -> negative as Int
+    assert(graft.queries.Text.pngDims(hostile) === None)
+    val zeroW = hand.clone()
+    zeroW(16) = 0; zeroW(17) = 0; zeroW(18) = 0; zeroW(19) = 0
+    assert(graft.queries.Text.pngDims(zeroW) === None)
   }
 
   // ---- sketch aggregates, tolerance-gated against their exact twins.
