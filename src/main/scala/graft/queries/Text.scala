@@ -904,7 +904,8 @@ object Text {
   }
 
   /** Benchmark decontamination: flag corpus docs sharing any word 4-gram
-    * with a held-out eval set (the GPT-3/PaLM-style n-gram overlap check —
+    * with a held-out eval set (the GPT-3/PaLM-style n-gram overlap check,
+    * Brown et al. 2020 arXiv:2005.14165 App. C —
     * a training corpus must not contain eval snippets). The eval set here
     * is carved deterministically from the corpus (doc_id % 97) so the
     * fixture exercises real hits via its planted near-dup docs.
@@ -958,7 +959,8 @@ object Text {
       id => id % 97 === 0)
 
   /** Domain mixing + deterministic training order: upsample domains by an
-    * integer epoch weight (the Llama/Dolma-style corpus-mixing step —
+    * integer epoch weight (the Llama/Dolma-style corpus-mixing step,
+    * Touvron et al. 2023 arXiv:2302.13971 §2 —
     * low-resource languages here get 3 epochs, en gets 1), then assign
     * every (doc, epoch) copy a reproducible shuffle position:
     * shard = md5-bucket of (doc_id, epoch), pos = rank of the md5 key
@@ -987,7 +989,8 @@ object Text {
 
   /** PII scrubbing: regex redaction of emails / phone numbers / IPv4
     * addresses, with per-doc redaction counts — the Dolma-style privacy
-    * pass. The fixture corpus is synthetic word soup with no PII, so the
+    * pass (Soldaini et al. 2024 arXiv:2402.00159 §2).
+    * The fixture corpus is synthetic word soup with no PII, so the
     * query first PLANTS deterministic PII spans (every doc an email, every
     * 3rd doc a phone, every 2nd an IP) and then scrubs them; planting and
     * scrubbing are mirrored in the oracle, so the compare checks the regex
@@ -1026,7 +1029,8 @@ object Text {
     * that drops template/boilerplate docs BEFORE cross-doc dedup ever sees
     * them: duplicate-word fraction plus the mass of the single most
     * frequent word bigram. Flag threshold 0.20 follows the published
-    * Gopher top-2-gram rule. Note the ratio is trivially high for very
+    * Gopher top-2-gram rule (Rae et al. 2021 arXiv:2112.11446, quality
+    * filtering appendix). Note the ratio is trivially high for very
     * short docs (a 2-word doc's single bigram is 100% of its mass) —
     * Gopher composes this with a minimum-length gate, which lives in
     * [[llmQualityScore]]'s length terms here; this operator reports the
@@ -1075,7 +1079,8 @@ object Text {
     repetitionOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
   /** Cross-document duplicate-chunk fraction — the MassiveText/Dolma
-    * "duplicate paragraph" filter: per doc, the fraction of its 20-word
+    * "duplicate paragraph" filter (Rae et al. 2021 arXiv:2112.11446;
+    * Soldaini et al. 2024 arXiv:2402.00159): per doc, the fraction of its 20-word
     * chunks that also occur in at least one OTHER doc (or twice in a
     * corpus overall). Docs past 0.3 are boilerplate-heavy and get flagged
     * before training. Complements [[llmRepetition]] (intra-doc) and the
