@@ -76,6 +76,17 @@ object Bench {
       val times =
         if (first.exists(_ < 0) || median(first) >= 0.5 || repeats != 3) first
         else first ++ Seq(once(), once())
+      // Release this query's persisted intermediates before the next one:
+      // several queries persist (doc_id, gram/sid) frames that nothing
+      // unpersists (the load-bearing cache barriers in contaminationOf /
+      // repetitionOf / dupChunksOf / llmNgramJaccard / minhashDupPairs),
+      // so without this every such query leaves MEMORY_AND_DISK entries
+      // in the CacheManager for the rest of the session. Clearing BETWEEN
+      // queries (not between repeats) bounds the accumulation to one
+      // query's caches while keeping per-repeat semantics identical to
+      // prior rounds (repeats 2+ reuse the canonical-plan cache entry, so
+      // medians stay round-over-round comparable).
+      spark.catalog.clearCache()
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
     // Full per-query detail for humans — prefix-tagged so the driver's

@@ -34,6 +34,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release this query's persisted intermediates (the load-bearing
+      // cache barriers in the gram/signature queries are never
+      // unpersisted) so a full-surface dump doesn't accumulate
+      // MEMORY_AND_DISK entries across all ~130 queries.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

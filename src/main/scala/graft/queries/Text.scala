@@ -311,11 +311,20 @@ object Text {
     while (!converged && iter < maxIter) {
       val (next, n) =
         ckptCounted(smallStar(ckpt(largeStar(edges))), s"cc_round_$iter")
-      // Both sides are distinct canonical edge sets, so set equality ⇔
-      // equal cardinality + empty one-sided difference. The count rides
-      // the checkpoint job (observe above); the except shuffle is paid
-      // only on the rounds where cardinality plateaus.
-      converged = n == prevCount && next.except(edges).limit(1).count() == 0
+      // The observed counts are a plateau PREFILTER only; the authoritative
+      // gate is a SYMMETRIC set compare (both one-sided differences empty),
+      // so correctness never depends on the metric being exact. This
+      // matters because accumulator-backed metrics can inflate per-round
+      // under stage retry / speculative re-execution: an inflated n could
+      // coincidentally equal prevCount while next is a strict SUBSET of
+      // edges, and a one-sided next.except(edges) check would then declare
+      // convergence on a non-fixpoint, silently splitting clusters. Both
+      // frames are materialized checkpoints and this only runs on plateau
+      // rounds, so the second except costs one more shuffle on the final
+      // round(s) only.
+      converged = n == prevCount &&
+        next.except(edges).limit(1).count() == 0 &&
+        edges.except(next).limit(1).count() == 0
       edges = next
       prevCount = n
       iter += 1
@@ -534,9 +543,23 @@ object Text {
     // cell bounds the candidate join; a quantizer that degenerate needs
     // retraining upstream, not a bigger scan. Mirrored in the DuckDB
     // oracle (annIvfSql) so both engines share the drop semantics.
-    val assigned = capBuckets(
-      cells.join(emb.select(col("vec_id"), col("v"), col("nrm")), "vec_id"),
-      maxBucket, Seq("cell"))
+    //
+    // SINGLE-PASS: the cell size rides a window count over the frame the
+    // guard filters, not a second aggregation. The r10 capBuckets shape
+    // recomputed the whole assignment plan (scan + broadcast + argmax agg
+    // + vec_id join) for the hot-cell side and anti-joined — a full extra
+    // pass over `assigned`, the bulk of llm_ann_ivf's 2.38× r9→r10 drift.
+    // The window's shuffle-by-cell is one this plan pays anyway: the
+    // probes join below keys on `cell`, so the window's HashPartitioning
+    // (and sort) feed straight into that join instead of a fresh
+    // exchange — the guard's marginal cost is just the per-partition
+    // count, with no second pass and no extra array shuffle.
+    val cellW = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val assigned = cells
+      .join(emb.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cn", count(lit(1)).over(cellW))
+      .filter(col("cn") <= maxBucket)
+      .drop("cn")
     // queries probe their nprobe nearest cells
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))
@@ -916,7 +939,17 @@ object Text {
     * corpus (eval suites are KBs, corpora are TBs), so the overlap join
     * broadcasts it: the corpus side streams map-side through a
     * BroadcastHashJoin into a two-phase count — zero doc-content shuffle,
-    * the only wire traffic is per-doc partial counts. */
+    * the only wire traffic is per-doc partial counts.
+    *
+    * Collision caveat: gram ids live in a 31-bit space (mod P = 2^31-1).
+    * At fixture scale distinct 4-grams ≪ 2^31 and the counts are exact in
+    * practice; at the 100 TB scale this shape targets, distinct 4-grams
+    * exceed 2^31, so n_shared/contam_ratio OVERCOUNT by the hash-collision
+    * false-positive rate — conservative in the right direction for a
+    * contamination FILTER (flags a superset), and the oracle compare is
+    * unaffected (DuckDB replays the identical hash). If exact overlap
+    * counts matter at scale, widen the gram id to 64-bit mixing (e.g.
+    * xxhash64 over the gram's word hashes). */
   /** Core of [[llmContamination]], factored over an injectable
     * (doc_id, text) frame so adversarial probes can feed pathological
     * corpora through the REAL pipeline (same pattern as
@@ -1081,8 +1114,10 @@ object Text {
   /** Cross-document duplicate-chunk fraction — the MassiveText/Dolma
     * "duplicate paragraph" filter (Rae et al. 2021 arXiv:2112.11446;
     * Soldaini et al. 2024 arXiv:2402.00159): per doc, the fraction of its 20-word
-    * chunks that also occur in at least one OTHER doc (or twice in a
-    * corpus overall). Docs past 0.3 are boilerplate-heavy and get flagged
+    * chunks that also occur in at least one OTHER doc (chunk sets are
+    * per-doc distinct, so a chunk repeated only WITHIN one document is by
+    * design not flagged here — that's [[llmRepetition]]'s intra-doc job).
+    * Docs past 0.3 are boilerplate-heavy and get flagged
     * before training. Complements [[llmRepetition]] (intra-doc) and the
     * MinHash path (whole-doc): this catches the doc that is 40% template
     * header and 60% unique content, which whole-doc near-dedup misses.

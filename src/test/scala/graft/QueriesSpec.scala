@@ -119,6 +119,59 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("ANN paths hold recall@5 against the brute-force truth") {
+    // Both ANN paths are hash-exact vs DuckDB, but the oracle replays
+    // whatever the parameters do — a bands/nprobe/plane change could
+    // collapse RETRIEVAL QUALITY while staying oracle-green. This gate
+    // pins recall@5 against the brute-force truth (llm_cosine_topk) on
+    // the fixture embeddings. The fixture vectors are RANDOM — the
+    // documented worst case for space-partitioned ANN (no cluster
+    // structure for cells/buckets to exploit; real embedding corpora are
+    // heavily clustered) — so the absolute numbers are modest by design;
+    // the gate's job is to catch a COLLAPSE (a parameter change silently
+    // zeroing retrieval), not to certify production recall. Values are
+    // measured-then-pinned and fully deterministic (no RNG anywhere), so
+    // only a real parameter/semantics change can move them.
+    val truthRows = SparkEntry.queries("llm_cosine_topk")(spark, sfDir).collect()
+    val truth = truthRows.groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(truth.nonEmpty)
+    def recallOf(truthSets: Map[Long, Set[Long]],
+        retrieved: Map[Long, Set[Long]]): Double =
+      truthSets.map { case (q, t) =>
+        retrieved.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truthSets.size
+    // IVF is a top-k retriever: plain recall@5. Measured 0.340 on
+    // sf0.001 (nprobe=2 of ~10 cells over structureless vectors).
+    val ivf = SparkEntry.queries("llm_ann_ivf")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val ivfRecall = recallOf(truth, ivf)
+    // LSH is a CANDIDATE GENERATOR with a cos > 0.3 admission threshold:
+    // truth items below the threshold are excluded by semantics, not by
+    // bucketing, so the fair denominator is the truth top-5 restricted
+    // to cos > 0.3 (queries with no such neighbor don't score).
+    val lshTruth = truthRows
+      .filter(r => r.getAs[Double]("cos") > 0.3)
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val lsh = SparkEntry.queries("llm_ann_lsh")(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 20 && b >= 20 }
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val lshRecall = recallOf(lshTruth, lsh)
+    // Measured on sf0.001: ivf 0.340, lsh 0.039. The LSH number is the
+    // single-table 8-plane collision rate for near-orthogonal random
+    // pairs ((1 − θ/π)^8 ≈ 0.01–0.05 at θ ≈ 75–80°) — the classic
+    // argument for multi-table LSH on unclustered data, and exactly the
+    // kind of quantity this gate exists to keep visible.
+    info(f"recall@5 ivf=$ivfRecall%.3f lsh(cos>0.3)=$lshRecall%.3f" +
+      f" (lsh denominator: ${lshTruth.size} queries)")
+    assert(ivfRecall >= 0.30, f"IVF recall@5 collapsed: $ivfRecall%.3f")
+    assert(lshRecall >= 0.03, f"LSH candidate recall collapsed: $lshRecall%.3f")
+  }
+
   test("sharded export derives shard count from input volume") {
     SparkEntry.queries("sink_sharded_export")(spark, sfDir).collect() // writes shards
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
