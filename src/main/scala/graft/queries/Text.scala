@@ -641,27 +641,57 @@ object Text {
       // One state table: minhash signature + sid set + content hash per
       // corpus doc. KB-scale state → one file (a TB-scale corpus table
       // would instead be partitioned/bucketed on the join keys).
-      signaturesOf(docs.filter(col("doc_id") < 250))
-        .join(docs.filter(col("doc_id") < 250)
-          .select(col("doc_id"), sha2(col("text"), 256).as("h")), "doc_id")
+      dedupStateOf(docs.filter(col("doc_id") < 250))
         .coalesce(1).write.mode("overwrite").parquet(sigPath)
     }
-    val corpusSets = s.read.parquet(sigPath)
-    val corpusHashes = corpusSets.select(col("h"))
-    val batchSets = signaturesOf(docs.filter(col("doc_id") >= 250))
-    // exact layer: new docs whose content hash is unseen in the corpus
-    val exactSurvivors = docs.filter(col("doc_id") >= 250)
+    // The registered query keeps ONE-batch semantics (append = false) so
+    // the DuckDB oracle replays it statelessly; the production loop that
+    // folds survivors back into the state is [[incrementalDedupRound]]
+    // with append = true, exercised by the two-batch ScalaTest.
+    incrementalDedupRound(s, docs.filter(col("doc_id") >= 250), sigPath,
+        append = false)
+      .orderBy("doc_id")
+  }
+
+  /** State-table rows for `docs` — minhash signature + sid set + content
+    * hash per doc, the persisted corpus-state schema of the incremental
+    * dedup loop. */
+  private[graft] def dedupStateOf(docs: DataFrame): DataFrame =
+    signaturesOf(docs)
+      .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("h")), "doc_id")
+
+  /** One round of the production incremental-dedup loop: dedup `batch`
+    * (doc_id, text) against the persisted state at `statePath` (exact
+    * content-hash layer + banded minhash near layer, Jaccard ≥ 0.5),
+    * return the survivor ids — and, when `append`, fold the survivors'
+    * state rows back into `statePath` so the NEXT batch dedups against
+    * corpus ∪ survivors(batch₁) ∪ … (the shape a production pipeline
+    * runs; each round appends one survivor-only parquet file, compacted
+    * out-of-band at scale). Batch-INTERNAL duplicates are deliberately
+    * out of scope here — that is the self-dedup operators' job
+    * ([[llmExactDedup]] / [[minhashDupPairs]]), run per batch upstream.
+    *
+    * Scale notes as [[llmDedupIncremental]]: the state side is
+    * broadcast-sized relative to a batch, so the bucket join and both
+    * anti-joins run shuffle-free on the state side; past broadcast range
+    * flip to llmMinhashLsh's id-only bucket-join shape. The append write
+    * localCheckpoints the survivor ids first — the write would otherwise
+    * plan a read of the very path it appends to. */
+  private[graft] def incrementalDedupRound(s: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, statePath: String, append: Boolean): DataFrame = {
+    val corpusSets = s.read.parquet(statePath)
+    val batchState = dedupStateOf(batch)
+    // exact layer: batch docs whose content hash is unseen in the state
+    val exactSurvivors = batch
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .join(corpusHashes, Seq("h"), "left_anti")
+      .join(corpusSets.select(col("h")), Seq("h"), "left_anti")
       .select(col("doc_id"))
     // Near layer: the batch streams once through a broadcast join against
-    // the corpus bucket table; the sid set rides along (free under a
+    // the state bucket table; the sid set rides along (free under a
     // broadcast — the batch side never shuffles), so no persist/second
     // pass over the batch is needed. Verification happens per candidate
     // row, duplicates collapsed by the final distinct on doc_id alone.
-    // If the corpus outgrew broadcast range, flip to llmMinhashLsh's
-    // shape: bucket join on ids only + re-join the sid sets by key.
-    val nearDups = batchSets
+    val nearDups = batchState
       .select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.sig").as("sig"))
       .join(bucketsOf(corpusSets).withColumnRenamed("doc_id", "corpus_id"),
@@ -672,8 +702,17 @@ object Text {
       .filter(col("ni") * lit(1.0) /
         (size(col("sh")) + size(col("sh_c")) - col("ni")) >= 0.5)
       .select(col("doc_id")).distinct()
-    exactSurvivors.join(nearDups, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
+    val survivors = exactSurvivors.join(nearDups, Seq("doc_id"), "left_anti")
+    if (!append) survivors
+    else {
+      // materialize the id list so the append's write plan no longer
+      // references statePath (and the survivor set is decided BEFORE the
+      // state gains this batch's rows)
+      val ids = survivors.localCheckpoint()
+      batchState.join(ids, Seq("doc_id"), "left_semi")
+        .coalesce(1).write.mode("append").parquet(statePath)
+      ids
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -845,6 +884,76 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Greedy longest-match wordpiece vocabulary, split by piece LENGTH.
+    * The split is load-bearing: a piece list holding only exact-length-l
+    * strings means a clamped end-of-word substring (shorter than l) can
+    * never equal a member, so the greedy matcher needs NO bounds checks —
+    * and single characters need no list at all, because an unmatched
+    * character advances 1 and counts 1 whether it's "in vocab" or [UNK]
+    * (identical arithmetic either way). Shared verbatim by the Spark
+    * fold, the DuckDB oracle (interpolated below), and the ScalaTest
+    * reference tokenizer. */
+  private[graft] val wpVocab4 = Seq("tion", "ment", "able", "ight", "ough", "ance")
+  private[graft] val wpVocab3 = Seq(
+    "ing", "ion", "ent", "ter", "est", "ers", "ate", "ive", "the", "and", "for", "ith")
+  private[graft] val wpVocab2 = Seq(
+    "th", "er", "on", "an", "re", "he", "in", "ed", "nd", "ha", "at", "en",
+    "es", "of", "or", "nt", "ea", "ti", "to", "it", "st", "io", "le", "is",
+    "ou", "ar", "as", "de", "rt", "ve")
+
+  /** Greedy longest-match token count of one word ([[wpVocab4]]/3/2 +
+    * 1-char fallback) — the matcher the query's typed map runs per word,
+    * and the tests' reference. Set-backed lookups, O(1) per probe. */
+  private[graft] val wpSet4 = wpVocab4.toSet
+  private[graft] val wpSet3 = wpVocab3.toSet
+  private[graft] val wpSet2 = wpVocab2.toSet
+  private[graft] def wpTokenCountRef(w: String): Int = {
+    var i = 0; var cnt = 0
+    while (i < w.length) {
+      val step =
+        if (i + 4 <= w.length && wpSet4.contains(w.substring(i, i + 4))) 4
+        else if (i + 3 <= w.length && wpSet3.contains(w.substring(i, i + 3))) 3
+        else if (i + 2 <= w.length && wpSet2.contains(w.substring(i, i + 2))) 2
+        else 1
+      i += step; cnt += 1
+    }
+    cnt
+  }
+
+  /** Real subword tokenization beside [[llmTokenCount]]'s regex proxy:
+    * greedy longest-match wordpiece over a fixed vocabulary (the
+    * WordPiece/BPE-inference algorithm, Wu et al. 2016 arXiv:1609.08144
+    * §4.1 — at inference a trained BPE/wordpiece vocab is applied by
+    * exactly this deterministic longest-match scan; unmatched characters
+    * are the [UNK] fallback, counting 1 like any 1-char piece).
+    *
+    * Execution shape: a typed iterator→iterator `mapPartitions` (same
+    * pattern as [[llmMultimodalDecode]]) — tokenization is compute-bound
+    * per-row work that production pipelines run as JVM/native code over
+    * partition batches, and that is measurably the right call here too:
+    * the same greedy scan expressed as a Catalyst `aggregate` HOF fold
+    * (packed pos·100000+count state over character positions) was built
+    * first and measured 2.09 s at sf0.1 — HOF lambdas evaluate
+    * interpreted per element, and a per-char lambda with three membership
+    * probes is the worst case — vs ~0.3 s for the set-backed JVM scan.
+    * No shuffle either way; partitioning preserved. The DuckDB twin
+    * replays the identical fold via list_reduce, so the oracle compares
+    * real tokenizer semantics end-to-end against an INDEPENDENT
+    * implementation. */
+  val llmTokenize: Q = (s, dir) => {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val ws = text.split(" ", -1)
+        var i = 0; var toks = 0L
+        while (i < ws.length) { toks += wpTokenCountRef(ws(i)); i += 1 }
+        (id, ws.length, toks)
+      })
+      .toDF("doc_id", "n_words", "wp_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: rolling polynomial hash over word codes —
     * deterministic integer fold, identical in both engines. */
   val llmFingerprint: Q = (s, dir) => {
@@ -874,8 +983,8 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** Real decode for the one container a pure JVM can parse offline: PNG.
-    * Width/height are the two big-endian u32s of the IHDR chunk, which the
+  /** Real decode, PNG container: width/height are the two big-endian u32s
+    * of the IHDR chunk, which the
     * spec pins to bytes 16–23 of the file (signature 0–7, IHDR length 8–11,
     * "IHDR" tag 12–15) — so the parse needs only the first 24 bytes of the
     * payload, exactly the bounded-read shape a 100 TB decode stage wants
@@ -895,14 +1004,55 @@ object Text {
     } else None
   }
 
-  /** Per-batch feature extraction: PNG payloads decode to their true
-    * dimensions (single frame); everything else falls back to the
+  /** JPEG twin of [[pngDims]], same bounded-read shape: width/height live
+    * in the first SOFn frame header (marker 0xC0–0xCF minus 0xC4/0xC8/0xCC,
+    * covering baseline SOF0 and progressive SOF2), reached by hopping
+    * marker segments via their big-endian length fields — the scan indexes
+    * only a few header bytes per segment and never decodes entropy data
+    * (it stops at SOS/EOI, which always follow the frame header). Payload:
+    * marker, u16 length, u8 precision, u16 height, u16 width. A malformed
+    * stream (desynced marker, undersized length, height 0 = DNL-deferred)
+    * returns None and the caller falls back to the stub features. */
+  private[graft] def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    // segment-count guard: a crafted stream of minimal segments could
+    // otherwise walk the whole payload; real headers precede SOF within
+    // a handful of segments (APPn/COM/DQT/DHT)
+    var segs = 0
+    while (i + 3 < p.length && segs < 1024) {
+      segs += 1
+      if (u8(i) != 0xff) return None // desynced: expected a marker
+      val m = u8(i + 1)
+      if (m == 0xff) i += 1 // fill byte before a marker
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+      else {
+        val len = u16(i + 2)
+        if (len < 2) return None
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 7 || i + 9 > p.length) return None
+          val (h, w) = (u16(i + 5), u16(i + 7))
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Per-batch feature extraction: PNG and JPEG payloads decode to their
+    * true dimensions (single frame); everything else falls back to the
     * deterministic stub features (no other codecs offline — the fallback
     * keeps the contract total and the oracle replayable for text
-    * payloads). */
+    * payloads). Container dispatch is by each parser's own magic check —
+    * a payload matching neither signature costs two O(1) header peeks. */
   private[graft] def decodeFeatures(r: MmRow): MmFeat = {
     val n = r.payload.length
-    pngDims(r.payload) match {
+    pngDims(r.payload).orElse(jpegDims(r.payload)) match {
       case Some((w, h)) => MmFeat(r.doc_id, r.lang, n, w, h, 1)
       case None =>
         val b0 = if (n > 0) r.payload(0) & 0xff else 0
@@ -913,8 +1063,8 @@ object Text {
   /** Batched multimodal decode plumbing — the Scala analogue of a Pandas
     * UDF over mapInPandas: a typed `mapPartitions` (iterator→iterator, one
     * JVM call per partition batch, partitioning preserved). The decode step
-    * is REAL for PNG payloads (IHDR header parse, see [[pngDims]],
-    * ScalaTest-pinned against ImageIO-written files) and a deterministic
+    * is REAL for PNG and JPEG payloads (header parses, see [[pngDims]] /
+    * [[jpegDims]], ScalaTest-pinned against ImageIO-written files) and a deterministic
     * stub for other media (no image/audio codecs offline; the schema,
     * batch shape, and feature contract are oracle-checked — the fixture
     * corpus is text, so the DuckDB twin replays the stub branch). */
@@ -1173,6 +1323,7 @@ object Text {
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_token_count" -> llmTokenCount,
+    "llm_tokenize" -> llmTokenize,
     "llm_chunk_split" -> llmChunkSplit,
     "llm_tfidf_top" -> llmTfidfTop,
     "llm_split_assign" -> llmSplitAssign,
@@ -1534,6 +1685,27 @@ object Text {
         |CAST(length(text) AS INT) AS chars,
         |CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS spaces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_tokenize" -> {
+      def lst(vs: Seq[String]) = vs.map("'" + _ + "'").mkString("[", ",", "]")
+      // Same packed-state greedy fold as the Spark side, via list_reduce
+      // with the list_prepend(0) seed trick (cf. llm_fingerprint): the
+      // prepended 0 is the initial accumulator (pos 0, count 0).
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         |  CAST(list_sum(list_transform(string_split(text, ' '), w ->
+         |    CASE WHEN length(w) = 0 THEN 0 ELSE
+         |      list_reduce(list_prepend(0::BIGINT, range(length(w))), (acc, i) ->
+         |        CASE WHEN i < acc // 100000 THEN acc
+         |             WHEN list_contains(${lst(wpVocab4)}, substr(w, CAST(i+1 AS INT), 4))
+         |               THEN (i+4)*100000 + acc % 100000 + 1
+         |             WHEN list_contains(${lst(wpVocab3)}, substr(w, CAST(i+1 AS INT), 3))
+         |               THEN (i+3)*100000 + acc % 100000 + 1
+         |             WHEN list_contains(${lst(wpVocab2)}, substr(w, CAST(i+1 AS INT), 2))
+         |               THEN (i+2)*100000 + acc % 100000 + 1
+         |             ELSE (i+1)*100000 + acc % 100000 + 1 END) % 100000
+         |    END)) AS BIGINT) AS wp_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "llm_split_assign" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS INT) AS bucket,

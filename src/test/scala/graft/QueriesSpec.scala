@@ -348,6 +348,126 @@ class QueriesSpec extends SparkSpec {
     assert(graft.queries.Text.pngDims(zeroW) === None)
   }
 
+  test("wordpiece tokenize matches the reference greedy matcher") {
+    // unit-pin the reference on hand-computable words first
+    //   "the" -> ["the"]; "thing" -> ["th","ing"] (longest-match wins at
+    //   i=0: "thin"∉v4, "thi"∉v3, "th"∈v2); "q" -> ["q"] ([UNK]-style
+    //   1-char fallback); "mention" -> ["ment","ion"]
+    assert(graft.queries.Text.wpTokenCountRef("the") === 1)
+    assert(graft.queries.Text.wpTokenCountRef("thing") === 2)
+    assert(graft.queries.Text.wpTokenCountRef("q") === 1)
+    assert(graft.queries.Text.wpTokenCountRef("mention") === 2)
+    assert(graft.queries.Text.wpTokenCountRef("") === 0)
+    // then pin the distributed fold against the reference over the REAL
+    // fixture corpus — every doc, not a sample
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("llm_tokenize")(spark, sfDir).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val words = text.split(" ", -1)
+      assert(r.getAs[Int]("n_words") === words.length)
+      val expect = words.map(graft.queries.Text.wpTokenCountRef).map(_.toLong).sum
+      assert(r.getAs[Long]("wp_tokens") === expect,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // subword counts sit between words and characters
+    rows.foreach { r =>
+      val nw = r.getAs[Int]("n_words").toLong
+      assert(r.getAs[Long]("wp_tokens") >= nw)
+    }
+  }
+
+  test("incremental dedup folds batch survivors back into the corpus state") {
+    import spark.implicits._
+    // Two-batch production loop: batch2 must drop duplicates OF BATCH-1
+    // SURVIVORS, which only works if round 1 appended its survivors'
+    // signature+hash rows to the persisted state.
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_incdedup").toFile.getAbsolutePath + "/state"
+    def df(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val wsoup = (1 to 30).map(i => s"word$i").mkString(" ")
+    val corpus = df(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely different corpus text about spark shuffles and joins")
+    graft.queries.Text.dedupStateOf(corpus)
+      .coalesce(1).write.mode("overwrite").parquet(statePath)
+    // round 1: C/D are fresh, X is an exact copy of corpus doc 1
+    val batch1 = df(
+      10L -> wsoup,
+      11L -> "a genuinely novel document with its own words entirely",
+      12L -> "the quick brown fox jumps over the lazy dog today")
+    val surv1 = graft.queries.Text
+      .incrementalDedupRound(spark, batch1, statePath, append = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv1 === Set(10L, 11L))
+    // the state now carries corpus ∪ round-1 survivors (and NOT the dup)
+    val stateIds = spark.read.parquet(statePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds === Set(1L, 2L, 10L, 11L))
+    // round 2: F = exact copy of batch-1 survivor 10, E = near-dup of it
+    // (same 30 words plus a tail word: shingle Jaccard 28/29 ≈ 0.97),
+    // G fresh — only G may survive
+    val batch2 = df(
+      20L -> (wsoup + " tail"),
+      21L -> wsoup,
+      22L -> "another brand new document closing out the second batch")
+    val surv2 = graft.queries.Text
+      .incrementalDedupRound(spark, batch2, statePath, append = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv2 === Set(22L),
+      "batch-2 dups of batch-1 survivors must be dropped by the appended state")
+    val stateIds2 = spark.read.parquet(statePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stateIds2 === Set(1L, 2L, 10L, 11L, 22L))
+  }
+
+  test("multimodal decode extracts true dimensions from real JPEG payloads") {
+    import spark.implicits._
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    // through the real typed pipeline, like the PNG test
+    val rows = Seq(
+      graft.queries.MmRow(1L, jpeg(41, 29), "en"),
+      graft.queries.MmRow(2L, jpeg(1280, 720), "en"))
+    val feats = rows.toDS().mapPartitions(_.map(graft.queries.Text.decodeFeatures))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height, feats(1L).frames) === ((41, 29, 1)))
+    assert((feats(2L).width, feats(2L).height, feats(2L).frames) === ((1280, 720, 1)))
+    // hand-built stream: APP0 hop + PROGRESSIVE frame header (SOF2, which
+    // ImageIO never writes) with big-endian dims 0x0102 x 0x0304, plus a
+    // fill byte before the SOF marker
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val sof2 = b(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4 (2 payload bytes)
+      0xff,                               // fill byte
+      0xff, 0xc2, 0x00, 0x0b, 0x08,       // SOF2, len 11, precision 8
+      0x03, 0x04, /* height 0x0304 */ 0x01, 0x02, /* width 0x0102 */
+      0x01, 0x11, 0x00, 0x00)
+    assert(graft.queries.Text.jpegDims(sof2) === Some((0x0102, 0x0304)))
+    // DHT (0xC4) is in the SOF numeric range but is NOT a frame header —
+    // its payload must be hopped, not misread as dimensions
+    val dhtFirst = b(0xff, 0xd8,
+      0xff, 0xc4, 0x00, 0x04, 0x00, 0x00, // DHT, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x10, 0x00, 0x20, 0x01, 0x11, 0x00, 0x00)
+    assert(graft.queries.Text.jpegDims(dhtFirst) === Some((0x20, 0x10)))
+    // hostile shapes fall back rather than misparse
+    assert(graft.queries.Text.jpegDims("not a jpeg".getBytes) === None)
+    assert(graft.queries.Text.jpegDims(b(0xff, 0xd8, 0xff, 0xda, 0, 4, 0, 0)) === None) // SOS before SOF
+    assert(graft.queries.Text.jpegDims(b(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x01)) === None) // undersized len
+    assert(graft.queries.Text.jpegDims(b(0xff, 0xd8, 0x00, 0xc0, 0, 11, 8, 0, 1, 0, 1, 1, 0x11, 0, 0)) === None) // desynced marker
+    val zeroH = b(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      0x00, 0x00, /* height 0 = DNL-deferred */ 0x00, 0x20, 0x01, 0x11, 0x00, 0x00)
+    assert(graft.queries.Text.jpegDims(zeroH) === None)
+  }
+
   // ---- sketch aggregates, tolerance-gated against their exact twins.
   // These queries are rows-only in the oracle gate (sketch algorithms
   // differ across engines); the asserts below pin them to the published
