@@ -467,23 +467,54 @@ object Text {
   /** Random-hyperplane LSH candidate pairs — vectors hash to sign-pattern
     * buckets; pairs form per bucket (shuffle on bucket id), no crossJoin.
     * Deterministic pseudo-random planes from integer arithmetic (no RNG),
-    * so the DuckDB oracle replays the bucketing bit-for-bit. */
+    * so the DuckDB oracle replays the bucketing bit-for-bit.
+    *
+    * MULTI-TABLE (r11): `lshTables` independent 8-plane hash tables, a
+    * pair is a candidate if it collides in ANY table (Indyk–Motwani LSH;
+    * Charikar STOC'02 for the hyperplane family). One table's collision
+    * probability for angle θ is (1−θ/π)^8 — ~1–5% for the
+    * near-orthogonal pairs of an unclustered corpus, which the r11
+    * recall@5 gate made visible (0.039 measured single-table); L tables
+    * lift it to 1−(1−p)^L ≈ L·p at small p, the standard
+    * recall-vs-candidate-volume dial. Plane index pi = table·8 + plane
+    * keeps table 0 identical to the r10 planes. Scale shape: vectors
+    * explode to L bucket rows (bucket id = table·256 + sign bits, so
+    * tables never cross-collide), the per-bucket self-join and hot-bucket
+    * cap apply per table, and cross-table duplicate candidates collapse
+    * by DISTINCT on the (id, id, cos) row — cos is the same IEEE
+    * expression over the same operands in every table, so the distinct
+    * is exact. */
+  private[graft] val lshTables = 4
   private def lshCandidatePairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    def planeW(p: Int): Column = typedLit(
-      (0 until 64).map(d => ((p.toLong * 73856093 + d.toLong * 19349663) % 2000).toDouble / 1000.0 - 1.0))
-    def dotW(p: Int): Column = call_function("dot_product", col("v"), planeW(p))
-    val sig = (0 until 8).map(p => when(dotW(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _)
-    val bucketed = capBuckets(emb.withColumn("bucket", sig), maxBucket, Seq("bucket"))
+    def planeW(pi: Int): Column = typedLit(
+      (0 until 64).map(d => ((pi.toLong * 73856093 + d.toLong * 19349663) % 2000).toDouble / 1000.0 - 1.0))
+    def dotW(pi: Int): Column = call_function("dot_product", col("v"), planeW(pi))
+    def sig(t: Int): Column = (0 until 8)
+      .map(p => when(dotW(t * 8 + p) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _) + lit(t * 256)
+    // One signature pass (32 plane dots per vector), persisted: the
+    // bucket self-join's two sides AND capBuckets' hot-bucket count
+    // would otherwise each recompute the scan + dots (3× total) — the
+    // same materialize-once barrier minhashDupPairs uses for `sets`.
+    val sigs = emb
+      .withColumn("buckets", array((0 until lshTables).map(sig): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // eager, same cache-race rationale as llmMinhashLsh
+    val bucketed = capBuckets(
+      sigs.select(col("vec_id"), col("v"), col("nrm"),
+        explode(col("buckets")).as("bucket")),
+      maxBucket, Seq("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("bucket"), col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"),
         dround(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
+      .distinct()
       .filter(col("cos") > 0.3)
   }
 
@@ -491,7 +522,7 @@ object Text {
     * the brute-force `llm_cosine_topk` baseline). Oracle-checked: DuckDB
     * recomputes planes, buckets, and cosines. */
   val llmAnnLsh: Q = (s, dir) =>
-    lshCandidatePairs(s, dir).orderBy("bucket", "id_a", "id_b")
+    lshCandidatePairs(s, dir).orderBy("id_a", "id_b")
 
   /** Embedding-cosine near-dedup (brief §dedup): LSH candidates collapse
     * to a keeper/duplicate mapping — every vector with a lower-id
@@ -1479,21 +1510,23 @@ object Text {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB twin of `lshCandidatePairs`: same integer-arithmetic planes,
-    * same sign-pattern buckets, same rounded-then-thresholded cosines. */
+    * same per-table sign-pattern buckets (plane index = table·8 + plane,
+    * bucket id = table·256 + bits), same cross-table DISTINCT, same
+    * rounded-then-thresholded cosines. */
   private val lshPairsSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |sig0 AS (
-      |  SELECT vec_id, v,
-      |    (SELECT CAST(SUM(CASE WHEN list_inner_product(e2.v,
-      |        list_transform(range(0,64), d -> ((p*73856093 + d*19349663) % 2000)/1000.0 - 1.0)) > 0
-      |        THEN 1<<p ELSE 0 END) AS INT)
-      |     FROM range(0,8) t(p)) AS bucket
-      |  FROM e e2),
+      |  SELECT vec_id, v, unnest(list_transform(range(0,$lshTables), t ->
+      |    CAST(t*256 + list_sum(list_transform(range(0,8), p ->
+      |      CASE WHEN list_inner_product(v, list_transform(range(0,64),
+      |        d -> (((t*8+p)*73856093 + d*19349663) % 2000)/1000.0 - 1.0)) > 0
+      |      THEN 1<<p ELSE 0 END)) AS INT))) AS bucket
+      |  FROM e),
       |hot AS (SELECT bucket FROM sig0 GROUP BY bucket HAVING COUNT(*) > $maxBucket),
       |sig AS (SELECT * FROM sig0 s WHERE NOT EXISTS (
       |  SELECT 1 FROM hot h WHERE h.bucket = s.bucket)),
       |pairs0 AS (
-      |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
       |    CAST(FLOOR((list_inner_product(a.v, b.v) /
       |      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS cos
       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -1639,7 +1672,7 @@ object Text {
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')) AS scrub_hash
         |FROM p ORDER BY doc_id""".stripMargin,
-    "llm_ann_lsh" -> s"$lshPairsSql\nSELECT bucket, id_a, id_b, cos FROM pairs ORDER BY bucket, id_a, id_b",
+    "llm_ann_lsh" -> s"$lshPairsSql\nSELECT id_a, id_b, cos FROM pairs ORDER BY id_a, id_b",
     "llm_ann_ivf" -> annIvfSql,
     "llm_embed_neardup" ->
       s"""$lshPairsSql

@@ -14,18 +14,25 @@ import java.nio.file.Files
   * `llm_ann_ivf`), not unit shims.
   *
   * Geometry (64-dim unit basis e0..e63, all arithmetic deterministic):
-  *  - queries (ids 0–19): e0 + 0.01·i·e5 — e0-dominant. id 0 is also the
+  *  - queries (ids 0–19): e0 + 0.001·i·e5 — e0-dominant. id 0 is also the
   *    every-50th centroid for the e0 region.
   *  - decoy centroids (ids 50,100,…,1200): distinct basis dims e7,e8,… —
   *    each anchors its own (near-empty) cell.
   *  - boilerplate cluster (1,100 ids in 20..1250, none ≡0 mod 50):
-  *    e0 + 0.001·(i mod 97)·e1 — every one assigns to centroid 0's cell
-  *    and hashes to the all-negative LSH bucket, together with the
-  *    queries (1,120 members > cap).
+  *    e0 + 0.0001·(i mod 97)·e1 — every one assigns to centroid 0's cell
+  *    and hashes to the cluster's sign bucket IN EVERY LSH TABLE,
+  *    together with the queries (1,120 members > cap per table).
   *  - healthy cluster (ids 1251–1280): e7 + 0.001·(i mod 7)·e8 — all in
-  *    centroid 50's cell (30 members, under cap) and one healthy bucket.
-  * Dominant components exceed every plane-weight perturbation term, so
-  * bucket signs and argmax cells are strict — no tie-break flake.
+  *    centroid 50's cell (30 members, under cap) and one healthy bucket
+  *    per table.
+  * Sign stability across ALL 32 multi-table planes is by construction:
+  * plane weight at dim d is ((93·pi + 1663·d) mod 2000)/1000 − 1, whose
+  * dim-0 magnitude has minimum 0.023 over pi ∈ 0..31 (at pi = 11), so
+  * perturbation terms are kept below it (queries ≤ 0.019·|w(pi,5)|,
+  * cluster ≤ 0.0096·|w(pi,1)|, healthy ≤ 0.006·|w(pi,8)| vs min
+  * |w(pi,7)| > 0.006) — bucket signs and argmax cells are strict, no
+  * tie-break flake, and a same-table bucket collision between different
+  * basis directions is harmless (cos ≈ 0 < the 0.3 candidate cut).
   */
 class AnnScaleProbeSpec extends SparkSpec {
 
@@ -46,12 +53,12 @@ class AnnScaleProbeSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_ann_probe").toFile.getAbsolutePath
     import spark.implicits._
     val queries = queryIds.map(i =>
-      (i, plus(unit(0), unit(5, 0.01f * i)).toSeq, 0))
+      (i, plus(unit(0), unit(5, 0.001f * i)).toSeq, 0))
     val decoys = decoyCentroidIds.zipWithIndex.map { case (id, k) =>
       (id, unit(7 + k).toSeq, 1)
     }
     val cluster = clusterIds.map(i =>
-      (i, plus(unit(0), unit(1, 0.001f * (i % 97))).toSeq, 2))
+      (i, plus(unit(0), unit(1, 0.0001f * (i % 97))).toSeq, 2))
     val healthy = healthyIds.map(i =>
       (i, plus(unit(7), unit(8, 0.001f * (i % 7))).toSeq, 3))
     (queries ++ decoys ++ cluster ++ healthy).toSeq

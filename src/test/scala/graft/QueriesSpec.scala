@@ -161,15 +161,15 @@ class QueriesSpec extends SparkSpec {
       .filter { case (a, b) => a < 20 && b >= 20 }
       .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
     val lshRecall = recallOf(lshTruth, lsh)
-    // Measured on sf0.001: ivf 0.340, lsh 0.039. The LSH number is the
-    // single-table 8-plane collision rate for near-orthogonal random
-    // pairs ((1 − θ/π)^8 ≈ 0.01–0.05 at θ ≈ 75–80°) — the classic
-    // argument for multi-table LSH on unclustered data, and exactly the
-    // kind of quantity this gate exists to keep visible.
+    // Measured on sf0.001: ivf 0.340; lsh 0.039 single-table in r10's
+    // shape, lifted to 0.193 by r11's 4-table LSH — one table's
+    // collision rate for a near-orthogonal random pair is (1 − θ/π)^8 ≈
+    // 0.01–0.05 at θ ≈ 75–80°, and L tables give 1 − (1−p)^L ≈ L·p,
+    // which is what this gate made visible and then confirmed.
     info(f"recall@5 ivf=$ivfRecall%.3f lsh(cos>0.3)=$lshRecall%.3f" +
       f" (lsh denominator: ${lshTruth.size} queries)")
     assert(ivfRecall >= 0.30, f"IVF recall@5 collapsed: $ivfRecall%.3f")
-    assert(lshRecall >= 0.03, f"LSH candidate recall collapsed: $lshRecall%.3f")
+    assert(lshRecall >= 0.15, f"LSH candidate recall collapsed: $lshRecall%.3f")
   }
 
   test("sharded export derives shard count from input volume") {
