@@ -201,10 +201,18 @@ object Text {
     * drops and compare the kept-bucket membership engine-vs-engine — a
     * Spark/DuckDB divergence in over-cap drop semantics cannot pass
     * silently. */
-  val llmLshCapped: Q = (s, dir) =>
-    capBuckets(bucketsOf(signaturesOf(Tables.t(s, dir, "documents"))), 2)
+  val llmLshCapped: Q = (s, dir) => {
+    // Persist the id-only bucket rows: capBuckets' hot-bucket count and
+    // its anti-join probe side would otherwise EACH recompute the full
+    // signature projection (md5 word hashes + shingles + 12 minhashes)
+    // — measured 2.7 s at sf0.1 un-persisted, ~1.3 s with the barrier.
+    val b = bucketsOf(signaturesOf(Tables.t(s, dir, "documents")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    b.count() // eager, same cache-race rationale as llmMinhashLsh
+    capBuckets(b, 2)
       .select(col("band"), col("sig"), col("doc_id"))
       .orderBy("band", "sig", "doc_id")
+  }
 
   /** Near-dup CLUSTERING: connected components over the verified LSH edge
     * list, so each group of mutual near-dups collapses to one canonical
@@ -390,10 +398,18 @@ object Text {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("sig"))
     }
-    val buckets = capBuckets(sim
+    // Persist the banded fingerprint rows: the un-persisted plan
+    // recomputed the word-explode + 24-vote aggregation behind
+    // simhashDf once for capBuckets' hot count and once per self-join
+    // side (~4× total; measured 1.1 s at sf0.1, ~0.6 s with the
+    // barrier). 24-byte rows — cheap to cache, same shape as
+    // llmMinhashLsh's `sets`.
+    val banded = sim
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig")),
-      maxBucket)
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count() // eager, same cache-race rationale as llmMinhashLsh
+    val buckets = capBuckets(banded, maxBucket)
     buckets.alias("a").join(buckets.alias("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
