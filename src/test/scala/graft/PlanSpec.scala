@@ -263,6 +263,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("llm_ann_ivf hot-cell guard is single-pass (window count, no anti-join)") {
+    // r10's guard re-aggregated the assigned set and broadcast-anti-joined
+    // — a full second pass over the assignment plan (scan + broadcast +
+    // argmax agg + vec_id join), measured as the bulk of a 2.38× drift.
+    // The r11 shape rides a window count over the frame it filters; if a
+    // LeftAnti ever reappears here, the second pass is back.
+    val df = SparkEntry.queries("llm_ann_ivf")(spark, sfDir)
+    val sp = df.queryExecution.sparkPlan
+    assert(!sp.toString.contains("LeftAnti"),
+      "hot-cell guard regressed to the two-pass broadcast anti-join shape")
+    val wins = sp.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.exists(_.partitionSpec.exists(_.toString.contains("cell"))),
+      "expected the cell-partitioned count window guard")
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
