@@ -398,18 +398,20 @@ object Text {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("sig"))
     }
-    // Persist the banded fingerprint rows: the un-persisted plan
-    // recomputed the word-explode + 24-vote aggregation behind
-    // simhashDf once for capBuckets' hot count and once per self-join
-    // side (~4× total; measured 1.1 s at sf0.1, ~0.6 s with the
-    // barrier). 24-byte rows — cheap to cache, same shape as
-    // llmMinhashLsh's `sets`.
-    val banded = sim
+    // NO persist barrier here, deliberately (r11, measured): the banded
+    // frame sits above simhashDf's groupBy SHUFFLE, and ReuseExchange
+    // already dedups the identical shuffle subtree across all three
+    // consumers (capBuckets' hot count + both self-join sides), so the
+    // work runs once without a cache. A persist+eager-count variant
+    // benched 1.32-1.48 s vs 1.04 s without (7-repeat micro protocol) —
+    // the extra materialization job only added cost. Contrast
+    // llmLshCapped / lshCandidatePairs, whose signature pipelines are
+    // pure PROJECTIONS: no exchange to reuse there, so their persist
+    // barriers are real (measured) wins.
+    val buckets = capBuckets(sim
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.count() // eager, same cache-race rationale as llmMinhashLsh
-    val buckets = capBuckets(banded, maxBucket)
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.sig").as("sig")),
+      maxBucket)
     buckets.alias("a").join(buckets.alias("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
