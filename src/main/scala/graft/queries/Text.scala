@@ -1352,6 +1352,53 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus statistics + the source-level keep/drop decision —
+    * the aggregation C4-style pipelines run before any per-document work
+    * (Raffel et al. 2020 arXiv:1910.10683 filters at page AND source
+    * level; Penedo et al. 2023 arXiv:2306.01116 (RefinedWeb) makes
+    * URL/domain-level filtering the FIRST stage; Dolma ships per-source
+    * composition tables). Per source: doc/language/token counts, mean
+    * quality (same composite as [[llmQualityScore]], so the per-doc and
+    * per-source filters share one definition), and the duplicate rate —
+    * docs whose content hash repeats ANYWHERE in the corpus, attributed
+    * to each source that carries them. A source past 50% duplicates is
+    * dropped wholesale (`keep = false`), the domain-blocklist decision.
+    *
+    * Scale shape: the dup flag is a window count partitioned by content
+    * hash — the SAME hash-partitioned shuffle exact dedup pays, no
+    * per-pair work — followed by a two-phase aggregation on `source`
+    * (thousands of groups at 100 TB; the final agg is tiny). Mean
+    * quality goes through the dsum/davg quantization so DuckDB replays
+    * the division bit-for-bit. */
+  val llmSourceStats: Q = (s, dir) =>
+    sourceStatsOf(Tables.t(s, dir, "documents"))
+
+  /** Core of [[llmSourceStats]] over an injectable (source, lang, text)
+    * frame — fixture docs carry no exact duplicates, so the positive
+    * dup-rate path is probed with a synthetic corpus in ScalaTest. */
+  private[graft] def sourceStatsOf(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val quality = least(size(ws) / lit(100.0), lit(1.0)) * 0.5 +
+      (lit(1.0) - size(filter(ws, w => w.isin(stopEn: _*))) * lit(1.0) / size(ws)) * 0.5
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("text"), 256))
+    docs
+      .select(col("source"), col("lang"),
+        size(ws).as("n_toks"), quality.as("q"),
+        (count(lit(1)).over(hw) > 1).cast("long").as("is_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        davg(col("q"), 6).as("avg_quality"),
+        sum(col("is_dup")).as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("n_tokens"),
+        col("avg_quality"), col("dup_docs"),
+        dround(col("dup_docs") * lit(1.0) / col("n_docs"), 6).as("dup_frac"),
+        (col("dup_docs") * lit(1.0) / col("n_docs") <= 0.5).as("keep"))
+      .orderBy("source")
+  }
+
   val llmDupChunks: Q = (s, dir) =>
     dupChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
@@ -1385,7 +1432,8 @@ object Text {
     "llm_domain_mix" -> llmDomainMix,
     "llm_pii_scrub" -> llmPiiScrub,
     "llm_repetition" -> llmRepetition,
-    "llm_dup_chunks" -> llmDupChunks
+    "llm_dup_chunks" -> llmDupChunks,
+    "llm_source_stats" -> llmSourceStats
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1654,6 +1702,26 @@ object Text {
          |  (SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / e.n_chunks > 0.3) AS dup_heavy
          |FROM e JOIN c USING (h)
          |GROUP BY e.doc_id, e.n_chunks ORDER BY doc_id""".stripMargin,
+    "llm_source_stats" -> {
+      val qualityExpr = "least(len(string_split(text, ' '))/100.0, 1.0)*0.5 + " +
+        "(1.0 - len(list_filter(string_split(text, ' '), w -> " +
+        "list_contains(['the','a','and','of','to'], w)))*1.0/len(string_split(text, ' ')))*0.5"
+      s"""WITH q AS (
+         |  SELECT source, lang,
+         |    len(string_split(text, ' ')) AS n_toks,
+         |    $qualityExpr AS q,
+         |    CASE WHEN COUNT(*) OVER (PARTITION BY sha256(text)) > 1
+         |         THEN 1 ELSE 0 END AS is_dup
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  ${oAvg("q", 6)} AS avg_quality,
+         |  CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+         |  ${oRound("SUM(is_dup) * 1.0 / COUNT(*)", 6)} AS dup_frac,
+         |  (SUM(is_dup) * 1.0 / COUNT(*) <= 0.5) AS keep
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
     "llm_domain_mix" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

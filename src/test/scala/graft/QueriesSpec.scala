@@ -348,6 +348,50 @@ class QueriesSpec extends SparkSpec {
     assert(graft.queries.Text.pngDims(zeroW) === None)
   }
 
+  test("source stats partition the corpus and agree with exact dedup") {
+    val rows = SparkEntry.queries("llm_source_stats")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs,
+      "per-source doc counts must partition the corpus")
+    // corpus-wide duplicate mass must equal what exact dedup reports
+    // (every copy beyond the keeper, PLUS the keeper itself — the window
+    // flags all members of a duplicated hash group); fixture docs carry
+    // no exact dups, so this leg is 0 == 0 and the positive path is
+    // probed synthetically below
+    val dupMass = SparkEntry.queries("llm_exact_dedup")(spark, sfDir)
+      .filter(col("copies") > 1)
+      .agg(coalesce(sum(col("copies")), lit(0L))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("dup_docs")).sum === dupMass,
+      "source-attributed dup docs must sum to the corpus dup mass")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_docs") <= r.getAs[Long]("n_docs"))
+      val frac = r.getAs[Long]("dup_docs").toDouble / r.getAs[Long]("n_docs")
+      assert(r.getAs[Boolean]("keep") === (frac <= 0.5))
+    }
+    // synthetic corpus with CROSS-SOURCE duplicates: the template text
+    // lives in spamfarm (3 of 4 docs) and once in blog — all four count
+    // as duplicates, attributed per source; spamfarm crosses the 50%
+    // drop line, blog (1/3 dup) does not
+    import spark.implicits._
+    val syn = Seq(
+      ("spamfarm", "en", "the same template text here"),
+      ("spamfarm", "en", "the same template text here"),
+      ("spamfarm", "de", "the same template text here"),
+      ("spamfarm", "en", "one honest page of real words"),
+      ("blog", "en", "the same template text here"),
+      ("blog", "en", "a unique essay about spark plans"),
+      ("blog", "en", "another unique essay entirely now")
+    ).toDF("source", "lang", "text")
+    val stats = graft.queries.Text.sourceStatsOf(syn)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(stats("spamfarm").getAs[Long]("dup_docs") === 3L)
+    assert(stats("spamfarm").getAs[Boolean]("keep") === false)
+    assert(stats("spamfarm").getAs[Long]("n_langs") === 2L)
+    assert(stats("blog").getAs[Long]("dup_docs") === 1L)
+    assert(stats("blog").getAs[Boolean]("keep") === true)
+  }
+
   test("wordpiece tokenize matches the reference greedy matcher") {
     // unit-pin the reference on hand-computable words first
     //   "the" -> ["the"]; "thing" -> ["th","ing"] (longest-match wins at
