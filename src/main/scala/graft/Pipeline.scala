@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import graft.queries.{MmFeat, MmRow, Text}
+
+/** Public library surface for the training-data pipeline operators, over
+  * CALLER-OWNED DataFrames — the `SparkEntry.queries` registry binds the
+  * same cores to the fixture layout for the oracle gate; this facade is
+  * what an application imports to run them on its own tables.
+  *
+  * Input contracts (column names are positional requirements, extra
+  * columns are ignored unless noted):
+  *  - `docs`: `doc_id: long`, `text: string` — plus `lang` where a
+  *    method says so, `source`/`lang` for [[sourceStats]].
+  *  - All operators are deterministic (no RNG), shuffle-minimal, and
+  *    scale-shaped as documented on their cores in
+  *    [[graft.queries.Text]]: banded/bucketed candidate generation with
+  *    hot-bucket caps, two-phase aggregation, O(log d) star-contraction
+  *    clustering, broadcast-sized state joins.
+  */
+object Pipeline {
+
+  /** Per-doc minhash signature table (12-value signature + exact
+    * shingle-id set) — the persisted state schema of the dedup family.
+    * Docs with fewer than 3 words carry no signature (no 3-shingle
+    * exists) and are absent from the result. */
+  def minhashSignatures(docs: DataFrame): DataFrame = Text.signaturesOf(docs)
+
+  /** Verified near-duplicate pairs (doc_a < doc_b, shingle-Jaccard ≥ 0.5)
+    * via banded MinHash-LSH — candidates only ever form inside
+    * (band, signature) buckets, capped against boilerplate blowup. */
+  def nearDupPairs(docs: DataFrame): DataFrame = Text.minhashDupPairs(docs)
+
+  /** Near-dup clusters: connected components over [[nearDupPairs]] by
+    * alternating large-star/small-star contraction (O(log d) rounds).
+    * Returns (doc_id, cluster_id = component-min doc_id). */
+  def nearDupClusters(docs: DataFrame): DataFrame =
+    Text.connectedComponents(
+      docs.select("doc_id"),
+      Text.minhashDupPairs(docs).select("doc_a", "doc_b"))
+
+  /** Connected components over a caller-supplied undirected edge list
+    * (any two equal-typed id columns); returns (doc_id, cluster_id) for
+    * `nodes` (single id column). */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
+    Text.connectedComponents(nodes, edges)
+
+  /** One production incremental-dedup round: dedup `batch` against the
+    * persisted signature state at `statePath` (exact content-hash layer
+    * + banded near layer), returning survivor ids; `append = true` folds
+    * the survivors' state rows back in so the next batch dedups against
+    * corpus ∪ survivors. Initialize the state with [[writeDedupState]]. */
+  def incrementalDedup(spark: SparkSession, batch: DataFrame,
+      statePath: String, append: Boolean = true): DataFrame =
+    Text.incrementalDedupRound(spark, batch, statePath, append)
+
+  /** Build and write the initial dedup state (signatures + content
+    * hashes) for a corpus. One output file — partition/bucket the write
+    * yourself for TB-scale corpora. */
+  def writeDedupState(corpus: DataFrame, statePath: String): Unit =
+    Text.dedupStateOf(corpus).coalesce(1)
+      .write.mode("overwrite").parquet(statePath)
+
+  /** Benchmark decontamination: per corpus doc, shared-4-gram count and
+    * ratio against the eval partition selected by `isEval(doc_id)`.
+    * The eval gram set broadcasts; the corpus side never shuffles. */
+  def contamination(docs: DataFrame, isEval: Column => Column): DataFrame =
+    Text.contaminationOf(docs, isEval)
+
+  /** Gopher-rule intra-doc repetition ratios (duplicate-word fraction,
+    * top-bigram mass) with the 0.20 flag. */
+  def repetition(docs: DataFrame): DataFrame = Text.repetitionOf(docs)
+
+  /** MassiveText/Dolma duplicate-chunk fractions: share of each doc's
+    * 20-word chunks that occur in at least one other doc. */
+  def dupChunks(docs: DataFrame): DataFrame = Text.dupChunksOf(docs)
+
+  /** C4/RefinedWeb-style per-source corpus statistics and the
+    * source-level keep/drop decision. Needs `source`, `lang`, `text`. */
+  def sourceStats(docs: DataFrame): DataFrame = Text.sourceStatsOf(docs)
+
+  /** Greedy longest-match wordpiece token count for one word — the exact
+    * matcher behind the `llm_tokenize` query (set-backed, JVM-side; use
+    * inside typed maps over partition iterators). */
+  def wordpieceTokenCount(word: String): Int = Text.wpTokenCountRef(word)
+
+  /** Batched multimodal feature extraction over typed payload rows:
+    * real PNG/JPEG header decode, deterministic stub for other media —
+    * iterator→iterator per partition, partitioning preserved. */
+  def multimodalFeatures(rows: Dataset[MmRow]): Dataset[MmFeat] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions(_.map(Text.decodeFeatures))
+  }
+}

@@ -89,7 +89,7 @@ object Text {
     * shuffle-free (the r3 shape exploded to word rows and paid a full
     * shuffle+sort through WindowExec plus a collect_set aggregation —
     * measurably the suite's hottest path on slow-shuffle-disk hosts). */
-  private def signaturesOf(docs: DataFrame): DataFrame = {
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
     val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("sh"), sid => (lit(a) * sid + lit(b)) % lit(P))).as(s"mh$i")
     }
@@ -162,12 +162,12 @@ object Text {
     * bucket self-join and the candidate-verification joins. */
   /** Verified near-dup pairs (doc_a < doc_b, shingle-Jaccard ≥ 0.5) — the
     * edge list shared by `llm_minhash_lsh` and the cluster builder. */
-  private def minhashDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashDupPairs(docs: DataFrame): DataFrame = {
     // One row per doc: signature + sid set. Feeds three consumers (buckets
     // + both sides of the verification join); persisted so the corpus scan
     // happens once — the checkpointed intermediate a production dedup
     // pipeline materializes anyway (MEMORY_AND_DISK spills, never OOMs).
-    val sets = signaturesOf(Tables.t(s, dir, "documents"))
+    val sets = signaturesOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sets.count() // eager: downstream stages run concurrently and would
                  // otherwise race to populate the cache, tripling the work
@@ -194,7 +194,7 @@ object Text {
   }
 
   val llmMinhashLsh: Q = (s, dir) =>
-    minhashDupPairs(s, dir).orderBy("doc_a", "doc_b")
+    minhashDupPairs(Tables.t(s, dir, "documents")).orderBy("doc_a", "doc_b")
 
   /** Hot-bucket guard, oracle-compared: the production cap (1000) never
     * trips at fixture scale, so this cap=2 twin exists to force real
@@ -355,7 +355,7 @@ object Text {
   val llmDedupCc: Q = (s, dir) =>
     connectedComponents(
       Tables.t(s, dir, "documents").select("doc_id"),
-      minhashDupPairs(s, dir).select("doc_a", "doc_b"))
+      minhashDupPairs(Tables.t(s, dir, "documents")).select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
   /** `bits`-wide SimHash fingerprints from word-hash bit votes (word

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public library facade works over caller-owned frames — no
+  * fixture-layout coupling. Each method gets one end-to-end check on a
+  * synthetic corpus (the deep semantics are covered by the oracle gate
+  * and the per-core suites; this suite pins the PUBLIC contract). */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val template = (1 to 30).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, template, "en", "web"),
+      (2L, template + " tail", "en", "web"), // near-dup of 1
+      (3L, "an entirely different document about join plans", "en", "blog"),
+      (4L, "yet another unrelated text body here words", "de", "blog"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("nearDupPairs + nearDupClusters collapse the planted near-dup") {
+    val pairs = Pipeline.nearDupPairs(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    val labels = Pipeline.nearDupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("minhashSignatures drop sub-3-word docs, keep the signature schema") {
+    import spark.implicits._
+    val withShort = docs.union(Seq((9L, "too short", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val sigs = Pipeline.minhashSignatures(withShort)
+    assert(sigs.columns.take(2).toSeq === Seq("doc_id", "sh"))
+    assert(sigs.columns.count(_.startsWith("mh")) === 12)
+    assert(!sigs.select("doc_id").collect().map(_.getLong(0)).contains(9L))
+  }
+
+  test("incrementalDedup over a caller state path drops a state dup") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_pipe_state").toFile.getAbsolutePath + "/st"
+    Pipeline.writeDedupState(docs.select("doc_id", "text"), statePath)
+    import spark.implicits._
+    val batch = Seq(
+      (10L, (1 to 30).map(i => s"tok$i").mkString(" ")), // dup of doc 1
+      (11L, "a genuinely brand new batch document body"))
+      .toDF("doc_id", "text")
+    val surv = Pipeline.incrementalDedup(spark, batch, statePath)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv === Set(11L))
+  }
+
+  test("contamination, repetition, dupChunks, sourceStats run on caller frames") {
+    val contam = Pipeline.contamination(docs.select("doc_id", "text"),
+      id => id === 1L).collect()
+    // doc 2 shares the template's 4-grams with eval doc 1
+    assert(contam.exists(r => r.getLong(0) == 2L && r.getLong(1) > 0))
+    val rep = Pipeline.repetition(docs.select("doc_id", "text"))
+    assert(rep.count() === 4)
+    val dc = Pipeline.dupChunks(docs.select("doc_id", "text"))
+    assert(dc.count() === 4)
+    val stats = Pipeline.sourceStats(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(stats("web").getAs[Long]("n_docs") === 2L)
+    assert(stats("blog").getAs[Long]("n_langs") === 2L)
+  }
+
+  test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
+    assert(Pipeline.wordpieceTokenCount("thing") === 2)
+    import spark.implicits._
+    val img = {
+      val b = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", out); out.toByteArray
+    }
+    val feats = Pipeline.multimodalFeatures(
+      Seq(queries.MmRow(1L, img, "en")).toDS()).collect()
+    assert((feats(0).width, feats(0).height) === ((8, 6)))
+  }
+}
