@@ -75,6 +75,12 @@ object Pipeline {
     * 20-word chunks that occur in at least one other doc. */
   def dupChunks(docs: DataFrame): DataFrame = Text.dupChunksOf(docs)
 
+  /** Duplicate-chunk removal (Dolma paragraph dedup): strips every
+    * cross-document duplicate 20-word chunk and reassembles the
+    * survivors in order — returns (doc_id, n_chunks, n_kept,
+    * clean_hash = md5 of the scrubbed text). */
+  def chunkScrub(docs: DataFrame): DataFrame = Text.chunkScrubOf(docs)
+
   /** C4/RefinedWeb-style per-source corpus statistics and the
     * source-level keep/drop decision. Needs `source`, `lang`, `text`. */
   def sourceStats(docs: DataFrame): DataFrame = Text.sourceStatsOf(docs)

@@ -1352,6 +1352,58 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-chunk REMOVAL — the actionable form of [[dupChunksOf]]:
+    * Dolma's paragraph-level dedup (Soldaini et al. 2024
+    * arXiv:2402.00159 §2.2) does not merely flag duplicated paragraphs,
+    * it strips every cross-document duplicate occurrence and keeps the
+    * rest of the doc. Chunks (20-word windows, position-ordered) whose
+    * hash occurs in ≥ 2 DISTINCT docs are dropped from all of them;
+    * the survivors reassemble in order. Intra-doc repeats stay — that
+    * is [[llmRepetition]]'s axis, same split as the flag operator.
+    * Output carries md5(clean_text) + counts so compared rows stay
+    * small (the full text write is [[WritePaths]]' job).
+    *
+    * Scale shape: chunk hashes are per-row array arithmetic; the
+    * cross-doc count is a two-phase agg on the 16-byte hash over
+    * per-doc DISTINCT hashes; the removal re-join ships (doc_id, hash)
+    * pairs; reassembly is one ObjectHashAggregate collect over
+    * (position, chunk) — each group is one document, executor-sized by
+    * construction. */
+  private[graft] def chunkScrubOf(docs: DataFrame): DataFrame = {
+    val W = 20
+    val chunks = transform(
+      sequence(lit(0), floor((size(col("ws")) - 1) / W).cast("int")),
+      i => array_join(slice(col("ws"), i * W + 1, lit(W)), " "))
+    // load-bearing persist — same InferFiltersFromGenerate pushdown
+    // pathology as llmContamination (see the comment there)
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), chunks.as("ch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager, same cache-race rationale as llmNgramJaccard
+    val occurrences = base.select(col("doc_id"),
+      posexplode(col("ch")).as(Seq("idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val docsPerChunk = occurrences.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+    occurrences
+      .join(docsPerChunk, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("n_docs") === 1,
+              struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  val llmChunkScrub: Q = (s, dir) =>
+    chunkScrubOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   /** Per-source corpus statistics + the source-level keep/drop decision —
     * the aggregation C4-style pipelines run before any per-document work
     * (Raffel et al. 2020 arXiv:1910.10683 filters at page AND source
@@ -1433,6 +1485,7 @@ object Text {
     "llm_pii_scrub" -> llmPiiScrub,
     "llm_repetition" -> llmRepetition,
     "llm_dup_chunks" -> llmDupChunks,
+    "llm_chunk_scrub" -> llmChunkScrub,
     "llm_source_stats" -> llmSourceStats
   )
 
@@ -1702,6 +1755,22 @@ object Text {
          |  (SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / e.n_chunks > 0.3) AS dup_heavy
          |FROM e JOIN c USING (h)
          |GROUP BY e.doc_id, e.n_chunks ORDER BY doc_id""".stripMargin,
+    "llm_chunk_scrub" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(((len(ws)-1)//20)+1),
+        |       i -> array_to_string(ws[i*20+1:i*20+20], ' ')) AS ch FROM w),
+        |occ AS (SELECT doc_id, unnest(range(len(ch))) AS idx, ch FROM b),
+        |o2 AS (SELECT doc_id, CAST(idx AS INT) AS idx,
+        |         ch[CAST(idx AS INT)+1] AS chunk FROM occ),
+        |o3 AS (SELECT doc_id, idx, chunk, md5(chunk) AS h FROM o2),
+        |dpc AS (SELECT h, COUNT(*) AS n_docs
+        |        FROM (SELECT DISTINCT doc_id, h FROM o3) t GROUP BY h)
+        |SELECT o3.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN dpc.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN dpc.n_docs = 1 THEN o3.chunk END,
+        |    ' ' ORDER BY o3.idx), '')) AS clean_hash
+        |FROM o3 JOIN dpc USING (h)
+        |GROUP BY o3.doc_id ORDER BY doc_id""".stripMargin,
     "llm_source_stats" -> {
       val qualityExpr = "least(len(string_split(text, ' '))/100.0, 1.0)*0.5 + " +
         "(1.0 - len(list_filter(string_split(text, ' '), w -> " +

@@ -348,6 +348,33 @@ class QueriesSpec extends SparkSpec {
     assert(graft.queries.Text.pngDims(zeroW) === None)
   }
 
+  test("chunk scrub removes cross-doc duplicate chunks and reassembles the rest") {
+    import spark.implicits._
+    // 20-word template block shared by docs 1 and 2, unique tails —
+    // the scrub must drop the template from BOTH and keep the tails in
+    // position order; doc 3 (pure template) scrubs to the empty string
+    val template = (1 to 20).map(i => s"tpl$i").mkString(" ")
+    val tail1 = (1 to 20).map(i => s"aa$i").mkString(" ")
+    val tail2a = (1 to 20).map(i => s"bb$i").mkString(" ")
+    val tail2b = (1 to 20).map(i => s"cc$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$template $tail1"),
+      (2L, s"$tail2a $template $tail2b"),
+      (3L, template))
+      .toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = graft.queries.Text.chunkScrubOf(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_chunks") === 2L)
+    assert(out(1L).getAs[Long]("n_kept") === 1L)
+    assert(out(1L).getAs[String]("clean_hash") === md5hex(tail1))
+    assert(out(2L).getAs[Long]("n_kept") === 2L)
+    assert(out(2L).getAs[String]("clean_hash") === md5hex(s"$tail2a $tail2b"))
+    assert(out(3L).getAs[Long]("n_kept") === 0L)
+    assert(out(3L).getAs[String]("clean_hash") === md5hex(""))
+  }
+
   test("source stats partition the corpus and agree with exact dedup") {
     val rows = SparkEntry.queries("llm_source_stats")(spark, sfDir).collect()
     assert(rows.nonEmpty)
