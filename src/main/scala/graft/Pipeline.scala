@@ -17,8 +17,21 @@ import graft.queries.{MmFeat, MmRow, Text}
   *    [[graft.queries.Text]]: banded/bucketed candidate generation with
   *    hot-bucket caps, two-phase aggregation, O(log d) star-contraction
   *    clustering, broadcast-sized state joins.
+  *
+  * Cache contract: the dedup/contamination/repetition/chunk operators
+  * materialize small id-only intermediates via `persist` (load-bearing
+  * barriers against a filter-pushdown recompute pathology — see
+  * [[graft.queries.Text]]), and nothing unpersists them when your
+  * terminal action completes. Long-lived sessions invoking these in a
+  * loop should call [[releaseCaches]] (or `spark.catalog.clearCache()`)
+  * between invocations, exactly as graft's own Bench/Verify drivers do.
   */
 object Pipeline {
+
+  /** Release the persisted intermediates left by prior operator calls
+    * (everything in this session's CacheManager). Call between loop
+    * iterations in long-lived sessions; see the cache contract above. */
+  def releaseCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
 
   /** Per-doc minhash signature table (12-value signature + exact
     * shingle-id set) — the persisted state schema of the dedup family.

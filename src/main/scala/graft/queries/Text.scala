@@ -664,7 +664,7 @@ object Text {
         srcFile.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
           .sortBy(_.getName).toSeq
       else Seq(srcFile)
-    val schemeVersion = "v3" // v3: sha-256 source fingerprint
+    val schemeVersion = "v4" // v4: hash rows for ALL docs (left-join state)
     // 64-bit sha-256 prefix (not String.hashCode: 32 bits collide too
     // easily to key correctness-bearing state).
     val srcDigest = java.security.MessageDigest.getInstance("SHA-256")
@@ -702,12 +702,18 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** State-table rows for `docs` — minhash signature + sid set + content
-    * hash per doc, the persisted corpus-state schema of the incremental
-    * dedup loop. */
+  /** State-table rows for `docs` — content hash for EVERY doc, minhash
+    * signature + sid set where one exists (docs under 3 words have no
+    * 3-shingle: their signature columns are null and they participate in
+    * the exact layer only). The hash side is a LEFT join base, not an
+    * inner join — an inner join silently dropped short docs from the
+    * state, so an exact byte-for-byte copy of a short doc was never
+    * deduplicated (the DuckDB oracle always hashed every doc; the join
+    * direction here was the divergent side, latent only because the
+    * fixtures carry no short docs). */
   private[graft] def dedupStateOf(docs: DataFrame): DataFrame =
-    signaturesOf(docs)
-      .join(docs.select(col("doc_id"), sha2(col("text"), 256).as("h")), "doc_id")
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(signaturesOf(docs), Seq("doc_id"), "left")
 
   /** One round of the production incremental-dedup loop: dedup `batch`
     * (doc_id, text) against the persisted state at `statePath` (exact
@@ -728,12 +734,19 @@ object Text {
     * plan a read of the very path it appends to. */
   private[graft] def incrementalDedupRound(s: org.apache.spark.sql.SparkSession,
       batch: DataFrame, statePath: String, append: Boolean): DataFrame = {
-    val corpusSets = s.read.parquet(statePath)
+    val corpusAll = s.read.parquet(statePath)
+    // Signature-bearing state rows only for the NEAR layer: short docs
+    // carry null signature columns (see dedupStateOf), and letting them
+    // through would concat_ws null minhashes into a shared "" band
+    // signature — fabricating one giant bucket of all short docs. The
+    // exact layer below uses the UNFILTERED hash column, so short docs
+    // still dedup byte-for-byte.
+    val corpusSets = corpusAll.filter(col("mh0").isNotNull)
     val batchState = dedupStateOf(batch)
     // exact layer: batch docs whose content hash is unseen in the state
     val exactSurvivors = batch
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .join(corpusSets.select(col("h")), Seq("h"), "left_anti")
+      .join(corpusAll.select(col("h")), Seq("h"), "left_anti")
       .select(col("doc_id"))
     // Near layer: the batch streams once through a broadcast join against
     // the state bucket table; the sid set rides along (free under a
@@ -741,6 +754,7 @@ object Text {
     // pass over the batch is needed. Verification happens per candidate
     // row, duplicates collapsed by the final distinct on doc_id alone.
     val nearDups = batchState
+      .filter(col("mh0").isNotNull)
       .select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.sig").as("sig"))
       .join(bucketsOf(corpusSets).withColumnRenamed("doc_id", "corpus_id"),
@@ -793,6 +807,28 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** The composite quality score, ONE definition for every consumer —
+    * the per-doc filter ([[llmQualityScore]]), the corpus-select
+    * manifest, and the per-source stats — with [[qualitySql]] as its
+    * DuckDB twin: a weight or stopword change lands everywhere or
+    * nowhere. Two entry points: [[qualityExpr]] over precomputed
+    * (n_words, stop_hits) columns (for plans that materialize those
+    * once across several output columns), [[qualityCol]] over a raw
+    * words-array column. */
+  private def qualityExpr(nWords: Column, stopHits: Column): Column =
+    least(nWords / lit(100.0), lit(1.0)) * 0.5 +
+      (lit(1.0) - stopHits * lit(1.0) / nWords) * 0.5
+  private def qualityCol(ws: Column): Column =
+    qualityExpr(size(ws), size(filter(ws, w => w.isin(stopEn: _*))))
+
+  /** DuckDB twin of [[qualityCol]] over a text column reference. */
+  private def qualitySql(textRef: String): String = {
+    val wsE = s"string_split($textRef, ' ')"
+    val stop = stopEn.map("'" + _ + "'").mkString("[", ",", "]")
+    s"least(len($wsE) / 100.0, 1.0) * 0.5 + " +
+      s"(1.0 - len(list_filter($wsE, w -> list_contains($stop, w))) * 1.0 / len($wsE)) * 0.5"
+  }
+
   /** Quality scoring: length/word/stopword/char-class ratios + composite.
     * The split-words array and the stopword filter are materialized ONCE
     * in their own projection steps (non-cheap aliases, so CollapseProject
@@ -809,9 +845,7 @@ object Text {
         dround(col("n_chars").cast("double") / col("n_words"), 6).as("avg_word_len"),
         dround(col("stop_hits") * lit(1.0) / col("n_words"), 6).as("stop_ratio"),
         regexp_count(col("text"), lit("[aeiou]")).cast("int").as("vowels"),
-        dround(
-          least(col("n_words") / lit(100.0), lit(1.0)) * 0.5 +
-            (lit(1.0) - col("stop_hits") * lit(1.0) / col("n_words")) * 0.5, 6).as("quality"))
+        dround(qualityExpr(col("n_words"), col("stop_hits")), 6).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -828,9 +862,7 @@ object Text {
       .select("doc_id")
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("int") % 100
-    val ws = split(col("text"), " ")
-    val quality = least(size(ws) / lit(100.0), lit(1.0)) * 0.5 +
-      (lit(1.0) - size(filter(ws, w => w.isin(stopEn: _*))) * lit(1.0) / size(ws)) * 0.5
+    val quality = qualityCol(split(col("text"), " "))
     d.join(keepers, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), bucket.as("bucket"),
         dround(quality, 6).as("quality"))
@@ -957,12 +989,21 @@ object Text {
   private[graft] val wpSet3 = wpVocab3.toSet
   private[graft] val wpSet2 = wpVocab2.toSet
   private[graft] def wpTokenCountRef(w: String): Int = {
+    // Walk Unicode CODEPOINTS, not UTF-16 code units: DuckDB's
+    // length()/substr() are codepoint-based, so a supplementary-plane
+    // character (an emoji) must advance the scan by ONE position in both
+    // engines or wp_tokens diverges the moment a corpus leaves ASCII.
+    // (The vocab is ASCII, so piece strings are codepoint==unit; only
+    // the scan positions needed the fix.)
+    val cps = w.codePoints().toArray
+    val n = cps.length
+    def piece(i: Int, l: Int) = new String(cps, i, l)
     var i = 0; var cnt = 0
-    while (i < w.length) {
+    while (i < n) {
       val step =
-        if (i + 4 <= w.length && wpSet4.contains(w.substring(i, i + 4))) 4
-        else if (i + 3 <= w.length && wpSet3.contains(w.substring(i, i + 3))) 3
-        else if (i + 2 <= w.length && wpSet2.contains(w.substring(i, i + 2))) 2
+        if (i + 4 <= n && wpSet4.contains(piece(i, 4))) 4
+        else if (i + 3 <= n && wpSet3.contains(piece(i, 3))) 3
+        else if (i + 2 <= n && wpSet2.contains(piece(i, 2))) 2
         else 1
       i += step; cnt += 1
     }
@@ -1430,8 +1471,7 @@ object Text {
     * dup-rate path is probed with a synthetic corpus in ScalaTest. */
   private[graft] def sourceStatsOf(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
-    val quality = least(size(ws) / lit(100.0), lit(1.0)) * 0.5 +
-      (lit(1.0) - size(filter(ws, w => w.isin(stopEn: _*))) * lit(1.0) / size(ws)) * 0.5
+    val quality = qualityCol(ws)
     val hw = org.apache.spark.sql.expressions.Window
       .partitionBy(sha2(col("text"), 256))
     docs
@@ -1772,13 +1812,10 @@ object Text {
         |FROM o3 JOIN dpc USING (h)
         |GROUP BY o3.doc_id ORDER BY doc_id""".stripMargin,
     "llm_source_stats" -> {
-      val qualityExpr = "least(len(string_split(text, ' '))/100.0, 1.0)*0.5 + " +
-        "(1.0 - len(list_filter(string_split(text, ' '), w -> " +
-        "list_contains(['the','a','and','of','to'], w)))*1.0/len(string_split(text, ' ')))*0.5"
       s"""WITH q AS (
          |  SELECT source, lang,
          |    len(string_split(text, ' ')) AS n_toks,
-         |    $qualityExpr AS q,
+         |    ${qualitySql("text")} AS q,
          |    CASE WHEN COUNT(*) OVER (PARTITION BY sha256(text)) > 1
          |         THEN 1 ELSE 0 END AS is_dup
          |  FROM documents)
@@ -1864,7 +1901,7 @@ object Text {
          |${oRound("n_chars * 1.0 / len(string_split(text, ' '))", 6)} AS avg_word_len,
          |${oRound("len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to'], w))) * 1.0 / len(string_split(text, ' '))", 6)} AS stop_ratio,
          |CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS vowels,
-         |${oRound("least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5 + (1.0 - len(list_filter(string_split(text, ' '), w -> list_contains(['the','a','and','of','to'], w))) * 1.0 / len(string_split(text, ' '))) * 0.5", 6)} AS quality
+         |${oRound(qualitySql("text"), 6)} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
@@ -1916,7 +1953,7 @@ object Text {
          |sel AS (
          |  SELECT d.doc_id, d.lang,
          |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT % 100 AS INT) AS bucket,
-         |    ${oRound("least(len(string_split(d.text, ' ')) / 100.0, 1.0) * 0.5 + (1.0 - len(list_filter(string_split(d.text, ' '), w -> list_contains(['the','a','and','of','to'], w))) * 1.0 / len(string_split(d.text, ' '))) * 0.5", 6)} AS quality
+         |    ${oRound(qualitySql("d.text"), 6)} AS quality
          |  FROM documents d JOIN keep k USING (doc_id))
          |SELECT doc_id, lang, bucket, quality FROM sel
          |WHERE lang IN ('en', 'de') AND bucket < 95 AND quality >= 0.7

@@ -429,6 +429,11 @@ class QueriesSpec extends SparkSpec {
     assert(graft.queries.Text.wpTokenCountRef("q") === 1)
     assert(graft.queries.Text.wpTokenCountRef("mention") === 2)
     assert(graft.queries.Text.wpTokenCountRef("") === 0)
+    // codepoint semantics: a supplementary-plane char (2 UTF-16 units)
+    // is ONE scan position, matching DuckDB's length()/substr(); a
+    // UTF-16-unit walk would count 😀 as 2 and misalign piece matches
+    assert(graft.queries.Text.wpTokenCountRef("😀") === 1)
+    assert(graft.queries.Text.wpTokenCountRef("th😀e") === 3)
     // then pin the distributed fold against the reference over the REAL
     // fixture corpus — every doc, not a sample
     val docs = Tables.t(spark, sfDir, "documents")
@@ -465,26 +470,35 @@ class QueriesSpec extends SparkSpec {
       2L -> "completely different corpus text about spark shuffles and joins")
     graft.queries.Text.dedupStateOf(corpus)
       .coalesce(1).write.mode("overwrite").parquet(statePath)
-    // round 1: C/D are fresh, X is an exact copy of corpus doc 1
+    // round 1: C/D are fresh, X is an exact copy of corpus doc 1, S is a
+    // SHORT doc (2 words — no 3-shingle, exact-layer-only state row)
     val batch1 = df(
       10L -> wsoup,
       11L -> "a genuinely novel document with its own words entirely",
-      12L -> "the quick brown fox jumps over the lazy dog today")
+      12L -> "the quick brown fox jumps over the lazy dog today",
+      13L -> "hi there")
     val surv1 = graft.queries.Text
       .incrementalDedupRound(spark, batch1, statePath, append = true)
       .collect().map(_.getLong(0)).toSet
-    assert(surv1 === Set(10L, 11L))
-    // the state now carries corpus ∪ round-1 survivors (and NOT the dup)
-    val stateIds = spark.read.parquet(statePath)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(stateIds === Set(1L, 2L, 10L, 11L))
+    assert(surv1 === Set(10L, 11L, 13L))
+    // the state now carries corpus ∪ round-1 survivors (and NOT the dup);
+    // the short doc's row is exact-layer-only (null signature)
+    val state1 = spark.read.parquet(statePath)
+    assert(state1.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 10L, 11L, 13L))
+    assert(state1.filter(col("doc_id") === 13L)
+      .select("mh0").collect()(0).isNullAt(0),
+      "short docs carry a hash-only state row")
     // round 2: F = exact copy of batch-1 survivor 10, E = near-dup of it
     // (same 30 words plus a tail word: shingle Jaccard 28/29 ≈ 0.97),
-    // G fresh — only G may survive
+    // SS = exact copy of the SHORT batch-1 survivor (the case the
+    // pre-r11 inner-join state silently let through), G fresh —
+    // only G may survive
     val batch2 = df(
       20L -> (wsoup + " tail"),
       21L -> wsoup,
-      22L -> "another brand new document closing out the second batch")
+      22L -> "another brand new document closing out the second batch",
+      23L -> "hi there")
     val surv2 = graft.queries.Text
       .incrementalDedupRound(spark, batch2, statePath, append = true)
       .collect().map(_.getLong(0)).toSet
@@ -492,7 +506,7 @@ class QueriesSpec extends SparkSpec {
       "batch-2 dups of batch-1 survivors must be dropped by the appended state")
     val stateIds2 = spark.read.parquet(statePath)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(stateIds2 === Set(1L, 2L, 10L, 11L, 22L))
+    assert(stateIds2 === Set(1L, 2L, 10L, 11L, 13L, 22L))
   }
 
   test("multimodal decode extracts true dimensions from real JPEG payloads") {
