@@ -1366,11 +1366,16 @@ object Text {
     * 20-word window, distinct per doc); the cross-doc count is a
     * two-phase agg on the 16-byte hash, then a hash-keyed join back —
     * only (doc_id, hash) pairs cross the wire. */
+  /** Non-overlapping `w`-word chunk strings over a words-array column
+    * `ws` — ONE chunking definition shared by the duplicate-chunk flag
+    * ([[dupChunksOf]]) and the scrub ([[chunkScrubOf]]), so both
+    * operators always agree on chunk boundaries. */
+  private def chunkCol(w: Int): Column = transform(
+    sequence(lit(0), floor((size(col("ws")) - 1) / w).cast("int")),
+    i => array_join(slice(col("ws"), i * w + 1, lit(w)), " "))
+
   private[graft] def dupChunksOf(docs: DataFrame): DataFrame = {
-    val W = 20
-    val chunks = transform(
-      sequence(lit(0), floor((size(col("ws")) - 1) / W).cast("int")),
-      i => md5(array_join(slice(col("ws"), i * W + 1, lit(W)), " ")))
+    val chunks = transform(chunkCol(20), c => md5(c))
     // load-bearing persist — same InferFiltersFromGenerate pushdown
     // pathology as llmContamination (see the comment there)
     val base = docs
@@ -1411,15 +1416,11 @@ object Text {
     * (position, chunk) — each group is one document, executor-sized by
     * construction. */
   private[graft] def chunkScrubOf(docs: DataFrame): DataFrame = {
-    val W = 20
-    val chunks = transform(
-      sequence(lit(0), floor((size(col("ws")) - 1) / W).cast("int")),
-      i => array_join(slice(col("ws"), i * W + 1, lit(W)), " "))
     // load-bearing persist — same InferFiltersFromGenerate pushdown
     // pathology as llmContamination (see the comment there)
     val base = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), chunks.as("ch"))
+      .select(col("doc_id"), chunkCol(20).as("ch"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // eager, same cache-race rationale as llmNgramJaccard
     val occurrences = base.select(col("doc_id"),

@@ -553,6 +553,31 @@ class QueriesSpec extends SparkSpec {
     assert(graft.queries.Text.jpegDims(zeroH) === None)
   }
 
+  test("image header parsers never throw on arbitrary bytes") {
+    // pngDims/jpegDims parse UNTRUSTED payload bytes inside executors —
+    // any malformed input must return None (or a value), never throw.
+    // Deterministic seed: reproducible, no flake.
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val p = Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+      graft.queries.Text.pngDims(p)
+      graft.queries.Text.jpegDims(p)
+    }
+    // single-byte mutations of REAL files hit the deep parse paths
+    // (valid magic, corrupted structure) that pure-random bytes miss
+    def enc(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out); out.toByteArray
+    }
+    for (fmt <- Seq("png", "jpg"); base = enc(fmt); i <- base.indices.take(200)) {
+      val mutated = base.clone(); mutated(i) = (mutated(i) ^ 0xff).toByte
+      graft.queries.Text.pngDims(mutated)
+      graft.queries.Text.jpegDims(mutated)
+    }
+  }
+
   // ---- sketch aggregates, tolerance-gated against their exact twins.
   // These queries are rows-only in the oracle gate (sketch algorithms
   // differ across engines); the asserts below pin them to the published
