@@ -1495,6 +1495,43 @@ object Text {
   val llmDupChunks: Q = (s, dir) =>
     dupChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
+  /** Capstone #2 — the FULL corpus-hygiene composition, one manifest
+    * query chaining every r10/r11 filter family the way a production
+    * pre-training pipeline does (each stage is the same injectable core
+    * its standalone operator uses, so the composition is proven against
+    * the same oracles): exact-dedup keepers ∧ NOT Gopher-repetitive ∧
+    * NOT eval-contaminated ∧ source keep/drop ∧ language allowlist ∧
+    * quality floor — eval docs themselves excluded from the training
+    * manifest. Extends [[llmCorpusSelect]] (dedup ∧ lang ∧ quality ∧
+    * split), which stays as the minimal composition.
+    *
+    * Scale shape: each stage keeps its own documented shape (per-row
+    * arithmetic + two-phase aggs + broadcast eval/source sides); the
+    * composition adds only id-keyed semi/anti joins and one broadcast
+    * semi join on the tiny source list. Docs under the stages' minimum
+    * word counts drop out via the repetition semi join (< 2 words has
+    * no bigram — not scoreable, not trainable). */
+  val llmCorpusPipeline: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val keepers = d.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val nonRepetitive = repetitionOf(d.select("doc_id", "text"))
+      .filter(!col("repetitive")).select("doc_id")
+    val contaminated = contaminationOf(d.select("doc_id", "text"),
+      id => id % 97 === 0)
+      .filter(col("n_shared") > 0).select("doc_id")
+    val keptSources = sourceStatsOf(d).filter(col("keep")).select("source")
+    d.filter(col("doc_id") % 97 =!= 0)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(nonRepetitive, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(broadcast(keptSources), Seq("source"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"),
+        dround(qualityCol(split(col("text"), " ")), 6).as("quality"))
+      .filter(col("quality") >= 0.5 && col("lang").isin("en", "de"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
@@ -1527,7 +1564,8 @@ object Text {
     "llm_repetition" -> llmRepetition,
     "llm_dup_chunks" -> llmDupChunks,
     "llm_chunk_scrub" -> llmChunkScrub,
-    "llm_source_stats" -> llmSourceStats
+    "llm_source_stats" -> llmSourceStats,
+    "llm_corpus_pipeline" -> llmCorpusPipeline
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1812,6 +1850,44 @@ object Text {
         |    ' ' ORDER BY o3.idx), '')) AS clean_hash
         |FROM o3 JOIN dpc USING (h)
         |GROUP BY o3.doc_id ORDER BY doc_id""".stripMargin,
+    "llm_corpus_pipeline" ->
+      s"""WITH wh AS ($wordHashSql),
+         |rep AS (
+         |  SELECT doc_id, ${hashGramSql(2, distinct = false)} AS bg,
+         |    len(hs) AS n_words
+         |  FROM wh WHERE len(hs) >= 2),
+         |gc AS (SELECT doc_id, g, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest(bg) AS g FROM rep) u GROUP BY doc_id, g),
+         |tc AS (SELECT doc_id, MAX(c) AS top FROM gc GROUP BY doc_id),
+         |nonrep AS (
+         |  SELECT rep.doc_id FROM rep JOIN tc USING (doc_id)
+         |  WHERE NOT (tc.top * 1.0 / (rep.n_words - 1) > 0.20)),
+         |g4 AS (SELECT doc_id, ${hashGramSql(4)} AS g FROM wh WHERE len(hs) >= 4),
+         |eg AS (SELECT DISTINCT unnest(g) AS gm FROM g4 WHERE doc_id % 97 = 0),
+         |contam AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, unnest(g) AS gm FROM g4 WHERE doc_id % 97 != 0) c
+         |  JOIN eg ON c.gm = eg.gm),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |srcq AS (
+         |  SELECT source,
+         |    CASE WHEN COUNT(*) OVER (PARTITION BY sha256(text)) > 1
+         |         THEN 1 ELSE 0 END AS is_dup
+         |  FROM documents),
+         |keptsrc AS (
+         |  SELECT source FROM srcq GROUP BY source
+         |  HAVING SUM(is_dup) * 1.0 / COUNT(*) <= 0.5)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  ${oRound(qualitySql("d.text"), 6)} AS quality
+         |FROM documents d
+         |WHERE d.doc_id % 97 != 0
+         |  AND d.doc_id IN (SELECT doc_id FROM keepers)
+         |  AND d.doc_id IN (SELECT doc_id FROM nonrep)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+         |  AND d.source IN (SELECT source FROM keptsrc)
+         |  AND ${oRound(qualitySql("d.text"), 6)} >= 0.5
+         |  AND d.lang IN ('en', 'de')
+         |ORDER BY d.doc_id""".stripMargin,
     "llm_source_stats" -> {
       s"""WITH q AS (
          |  SELECT source, lang,

@@ -348,6 +348,34 @@ class QueriesSpec extends SparkSpec {
     assert(graft.queries.Text.pngDims(zeroW) === None)
   }
 
+  test("corpus pipeline manifest respects every composed filter") {
+    val kept = SparkEntry.queries("llm_corpus_pipeline")(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.nonEmpty)
+    // no eval docs in the training manifest
+    assert(!kept.exists(_ % 97 == 0))
+    // no contaminated or repetitive docs (re-derived via the same cores
+    // — this checks the composition WIRING; the semantics have their
+    // own oracles)
+    val d = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    val contaminated = graft.queries.Text
+      .contaminationOf(d, id => id % 97 === 0)
+      .filter(col("n_shared") > 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.intersect(contaminated).isEmpty)
+    val repetitive = graft.queries.Text.repetitionOf(d)
+      .filter(col("repetitive"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.intersect(repetitive).isEmpty)
+    // and the pipeline is strictly tighter than the minimal capstone's
+    // shared stages (dedup-keeper ∧ lang) — every kept doc has lang en/de
+    SparkEntry.queries("llm_corpus_pipeline")(spark, sfDir).collect()
+      .foreach { r =>
+        assert(Set("en", "de")(r.getAs[String]("lang")))
+        assert(r.getAs[Double]("quality") >= 0.5)
+      }
+  }
+
   test("chunk scrub removes cross-doc duplicate chunks and reassembles the rest") {
     import spark.implicits._
     // 20-word template block shared by docs 1 and 2, unique tails —
