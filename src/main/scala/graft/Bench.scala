@@ -112,7 +112,7 @@ object Bench {
     "llm_exact_dedup", "llm_minhash_lsh", "llm_simhash_neardup",
     "llm_cosine_topk", "llm_ann_lsh", "llm_ann_ivf", "llm_tokenize",
     "llm_dedup_incremental", "llm_dedup_cc",
-    "llm_contamination", "llm_repetition",
+    "llm_contamination", "llm_repetition", "llm_corpus_pipeline",
     "stream_tumbling", "stream_stateful_sessions",
     "merge_upsert", "sink_partitioned_parquet")
 
