@@ -742,7 +742,6 @@ object Text {
     // exact layer below uses the UNFILTERED hash column, so short docs
     // still dedup byte-for-byte.
     val corpusSets = corpusAll.filter(col("mh0").isNotNull)
-    val batchState = dedupStateOf(batch)
     // exact layer: batch docs whose content hash is unseen in the state
     val exactSurvivors = batch
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
@@ -753,8 +752,17 @@ object Text {
     // broadcast — the batch side never shuffles), so no persist/second
     // pass over the batch is needed. Verification happens per candidate
     // row, duplicates collapsed by the final distinct on doc_id alone.
-    val nearDups = batchState
-      .filter(col("mh0").isNotNull)
+    //
+    // The batch side is signaturesOf DIRECTLY, not dedupStateOf: the
+    // state-row left join belongs only in the append write below.
+    // Exploding band structs above filter(mh0 notNull)-over-the-join let
+    // InferFiltersFromGenerate substitute the inferred not-null filters
+    // through the join into the signature projection — recomputing the
+    // md5/shingle/minhash chain at the scan, the SAME pushdown pathology
+    // as llmContamination's (measured: 46 s at sf0.1 in that shape vs
+    // ~1.1 s in this one; signaturesOf output is signature-bearing by
+    // construction, so the join bought nothing the near layer needed).
+    val nearDups = signaturesOf(batch)
       .select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.sig").as("sig"))
       .join(bucketsOf(corpusSets).withColumnRenamed("doc_id", "corpus_id"),
@@ -770,9 +778,11 @@ object Text {
     else {
       // materialize the id list so the append's write plan no longer
       // references statePath (and the survivor set is decided BEFORE the
-      // state gains this batch's rows)
+      // state gains this batch's rows); the state-row left join runs
+      // only here, in the write job — no explode above it, so the
+      // pushdown pathology documented on the near layer cannot reach it
       val ids = survivors.localCheckpoint()
-      batchState.join(ids, Seq("doc_id"), "left_semi")
+      dedupStateOf(batch).join(ids, Seq("doc_id"), "left_semi")
         .coalesce(1).write.mode("append").parquet(statePath)
       ids
     }

@@ -263,6 +263,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("llm_dedup_incremental keeps the signature chain out of scan filters") {
+    // Third occurrence of the InferFiltersFromGenerate pushdown
+    // pathology (r10: contamination/repetition via missing persist;
+    // r11: exploding band structs above a not-null filter OVER A JOIN
+    // let the inferred filters substitute the md5/shingle/minhash chain
+    // into the scan — 46 s at sf0.1 vs 1.1 s). The healthy plan inlines
+    // md5 exactly twice (batch word-hash + batch content-hash); the
+    // pathological one fans it into filter trees. Bound it.
+    val plan = SparkEntry.queries("llm_dedup_incremental")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val md5s = "md5\\(".r.findAllIn(plan).size
+    assert(md5s <= 4, s"llm_dedup_incremental inlines md5 $md5s times — pushdown blowup is back")
+  }
+
   test("llm_ann_ivf hot-cell guard is single-pass (window count, no anti-join)") {
     // r10's guard re-aggregated the assigned set and broadcast-anti-joined
     // — a full second pass over the assignment plan (scan + broadcast +
