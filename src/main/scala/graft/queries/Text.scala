@@ -865,11 +865,17 @@ object Text {
     * expressions the individual operators use (so the pieces are proven
     * to compose). Keeper set via hash-group min, everything else per-row
     * projections; one semi join, one aggregation. */
-  val llmCorpusSelect: Q = (s, dir) => {
-    val d = Tables.t(s, dir, "documents")
-    val keepers = d.groupBy(sha2(col("text"), 256).as("h"))
+  /** Exact-dedup keeper ids (min doc_id per content hash) — ONE keeper
+    * rule shared by both capstone manifests; [[llmExactDedup]] reports
+    * the same rule with its per-hash copy counts. */
+  private def keeperIdsOf(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
+
+  val llmCorpusSelect: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val keepers = keeperIdsOf(d)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("int") % 100
     val quality = qualityCol(split(col("text"), " "))
@@ -1523,13 +1529,14 @@ object Text {
     * no bigram — not scoreable, not trainable). */
   val llmCorpusPipeline: Q = (s, dir) => {
     val d = Tables.t(s, dir, "documents")
-    val keepers = d.groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val keepers = keeperIdsOf(d)
     val nonRepetitive = repetitionOf(d.select("doc_id", "text"))
       .filter(!col("repetitive")).select("doc_id")
+    // contaminationOf emits only docs with at least one shared gram
+    // (inner join against the eval gram set), so its output IS the
+    // contaminated set — no threshold filter needed
     val contaminated = contaminationOf(d.select("doc_id", "text"),
-      id => id % 97 === 0)
-      .filter(col("n_shared") > 0).select("doc_id")
+      id => id % 97 === 0).select("doc_id")
     val keptSources = sourceStatsOf(d).filter(col("keep")).select("source")
     d.filter(col("doc_id") % 97 =!= 0)
       .join(keepers, Seq("doc_id"), "left_semi")

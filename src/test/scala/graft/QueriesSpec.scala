@@ -349,8 +349,10 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("corpus pipeline manifest respects every composed filter") {
-    val kept = SparkEntry.queries("llm_corpus_pipeline")(spark, sfDir)
-      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // collect ONCE — each construction re-runs the whole multi-stage
+    // pipeline (two persist+count jobs plus the manifest job)
+    val rows = SparkEntry.queries("llm_corpus_pipeline")(spark, sfDir).collect()
+    val kept = rows.map(_.getAs[Long]("doc_id")).toSet
     assert(kept.nonEmpty)
     // no eval docs in the training manifest
     assert(!kept.exists(_ % 97 == 0))
@@ -369,11 +371,10 @@ class QueriesSpec extends SparkSpec {
     assert(kept.intersect(repetitive).isEmpty)
     // and the pipeline is strictly tighter than the minimal capstone's
     // shared stages (dedup-keeper ∧ lang) — every kept doc has lang en/de
-    SparkEntry.queries("llm_corpus_pipeline")(spark, sfDir).collect()
-      .foreach { r =>
-        assert(Set("en", "de")(r.getAs[String]("lang")))
-        assert(r.getAs[Double]("quality") >= 0.5)
-      }
+    rows.foreach { r =>
+      assert(Set("en", "de")(r.getAs[String]("lang")))
+      assert(r.getAs[Double]("quality") >= 0.5)
+    }
   }
 
   test("chunk scrub removes cross-doc duplicate chunks and reassembles the rest") {
