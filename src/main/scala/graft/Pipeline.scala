@@ -74,6 +74,27 @@ object Pipeline {
     Text.dedupStateOf(corpus).coalesce(1)
       .write.mode("overwrite").parquet(statePath)
 
+  /** Streaming twin of [[incrementalDedup]]'s EXACT layer: dedup a
+    * STREAMING frame of (doc_id, text) rows against the persisted state
+    * hashes — a stream-static join (state is broadcast-sized relative to
+    * a batch by the incremental contract), emitting survivors in append
+    * mode as they arrive. The near layer stays a batch pass (band-bucket
+    * candidate generation needs the whole batch); running
+    * exact-streaming + near-batch is the standard split. Stream-static
+    * LEFT ANTI is unsupported in Structured Streaming, so this is a
+    * left-outer join + null filter — same result, supported shape. */
+  def incrementalDedupExactStream(spark: SparkSession, batch: DataFrame,
+      statePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stateHashes = spark.read.parquet(statePath)
+      .select(col("h").as("state_h")).distinct()
+    batch
+      .withColumn("h", sha2(col("text"), 256))
+      .join(stateHashes, col("h") === col("state_h"), "left")
+      .filter(col("state_h").isNull)
+      .drop("state_h", "h")
+  }
+
   /** Benchmark decontamination: per corpus doc, shared-4-gram count and
     * ratio against the eval partition selected by `isEval(doc_id)`.
     * The eval gram set broadcasts; the corpus side never shuffles. */

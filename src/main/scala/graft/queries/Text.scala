@@ -997,6 +997,13 @@ object Text {
     "th", "er", "on", "an", "re", "he", "in", "ed", "nd", "ha", "at", "en",
     "es", "of", "or", "nt", "ea", "ti", "to", "it", "st", "io", "le", "is",
     "ou", "ar", "as", "de", "rt", "ve")
+  // The no-bounds-check greedy scan is SOUND ONLY IF every piece has its
+  // list's exact length (a clamped end-of-word substring then can never
+  // equal a member). A misplaced piece would silently desynchronize the
+  // Spark scan from the DuckDB fold — fail fast at class load instead.
+  for ((vs, l) <- Seq((wpVocab4, 4), (wpVocab3, 3), (wpVocab2, 2)); v <- vs)
+    require(v.length == l && v.codePointCount(0, v.length) == l,
+      s"wpVocab$l piece '$v' must be exactly $l codepoints")
 
   /** Greedy longest-match token count of one word ([[wpVocab4]]/3/2 +
     * 1-char fallback) — the matcher the query's typed map runs per word,

@@ -190,4 +190,34 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows.length == batch.length)
     assert(finalRows.map(_.toString).sameElements(batch.map(_.toString)))
   }
+
+  test("streaming incremental dedup (exact layer) == batch exact layer") {
+    // The persisted dedup state is STATIC; new docs arrive as a stream.
+    // Pipeline.incrementalDedupExactStream must emit exactly the docs
+    // the batch exact layer would keep (stream-static left join + null
+    // filter standing in for the unsupported stream-static anti join).
+    val statePath = Files.createTempDirectory("graft_sdedup").toString + "/state"
+    val d = Tables.t(spark, sfDir, "documents")
+    Pipeline.writeDedupState(
+      d.filter(col("doc_id") < 25).select("doc_id", "text"), statePath)
+    val streamDir = Files.createTempDirectory("graft_sdedup_in").toString
+    d.filter(col("doc_id") >= 25).select("doc_id", "text")
+      .write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val q = Pipeline.incrementalDedupExactStream(spark, stream, statePath)
+      .writeStream.format("memory").queryName("dedup_exact_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_exact_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchExact = d.filter(col("doc_id") >= 25)
+      .withColumn("h", sha2(col("text"), 256))
+      .join(spark.read.parquet(statePath).select("h"), Seq("h"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batchExact)
+  }
 }
