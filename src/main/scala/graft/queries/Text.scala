@@ -632,6 +632,41 @@ object Text {
       .orderBy("q_id", "rnk")
   }
 
+  /** Per-vector int8 quantization + reconstruction-error statistics —
+    * the storage-compression step a 100 TB embedding pipeline runs
+    * before writing vectors (4 bytes/dim → 1; scalar min/max
+    * quantization, the baseline scheme in FAISS/vector-DB storage).
+    * code(x) = floor((x−mn)/scale + 0.5) − 128 with scale =
+    * (mx−mn)/255; the error column reports per-vector max/mean
+    * |x − dequant(code(x))|, which the spec pins against the scheme's
+    * analytic bound (max_err ≤ scale/2). Constant vectors (mx = mn)
+    * quantize to code 0 with zero error.
+    *
+    * Scale shape: pure per-row array arithmetic, shuffle-free; every
+    * step is deterministic IEEE arithmetic evaluated in the same order
+    * in DuckDB, so the oracle replays codes and errors bit-for-bit. */
+  val llmEmbedQuantize: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    val scale = (col("mx") - col("mn")) / lit(255.0)
+    // err_i = |x − mn − floor((x−mn)/scale + 0.5)·scale| (dequant folded
+    // in — the −128/+128 code offset cancels, so no zip is needed)
+    val errs = transform(col("v"), x =>
+      when(col("mx") === col("mn"), lit(0.0))
+        .otherwise(abs(x - col("mn") -
+          floor((x - col("mn")) / scale + 0.5) * scale)))
+    emb.withColumn("e", errs)
+      .select(col("vec_id"),
+        size(col("v")).as("n_dims"),
+        dround(col("mn"), 6).as("mn"),
+        dround(col("mx"), 6).as("mx"),
+        dround(array_max(col("e")), 6).as("max_err"),
+        dround(aggregate(col("e"), lit(0.0), _ + _) / size(col("e")), 6).as("mean_err"))
+      .orderBy("vec_id")
+  }
+
   /** Incremental dedup — the production shape: a NEW batch (doc_id ≥ 250)
     * dedups against an EXISTING corpus (doc_id < 250), not against itself.
     * Exact layer: anti-join on content hash. Near layer: minhash band
@@ -1567,6 +1602,7 @@ object Text {
     "llm_simhash_neardup" -> llmSimhashNeardup,
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_cosine_topk" -> llmCosineTopk,
+    "llm_embed_quantize" -> llmEmbedQuantize,
     "llm_ann_lsh" -> llmAnnLsh,
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_ann_ivf" -> llmAnnIvf,
@@ -1971,6 +2007,19 @@ object Text {
       s"""$lshPairsSql
          |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
          |FROM pairs GROUP BY id_b ORDER BY dup_id""".stripMargin,
+    "llm_embed_quantize" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+         |er AS (SELECT vec_id, v, mn, mx,
+         |  list_transform(v, x -> CASE WHEN mx = mn THEN 0.0
+         |    ELSE abs(x - mn - floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+         |             * ((mx - mn) / 255.0)) END) AS err
+         |  FROM m)
+         |SELECT vec_id, CAST(len(v) AS INT) AS n_dims,
+         |  ${oRound("mn", 6)} AS mn, ${oRound("mx", 6)} AS mx,
+         |  ${oRound("list_max(err)", 6)} AS max_err,
+         |  ${oRound("list_reduce(list_prepend(0.0::DOUBLE, err), (a, b) -> a + b) / len(err)", 6)} AS mean_err
+         |FROM er ORDER BY vec_id""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sims AS (

@@ -348,6 +348,22 @@ class QueriesSpec extends SparkSpec {
     assert(graft.queries.Text.pngDims(zeroW) === None)
   }
 
+  test("embed quantization error stays inside the analytic bound") {
+    // scalar min/max int8: the worst-case reconstruction error is half a
+    // quantization step, scale/2 = (mx-mn)/510 — an analytic property of
+    // the scheme, pinned per vector (plus rounding slack from the
+    // 1e-6 output quantization)
+    val rows = SparkEntry.queries("llm_embed_quantize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bound = (r.getAs[Double]("mx") - r.getAs[Double]("mn")) / 510.0
+      assert(r.getAs[Double]("max_err") <= bound + 1e-6,
+        s"vec ${r.getAs[Long]("vec_id")}: max_err ${r.getAs[Double]("max_err")} > $bound")
+      assert(r.getAs[Double]("mean_err") <= r.getAs[Double]("max_err") + 1e-6)
+      assert(r.getAs[Double]("max_err") >= 0.0)
+    }
+  }
+
   test("corpus pipeline manifest respects every composed filter") {
     // collect ONCE — each construction re-runs the whole multi-stage
     // pipeline (two persist+count jobs plus the manifest job)
