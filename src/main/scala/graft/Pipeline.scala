@@ -89,7 +89,7 @@ object Pipeline {
     val stateHashes = spark.read.parquet(statePath)
       .select(col("h").as("state_h")).distinct()
     batch
-      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("h", Text.contentHashCol) // state's hash scheme, shared
       .join(stateHashes, col("h") === col("state_h"), "left")
       .filter(col("state_h").isNull)
       .drop("state_h", "h")

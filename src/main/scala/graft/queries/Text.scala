@@ -746,8 +746,13 @@ object Text {
     * deduplicated (the DuckDB oracle always hashed every doc; the join
     * direction here was the divergent side, latent only because the
     * fixtures carry no short docs). */
+  /** The exact-dedup content hash — ONE definition for the state table,
+    * the batch exact layer, and the streaming twin in [[graft.Pipeline]];
+    * a scheme change lands everywhere or the join keys stop matching. */
+  private[graft] def contentHashCol: Column = sha2(col("text"), 256)
+
   private[graft] def dedupStateOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    docs.select(col("doc_id"), contentHashCol.as("h"))
       .join(signaturesOf(docs), Seq("doc_id"), "left")
 
   /** One round of the production incremental-dedup loop: dedup `batch`
@@ -779,7 +784,7 @@ object Text {
     val corpusSets = corpusAll.filter(col("mh0").isNotNull)
     // exact layer: batch docs whose content hash is unseen in the state
     val exactSurvivors = batch
-      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .select(col("doc_id"), contentHashCol.as("h"))
       .join(corpusAll.select(col("h")), Seq("h"), "left_anti")
       .select(col("doc_id"))
     // Near layer: the batch streams once through a broadcast join against

@@ -20,7 +20,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     val streamed = spark.table("tumbling_smoke")
       .orderBy("win_start", "event_type").collect()
@@ -40,7 +40,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     val streamed = spark.table("stateful_smoke").orderBy("user_id").collect()
     val batch = graft.streaming.Events
@@ -63,7 +63,7 @@ class StreamingSpec extends SparkSpec {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     val landed = spark.read.parquet(outDir)
       .orderBy("win_start", "event_type").collect()
@@ -83,7 +83,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     // one micro-batch → update mode emits every changed (= every) group
     val streamed = spark.table("update_smoke")
@@ -104,7 +104,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     val streamed = spark.table("ssj_smoke")
       .orderBy("user_id", "click_id", "purchase_id").collect()
@@ -133,7 +133,7 @@ class StreamingSpec extends SparkSpec {
       val q = graft.streaming.Events.statefulStreamTws(spark, streamDir.toString)
         .writeStream.format("memory").queryName("tws_smoke")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish in 120s")
       val streamed = spark.table("tws_smoke").orderBy("user_id").collect()
       val batch = graft.streaming.Events
         .queries("stream_stateful_sessions")(spark, sfDir).collect()
@@ -168,7 +168,7 @@ class StreamingSpec extends SparkSpec {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "stream did not finish in 120s")
     }
     raw.filter(col("ts") <= cut).write.mode("append").parquet(streamDir)
     run()
@@ -210,7 +210,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
     val streamed = spark.table("dedup_exact_stream")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val batchExact = d.filter(col("doc_id") >= 25)
