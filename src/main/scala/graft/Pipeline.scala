@@ -80,19 +80,21 @@ object Pipeline {
     * a batch by the incremental contract), emitting survivors in append
     * mode as they arrive. The near layer stays a batch pass (band-bucket
     * candidate generation needs the whole batch); running
-    * exact-streaming + near-batch is the standard split. Stream-static
-    * LEFT ANTI is unsupported in Structured Streaming, so this is a
-    * left-outer join + null filter — same result, supported shape. */
+    * exact-streaming + near-batch is the standard split. Stream-left /
+    * static-right LEFT ANTI is a supported streaming shape (the checker
+    * only rejects anti joins with the STREAM on the right).
+    *
+    * Internal columns use the `__graft_` prefix, so caller columns
+    * survive untouched (a batch frame may itself carry an `h`). */
   def incrementalDedupExactStream(spark: SparkSession, batch: DataFrame,
       statePath: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val stateHashes = spark.read.parquet(statePath)
-      .select(col("h").as("state_h")).distinct()
+      .select(col("h").as("__graft_state_h")).distinct()
     batch
-      .withColumn("h", Text.contentHashCol) // state's hash scheme, shared
-      .join(stateHashes, col("h") === col("state_h"), "left")
-      .filter(col("state_h").isNull)
-      .drop("state_h", "h")
+      .withColumn("__graft_h", Text.contentHashCol) // state's hash scheme, shared
+      .join(stateHashes, col("__graft_h") === col("__graft_state_h"), "left_anti")
+      .drop("__graft_h")
   }
 
   /** Benchmark decontamination: per corpus doc, shared-4-gram count and

@@ -23,12 +23,35 @@ object Tables {
   // repeated t() calls reuse the analyzed plan instead of re-listing the
   // path and re-reading parquet footers per query. DataFrames are
   // immutable plans, so sharing is safe.
+  //
+  // LRU-bounded: an unbounded map would pin every session a long-lived
+  // host ever creates (each cached DataFrame strongly references its
+  // session — which also rules out a WeakHashMap keyed on session, since
+  // the values would keep their own keys reachable). 64 entries covers
+  // the 10 fixture tables across several concurrent sessions; a host
+  // churning sessions evicts the oldest plans instead of leaking them.
+  private val maxRelations = 64
   private val relationCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > maxRelations
+    }
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relationCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      key => key._1.read.parquet(key._2))
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val key = (spark, s"$sfDir/$name.parquet")
+    val hit = relationCache.synchronized(relationCache.get(key))
+    if (hit != null) hit
+    else {
+      // resolve outside the lock (footer IO); a racing duplicate read is
+      // benign — both results are the same immutable plan
+      val df = spark.read.parquet(key._2)
+      relationCache.synchronized {
+        val prior = relationCache.putIfAbsent(key, df)
+        if (prior != null) prior else df
+      }
+    }
+  }
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS). Spark reads
     * it as LongType when `spark.sql.legacy.parquet.nanosAsLong=true` (set in

@@ -110,15 +110,21 @@ object Maintenance {
     *
     *  - BUILD: v1 materializes revenue-per-nation from a stale slice
     *    (even order keys only — "built before the rest arrived").
-    *  - USE: the v1 answer is served from the MV scan (no base join);
-    *    it is materialized before the rebuild so the output can show it.
-    *  - REBUILD: full recompute overwrites the MV in place.
-    *  - USE again: the final answer reads the rebuilt MV.
+    *  - REBUILD: full recompute into a NEW versioned path (`…/v2`); v1's
+    *    files are never touched, so serving the old version needs no
+    *    driver-side snapshot — exactly how a real MV store versions
+    *    rebuilds (readers pin a version directory, the rebuild lands
+    *    beside it, a metadata pointer flips). The previous shape here
+    *    (`collect()` + `createDataFrame` to pin v1 before an in-place
+    *    overwrite) would materialize an arbitrary-size MV on the driver
+    *    at 100 TB.
+    *  - USE ×2: both answers are served from their MV scans (no base
+    *    join).
     *
     * Output = both uses, version-tagged, so the stale→fresh transition
     * is visible and oracle-checkable. */
   val mvRebuild: Q = (s, dir) => {
-    val mvPath = tmp("mv_revenue", dir)
+    val mvRoot = tmp("mv_revenue", dir)
     val orders = Tables.t(s, dir, "orders")
     val customer = Tables.t(s, dir, "customer")
     val nation = Tables.t(s, dir, "nation")
@@ -127,17 +133,12 @@ object Maintenance {
       .groupBy("c_nationkey")
       .agg(dsum(col("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
 
-    // BUILD v1 (stale slice), USE it (materialize: the path is about to
-    // be overwritten, and a lazy plan would re-list the rewritten files)
+    // BUILD v1 (stale slice) and REBUILD v2 into sibling version paths
     revenue(orders.filter(col("o_orderkey") % 2 === 0))
-      .coalesce(1).write.mode("overwrite").parquet(mvPath)
-    val v1Snapshot = s.read.parquet(mvPath)
-    val v1 = s.createDataFrame(
-      java.util.Arrays.asList(v1Snapshot.collect(): _*), v1Snapshot.schema)
-
-    // REBUILD in place, USE the fresh version
-    revenue(orders).coalesce(1).write.mode("overwrite").parquet(mvPath)
-    val v2 = s.read.parquet(mvPath)
+      .coalesce(1).write.mode("overwrite").parquet(s"$mvRoot/v1")
+    revenue(orders).coalesce(1).write.mode("overwrite").parquet(s"$mvRoot/v2")
+    val v1 = s.read.parquet(s"$mvRoot/v1")
+    val v2 = s.read.parquet(s"$mvRoot/v2")
 
     v1.withColumn("mv_version", lit(1))
       .unionByName(v2.withColumn("mv_version", lit(2)))
