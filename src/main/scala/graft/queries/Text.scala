@@ -566,12 +566,20 @@ object Text {
     * (plus a brute-force value check in ScalaTest). */
   val llmAnnIvf: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
-    val nprobe = 2
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     // norms once per vector; per candidate pair only the dot remains
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    ivfTopk(emb)
+  }
+
+  /** The IVF retrieval body shared by the float and int8 paths: `emb` =
+    * (vec_id, v: array&lt;double&gt;, nrm). Caller must have registered
+    * `dot_product`. */
+  private def ivfTopk(emb: DataFrame): DataFrame = {
+    val nprobe = 2
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     val cents = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     def cellSim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
@@ -630,6 +638,46 @@ object Text {
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** Quantization-aware IVF ANN — `llm_embed_quantize`'s int8 codes
+    * composed into the retrieval path (what a production vector store
+    * actually scans: FAISS `IndexIVFScalarQuantizer(QT_8bit)`-style,
+    * 4 bytes/dim → 1 at rest and through the shuffle). Vectors are
+    * scalar-quantized per row (same scheme and arithmetic as
+    * `llm_embed_quantize`: code = floor((x−mn)/scale + 0.5) − 128,
+    * scale = (mx−mn)/255), materialized as a tinyint array — the stored
+    * form — then every assignment/probe/scan similarity runs over the
+    * RECONSTRUCTION mn + (code+128)·scale. The (−128/+128) cancels to
+    * mn + floor(…)·scale, deterministic IEEE both engines, so DuckDB
+    * replays cells, probes, and rounded top-5 bit-exact; the recall
+    * delta vs the float path (pinned in QueriesSpec) is therefore the
+    * TRUE quantization cost, not engine noise. Scale shape = the float
+    * path's exactly ([[ivfTopk]]): broadcast centroids, single-pass
+    * hot-cell window, cell-keyed probe join — the int8 codes only
+    * shrink what flows through it. */
+  val llmAnnIvfInt8: Q = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val raw = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v0"))
+      .withColumn("mn", array_min(col("v0")))
+      .withColumn("mx", array_max(col("v0")))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+    // the stored form: one tinyint per dim (+ per-vector mn/scale)
+    val codes = transform(col("v0"), x =>
+      when(col("mx") === col("mn"), lit(0))
+        .otherwise(floor((x - col("mn")) / col("scale") + lit(0.5)).cast("int") - 128)
+        .cast("byte"))
+    val quant = raw.select(col("vec_id"), col("mn"), col("scale"), codes.as("code"))
+    // dequantized scan: (code+128) is exact in [0,255], so this is
+    // mn + floor(…)·scale — the identical doubles DuckDB computes
+    val emb = quant
+      .select(col("vec_id"),
+        transform(col("code"),
+          c => col("mn") + (c.cast("int") + lit(128)).cast("double") * col("scale")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    ivfTopk(emb)
   }
 
   /** Per-vector int8 quantization + reconstruction-error statistics —
@@ -1611,6 +1659,7 @@ object Text {
     "llm_ann_lsh" -> llmAnnLsh,
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_ann_ivf" -> llmAnnIvf,
+    "llm_ann_ivf_int8" -> llmAnnIvfInt8,
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_token_count" -> llmTokenCount,
@@ -1795,12 +1844,15 @@ object Text {
       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |pairs AS (SELECT * FROM pairs0 WHERE cos > 0.3)""".stripMargin
 
-  /** DuckDB twin of `llmAnnIvf`: same every-50th coarse quantizer, argmax
-    * cell assignment, nprobe=2 probe ranking, and rounded top-5 scan —
-    * all deterministic IEEE arithmetic evaluated in the same order, so
-    * the replay is bit-exact (same approach as `llm_ann_lsh`'s planes). */
-  private val annIvfSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** DuckDB twin of `llmAnnIvf`/`llmAnnIvfInt8`: same every-50th coarse
+    * quantizer, argmax cell assignment, nprobe=2 probe ranking, and
+    * rounded top-5 scan — all deterministic IEEE arithmetic evaluated in
+    * the same order, so the replay is bit-exact (same approach as
+    * `llm_ann_lsh`'s planes). `embCte` supplies the vector source CTE
+    * chain ending in `e(vec_id, v)` — raw doubles for the float path,
+    * the quantize→dequantize reconstruction for int8. */
+  private def ivfSql(embCte: String): String =
+    s"""WITH $embCte,
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
        |cells AS (
@@ -2007,7 +2059,19 @@ object Text {
         |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')) AS scrub_hash
         |FROM p ORDER BY doc_id""".stripMargin,
     "llm_ann_lsh" -> s"$lshPairsSql\nSELECT id_a, id_b, cos FROM pairs ORDER BY id_a, id_b",
-    "llm_ann_ivf" -> annIvfSql,
+    "llm_ann_ivf" ->
+      ivfSql("e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"),
+    // int8 path: e = the quantize→dequantize reconstruction. The CASE
+    // mirrors Spark's mx=mn guard; mn + FLOOR((x−mn)/scale + 0.5)·scale
+    // is the (−128/+128)-cancelled dequant, same IEEE ops in the same
+    // order as the Spark column (see llmAnnIvfInt8).
+    "llm_ann_ivf_int8" -> ivfSql(
+      """e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |st AS (SELECT vec_id, v0, list_min(v0) AS mn, list_max(v0) AS mx FROM e0),
+        |e AS (SELECT vec_id, list_transform(v0, x ->
+        |  CASE WHEN mx = mn THEN mn
+        |       ELSE mn + FLOOR((x - mn)/((mx - mn)/255.0) + 0.5) * ((mx - mn)/255.0)
+        |  END) AS v FROM st)""".stripMargin),
     "llm_embed_neardup" ->
       s"""$lshPairsSql
          |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos

@@ -172,6 +172,35 @@ class QueriesSpec extends SparkSpec {
     assert(lshRecall >= 0.15, f"LSH candidate recall collapsed: $lshRecall%.3f")
   }
 
+  test("int8 IVF pays a bounded recall cost vs the float path") {
+    // llm_ann_ivf_int8 runs the IDENTICAL retrieval body over the
+    // quantize→dequantize reconstruction, so any recall delta vs the
+    // float path is pure quantization cost (codes are bit-exact vs the
+    // DuckDB oracle; this gate guards the RETRIEVAL consequence). Truth
+    // is the float brute force — the int8 path is graded against what
+    // the unquantized corpus would answer, the honest denominator.
+    val truth = SparkEntry.queries("llm_cosine_topk")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(truth.nonEmpty)
+    def retrieved(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    def recallOf(r: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        r.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    val floatRecall = recallOf(retrieved("llm_ann_ivf"))
+    val int8Recall = recallOf(retrieved("llm_ann_ivf_int8"))
+    info(f"recall@5 float=$floatRecall%.3f int8=$int8Recall%.3f")
+    // 8-bit scalar quantization moves cosines by O(scale) ≈ 1e-2 — enough
+    // to reorder near-ties, never to zero retrieval. Gate: within 0.10
+    // absolute of the float path (measured: equal on the fixture).
+    assert(int8Recall >= floatRecall - 0.10,
+      f"int8 quantization collapsed recall: float=$floatRecall%.3f int8=$int8Recall%.3f")
+  }
+
   test("sharded export derives shard count from input volume") {
     SparkEntry.queries("sink_sharded_export")(spark, sfDir).collect() // writes shards
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
