@@ -97,6 +97,43 @@ object Pipeline {
       .drop("__graft_h")
   }
 
+  /** FULL streaming twin of the incremental-dedup loop — exact AND near
+    * layers: each micro-batch runs the same core as [[incrementalDedup]]
+    * (state hash anti-join, band-bucket candidates against the static
+    * state, exact-Jaccard verify), its survivors land in `outPath`
+    * (parquet, stamped with the micro-batch id) and, when `append`, fold
+    * back into the state so later micro-batches dedup against
+    * corpus ∪ earlier survivors.
+    *
+    * Why `foreachBatch` and not one continuous DAG: the near layer ends
+    * in an anti-join of the batch against its own verified candidates —
+    * a stream-stream anti join, which Structured Streaming (correctly)
+    * rejects; only the exact layer is expressible as a pure
+    * stream-static plan ([[incrementalDedupExactStream]]). Each
+    * micro-batch is a bounded DataFrame, so the batch core applies
+    * unchanged and stream ≡ batch-loop by construction (pinned in
+    * StreamingSpec on a planted two-batch corpus).
+    *
+    * Delivery note: `foreachBatch` is at-least-once — a retried
+    * micro-batch would re-append survivors and state rows. Production
+    * sinks make that idempotent (overwrite-by-batch-id partitions or a
+    * transactional table format); the state append shares the batch
+    * loop's compaction contract ([[writeDedupState]]). */
+  def incrementalDedupStream(stream: DataFrame, statePath: String,
+      outPath: String, checkpoint: String, append: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Text.incrementalDedupRound(b.sparkSession, b, statePath, append)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Benchmark decontamination: per corpus doc, shared-4-gram count and
     * ratio against the eval partition selected by `isEval(doc_id)`.
     * The eval gram set broadcasts; the corpus side never shuffles. */

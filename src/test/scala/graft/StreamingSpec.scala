@@ -194,8 +194,8 @@ class StreamingSpec extends SparkSpec {
   test("streaming incremental dedup (exact layer) == batch exact layer") {
     // The persisted dedup state is STATIC; new docs arrive as a stream.
     // Pipeline.incrementalDedupExactStream must emit exactly the docs
-    // the batch exact layer would keep (stream-static left join + null
-    // filter standing in for the unsupported stream-static anti join).
+    // the batch exact layer would keep (stream-left/static-right
+    // left_anti — a supported streaming shape).
     val statePath = Files.createTempDirectory("graft_sdedup").toString + "/state"
     val d = Tables.t(spark, sfDir, "documents")
     Pipeline.writeDedupState(
@@ -219,5 +219,55 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed.nonEmpty)
     assert(streamed === batchExact)
+  }
+
+  test("streaming incremental dedup (exact + near) folds survivors across micro-batches") {
+    // The FULL loop as a stream (Pipeline.incrementalDedupStream): two
+    // file drops = two micro-batches over one checkpoint. Planted
+    // corpus makes every semantic visible:
+    //   state:   doc 1  = template1
+    //   batch A: doc 10 = template1            (near/exact dup of state → drop)
+    //            doc 11 = template2            (new → survive, FOLDS BACK)
+    //   batch B: doc 20 = template2 + " tail"  (near-dup of A's survivor —
+    //            dropped ONLY IF the fold-back between micro-batches worked)
+    //            doc 21 = unrelated            (new → survive)
+    // Expected stream survivors {11, 21}, and the sequential batch loop
+    // (same two rounds via incrementalDedup on a state copy) must agree.
+    import spark.implicits._
+    val t1 = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val t2 = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val corpus = Seq((1L, t1)).toDF("doc_id", "text")
+    val a = Seq((10L, t1), (11L, t2)).toDF("doc_id", "text")
+    val b = Seq((20L, t2 + " tail"),
+      (21L, "an entirely unrelated closing document body")).toDF("doc_id", "text")
+
+    val base = Files.createTempDirectory("graft_sdedup_full").toString
+    val (stateS, stateB) = (s"$base/state_stream", s"$base/state_batch")
+    Pipeline.writeDedupState(corpus, stateS)
+    Pipeline.writeDedupState(corpus, stateB)
+    val (streamDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    a.coalesce(1).write.mode("append").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    def runOnce(): Unit = {
+      val q = Pipeline.incrementalDedupStream(
+        spark.readStream.schema(schema).parquet(streamDir), stateS, outDir, ckpt)
+      assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    }
+    runOnce()
+    b.coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === Set(11L, 21L),
+      s"fold-back broken: expected {11, 21}, got $streamed")
+    // micro-batch ids prove two distinct batches ran through one checkpoint
+    assert(spark.read.parquet(outDir).select("batch_id")
+      .distinct().count() === 2)
+    // sequential batch loop on the untouched state copy agrees
+    val batchSurv =
+      Pipeline.incrementalDedup(spark, a, stateB).collect().map(_.getLong(0)).toSet ++
+      Pipeline.incrementalDedup(spark, b, stateB).collect().map(_.getLong(0)).toSet
+    assert(streamed === batchSurv)
   }
 }
