@@ -41,16 +41,19 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("o_custkey", "rn")
       .collect()
     assert(topk.nonEmpty)
-    // reference: disable the rewrite by shaping the filter so it can't match
-    // (rn pulled through an extra projection barrier via a no-op arithmetic)
+    // Reference: rank() over the same UNIQUE sort key — semantically
+    // identical to row_number, and TopKRewrite deliberately ignores
+    // rank (see the negative test below), so this arm always plans
+    // sort-based WindowExec. (The original `rn + 0` projection blocker
+    // stopped working: the optimizer now folds the +0 and pushes the
+    // filter back onto the window — r12.)
     val ref = Tables.t(spark, sfDir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rn2", col("rn") + 0)
-      .filter(col("rn2") <= 3)
+      .withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 3)
       .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "rn")
-      .collect()
-    assert(topk.map(_.toString).sameElements(ref.map(_.toString)))
+    assert(!ref.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(topk.map(_.toString).sameElements(ref.collect().map(_.toString)))
   }
 
   test("property: TopKPerKey equals window top-k on random data, varied k") {
@@ -76,6 +79,43 @@ class ExtensionsSpec extends SparkSpec {
           row.getDouble(2) == score && row.getInt(3) == rn, s"k=$k row=$row")
       }
     }
+  }
+
+  test("TopKPerKeyExec beats sort-based windowing on a large grouped top-k") {
+    // The operator's reason to exist (SURVEY §2.10): per-key bounded
+    // heaps instead of a full per-partition sort — at 100 TB the n·log n
+    // sort term and its spill pressure dominate grouped top-k. A/B in
+    // THIS session on one synthetic frame: identical shuffle, identical
+    // result; only the post-shuffle algorithm differs (the reference arm
+    // uses rank() over the unique (v, id) key — same semantics, never
+    // rewritten, sort-based WindowExec). 10M rows, 1000 keys, top-5 —
+    // 10k rows/key is where the per-partition n·log n sort term (and at
+    // real scale, its spill) separates from the O(n·log k) heap scan.
+    val df = spark.range(10000000L).select(
+      (col("id") % 1000L).as("k"),
+      pmod(hash(col("id")), lit(1000000)).as("v"),
+      col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v"), col("id"))
+    def arm(blockRewrite: Boolean): org.apache.spark.sql.DataFrame = {
+      val rankFn = if (blockRewrite) rank() else row_number()
+      df.withColumn("rn", rankFn.over(w)).filter(col("rn") <= 5)
+    }
+    assert(arm(false).queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(!arm(true).queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    def timed(blocked: Boolean): Double = {
+      val t0 = System.nanoTime()
+      assert(arm(blocked).count() === 5000L) // 1000 keys × top-5
+      (System.nanoTime() - t0) / 1e9
+    }
+    timed(false); timed(true) // warm both paths (JIT, codegen, shuffle IO)
+    val topk = Seq(timed(false), timed(false)).min
+    val window = Seq(timed(true), timed(true)).min
+    info(f"grouped top-5 over 10M rows / 1000 keys: TopKPerKeyExec=$topk%.2fs, WindowExec=$window%.2fs (${window / topk}%.2fx)")
+    // soft bound: the heap path must never LOSE to the sort path beyond
+    // noise — a regression here means the custom exec degraded
+    assert(topk <= window * 1.2,
+      f"TopKPerKeyExec slower than sort-based windowing: $topk%.2fs vs $window%.2fs")
   }
 
   test("TopKRewrite leaves rank()/unfiltered windows untouched") {

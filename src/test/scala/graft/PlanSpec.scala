@@ -294,6 +294,31 @@ class PlanSpec extends SparkSpec {
       "expected the cell-partitioned count window guard")
   }
 
+  test("TopKPerKey rewrite fires on the registered grouped-top-k sites") {
+    // Adoption audit for the custom ladder (VERDICT r11 item 8): every
+    // registered `row_number() <= k`-over-window site should plan the
+    // heap-based TopKPerKeyNode instead of sort-based WindowExec — the
+    // oracle gate and the bench then run THROUGH the custom operator
+    // (the Verify/Bench sessions inject GraftExtensions, same as here).
+    val sites = Seq(
+      "llm_cosine_topk",   // final top-5 ranking
+      "llm_ann_ivf",       // probe ranking + final top-5 (2 sites)
+      "llm_ann_ivf_int8",  // same body over dequantized vectors
+      "llm_tfidf_top",     // per-doc top terms
+      "llm_dedup_rows")    // rn = 1 keeper selection
+    val counts = sites.map { name =>
+      val n = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        .optimizedPlan.collect { case t: graft.plans.TopKPerKeyNode => t }.size
+      name -> n
+    }
+    info(counts.map { case (n, c) => s"$n=$c" }.mkString("TopKPerKeyNode: ", ", ", ""))
+    counts.foreach { case (name, n) =>
+      assert(n >= 1, s"TopKPerKey rewrite does not fire on $name")
+    }
+    // the double-window site really carries both rewrites
+    assert(counts.toMap.apply("llm_ann_ivf") == 2)
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
