@@ -158,6 +158,12 @@ object Pipeline {
     * source-level keep/drop decision. Needs `source`, `lang`, `text`. */
   def sourceStats(docs: DataFrame): DataFrame = Text.sourceStatsOf(docs)
 
+  /** CCNet-style LM-frequency quality score: per-doc mean unigram
+    * surprise (integer-log2 bits) under the corpus's own word
+    * distribution — natural text scores low, gibberish high. Returns
+    * (doc_id, n_words, avg_bits, suspect). */
+  def lmQuality(docs: DataFrame): DataFrame = Text.lmQualityOf(docs)
+
   /** Greedy longest-match wordpiece token count for one word — the exact
     * matcher behind the `llm_tokenize` query (set-backed, JVM-side; use
     * inside typed maps over partition iterators). */

@@ -947,6 +947,44 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM-frequency quality scoring (Wenzek et al.,
+    * arXiv:1911.00359 — perplexity filtering): score each doc by the
+    * mean "surprise" of its words under the corpus's own unigram
+    * distribution — natural high-frequency text scores low, gibberish /
+    * rare-token text high. CCNet scores against a pretrained LM; the
+    * engine-side analogue is the corpus unigram table, and the per-word
+    * −log₂ p(w) ≈ bits(total) − bits(count) is computed as INTEGER log2
+    * (length of `bin(x)`) — libm log/log2 differs in the last ulp
+    * across engines (the same reason llm_tfidf avoids log-idf,
+    * `Text.scala` §tfidf), while bin-length is bit-exact everywhere.
+    *
+    * Scale shape: the unigram table is ONE two-phase count shuffle on
+    * word; its vocabulary-sized result broadcasts back onto the
+    * exploded corpus (with a frequency-cutoff vocab it broadcasts at
+    * any corpus size; past that the word join degrades to shuffle); the
+    * per-doc mean is a two-phase agg on doc_id, and the grand total
+    * rides a broadcast 1-row crossJoin (llm_tfidf's shape). */
+  private[graft] def lmQualityOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("tc"))
+    words
+      .join(broadcast(freq), "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("tc"))) - length(bin(col("c")))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        dround(sum(col("bits")).cast("double") / count(lit(1)), 6).as("avg_bits"))
+      // high mean surprise = rare-token-dominated text; threshold is a
+      // demo cut on the deterministic rounded score
+      .withColumn("suspect", col("avg_bits") >= 12.0)
+  }
+
+  val llmLmQuality: Q = (s, dir) =>
+    lmQualityOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** Capstone corpus selection — the manifest a training pipeline
     * actually materializes: exact-dedup keepers ∧ language allowlist ∧
     * quality threshold ∧ train-split membership, composed from the same
@@ -1662,6 +1700,7 @@ object Text {
     "llm_ann_ivf_int8" -> llmAnnIvfInt8,
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
+    "llm_lm_quality" -> llmLmQuality,
     "llm_token_count" -> llmTokenCount,
     "llm_tokenize" -> llmTokenize,
     "llm_chunk_split" -> llmChunkSplit,
@@ -2122,6 +2161,22 @@ object Text {
          |CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS vowels,
          |${oRound(qualitySql("text"), 6)} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Integer log2 via bin-length on both engines (libm-free; see
+    // lmQualityOf). DuckDB bin(BIGINT) renders the same minimal binary
+    // string as Spark's bin(LONG), so bits(total) − bits(count) is
+    // bit-exact.
+    "llm_lm_quality" ->
+      s"""WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |f AS (SELECT w, COUNT(*) AS c FROM ws GROUP BY w),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM f),
+         |b AS (SELECT ws.doc_id,
+         |        length(bin(t.tc)) - length(bin(f.c)) AS bits
+         |      FROM ws JOIN f USING (w), t)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  ${oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)} AS avg_bits,
+         |  (${oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)} >= 12.0) AS suspect
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
@@ -2134,6 +2189,14 @@ object Text {
       // Same packed-state greedy fold as the Spark side, via list_reduce
       // with the list_prepend(0) seed trick (cf. llm_fingerprint): the
       // prepended 0 is the initial accumulator (pos 0, count 0).
+      // Packing bound (cf. the 31-bit gram-id caveat on contamination):
+      // acc = pos·1e5 + count, so a single word yielding ≥ 100,000
+      // pieces would wrap count into pos and diverge from the Spark Long
+      // count. Pieces ≥ len/4, so that needs a ~400,000-char single
+      // word — unreachable for fixture docs AND for any real tokenizer
+      // input (words are pre-split on spaces); the Spark side has no
+      // such bound. Documented, not widened: a wider factor costs
+      // nothing here but the oracle should state its domain honestly.
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
          |  CAST(list_sum(list_transform(string_split(text, ' '), w ->

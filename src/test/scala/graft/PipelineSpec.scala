@@ -66,6 +66,26 @@ class PipelineSpec extends SparkSpec {
     assert(stats("blog").getAs[Long]("n_langs") === 2L)
   }
 
+  test("lmQuality ranks common-word text below rare-token text") {
+    import spark.implicits._
+    // doc 1 = only corpus-common words; doc 2 = singleton tokens.
+    // Surprise is corpus-relative, so doc 1's words (count ≥ 8 each)
+    // must carry strictly fewer bits than doc 2's (count 1 each).
+    val common = (1 to 8).flatMap(_ => Seq("alpha", "beta", "gamma"))
+    val corpus = Seq(
+      (1L, common.mkString(" ")),
+      (2L, "zq1 zq2 zq3 zq4 zq5"))
+      .toDF("doc_id", "text")
+    val scores = Pipeline.lmQuality(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) < scores(2L),
+      s"common-word doc must score fewer bits: $scores")
+    // exact integer-log2 check: total=29 words (bits=5);
+    // doc 1 words have count 8 (bits=4) → every word = 1 bit;
+    // doc 2 words have count 1 (bits=1) → every word = 4 bits.
+    assert(scores(1L) == 1.0 && scores(2L) == 4.0, scores.toString)
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
