@@ -164,6 +164,16 @@ object Pipeline {
     * (doc_id, n_words, avg_bits, suspect). */
   def lmQuality(docs: DataFrame): DataFrame = Text.lmQualityOf(docs)
 
+  /** SemDeDup (semantic dedup inside coarse embedding clusters) over a
+    * caller (vec_id, embedding) frame: returns (dup_id, keeper_id,
+    * best_cos) — every vector with a lower-id same-cell partner above
+    * the cosine threshold maps to its lowest such partner. */
+  def semDedup(embeddings: DataFrame): DataFrame = Text.semDedupOf(embeddings)
+
+  /** Temperature-scaled (α = 0.5) domain-mixing weights per `source`:
+    * (source, n_docs, n_tokens, mix_p, epochs). */
+  def mixWeights(docs: DataFrame): DataFrame = Text.mixWeightsOf(docs)
+
   /** Greedy longest-match wordpiece token count for one word — the exact
     * matcher behind the `llm_tokenize` query (set-backed, JVM-side; use
     * inside typed maps over partition iterators). */

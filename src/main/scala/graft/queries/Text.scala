@@ -555,6 +555,57 @@ object Text {
       .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("best_cos"))
       .orderBy("dup_id")
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540) — semantic dedup inside
+    * coarse clusters, the method used to prune LAION/web-scale corpora:
+    * k-means-cluster the embeddings, then within each cluster drop every
+    * vector whose cosine to another cluster member exceeds a threshold,
+    * keeping one representative. The IVF coarse quantizer (every-50th
+    * centroid, argmax cell — the exact arithmetic `llm_ann_ivf` already
+    * replays bit-exact in DuckDB) doubles as the clustering; the keeper
+    * rule is `llm_embed_neardup`'s (lowest-id partner wins). Scale
+    * shape: candidates only ever form INSIDE a cell (pairs join keyed on
+    * cell), hot cells are capped by the same single-pass window guard,
+    * and the centroid table broadcasts — never an all-pairs join.
+    * Fixture vectors are random, so the demo threshold is the candidate
+    * cut 0.3; production SemDeDup uses ~0.95 — identical plan. */
+  val llmSemdedup: Q = (s, dir) =>
+    semDedupOf(Tables.t(s, dir, "embeddings")).orderBy("dup_id")
+
+  /** SemDeDup core over a caller (vec_id, embedding) frame — see
+    * [[llmSemdedup]] for semantics and scale shape. */
+  private[graft] def semDedupOf(raw: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(raw.sparkSession)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val emb = raw
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // unlike the ANN path there is no query/corpus split: EVERY vector
+    // (centroid seeds included) is a corpus member to dedup
+    val cells = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), col("csim")).as("cell"))
+    val cellW = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val assigned = cells
+      .join(emb.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cn", count(lit(1)).over(cellW))
+      .filter(col("cn") <= maxBucket)
+      .drop("cn")
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dround(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
+      .filter(col("cos") > 0.3)
+      .groupBy(col("id_b").as("dup_id"))
+      .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("best_cos"))
+  }
+
   /** IVF (inverted-file) ANN — the second 100 TB scale path beside
     * random-hyperplane LSH: a deterministic coarse quantizer (every 50th
     * vector serves as a centroid) assigns vectors to cells; each query
@@ -984,6 +1035,36 @@ object Text {
 
   val llmLmQuality: Q = (s, dir) =>
     lmQualityOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
+  /** Temperature-scaled domain mixing weights (the T5/Pile recipe,
+    * Raffel et al. arXiv:1910.10683 §3.4.3): sampling probability per
+    * source ∝ (token count)^α with α = 0.5, which up-weights small
+    * high-quality sources relative to proportional sampling. `epochs`
+    * reports how many passes over each source one full-corpus-token
+    * budget implies — the number a pipeline checks against its
+    * repetition tolerance (>4-5 epochs degrades, Muennighoff et al.).
+    * Determinism: per-source token counts are exact long sums; α = 0.5
+    * is sqrt, which IEEE 754 requires correctly rounded (bit-exact in
+    * both engines, unlike libm pow/log); the weight-sum normalizer goes
+    * through the dsum quantized-long trick, so no float summation-order
+    * drift. Scale shape: one two-phase agg on source, a ~sources-sized
+    * frame after — the broadcast 1-row total is the only join. */
+  private[graft] def mixWeightsOf(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      dsum(col("w"), 6).as("tot_w"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        dround(col("w") / col("tot_w"), 6).as("mix_p"),
+        dround(col("w") / col("tot_w") * col("tot_tokens").cast("double")
+          / col("n_tokens"), 6).as("epochs"))
+  }
+
+  val llmMixWeights: Q = (s, dir) =>
+    mixWeightsOf(Tables.t(s, dir, "documents")).orderBy("source")
 
   /** Capstone corpus selection — the manifest a training pipeline
     * actually materializes: exact-dedup keepers ∧ language allowlist ∧
@@ -1701,6 +1782,8 @@ object Text {
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_lm_quality" -> llmLmQuality,
+    "llm_semdedup" -> llmSemdedup,
+    "llm_mix_weights" -> llmMixWeights,
     "llm_token_count" -> llmTokenCount,
     "llm_tokenize" -> llmTokenize,
     "llm_chunk_split" -> llmChunkSplit,
@@ -2177,6 +2260,41 @@ object Text {
          |  ${oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)} AS avg_bits,
          |  (${oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)} >= 12.0) AS suspect
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // SemDeDup: the IVF cell CTEs over ALL vectors (no query/corpus
+    // split), then within-cell pairs + the embed_neardup keeper rule.
+    "llm_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+         |cells AS (
+         |  SELECT vec_id, arg_max(c_id, list_inner_product(v, cv)/(nrm*cn)) AS cell
+         |  FROM n, cents GROUP BY vec_id),
+         |assigned0 AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
+         |hotcell AS (SELECT cell FROM assigned0 GROUP BY cell HAVING COUNT(*) > $maxBucket),
+         |assigned AS (SELECT * FROM assigned0 a
+         |  WHERE NOT EXISTS (SELECT 1 FROM hotcell h WHERE h.cell = a.cell)),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${oRound("list_inner_product(a.v, b.v)/(a.nrm*b.nrm)", 6)} AS cos
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
+         |FROM pairs WHERE cos > 0.3
+         |GROUP BY id_b ORDER BY dup_id""".stripMargin,
+    // sqrt is IEEE-correctly-rounded in both engines (unlike pow/log);
+    // the normalizer goes through the oSum quantized-long sum.
+    "llm_mix_weights" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |        sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM per),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         |        ${oSum("w", 6)} AS tot_w FROM w)
+         |SELECT source, n_docs, n_tokens,
+         |  ${oRound("w.w / t.tot_w", 6)} AS mix_p,
+         |  ${oRound("w.w / t.tot_w * CAST(t.tot_tokens AS DOUBLE) / w.n_tokens", 6)} AS epochs
+         |FROM w, t ORDER BY source""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

@@ -86,6 +86,43 @@ class PipelineSpec extends SparkSpec {
     assert(scores(1L) == 1.0 && scores(2L) == 4.0, scores.toString)
   }
 
+  test("semDedup collapses planted embedding clusters to their min-id keepers") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; the every-50th quantizer
+    // makes ids 0 and 50 the centroid seeds, one inside each cluster
+    def vec(axis: Int, i: Long): Seq[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(axis) = 1.0f; v(axis + 2) = 0.001f * (i % 7); v.toSeq
+    }
+    val emb = ((0L until 50L).map(i => (i, vec(0, i))) ++
+      (50L until 100L).map(i => (i, vec(1, i))))
+      .toDF("vec_id", "embedding")
+    val dups = Pipeline.semDedup(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every non-minimal member of each cluster is a dup of the cluster min
+    assert(dups.keySet === ((1L until 50L) ++ (51L until 100L)).toSet)
+    assert(dups.filter(_._1 < 50).values.toSet === Set(0L))
+    assert(dups.filter(_._1 >= 50).values.toSet === Set(50L))
+  }
+
+  test("mixWeights computes sqrt-temperature sampling weights exactly") {
+    import spark.implicits._
+    // tokens: src a = 100, src b = 400 → w = 10, 20 → p = 1/3, 2/3;
+    // epochs = p · 500 / n_tokens → a: 1.666667, b: 0.833333
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 10).map(i => (i.toLong, ten, "a")) ++
+      (11 to 50).map(i => (i.toLong, ten, "b")))
+      .toDF("doc_id", "text", "source")
+    val rows = Pipeline.mixWeights(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getAs[Long]("n_tokens") === 100L)
+    assert(rows("b").getAs[Long]("n_tokens") === 400L)
+    assert(rows("a").getAs[Double]("mix_p") === 0.333333)
+    assert(rows("b").getAs[Double]("mix_p") === 0.666667)
+    assert(rows("a").getAs[Double]("epochs") === 1.666667)
+    assert(rows("b").getAs[Double]("epochs") === 0.833333)
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
