@@ -105,6 +105,23 @@ class AnnScaleProbeSpec extends SparkSpec {
     rows.groupBy(_.getAs[Long]("q_id")).values.foreach(rs => assert(rs.length <= 5))
   }
 
+  test("SemDeDup's hot-cell guard suppresses the boilerplate cluster too") {
+    // llm_semdedup shares the IVF cell machinery over ALL vectors: the
+    // 1,100-member boilerplate cell must be dropped (C(1100,2) ≈ 600k
+    // within-cell pairs otherwise), while the healthy 30-member cell
+    // still collapses to its min-id keeper.
+    val rows = SparkEntry.queries("llm_semdedup")(spark, probeDir).collect()
+    assert(rows.nonEmpty, "healthy cell produced no semdedup rows")
+    assert(rows.length < 100, s"semdedup pair list blew up: ${rows.length}")
+    val hot = (clusterIds ++ queryIds).toSet
+    rows.foreach { r =>
+      val dup = r.getAs[Long]("dup_id")
+      assert(!hot(dup), s"over-cap cell member $dup surfaced as a dup")
+      // healthy cell = ids 1251-1280 + centroid 50; keeper = its min id
+      assert(r.getAs[Long]("keeper_id") === 50L, r.toString)
+    }
+  }
+
   // ------------------------------------------------------ clustered recall
   // The collapse tests above and QueriesSpec's recall gates run on
   // degenerate or RANDOM vectors — the documented worst case for
