@@ -114,11 +114,15 @@ object Pipeline {
     * unchanged and stream ≡ batch-loop by construction (pinned in
     * StreamingSpec on a planted two-batch corpus).
     *
-    * Delivery note: `foreachBatch` is at-least-once — a retried
-    * micro-batch would re-append survivors and state rows. Production
-    * sinks make that idempotent (overwrite-by-batch-id partitions or a
-    * transactional table format); the state append shares the batch
-    * loop's compaction contract ([[writeDedupState]]). */
+    * Delivery note: `foreachBatch` is at-least-once. The OUTPUT sink is
+    * made idempotent here: survivors land in a `batch_id=<id>`
+    * partition via dynamic partition overwrite, so a retried
+    * micro-batch replaces its own partition instead of duplicating
+    * rows. The STATE append stays plain-append — duplicated state rows
+    * are semantically harmless (the exact layer anti-joins on hash, the
+    * near layer's candidates collapse under its final distinct), and a
+    * production pipeline compacts them out-of-band anyway
+    * ([[writeDedupState]]'s contract). */
   def incrementalDedupStream(stream: DataFrame, statePath: String,
       outPath: String, checkpoint: String, append: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -126,9 +130,16 @@ object Pipeline {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        Text.incrementalDedupRound(b.sparkSession, b, statePath, append)
+        val s = b.sparkSession
+        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try Text.incrementalDedupRound(s, b, statePath, append)
           .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").partitionBy("batch_id").parquet(outPath)
+        finally saved match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

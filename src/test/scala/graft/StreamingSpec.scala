@@ -264,6 +264,11 @@ class StreamingSpec extends SparkSpec {
     // micro-batch ids prove two distinct batches ran through one checkpoint
     assert(spark.read.parquet(outDir).select("batch_id")
       .distinct().count() === 2)
+    // idempotent sink layout: each micro-batch owns a batch_id=<id>
+    // partition (a retried batch overwrites its own partition)
+    val partDirs = new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(partDirs.exists(_.startsWith("batch_id=")), partDirs.toString)
     // sequential batch loop on the untouched state copy agrees
     val batchSurv =
       Pipeline.incrementalDedup(spark, a, stateB).collect().map(_.getLong(0)).toSet ++
