@@ -178,7 +178,11 @@ object Pipeline {
   /** SemDeDup (semantic dedup inside coarse embedding clusters) over a
     * caller (vec_id, embedding) frame: returns (dup_id, keeper_id,
     * best_cos) — every vector with a lower-id same-cell partner above
-    * the cosine threshold maps to its lowest such partner. */
+    * the cosine threshold maps to its lowest such partner. Coarse
+    * quantizer convention: every vector with `vec_id % 50 == 0` serves
+    * as a centroid seed (deterministic, oracle-replayable stand-in for
+    * trained k-means centers) — the caller's id space must include
+    * some. */
   def semDedup(embeddings: DataFrame): DataFrame = Text.semDedupOf(embeddings)
 
   /** Temperature-scaled (α = 0.5) domain-mixing weights per `source`:

@@ -319,6 +319,27 @@ class PlanSpec extends SparkSpec {
     assert(counts.toMap.apply("llm_ann_ivf") == 2)
   }
 
+  test("lm_quality broadcasts the unigram table and keeps two-phase aggs") {
+    val df = SparkEntry.queries("llm_lm_quality")(spark, sfDir)
+    val s = df.queryExecution.sparkPlan.toString
+    // vocabulary-sized frequency table joins back via broadcast, never
+    // a corpus-side shuffle on word for the scoring join
+    assert(s.contains("BroadcastHashJoin"), s.take(3000))
+    // word count + per-doc mean both partial/final
+    assert("partial_count".r.findAllIn(s).size >= 2, s.take(3000))
+  }
+
+  test("semdedup broadcasts centroids and joins pairs on the cell key") {
+    val df = SparkEntry.queries("llm_semdedup")(spark, sfDir)
+    val s = df.queryExecution.sparkPlan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s.take(3000)) // centroid table rides a broadcast
+    assert(!s.contains("CartesianProduct"), s.take(3000))
+    // the within-cell pair join is an equi-join keyed on cell
+    assert(s.contains("SortMergeJoin [cell") || s.contains("ShuffledHashJoin [cell")
+      || s.contains("BroadcastHashJoin [cell"), s.take(3000))
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
