@@ -189,6 +189,13 @@ object Pipeline {
     * (source, n_docs, n_tokens, mix_p, epochs). */
   def mixWeights(docs: DataFrame): DataFrame = Text.mixWeightsOf(docs)
 
+  /** DSIR-style importance scoring of raw docs against the target
+    * distribution selected by `isTarget(doc_id)`: (doc_id, n_words,
+    * avg_importance, selected) — selected docs look more target-like
+    * than corpus-like under per-word integer-log2 likelihood ratios. */
+  def dsirSelect(docs: DataFrame, isTarget: Column => Column): DataFrame =
+    Text.dsirSelectOf(docs, isTarget)
+
   /** Greedy longest-match wordpiece token count for one word — the exact
     * matcher behind the `llm_tokenize` query (set-backed, JVM-side; use
     * inside typed maps over partition iterators). */

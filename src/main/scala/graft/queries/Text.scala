@@ -1036,6 +1036,55 @@ object Text {
   val llmLmQuality: Q = (s, dir) =>
     lmQualityOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * arXiv:2302.03169): score every raw doc by how much more likely its
+    * words are under the TARGET distribution (here the eval slice
+    * `isTarget(doc_id)`, the same split llm_contamination uses) than
+    * under the raw corpus — per-word importance log p_t(w) − log p_r(w),
+    * summed over occurrences, averaged per doc. Docs with avg > 0 look
+    * STRICTLY more target-like than corpus-like and are `selected`
+    * (DSIR then resamples proportionally; the deterministic value cut
+    * stands in for its Gumbel draw). The cut is strict because integer
+    * log2 quantizes to whole bits: a fully-target-OOV doc scores
+    * exactly 0 (its smoothed target deficit equals the raw baseline),
+    * i.e. "indistinguishable", which must not select. Add-one smoothing
+    * covers target-OOV words.
+    *
+    * Determinism: all four log2 terms are INTEGER log2 via bin-length
+    * (the lm_quality trick — libm-free, bit-exact both engines), so the
+    * per-word score is an exact integer and the per-doc mean one exact
+    * long sum over a count. Scale shape: two two-phase word counts; the
+    * vocabulary-sized count tables broadcast back onto the exploded raw
+    * corpus; per-doc mean is a two-phase agg; the selected flag is a
+    * VALUE threshold, not a global rank — no single-partition sort. */
+  private[graft] def dsirSelectOf(docs: DataFrame,
+      isTarget: Column => Column): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val target = words.filter(isTarget(col("doc_id")))
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val raw = words.filter(!isTarget(col("doc_id")))
+      .groupBy("w").agg(count(lit(1)).as("cr"))
+    val totals = target.agg(sum(col("ct")).as("tt"))
+      .crossJoin(raw.agg(sum(col("cr")).as("tr")))
+    val bitsOf = (c: Column) => length(bin(c))
+    words.filter(!isTarget(col("doc_id")))
+      .join(broadcast(raw), "w")
+      .join(broadcast(target), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        ((bitsOf(coalesce(col("ct"), lit(0L)) + 1) - bitsOf(col("tt"))) -
+          (bitsOf(col("cr") + 1) - bitsOf(col("tr")))).as("score"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        dround(sum(col("score")).cast("double") / count(lit(1)), 6).as("avg_importance"))
+      .withColumn("selected", col("avg_importance") > 0.0)
+  }
+
+  val llmDsirSelect: Q = (s, dir) =>
+    dsirSelectOf(Tables.t(s, dir, "documents"), id => id % 97 === 0)
+      .orderBy("doc_id")
+
   /** Temperature-scaled domain mixing weights (the T5/Pile recipe,
     * Raffel et al. arXiv:1910.10683 §3.4.3): sampling probability per
     * source ∝ (token count)^α with α = 0.5, which up-weights small
@@ -1784,6 +1833,7 @@ object Text {
     "llm_lm_quality" -> llmLmQuality,
     "llm_semdedup" -> llmSemdedup,
     "llm_mix_weights" -> llmMixWeights,
+    "llm_dsir_select" -> llmDsirSelect,
     "llm_token_count" -> llmTokenCount,
     "llm_tokenize" -> llmTokenize,
     "llm_chunk_split" -> llmChunkSplit,
@@ -2295,6 +2345,25 @@ object Text {
          |  ${oRound("w.w / t.tot_w", 6)} AS mix_p,
          |  ${oRound("w.w / t.tot_w * CAST(t.tot_tokens AS DOUBLE) / w.n_tokens", 6)} AS epochs
          |FROM w, t ORDER BY source""".stripMargin,
+    // DSIR importance: four integer-log2 terms via bin-length (see
+    // dsirSelectOf); add-one smoothing on the target side only, raw
+    // counts are ≥ 1 for every scored word by construction.
+    "llm_dsir_select" ->
+      s"""WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |tgt AS (SELECT w, COUNT(*) AS ct FROM ws WHERE doc_id % 97 = 0 GROUP BY w),
+         |raw AS (SELECT w, COUNT(*) AS cr FROM ws WHERE doc_id % 97 != 0 GROUP BY w),
+         |t AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
+         |             (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr),
+         |b AS (SELECT ws.doc_id,
+         |        (length(bin(COALESCE(tgt.ct, 0) + 1)) - length(bin(t.tt)))
+         |      - (length(bin(raw.cr + 1)) - length(bin(t.tr))) AS score
+         |      FROM ws JOIN raw USING (w) LEFT JOIN tgt USING (w), t
+         |      WHERE ws.doc_id % 97 != 0)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  ${oRound("CAST(SUM(score) AS DOUBLE) / COUNT(*)", 6)} AS avg_importance,
+         |  (${oRound("CAST(SUM(score) AS DOUBLE) / COUNT(*)", 6)} > 0.0) AS selected
+         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

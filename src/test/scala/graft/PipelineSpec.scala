@@ -123,6 +123,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows("b").getAs[Double]("epochs") === 0.833333)
   }
 
+  test("dsirSelect prefers target-like raw docs") {
+    import spark.implicits._
+    // target (doc 100) speaks "alpha" vocabulary; raw doc 1 echoes it,
+    // raw doc 2 is out-of-domain — only doc 1 may be selected
+    val alpha = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val docs = Seq(
+      (100L, alpha),
+      (1L, alpha),
+      (2L, (1 to 20).map(i => s"zeta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.dsirSelect(docs, id => id === 100L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L)) // target doc itself is not scored
+    assert(rows(1L).getAs[Boolean]("selected"),
+      s"target-like doc not selected: ${rows(1L)}")
+    assert(!rows(2L).getAs[Boolean]("selected"),
+      s"out-of-domain doc selected: ${rows(2L)}")
+    assert(rows(1L).getAs[Double]("avg_importance") >
+      rows(2L).getAs[Double]("avg_importance"))
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
