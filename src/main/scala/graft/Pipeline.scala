@@ -189,6 +189,13 @@ object Pipeline {
     * (source, n_docs, n_tokens, mix_p, epochs). */
   def mixWeights(docs: DataFrame): DataFrame = Text.mixWeightsOf(docs)
 
+  /** The full Gopher document-filter rule battery (word-count bounds,
+    * mean word length, symbol/bullet/ellipsis ratios, alphabetic-word
+    * ratio, stopword presence) with per-rule columns and the `keep`
+    * conjunction. Pair with [[repetition]] for Table A1's
+    * duplication half. */
+  def gopherRules(docs: DataFrame): DataFrame = Text.gopherRulesOf(docs)
+
   /** DSIR-style importance scoring of raw docs against the target
     * distribution selected by `isTarget(doc_id)`: (doc_id, n_words,
     * avg_importance, selected) — selected docs look more target-like

@@ -1085,6 +1085,51 @@ object Text {
     dsirSelectOf(Tables.t(s, dir, "documents"), id => id % 97 === 0)
       .orderBy("doc_id")
 
+  /** The complete Gopher document-filter rule battery (Rae et al.,
+    * arXiv:2112.11446 Table A1) as one per-row projection — the
+    * standard pre-filter every large English corpus pipeline runs
+    * before dedup: word-count bounds [50, 100k], mean word length
+    * [3, 10], symbol-to-word ratio (# / …) ≤ 0.1, ≤ 10% bullet lines,
+    * ≤ 30% ellipsis lines, ≥ 80% words containing an alphabetic
+    * character, and ≥ 2 distinct Gopher stopwords present. Every rule
+    * is reported individually (per-rule booleans beat an opaque keep
+    * bit for pipeline debugging) plus the conjunction. `llm_repetition`
+    * carries the battery's other half (Table A1's duplication rules).
+    * Shuffle-free: pure per-row array arithmetic; flags compare the
+    * ROUNDED ratios so both engines decide identically. */
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val lines = split(col("text"), "\n")
+    docs
+      .select(col("doc_id"), col("text"), ws.as("ws"), lines.as("ls"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        dround(aggregate(transform(col("ws"), w => length(w)), lit(0), _ + _)
+          .cast("double") / size(col("ws")), 6).as("mean_word_len"),
+        dround(regexp_count(col("text"), lit("#|\\.\\.\\."))
+          .cast("double") / size(col("ws")), 6).as("symbol_ratio"),
+        dround(size(filter(col("ls"), l => substring(l, 1, 1).isin("-", "*", "•")))
+          .cast("double") / size(col("ls")), 6).as("bullet_ratio"),
+        dround(size(filter(col("ls"), l => l.endsWith("...")))
+          .cast("double") / size(col("ls")), 6).as("ellipsis_ratio"),
+        dround(size(filter(col("ws"), w => w.rlike("[a-z]")))
+          .cast("double") / size(col("ws")), 6).as("alpha_word_ratio"),
+        size(array_intersect(array_distinct(col("ws")),
+          array(gopherStops.map(lit): _*))).as("stop_words"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_ratio") <= 0.1 &&
+          col("ellipsis_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("stop_words") >= 2)
+  }
+
+  val llmGopherRules: Q = (s, dir) =>
+    gopherRulesOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** Temperature-scaled domain mixing weights (the T5/Pile recipe,
     * Raffel et al. arXiv:1910.10683 §3.4.3): sampling probability per
     * source ∝ (token count)^α with α = 0.5, which up-weights small
@@ -1834,6 +1879,7 @@ object Text {
     "llm_semdedup" -> llmSemdedup,
     "llm_mix_weights" -> llmMixWeights,
     "llm_dsir_select" -> llmDsirSelect,
+    "llm_gopher_rules" -> llmGopherRules,
     "llm_token_count" -> llmTokenCount,
     "llm_tokenize" -> llmTokenize,
     "llm_chunk_split" -> llmChunkSplit,
@@ -2364,6 +2410,32 @@ object Text {
          |  ${oRound("CAST(SUM(score) AS DOUBLE) / COUNT(*)", 6)} AS avg_importance,
          |  (${oRound("CAST(SUM(score) AS DOUBLE) / COUNT(*)", 6)} > 0.0) AS selected
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher rule battery: every ratio mirrored expression-for-
+    // expression; flags re-derive from the ROUNDED columns so both
+    // engines decide identically at rule boundaries.
+    "llm_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    string_split(text, ' ') AS ws,
+         |    string_split(text, chr(10)) AS ls
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(ws) AS INT) AS n_words,
+         |  ${oRound("CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)", 6)} AS mean_word_len,
+         |  ${oRound("CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(ws)", 6)} AS symbol_ratio,
+         |  ${oRound("CAST(len(list_filter(ls, l -> list_contains(['-','*','•'], substr(l, 1, 1)))) AS DOUBLE) / len(ls)", 6)} AS bullet_ratio,
+         |  ${oRound("CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) / len(ls)", 6)} AS ellipsis_ratio,
+         |  ${oRound("CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws)", 6)} AS alpha_word_ratio,
+         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |    sw -> list_contains(ws, sw))) AS INT) AS stop_words
+         |  FROM d)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_word_ratio, stop_words,
+         |  (n_words >= 50 AND n_words <= 100000 AND
+         |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |   symbol_ratio <= 0.1 AND bullet_ratio <= 0.1 AND
+         |   ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8 AND
+         |   stop_words >= 2) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,

@@ -144,6 +144,26 @@ class PipelineSpec extends SparkSpec {
       rows(2L).getAs[Double]("avg_importance"))
   }
 
+  test("gopherRules flags each violated rule, including the line rules") {
+    import spark.implicits._
+    // fixture docs carry no newlines, so exercise the line rules here:
+    // doc 1 passes everything; doc 2 too short; doc 3 is bullet-heavy
+    // with an ellipsis line
+    val good = ((1 to 58).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
+    val bullets = "- item one\n- item two\n- item three\nplain tail..."
+    val docs = Seq((1L, good), (2L, "tiny doc the of"), (3L, bullets))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"), rows(1L).toString)
+    assert(!rows(2L).getAs[Boolean]("keep"))
+    assert(rows(2L).getAs[Int]("n_words") === 4)
+    assert(!rows(3L).getAs[Boolean]("keep"))
+    assert(rows(3L).getAs[Double]("bullet_ratio") === 0.75)
+    assert(rows(3L).getAs[Double]("ellipsis_ratio") === 0.25)
+    assert(rows(1L).getAs[Int]("stop_words") === 2)
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
