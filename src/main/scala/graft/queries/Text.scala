@@ -1028,8 +1028,12 @@ object Text {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         dround(sum(col("bits")).cast("double") / count(lit(1)), 6).as("avg_bits"))
-      // high mean surprise = rare-token-dominated text; threshold is a
-      // demo cut on the deterministic rounded score
+      // High mean surprise = rare-token-dominated text; threshold is a
+      // demo cut on the deterministic rounded score. Fixture note: the
+      // tiny synthetic vocabulary keeps every doc at 5.0-5.4 bits, so
+      // `suspect` never fires there — the oracle checks the score
+      // arithmetic; the planted PipelineSpec corpus pins exact bit
+      // values on both sides of a common-vs-rare contrast.
       .withColumn("suspect", col("avg_bits") >= 12.0)
   }
 
@@ -1096,7 +1100,16 @@ object Text {
     * bit for pipeline debugging) plus the conjunction. `llm_repetition`
     * carries the battery's other half (Table A1's duplication rules).
     * Shuffle-free: pure per-row array arithmetic; flags compare the
-    * ROUNDED ratios so both engines decide identically. */
+    * ROUNDED ratios so both engines decide identically.
+    *
+    * Fixture note: the synthetic corpus vocabulary contains exactly one
+    * Gopher stopword ("the"), so the ≥ 2-stopword rule — and therefore
+    * `keep` — is uniformly false there (the per-rule columns still vary
+    * and are what the oracle checks; word-count passes 277/500 at
+    * sf0.01). The pass path is proven on a planted corpus in
+    * PipelineSpec. This is also why the capstone `llm_corpus_pipeline`
+    * does NOT fold this battery in: on this fixture it would empty the
+    * manifest, proving nothing about composition. */
   private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
   private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
