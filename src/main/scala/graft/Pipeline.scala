@@ -199,7 +199,10 @@ object Pipeline {
   /** DSIR-style importance scoring of raw docs against the target
     * distribution selected by `isTarget(doc_id)`: (doc_id, n_words,
     * avg_importance, selected) — selected docs look more target-like
-    * than corpus-like under per-word integer-log2 likelihood ratios. */
+    * than corpus-like under per-word integer-log2 likelihood ratios.
+    * Precondition: `isTarget` must match at least one doc — an empty
+    * target distribution has no likelihoods, and every score degrades
+    * to null. */
   def dsirSelect(docs: DataFrame, isTarget: Column => Column): DataFrame =
     Text.dsirSelectOf(docs, isTarget)
 

@@ -164,6 +164,22 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1L).getAs[Int]("stop_words") === 2)
   }
 
+  test("empty-text docs flow through the per-row hygiene operators sanely") {
+    import spark.implicits._
+    // split("") = [""] — one empty word, so no division-by-zero path
+    // exists; the empty doc must simply fail the filters, not crash
+    val docs = Seq((1L, ""), (2L, (1 to 60).map(_ => "the of w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = Pipeline.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getAs[Int]("n_words") === 1)
+    assert(!g(1L).getAs[Boolean]("keep"))
+    val q = Pipeline.lmQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Long]("n_words") === 1L)
+    assert(!q(1L).getAs[Boolean]("suspect"))
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
