@@ -1054,6 +1054,14 @@ object Text {
     * i.e. "indistinguishable", which must not select. Add-one smoothing
     * covers target-OOV words.
     *
+    * Fixture note: the eval slice is an unbiased sample of the same
+    * synthetic distribution, so no raw doc looks STRICTLY more
+    * target-like than the corpus — avg_importance spans [−0.35, 0] at
+    * sf0.01 and `selected` is correctly all-false there (selecting
+    * in-distribution data against an in-distribution target is exactly
+    * what DSIR should refuse to do). The positive path is proven on a
+    * planted out-of-domain contrast in PipelineSpec.
+    *
     * Determinism: all four log2 terms are INTEGER log2 via bin-length
     * (the lm_quality trick — libm-free, bit-exact both engines), so the
     * per-word score is an exact integer and the per-doc mean one exact
