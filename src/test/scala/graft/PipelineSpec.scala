@@ -180,6 +180,40 @@ class PipelineSpec extends SparkSpec {
     assert(!q(1L).getAs[Boolean]("suspect"))
   }
 
+  test("r12 hygiene stages compose: gopher keep ∧ dsir select ∧ semDedup") {
+    import spark.implicits._
+    // One corpus, every stage drops someone: doc 2 fails the Gopher
+    // word-count rule, doc 3 is out-of-domain for DSIR, doc 4 survives
+    // the text stages but is a semantic (embedding) dup of doc 1.
+    val docs = Seq(
+      (100L, (1 to 30).map(i => s"alpha${i % 13}").mkString(" ")), // DSIR target
+      (1L, ((1 to 58).map(i => s"alpha${i % 13}") ++ Seq("the", "of")).mkString(" ")),
+      (2L, "alpha1 alpha2 the of"),
+      // zeta words repeat (cr ≈ 20) so their raw-corpus probability is
+      // real: singleton OOV words would score POSITIVE against a tiny
+      // add-one-smoothed target — faithful DSIR small-target behavior
+      (3L, ((1 to 58).map(i => s"zeta${i % 3}") ++ Seq("the", "of")).mkString(" ")),
+      (4L, ((1 to 58).map(i => s"alpha${(i + 3) % 13}") ++ Seq("the", "of")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val raw = docs.filter(col("doc_id") =!= 100L)
+    val gopherKeep = Pipeline.gopherRules(raw).filter(col("keep")).select("doc_id")
+    val dsirKeep = Pipeline.dsirSelect(docs, id => id === 100L)
+      .filter(col("selected")).select("doc_id")
+    val textStage = raw.join(gopherKeep, "doc_id").join(dsirKeep, "doc_id")
+    assert(textStage.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 4L))
+    // final semantic pass over the survivors' embeddings (vec 0 = the
+    // corpus centroid anchor on an orthogonal axis; 1 and 4 coincide)
+    def v(axis: Int): Seq[Float] = {
+      val a = Array.fill(8)(0.0f); a(axis) = 1.0f; a.toSeq
+    }
+    val emb = Seq((0L, v(7)), (1L, v(0)), (4L, v(0))).toDF("vec_id", "embedding")
+    val dupIds = Pipeline.semDedup(emb).select(col("dup_id").as("doc_id"))
+    val survivors = textStage.join(dupIds, Seq("doc_id"), "left_anti")
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L))
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
