@@ -151,6 +151,14 @@ object Pipeline {
   def contamination(docs: DataFrame, isEval: Column => Column): DataFrame =
     Text.contaminationOf(docs, isEval)
 
+  /** Streaming twin of [[contamination]]: score a STREAMING (doc_id,
+    * text) frame against a STATIC eval-doc frame (broadcast gram set).
+    * Run the result in UPDATE output mode — each doc's row finalizes in
+    * its own micro-batch; see the core's scaladoc for the state-growth
+    * caveat. */
+  def contaminationStream(stream: DataFrame, evalDocs: DataFrame): DataFrame =
+    Text.contaminationStream(stream, evalDocs)
+
   /** Gopher-rule intra-doc repetition ratios (duplicate-word fraction,
     * top-bigram mass) with the 0.20 flag. */
   def repetition(docs: DataFrame): DataFrame = Text.repetitionOf(docs)

@@ -1576,6 +1576,40 @@ object Text {
     contaminationOf(Tables.t(s, dir, "documents").select("doc_id", "text"),
       id => id % 97 === 0)
 
+  /** Streaming twin of [[contaminationOf]]: score STREAMING (doc_id,
+    * text) docs against a STATIC eval-doc frame as they arrive — the
+    * production shape when a crawler feed must be checked against a
+    * fixed benchmark suite. The stream side is the stateless gram
+    * projection with ONE consumer (no persist barrier is possible on a
+    * stream, and none is needed: the 174 s pathology was pushdown
+    * recompute across TWO explode branches of one cached frame); the
+    * eval gram set is static and broadcast, so each micro-batch pays
+    * one batch-side hash pass and zero shuffles on the eval side. Run
+    * the returned frame in UPDATE output mode: the per-doc count is a
+    * streaming aggregation, and each doc's row finalizes in the
+    * micro-batch that carries it (grams never span docs). Production
+    * note: ids never recur here, so state grows with the stream —
+    * a real deployment ages state with a watermark on arrival time. */
+  private[graft] def contaminationStream(stream: DataFrame,
+      evalDocs: DataFrame): DataFrame = {
+    val gram4 = hashGramCol(4)
+    val evalGrams = evalDocs
+      .select(col("doc_id"), wordHashCol.as("hs"))
+      .filter(size(col("hs")) >= 4)
+      .select(gram4.as("g"))
+      .select(explode(col("g")).as("gm")).distinct()
+    stream
+      .select(col("doc_id"), wordHashCol.as("hs"))
+      .filter(size(col("hs")) >= 4)
+      .select(col("doc_id"), gram4.as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"), explode(col("g")).as("gm"))
+      .join(broadcast(evalGrams), "gm")
+      .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        col("n_grams").cast("int").as("n_grams"),
+        dround(col("n_shared") * lit(1.0) / col("n_grams"), 6).as("contam_ratio"))
+  }
+
   /** Domain mixing + deterministic training order: upsample domains by an
     * integer epoch weight (the Llama/Dolma-style corpus-mixing step,
     * Touvron et al. 2023 arXiv:2302.13971 §2 —

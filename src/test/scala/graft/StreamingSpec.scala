@@ -221,6 +221,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batchExact)
   }
 
+  test("streaming contamination == batch contamination (static eval side)") {
+    // Fixture docs stream in over two file drops; the eval slice
+    // (doc_id % 97 == 0) is STATIC. Update-mode counts, last row per
+    // doc (each doc finalizes in its own micro-batch), must equal the
+    // batch operator on the full frame.
+    val d = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    val base = Files.createTempDirectory("graft_contam").toString
+    val (streamDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val cut = 25L
+    corpus.filter(col("doc_id") < cut).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    def runOnce(): Unit = {
+      val q = Pipeline.contaminationStream(
+          spark.readStream.schema(schema).parquet(streamDir),
+          d.filter(col("doc_id") % 97 === 0))
+        .writeStream
+        .option("checkpointLocation", ckpt) // shared: run 2 resumes, no reprocess
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    }
+    runOnce()
+    corpus.filter(col("doc_id") >= cut).coalesce(1)
+      .write.mode("append").parquet(streamDir)
+    runOnce()
+    // every doc finalizes in the micro-batch that carries it, so each
+    // doc_id appears exactly once across both runs' update emissions
+    val streamedRows = spark.read.parquet(outDir)
+      .select("doc_id", "n_shared", "n_grams", "contam_ratio").collect()
+    assert(streamedRows.map(_.getLong(0)).distinct.length === streamedRows.length)
+    val streamed = streamedRows
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getDouble(3))).toMap
+    val batch = graft.queries.Text.queries("llm_contamination")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming incremental dedup (exact + near) folds survivors across micro-batches") {
     // The FULL loop as a stream (Pipeline.incrementalDedupStream): two
     // file drops = two micro-batches over one checkpoint. Planted
