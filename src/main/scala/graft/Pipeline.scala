@@ -114,14 +114,25 @@ object Pipeline {
     * unchanged and stream ≡ batch-loop by construction (pinned in
     * StreamingSpec on a planted two-batch corpus).
     *
-    * Delivery note: `foreachBatch` is at-least-once. The OUTPUT sink is
-    * made idempotent here: survivors land in a `batch_id=<id>`
-    * partition via dynamic partition overwrite, so a retried
-    * micro-batch replaces its own partition instead of duplicating
-    * rows. The STATE append stays plain-append — duplicated state rows
-    * are semantically harmless (the exact layer anti-joins on hash, the
-    * near layer's candidates collapse under its final distinct), and a
-    * production pipeline compacts them out-of-band anyway
+    * Delivery note: `foreachBatch` is at-least-once, and the body is
+    * retry-safe by ORDERING, not just sink idempotence. Survivors are
+    * decided against state-at-batch-start, written to their
+    * `batch_id=<id>` output partition FIRST (dynamic partition
+    * overwrite — a retry replaces its own partition), and only then
+    * folded back into the state. Every crash window retries cleanly:
+    * before the output commit, state is untouched and the batch replays
+    * from scratch; between output and state append, the recomputed
+    * survivors are identical and overwrite in place; after the state
+    * append, the retry's exact layer suppresses the batch against its
+    * own hashes — an EMPTY survivor frame, which dynamic overwrite
+    * leaves the committed partition alone for and which appends no
+    * state rows. (State-append-then-output — the naive order — would
+    * make that last window LOSE the batch's output: the retry
+    * anti-joins the batch against its own just-appended hashes and
+    * overwrites the partition with nothing.) A double state append in
+    * the middle window duplicates state rows, which is harmless: the
+    * exact layer anti-joins on hash and the near layer's candidates
+    * collapse under its final distinct; compaction is out-of-band
     * ([[writeDedupState]]'s contract). */
   def incrementalDedupStream(stream: DataFrame, statePath: String,
       outPath: String, checkpoint: String, append: Boolean = true)
@@ -131,15 +142,18 @@ object Pipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, id: Long) =>
         val s = b.sparkSession
+        // survivors vs state-at-batch-start; pinned before any writes
+        val ids = Text.incrementalDedupRound(s, b, statePath, append = false)
+          .localCheckpoint()
         val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try Text.incrementalDedupRound(s, b, statePath, append)
-          .withColumn("batch_id", lit(id))
+        try ids.withColumn("batch_id", lit(id))
           .write.mode("overwrite").partitionBy("batch_id").parquet(outPath)
         finally saved match {
           case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
+        if (append) Text.appendSurvivorState(b, ids, statePath)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -917,15 +917,24 @@ object Text {
     else {
       // materialize the id list so the append's write plan no longer
       // references statePath (and the survivor set is decided BEFORE the
-      // state gains this batch's rows); the state-row left join runs
-      // only here, in the write job — no explode above it, so the
-      // pushdown pathology documented on the near layer cannot reach it
+      // state gains this batch's rows)
       val ids = survivors.localCheckpoint()
-      dedupStateOf(batch).join(ids, Seq("doc_id"), "left_semi")
-        .coalesce(1).write.mode("append").parquet(statePath)
+      appendSurvivorState(batch, ids, statePath)
       ids
     }
   }
+
+  /** Fold `survivorIds`' state rows back into `statePath` — the
+    * state-append half of the incremental-dedup loop, shared by the
+    * batch round above and the streaming twin (which must sequence it
+    * AFTER its output commit; see [[graft.Pipeline.incrementalDedupStream]]).
+    * The state-row left join runs only here, in the write job — no
+    * explode above it, so the pushdown pathology documented on the near
+    * layer cannot reach it. */
+  private[graft] def appendSurvivorState(batch: DataFrame,
+      survivorIds: DataFrame, statePath: String): Unit =
+    dedupStateOf(batch).join(survivorIds, Seq("doc_id"), "left_semi")
+      .coalesce(1).write.mode("append").parquet(statePath)
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
@@ -1011,10 +1020,14 @@ object Text {
     *
     * Scale shape: the unigram table is ONE two-phase count shuffle on
     * word; its vocabulary-sized result broadcasts back onto the
-    * exploded corpus (with a frequency-cutoff vocab it broadcasts at
-    * any corpus size; past that the word join degrades to shuffle); the
-    * per-doc mean is a two-phase agg on doc_id, and the grand total
-    * rides a broadcast 1-row crossJoin (llm_tfidf's shape). */
+    * exploded corpus. The broadcast is pinned BY HINT — it does not
+    * fall back: the hint is deliberate (natural-language vocabulary
+    * after any sane frequency cutoff is executor-memory-sized at any
+    * corpus scale), and a caller whose raw vocabulary genuinely
+    * exceeds broadcast limits must pre-cut it (or drop the hint and
+    * accept a corpus-side shuffle on word). The per-doc mean is a
+    * two-phase agg on doc_id, and the grand total rides a broadcast
+    * 1-row crossJoin (llm_tfidf's shape). */
   private[graft] def lmQualityOf(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -1045,14 +1058,18 @@ object Text {
     * words are under the TARGET distribution (here the eval slice
     * `isTarget(doc_id)`, the same split llm_contamination uses) than
     * under the raw corpus — per-word importance log p_t(w) − log p_r(w),
-    * summed over occurrences, averaged per doc. Docs with avg > 0 look
-    * STRICTLY more target-like than corpus-like and are `selected`
-    * (DSIR then resamples proportionally; the deterministic value cut
-    * stands in for its Gumbel draw). The cut is strict because integer
-    * log2 quantizes to whole bits: a fully-target-OOV doc scores
-    * exactly 0 (its smoothed target deficit equals the raw baseline),
-    * i.e. "indistinguishable", which must not select. Add-one smoothing
-    * covers target-OOV words.
+    * summed over occurrences, averaged per doc. Docs with avg > 0 are
+    * `selected` (DSIR then resamples proportionally; the deterministic
+    * value cut stands in for its Gumbel draw). The cut is STRICT so
+    * that a score of exactly 0 — "indistinguishable from the corpus" —
+    * does not select. Caveat inherent to add-one smoothing at whole-bit
+    * resolution: against a SMALL target, a word that is both
+    * target-OOV and globally rare (cr near 1) can score positive
+    * (bits(1) − bits(tt) vs bits(2) − bits(tr) with tr ≫ tt), so
+    * singleton-heavy noise can be selected when the target corpus is
+    * tiny — real DSIR mitigates with hashed feature buckets and a
+    * target large enough that tt ≫ smoothing mass; the PipelineSpec
+    * composition fixture demonstrates the effect and its remedy.
     *
     * Fixture note: the eval slice is an unbiased sample of the same
     * synthetic distribution, so no raw doc looks STRICTLY more
@@ -1065,27 +1082,30 @@ object Text {
     * Determinism: all four log2 terms are INTEGER log2 via bin-length
     * (the lm_quality trick — libm-free, bit-exact both engines), so the
     * per-word score is an exact integer and the per-doc mean one exact
-    * long sum over a count. Scale shape: two two-phase word counts; the
-    * vocabulary-sized count tables broadcast back onto the exploded raw
-    * corpus; per-doc mean is a two-phase agg; the selected flag is a
-    * VALUE threshold, not a global rank — no single-partition sort. */
+    * long sum over a count. Scale shape: ONE two-phase word-count pass
+    * builds both sides' counts (conditional sums on the target flag —
+    * not two scans), a second pass scores; the vocabulary-sized count
+    * table broadcasts BY HINT back onto the exploded raw corpus (see
+    * the broadcast note on [[lmQualityOf]]); per-doc mean is a
+    * two-phase agg; the selected flag is a VALUE threshold, not a
+    * global rank — no single-partition sort. */
   private[graft] def dsirSelectOf(docs: DataFrame,
       isTarget: Column => Column): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val target = words.filter(isTarget(col("doc_id")))
-      .groupBy("w").agg(count(lit(1)).as("ct"))
-    val raw = words.filter(!isTarget(col("doc_id")))
-      .groupBy("w").agg(count(lit(1)).as("cr"))
-    val totals = target.agg(sum(col("ct")).as("tt"))
-      .crossJoin(raw.agg(sum(col("cr")).as("tr")))
+    // one count pass over the corpus: per-word target and raw counts
+    // side by side (ct is 0, not null, for target-OOV words)
+    val freq = words
+      .groupBy("w").agg(
+        sum(when(isTarget(col("doc_id")), 1L).otherwise(0L)).as("ct"),
+        sum(when(isTarget(col("doc_id")), 0L).otherwise(1L)).as("cr"))
+    val totals = freq.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val bitsOf = (c: Column) => length(bin(c))
     words.filter(!isTarget(col("doc_id")))
-      .join(broadcast(raw), "w")
-      .join(broadcast(target), Seq("w"), "left")
+      .join(broadcast(freq), "w")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
-        ((bitsOf(coalesce(col("ct"), lit(0L)) + 1) - bitsOf(col("tt"))) -
+        ((bitsOf(col("ct") + 1) - bitsOf(col("tt"))) -
           (bitsOf(col("cr") + 1) - bitsOf(col("tr")))).as("score"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
@@ -1134,9 +1154,11 @@ object Text {
           .cast("double") / size(col("ls")), 6).as("bullet_ratio"),
         dround(size(filter(col("ls"), l => l.endsWith("...")))
           .cast("double") / size(col("ls")), 6).as("ellipsis_ratio"),
-        dround(size(filter(col("ws"), w => w.rlike("[a-z]")))
+        // case-insensitive like the paper: sentence-initial "The" and
+        // ALL-CAPS text must count toward both rules
+        dround(size(filter(col("ws"), w => w.rlike("[a-zA-Z]")))
           .cast("double") / size(col("ws")), 6).as("alpha_word_ratio"),
-        size(array_intersect(array_distinct(col("ws")),
+        size(array_intersect(array_distinct(transform(col("ws"), w => lower(w))),
           array(gopherStops.map(lit): _*))).as("stop_words"))
       .withColumn("keep",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
@@ -2447,19 +2469,23 @@ object Text {
          |  ${oRound("w.w / t.tot_w * CAST(t.tot_tokens AS DOUBLE) / w.n_tokens", 6)} AS epochs
          |FROM w, t ORDER BY source""".stripMargin,
     // DSIR importance: four integer-log2 terms via bin-length (see
-    // dsirSelectOf); add-one smoothing on the target side only, raw
-    // counts are ≥ 1 for every scored word by construction.
+    // dsirSelectOf); add-one smoothing on BOTH count terms (ct+1,
+    // cr+1) — the totals are unsmoothed. One conditional-sum count
+    // pass mirrors the Spark shape; values are identical to computing
+    // the two sides separately.
     "llm_dsir_select" ->
       s"""WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |            FROM documents),
-         |tgt AS (SELECT w, COUNT(*) AS ct FROM ws WHERE doc_id % 97 = 0 GROUP BY w),
-         |raw AS (SELECT w, COUNT(*) AS cr FROM ws WHERE doc_id % 97 != 0 GROUP BY w),
-         |t AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
-         |             (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS tr),
+         |f AS (SELECT w,
+         |        CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |        CAST(SUM(CASE WHEN doc_id % 97 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+         |      FROM ws GROUP BY w),
+         |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+         |             CAST(SUM(cr) AS BIGINT) AS tr FROM f),
          |b AS (SELECT ws.doc_id,
-         |        (length(bin(COALESCE(tgt.ct, 0) + 1)) - length(bin(t.tt)))
-         |      - (length(bin(raw.cr + 1)) - length(bin(t.tr))) AS score
-         |      FROM ws JOIN raw USING (w) LEFT JOIN tgt USING (w), t
+         |        (length(bin(f.ct + 1)) - length(bin(t.tt)))
+         |      - (length(bin(f.cr + 1)) - length(bin(t.tr))) AS score
+         |      FROM ws JOIN f USING (w), t
          |      WHERE ws.doc_id % 97 != 0)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          |  ${oRound("CAST(SUM(score) AS DOUBLE) / COUNT(*)", 6)} AS avg_importance,
@@ -2479,9 +2505,9 @@ object Text {
          |  ${oRound("CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(ws)", 6)} AS symbol_ratio,
          |  ${oRound("CAST(len(list_filter(ls, l -> list_contains(['-','*','•'], substr(l, 1, 1)))) AS DOUBLE) / len(ls)", 6)} AS bullet_ratio,
          |  ${oRound("CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) / len(ls)", 6)} AS ellipsis_ratio,
-         |  ${oRound("CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws)", 6)} AS alpha_word_ratio,
+         |  ${oRound("CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(ws)", 6)} AS alpha_word_ratio,
          |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-         |    sw -> list_contains(ws, sw))) AS INT) AS stop_words
+         |    sw -> list_contains(list_transform(ws, w -> lower(w)), sw))) AS INT) AS stop_words
          |  FROM d)
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
          |  ellipsis_ratio, alpha_word_ratio, stop_words,
