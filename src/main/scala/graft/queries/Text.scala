@@ -979,6 +979,67 @@ object Text {
   private def qualityCol(ws: Column): Column =
     qualityExpr(size(ws), size(filter(ws, w => w.isin(stopEn: _*))))
 
+  /** Shared CTE chain + WHERE tail of the v1 hygiene capstone oracle —
+    * v2 extends both, so the two manifests cannot drift. */
+  private lazy val corpusPipelineCtes: String =
+    s"""wh AS ($wordHashSql),
+       |rep AS (
+       |  SELECT doc_id, ${hashGramSql(2, distinct = false)} AS bg,
+       |    len(hs) AS n_words
+       |  FROM wh WHERE len(hs) >= 2),
+       |gc AS (SELECT doc_id, g, COUNT(*) AS c
+       |       FROM (SELECT doc_id, unnest(bg) AS g FROM rep) u GROUP BY doc_id, g),
+       |tc AS (SELECT doc_id, MAX(c) AS top FROM gc GROUP BY doc_id),
+       |nonrep AS (
+       |  SELECT rep.doc_id FROM rep JOIN tc USING (doc_id)
+       |  WHERE NOT (tc.top * 1.0 / (rep.n_words - 1) > 0.20)),
+       |g4 AS (SELECT doc_id, ${hashGramSql(4)} AS g FROM wh WHERE len(hs) >= 4),
+       |eg AS (SELECT DISTINCT unnest(g) AS gm FROM g4 WHERE doc_id % 97 = 0),
+       |contam AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, unnest(g) AS gm FROM g4 WHERE doc_id % 97 != 0) c
+       |  JOIN eg ON c.gm = eg.gm),
+       |keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |srcq AS (
+       |  SELECT source,
+       |    CASE WHEN COUNT(*) OVER (PARTITION BY sha256(text)) > 1
+       |         THEN 1 ELSE 0 END AS is_dup
+       |  FROM documents),
+       |keptsrc AS (
+       |  SELECT source FROM srcq GROUP BY source
+       |  HAVING SUM(is_dup) * 1.0 / COUNT(*) <= 0.5)""".stripMargin
+  private lazy val corpusPipelineWhere: String =
+    s"""d.doc_id % 97 != 0
+       |  AND d.doc_id IN (SELECT doc_id FROM keepers)
+       |  AND d.doc_id IN (SELECT doc_id FROM nonrep)
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+       |  AND d.source IN (SELECT source FROM keptsrc)
+       |  AND ${oRound(qualitySql("d.text"), 6)} >= 0.5
+       |  AND d.lang IN ('en', 'de')""".stripMargin
+
+  /** Shared DuckDB fragments for the Gopher battery (registered oracle
+    * + the v2 capstone CTE — one definition, no drift). */
+  private val gopherSplitSql: String =
+    """SELECT doc_id, text,
+      |    string_split(text, ' ') AS ws,
+      |    string_split(text, chr(10)) AS ls
+      |  FROM documents""".stripMargin
+  private lazy val gopherRuleColsSql: String =
+    s"""CAST(len(ws) AS INT) AS n_words,
+       |  ${oRound("CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)", 6)} AS mean_word_len,
+       |  ${oRound("CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(ws)", 6)} AS symbol_ratio,
+       |  ${oRound("CAST(len(list_filter(ls, l -> list_contains(['-','*','•'], substr(l, 1, 1)))) AS DOUBLE) / len(ls)", 6)} AS bullet_ratio,
+       |  ${oRound("CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) / len(ls)", 6)} AS ellipsis_ratio,
+       |  ${oRound("CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(ws)", 6)} AS alpha_word_ratio,
+       |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+       |    sw -> list_contains(list_transform(ws, w -> lower(w)), sw))) AS INT) AS stop_words""".stripMargin
+  private def gopherKeepCondSql(minWords: Int, minStops: Int): String =
+    s"""n_words >= $minWords AND n_words <= 100000 AND
+       |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+       |   symbol_ratio <= 0.1 AND bullet_ratio <= 0.1 AND
+       |   ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8 AND
+       |   stop_words >= $minStops""".stripMargin
+
   /** DuckDB twin of [[qualityCol]] over a text column reference. */
   private def qualitySql(textRef: String): String = {
     val wsE = s"string_split($textRef, ' ')"
@@ -1139,7 +1200,13 @@ object Text {
     * does NOT fold this battery in: on this fixture it would empty the
     * manifest, proving nothing about composition. */
   private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+  /** `minWords`/`minStops` are pipeline configuration (Dolma/DataTrove
+    * ship every Table A1 bound as a knob); defaults are the paper's
+    * values, which the registered `llm_gopher_rules` uses. The fixture
+    * capstone passes fixture-meaningful bounds (see
+    * [[llmCorpusPipelineV2]]). */
+  private[graft] def gopherRulesOf(docs: DataFrame,
+      minWords: Int = 50, minStops: Int = 2): DataFrame = {
     val ws = split(col("text"), " ")
     val lines = split(col("text"), "\n")
     docs
@@ -1161,13 +1228,13 @@ object Text {
         size(array_intersect(array_distinct(transform(col("ws"), w => lower(w))),
           array(gopherStops.map(lit): _*))).as("stop_words"))
       .withColumn("keep",
-        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("n_words") >= minWords && col("n_words") <= 100000 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
           col("symbol_ratio") <= 0.1 &&
           col("bullet_ratio") <= 0.1 &&
           col("ellipsis_ratio") <= 0.3 &&
           col("alpha_word_ratio") >= 0.8 &&
-          col("stop_words") >= 2)
+          col("stop_words") >= minStops)
   }
 
   val llmGopherRules: Q = (s, dir) =>
@@ -1912,8 +1979,9 @@ object Text {
     * semi join on the tiny source list. Docs under the stages' minimum
     * word counts drop out via the repetition semi join (< 2 words has
     * no bigram — not scoreable, not trainable). */
-  val llmCorpusPipeline: Q = (s, dir) => {
-    val d = Tables.t(s, dir, "documents")
+  /** The r10/r11 hygiene conjunction joined and filtered, pre-select —
+    * shared base of the two capstone manifests. */
+  private def hygieneBase(d: DataFrame): DataFrame = {
     val keepers = keeperIdsOf(d)
     val nonRepetitive = repetitionOf(d.select("doc_id", "text"))
       .filter(!col("repetitive")).select("doc_id")
@@ -1928,6 +1996,33 @@ object Text {
       .join(nonRepetitive, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(broadcast(keptSources), Seq("source"), "left_semi")
+  }
+
+  val llmCorpusPipeline: Q = (s, dir) =>
+    hygieneBase(Tables.t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        dround(qualityCol(split(col("text"), " ")), 6).as("quality"))
+      .filter(col("quality") >= 0.5 && col("lang").isin("en", "de"))
+      .orderBy("doc_id")
+
+  /** Capstone #3 (r12) — the v1 manifest with the round's rule-based
+    * stages folded in, at PIPELINE-CONFIGURED bounds: the Gopher rule
+    * battery at (minWords = 20, minStops = 1) — the paper values empty
+    * this fixture, see [[gopherRulesOf]]'s note; real pipelines tune
+    * every bound per corpus — plus an LM-frequency ceiling
+    * (avg_bits ≤ 5.2, inside the fixture's 5.0–5.42 spread, standing
+    * in for CCNet's perplexity cut). Both stages are the SAME injectable
+    * cores as their standalone oracle-checked operators, so this proves
+    * the r12 composition against one oracle the way v1 proved r10/r11's. */
+  val llmCorpusPipelineV2: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val gopherKeep = gopherRulesOf(d, minWords = 20, minStops = 1)
+      .filter(col("keep")).select("doc_id")
+    val lmKeep = lmQualityOf(d)
+      .filter(col("avg_bits") <= 5.2).select("doc_id")
+    hygieneBase(d)
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .join(lmKeep, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), col("source"),
         dround(qualityCol(split(col("text"), " ")), 6).as("quality"))
       .filter(col("quality") >= 0.5 && col("lang").isin("en", "de"))
@@ -1974,7 +2069,8 @@ object Text {
     "llm_dup_chunks" -> llmDupChunks,
     "llm_chunk_scrub" -> llmChunkScrub,
     "llm_source_stats" -> llmSourceStats,
-    "llm_corpus_pipeline" -> llmCorpusPipeline
+    "llm_corpus_pipeline" -> llmCorpusPipeline,
+    "llm_corpus_pipeline_v2" -> llmCorpusPipelineV2
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2263,42 +2359,34 @@ object Text {
         |FROM o3 JOIN dpc USING (h)
         |GROUP BY o3.doc_id ORDER BY doc_id""".stripMargin,
     "llm_corpus_pipeline" ->
-      s"""WITH wh AS ($wordHashSql),
-         |rep AS (
-         |  SELECT doc_id, ${hashGramSql(2, distinct = false)} AS bg,
-         |    len(hs) AS n_words
-         |  FROM wh WHERE len(hs) >= 2),
-         |gc AS (SELECT doc_id, g, COUNT(*) AS c
-         |       FROM (SELECT doc_id, unnest(bg) AS g FROM rep) u GROUP BY doc_id, g),
-         |tc AS (SELECT doc_id, MAX(c) AS top FROM gc GROUP BY doc_id),
-         |nonrep AS (
-         |  SELECT rep.doc_id FROM rep JOIN tc USING (doc_id)
-         |  WHERE NOT (tc.top * 1.0 / (rep.n_words - 1) > 0.20)),
-         |g4 AS (SELECT doc_id, ${hashGramSql(4)} AS g FROM wh WHERE len(hs) >= 4),
-         |eg AS (SELECT DISTINCT unnest(g) AS gm FROM g4 WHERE doc_id % 97 = 0),
-         |contam AS (
-         |  SELECT DISTINCT c.doc_id
-         |  FROM (SELECT doc_id, unnest(g) AS gm FROM g4 WHERE doc_id % 97 != 0) c
-         |  JOIN eg ON c.gm = eg.gm),
-         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
-         |srcq AS (
-         |  SELECT source,
-         |    CASE WHEN COUNT(*) OVER (PARTITION BY sha256(text)) > 1
-         |         THEN 1 ELSE 0 END AS is_dup
-         |  FROM documents),
-         |keptsrc AS (
-         |  SELECT source FROM srcq GROUP BY source
-         |  HAVING SUM(is_dup) * 1.0 / COUNT(*) <= 0.5)
+      s"""WITH $corpusPipelineCtes
          |SELECT d.doc_id, d.lang, d.source,
          |  ${oRound(qualitySql("d.text"), 6)} AS quality
          |FROM documents d
-         |WHERE d.doc_id % 97 != 0
-         |  AND d.doc_id IN (SELECT doc_id FROM keepers)
-         |  AND d.doc_id IN (SELECT doc_id FROM nonrep)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
-         |  AND d.source IN (SELECT source FROM keptsrc)
-         |  AND ${oRound(qualitySql("d.text"), 6)} >= 0.5
-         |  AND d.lang IN ('en', 'de')
+         |WHERE $corpusPipelineWhere
+         |ORDER BY d.doc_id""".stripMargin,
+    // v2: the same base conjunction plus the r12 rule stages at the
+    // capstone's pipeline-configured bounds (gopher 20/1, lm 5.2) —
+    // CTEs built from the SAME fragments as the standalone oracles.
+    "llm_corpus_pipeline_v2" ->
+      s"""WITH $corpusPipelineCtes,
+         |gd AS ($gopherSplitSql),
+         |gr AS (SELECT doc_id, $gopherRuleColsSql FROM gd),
+         |gop AS (SELECT doc_id FROM gr WHERE ${gopherKeepCondSql(20, 1)}),
+         |lws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |lf AS (SELECT w, COUNT(*) AS c FROM lws GROUP BY w),
+         |lt AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM lf),
+         |lmq AS (SELECT doc_id FROM (
+         |    SELECT lws.doc_id,
+         |      ${oRound("CAST(SUM(length(bin(lt.tc)) - length(bin(lf.c))) AS DOUBLE) / COUNT(*)", 6)} AS avg_bits
+         |    FROM lws JOIN lf USING (w), lt GROUP BY lws.doc_id) x
+         |  WHERE avg_bits <= 5.2)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  ${oRound(qualitySql("d.text"), 6)} AS quality
+         |FROM documents d
+         |WHERE $corpusPipelineWhere
+         |  AND d.doc_id IN (SELECT doc_id FROM gop)
+         |  AND d.doc_id IN (SELECT doc_id FROM lmq)
          |ORDER BY d.doc_id""".stripMargin,
     "llm_source_stats" -> {
       s"""WITH q AS (
@@ -2493,29 +2581,15 @@ object Text {
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Gopher rule battery: every ratio mirrored expression-for-
     // expression; flags re-derive from the ROUNDED columns so both
-    // engines decide identically at rule boundaries.
+    // engines decide identically at rule boundaries. The fragments are
+    // shared with the v2 capstone's gopher CTE so the two oracles
+    // cannot drift.
     "llm_gopher_rules" ->
-      s"""WITH d AS (SELECT doc_id, text,
-         |    string_split(text, ' ') AS ws,
-         |    string_split(text, chr(10)) AS ls
-         |  FROM documents),
-         |r AS (SELECT doc_id,
-         |  CAST(len(ws) AS INT) AS n_words,
-         |  ${oRound("CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)", 6)} AS mean_word_len,
-         |  ${oRound("CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(ws)", 6)} AS symbol_ratio,
-         |  ${oRound("CAST(len(list_filter(ls, l -> list_contains(['-','*','•'], substr(l, 1, 1)))) AS DOUBLE) / len(ls)", 6)} AS bullet_ratio,
-         |  ${oRound("CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) / len(ls)", 6)} AS ellipsis_ratio,
-         |  ${oRound("CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE) / len(ws)", 6)} AS alpha_word_ratio,
-         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-         |    sw -> list_contains(list_transform(ws, w -> lower(w)), sw))) AS INT) AS stop_words
-         |  FROM d)
+      s"""WITH d AS ($gopherSplitSql),
+         |r AS (SELECT doc_id, $gopherRuleColsSql FROM d)
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
          |  ellipsis_ratio, alpha_word_ratio, stop_words,
-         |  (n_words >= 50 AND n_words <= 100000 AND
-         |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
-         |   symbol_ratio <= 0.1 AND bullet_ratio <= 0.1 AND
-         |   ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8 AND
-         |   stop_words >= 2) AS keep
+         |  (${gopherKeepCondSql(50, 2)}) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
