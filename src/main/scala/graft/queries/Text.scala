@@ -1017,6 +1017,20 @@ object Text {
        |  AND ${oRound(qualitySql("d.text"), 6)} >= 0.5
        |  AND d.lang IN ('en', 'de')""".stripMargin
 
+  /** Shared lm-quality CTE chain ending in `<b>(doc_id, bits)` — the
+    * registered oracle and the v2 capstone build from it with their own
+    * CTE names (one definition, no drift). */
+  private def lmBitsCtes(ws: String, f: String, t: String, b: String): String =
+    s"""$ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |            FROM documents),
+       |$f AS (SELECT w, COUNT(*) AS c FROM $ws GROUP BY w),
+       |$t AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM $f),
+       |$b AS (SELECT $ws.doc_id,
+       |        length(bin($t.tc)) - length(bin($f.c)) AS bits
+       |      FROM $ws JOIN $f USING (w), $t)""".stripMargin
+  private lazy val lmAvgBitsSql: String =
+    oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)
+
   /** Shared DuckDB fragments for the Gopher battery (registered oracle
     * + the v2 capstone CTE — one definition, no drift). */
   private val gopherSplitSql: String =
@@ -1154,12 +1168,14 @@ object Text {
       isTarget: Column => Column): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    // one count pass over the corpus: per-word target and raw counts
-    // side by side (ct is 0, not null, for target-OOV words)
+    // One count pass over the corpus: per-word target and raw counts
+    // side by side (ct is 0, not null, for target-OOV words). Each side
+    // tests its own polarity so a NULL isTarget verdict (nullable id
+    // column) counts toward NEITHER — the DuckDB CASE does the same.
     val freq = words
       .groupBy("w").agg(
         sum(when(isTarget(col("doc_id")), 1L).otherwise(0L)).as("ct"),
-        sum(when(isTarget(col("doc_id")), 0L).otherwise(1L)).as("cr"))
+        sum(when(!isTarget(col("doc_id")), 1L).otherwise(0L)).as("cr"))
     val totals = freq.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val bitsOf = (c: Column) => length(bin(c))
     words.filter(!isTarget(col("doc_id")))
@@ -1225,7 +1241,8 @@ object Text {
         // ALL-CAPS text must count toward both rules
         dround(size(filter(col("ws"), w => w.rlike("[a-zA-Z]")))
           .cast("double") / size(col("ws")), 6).as("alpha_word_ratio"),
-        size(array_intersect(array_distinct(transform(col("ws"), w => lower(w))),
+        // array_intersect already dedups its result
+        size(array_intersect(transform(col("ws"), w => lower(w)),
           array(gopherStops.map(lit): _*))).as("stop_words"))
       .withColumn("keep",
         col("n_words") >= minWords && col("n_words") <= 100000 &&
@@ -2373,14 +2390,9 @@ object Text {
          |gd AS ($gopherSplitSql),
          |gr AS (SELECT doc_id, $gopherRuleColsSql FROM gd),
          |gop AS (SELECT doc_id FROM gr WHERE ${gopherKeepCondSql(20, 1)}),
-         |lws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |lf AS (SELECT w, COUNT(*) AS c FROM lws GROUP BY w),
-         |lt AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM lf),
-         |lmq AS (SELECT doc_id FROM (
-         |    SELECT lws.doc_id,
-         |      ${oRound("CAST(SUM(length(bin(lt.tc)) - length(bin(lf.c))) AS DOUBLE) / COUNT(*)", 6)} AS avg_bits
-         |    FROM lws JOIN lf USING (w), lt GROUP BY lws.doc_id) x
-         |  WHERE avg_bits <= 5.2)
+         |${lmBitsCtes("lws", "lf", "lt", "lb")},
+         |lmq AS (SELECT doc_id FROM lb GROUP BY doc_id
+         |        HAVING $lmAvgBitsSql <= 5.2)
          |SELECT d.doc_id, d.lang, d.source,
          |  ${oRound(qualitySql("d.text"), 6)} AS quality
          |FROM documents d
@@ -2510,16 +2522,10 @@ object Text {
     // string as Spark's bin(LONG), so bits(total) − bits(count) is
     // bit-exact.
     "llm_lm_quality" ->
-      s"""WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |            FROM documents),
-         |f AS (SELECT w, COUNT(*) AS c FROM ws GROUP BY w),
-         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM f),
-         |b AS (SELECT ws.doc_id,
-         |        length(bin(t.tc)) - length(bin(f.c)) AS bits
-         |      FROM ws JOIN f USING (w), t)
+      s"""WITH ${lmBitsCtes("ws", "f", "t", "b")}
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  ${oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)} AS avg_bits,
-         |  (${oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)} >= 12.0) AS suspect
+         |  $lmAvgBitsSql AS avg_bits,
+         |  ($lmAvgBitsSql >= 12.0) AS suspect
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // SemDeDup: the IVF cell CTEs over ALL vectors (no query/corpus
     // split), then within-cell pairs + the embed_neardup keeper rule.

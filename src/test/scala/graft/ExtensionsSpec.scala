@@ -109,15 +109,15 @@ class ExtensionsSpec extends SparkSpec {
       (System.nanoTime() - t0) / 1e9
     }
     timed(false); timed(true) // warm both paths (JIT, codegen, shuffle IO)
-    val topk = Seq(timed(false), timed(false)).min
-    val window = Seq(timed(true), timed(true)).min
+    val topk = Seq(timed(false), timed(false), timed(false)).min
+    val window = Seq(timed(true), timed(true), timed(true)).min
     info(f"grouped top-5 over 10M rows / 1000 keys: TopKPerKeyExec=$topk%.2fs, WindowExec=$window%.2fs (${window / topk}%.2fx)")
     // soft bound: the heap path must never LOSE to the sort path beyond
-    // noise — a regression here means the custom exec degraded. The
-    // 1.5 headroom absorbs loaded-machine scheduler variance (min-of-2
-    // on multi-second jobs does not bound it tightly); measured ratio
-    // on a quiet box is ~0.63.
-    assert(topk <= window * 1.5,
+    // noise — a regression here means the custom exec degraded.
+    // Min-of-3 bounds loaded-machine scheduler variance without giving
+    // up detection headroom; measured quiet-box ratio is ~0.63, so 1.3
+    // still catches a ~2x heap-path degradation.
+    assert(topk <= window * 1.3,
       f"TopKPerKeyExec slower than sort-based windowing: $topk%.2fs vs $window%.2fs")
   }
 
