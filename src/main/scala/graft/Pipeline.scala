@@ -201,10 +201,13 @@ object Pipeline {
     * caller (vec_id, embedding) frame: returns (dup_id, keeper_id,
     * best_cos) — every vector with a lower-id same-cell partner above
     * the cosine threshold maps to its lowest such partner. Coarse
-    * quantizer convention: every vector with `vec_id % 50 == 0` serves
-    * as a centroid seed (deterministic, oracle-replayable stand-in for
-    * trained k-means centers) — the caller's id space must include
-    * some. */
+    * quantizer convention: the k = 40 vectors with the smallest
+    * md5(vec_id) serve as centroid seeds (a deterministic,
+    * oracle-replayable stand-in for trained k-means centers; k is
+    * FIXED — independent of corpus size — so the centroid broadcast
+    * and the O(N·k) assignment hold at any scale, with exact-duplicate
+    * seed ties resolved deterministically). Works for any id space,
+    * including frames smaller than k. */
   def semDedup(embeddings: DataFrame): DataFrame = Text.semDedupOf(embeddings)
 
   /** Temperature-scaled (α = 0.5) domain-mixing weights per `source`:

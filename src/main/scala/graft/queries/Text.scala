@@ -555,17 +555,69 @@ object Text {
       .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("best_cos"))
       .orderBy("dup_id")
 
+  /** Fixed centroid-seed count for the IVF/SemDeDup coarse quantizer.
+    * INDEPENDENT of corpus size — this is the 100 TB knob (production
+    * IVF trains ~2^16 k-means centers; the fixture uses 40): the seed
+    * set is the k vectors with the smallest md5(vec_id), a
+    * deterministic uniform sample selected by ONE TakeOrderedAndProject
+    * pass (per-partition top-k, no global sort of the corpus), so
+    * `broadcast(cents)` is k-sized at ANY corpus scale and
+    * nearest-centroid assignment costs O(N·k) dot products with
+    * expected cell size N/k — never the O(N²/const) blowup the
+    * previous every-50th-vector rule degenerated to (centroid count
+    * grew linearly with N). DuckDB replays the identical selection
+    * (`ORDER BY md5(vec_id) LIMIT k`). */
+  private[graft] val ivfK = 40
+
+  /** The fixed-k centroid seed set of a (vec_id, v, nrm) frame, plus a
+    * dense seed rank `r` (1..k in md5 order) for deterministic argmax
+    * tie-breaking in cell assignment ([[cellKey]]). Both windows run
+    * AFTER the limit — single-partition windows over ≤ k rows on the
+    * broadcast side, not over the corpus.
+    *
+    * Duplicate-vector seeds are collapsed to the min-rank copy:
+    * trained k-means never emits two identical centers, but a SAMPLED
+    * seed set over a dup-heavy corpus (SemDeDup's target data) can —
+    * and duplicate seeds would split one semantic cell across several
+    * cell ids and waste IVF probes on empty duplicate-direction
+    * lists. */
+  private[graft] def ivfSeeds(emb: DataFrame, k: Int = ivfK): DataFrame = {
+    val ord = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy("r")
+    emb.orderBy(ord: _*).limit(k)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+      .withColumn("dup_rn", row_number().over(byVec))
+      .filter(col("dup_rn") === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("r"))
+  }
+
+  /** Cell-assignment ordering key: cosine quantized to 1e-9 resolution
+    * with the seed rank as the low-order tie-break, packed into ONE
+    * LONG so `max_by` keeps the argmax inside a codegen'd
+    * HashAggregate (a struct ordering would force SortAggregate).
+    * EXACT csim ties — identical embeddings, the very case SemDeDup
+    * exists for, where duplicate vectors can BOTH be sampled as seeds —
+    * resolve deterministically to the same cell on both engines
+    * (highest seed rank wins). |key| ≤ 1e9·2^16 + 2^16, long-safe up
+    * to k = 2^16, the at-scale knob. */
+  private def cellKey(csim: Column, r: Column): Column =
+    floor(csim * lit(1e9) + lit(0.5)).cast("long") * lit(65536L) + r
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540) — semantic dedup inside
     * coarse clusters, the method used to prune LAION/web-scale corpora:
     * k-means-cluster the embeddings, then within each cluster drop every
     * vector whose cosine to another cluster member exceeds a threshold,
-    * keeping one representative. The IVF coarse quantizer (every-50th
-    * centroid, argmax cell — the exact arithmetic `llm_ann_ivf` already
-    * replays bit-exact in DuckDB) doubles as the clustering; the keeper
-    * rule is `llm_embed_neardup`'s (lowest-id partner wins). Scale
-    * shape: candidates only ever form INSIDE a cell (pairs join keyed on
-    * cell), hot cells are capped by the same single-pass window guard,
-    * and the centroid table broadcasts — never an all-pairs join.
+    * keeping one representative. The IVF coarse quantizer ([[ivfSeeds]]
+    * fixed-k md5 sample, [[cellKey]] argmax cell — deterministic
+    * arithmetic `llm_ann_ivf` replays bit-exact in DuckDB) doubles as
+    * the clustering; the keeper rule is `llm_embed_neardup`'s
+    * (lowest-id partner wins). Scale shape: candidates only ever form
+    * INSIDE a cell (pairs join keyed on cell), hot cells are capped by
+    * the same single-pass window guard, and the centroid table is
+    * k-sized — broadcast-safe at any N — never an all-pairs join.
     * Fixture vectors are random, so the demo threshold is the candidate
     * cut 0.3; production SemDeDup uses ~0.95 — identical plan. */
   val llmSemdedup: Q = (s, dir) =>
@@ -579,15 +631,14 @@ object Text {
     val emb = raw
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val cents = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents = ivfSeeds(emb)
     // unlike the ANN path there is no query/corpus split: EVERY vector
     // (centroid seeds included) is a corpus member to dedup
     val cells = emb.join(broadcast(cents))
       .select(col("vec_id"), col("c_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("csim"))
+        cellKey((dot(col("v"), col("cv")) / (col("nrm") * col("cn"))), col("r")).as("ck"))
       .groupBy("vec_id")
-      .agg(max_by(col("c_id"), col("csim")).as("cell"))
+      .agg(max_by(col("c_id"), col("ck")).as("cell"))
     val cellW = org.apache.spark.sql.expressions.Window.partitionBy("cell")
     val assigned = cells
       .join(emb.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
@@ -607,14 +658,15 @@ object Text {
   }
 
   /** IVF (inverted-file) ANN — the second 100 TB scale path beside
-    * random-hyperplane LSH: a deterministic coarse quantizer (every 50th
-    * vector serves as a centroid) assigns vectors to cells; each query
-    * probes only its `nprobe` nearest cells and scans those inverted
-    * lists. The candidate join is (queries × probed cells) on the cell
-    * key — never a full cross product — and the centroid table is tiny
-    * and broadcast. Oracle-checked: the quantizer is deterministic IEEE
-    * arithmetic, so DuckDB replays cells, probes, and top-5 bit-exact
-    * (plus a brute-force value check in ScalaTest). */
+    * random-hyperplane LSH: a deterministic fixed-k coarse quantizer
+    * ([[ivfSeeds]] — k vectors with smallest md5(vec_id), k independent
+    * of corpus size) assigns vectors to cells; each query probes only
+    * its `nprobe` nearest cells and scans those inverted lists. The
+    * candidate join is (queries × probed cells) on the cell key — never
+    * a full cross product — and the centroid table is k-sized and
+    * broadcast at any N. Oracle-checked: the quantizer is deterministic
+    * IEEE arithmetic, so DuckDB replays cells, probes, and top-5
+    * bit-exact (plus a brute-force value check in ScalaTest). */
   val llmAnnIvf: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
@@ -628,22 +680,23 @@ object Text {
   /** The IVF retrieval body shared by the float and int8 paths: `emb` =
     * (vec_id, v: array&lt;double&gt;, nrm). Caller must have registered
     * `dot_product`. */
-  private def ivfTopk(emb: DataFrame): DataFrame = {
+  private[graft] def ivfTopk(emb: DataFrame, k: Int = ivfK): DataFrame = {
     val nprobe = 2
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
-    val cents = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents = ivfSeeds(emb, k)
     def cellSim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
     // assign every vector to its nearest centroid; max_by keeps the argmax
     // inside a codegen'd two-phase aggregate (no window over all pairs).
     // The aggregation carries ONLY fixed-width columns (vec_id, c_id,
-    // csim) so it stays in HashAggregate — carrying the vector through
+    // ck) so it stays in HashAggregate — carrying the vector through
     // first(v) would put an array in the agg buffer and force
-    // SortAggregate; the vectors re-join by id afterwards instead.
+    // SortAggregate; the vectors re-join by id afterwards instead. The
+    // ordering is cellKey (quantized csim + seed-rank tie-break), one
+    // long, for the same HashAggregate reason.
     val cells = emb.filter(col("vec_id") >= 20).join(broadcast(cents))
-      .select(col("vec_id"), col("c_id"), cellSim.as("csim"))
+      .select(col("vec_id"), col("c_id"), cellKey(cellSim, col("r")).as("ck"))
       .groupBy("vec_id")
-      .agg(max_by(col("c_id"), col("csim")).as("cell"))
+      .agg(max_by(col("c_id"), col("ck")).as("cell"))
     // Hot-cell guard, same posture as the LSH/MinHash capBuckets: a cell
     // holding >maxBucket vectors means the coarse quantizer collapsed on a
     // boilerplate embedding cluster, and the (queries × probed cells) join
@@ -668,14 +721,19 @@ object Text {
       .withColumn("cn", count(lit(1)).over(cellW))
       .filter(col("cn") <= maxBucket)
       .drop("cn")
-    // queries probe their nprobe nearest cells
+    // queries probe their nprobe nearest cells. Probe preference is the
+    // SAME cellKey the assignment argmax uses (quantized csim +
+    // seed-rank tie-break): a query that looks like a member must probe
+    // the member's actual cell first, so tie-heavy geometries (e.g.
+    // near-duplicate directions) can never send a probe to a cell the
+    // assignment never populated.
     val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("csim").desc, col("c_id"))
+      .partitionBy("q_id").orderBy(col("pk").desc)
     val probes = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       .join(broadcast(cents))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("csim"))
+        cellKey(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), col("r")).as("pk"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
@@ -2252,20 +2310,29 @@ object Text {
       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |pairs AS (SELECT * FROM pairs0 WHERE cos > 0.3)""".stripMargin
 
-  /** DuckDB twin of `llmAnnIvf`/`llmAnnIvfInt8`: same every-50th coarse
-    * quantizer, argmax cell assignment, nprobe=2 probe ranking, and
-    * rounded top-5 scan — all deterministic IEEE arithmetic evaluated in
-    * the same order, so the replay is bit-exact (same approach as
-    * `llm_ann_lsh`'s planes). `embCte` supplies the vector source CTE
-    * chain ending in `e(vec_id, v)` — raw doubles for the float path,
-    * the quantize→dequantize reconstruction for int8. */
+  /** DuckDB twin of `llmAnnIvf`/`llmAnnIvfInt8`: same fixed-k md5-sample
+    * coarse quantizer (`ivfSeeds`), same quantized-csim + seed-rank
+    * argmax key (`cellKey`), nprobe=2 probe ranking, and rounded top-5
+    * scan — all deterministic arithmetic evaluated in the same order,
+    * so the replay is bit-exact (same approach as `llm_ann_lsh`'s
+    * planes). The window rank in `cents` evaluates BEFORE the
+    * ORDER BY/LIMIT, so r = global md5 rank of the kept k rows —
+    * identical to Spark ranking the post-limit seed set. `embCte`
+    * supplies the vector source CTE chain ending in `e(vec_id, v)` —
+    * raw doubles for the float path, the quantize→dequantize
+    * reconstruction for int8. */
   private def ivfSql(embCte: String): String =
     s"""WITH $embCte,
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+       |cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+       |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfK),
+       |cents AS (SELECT c_id, cv, cn, r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cv ORDER BY r) AS dup_rn
+       |    FROM cents0) t WHERE dup_rn = 1),
        |cells AS (
        |  SELECT vec_id,
-       |    arg_max(c_id, list_inner_product(v, cv)/(nrm*cn)) AS cell
+       |    arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell
        |  FROM n, cents WHERE vec_id >= 20 GROUP BY vec_id),
        |assigned0 AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
        |hotcell AS (SELECT cell FROM assigned0 GROUP BY cell HAVING COUNT(*) > $maxBucket),
@@ -2275,7 +2342,7 @@ object Text {
        |  SELECT q_id, cell FROM (
        |    SELECT n.vec_id AS q_id, c.c_id AS cell,
        |      row_number() OVER (PARTITION BY n.vec_id
-       |        ORDER BY list_inner_product(n.v, c.cv)/(n.nrm*c.cn) DESC, c.c_id) AS pr
+       |        ORDER BY CAST(FLOOR(list_inner_product(n.v, c.cv)/(n.nrm*c.cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + c.r DESC) AS pr
        |    FROM n, cents c WHERE n.vec_id < 20) t
        |  WHERE pr <= 2),
        |cand AS (
@@ -2532,9 +2599,14 @@ object Text {
     "llm_semdedup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+         |cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+         |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfK),
+         |cents AS (SELECT c_id, cv, cn, r FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cv ORDER BY r) AS dup_rn
+         |    FROM cents0) t WHERE dup_rn = 1),
          |cells AS (
-         |  SELECT vec_id, arg_max(c_id, list_inner_product(v, cv)/(nrm*cn)) AS cell
+         |  SELECT vec_id, arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell
          |  FROM n, cents GROUP BY vec_id),
          |assigned0 AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
          |hotcell AS (SELECT cell FROM assigned0 GROUP BY cell HAVING COUNT(*) > $maxBucket),

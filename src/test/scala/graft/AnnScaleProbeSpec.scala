@@ -13,35 +13,43 @@ import java.nio.file.Files
   * answers. Run through the REAL pipeline entries (`llm_ann_lsh`,
   * `llm_ann_ivf`), not unit shims.
   *
-  * Geometry (64-dim unit basis e0..e63, all arithmetic deterministic):
-  *  - queries (ids 0–19): e0 + 0.001·i·e5 — e0-dominant. id 0 is also the
-  *    every-50th centroid for the e0 region.
-  *  - decoy centroids (ids 50,100,…,1200): distinct basis dims e7,e8,… —
-  *    each anchors its own (near-empty) cell.
-  *  - boilerplate cluster (1,100 ids in 20..1250, none ≡0 mod 50):
-  *    e0 + 0.0001·(i mod 97)·e1 — every one assigns to centroid 0's cell
-  *    and hashes to the cluster's sign bucket IN EVERY LSH TABLE,
-  *    together with the queries (1,120 members > cap per table).
-  *  - healthy cluster (ids 1251–1280): e7 + 0.001·(i mod 7)·e8 — all in
-  *    centroid 50's cell (30 members, under cap) and one healthy bucket
-  *    per table.
+  * Geometry (64-dim unit basis e0..e63, all arithmetic deterministic),
+  * designed for the FIXED-K md5-sample quantizer (`ivfSeeds`): seeds are
+  * the 40 ids with the smallest md5, duplicate-vector seeds collapse to
+  * one, and argmax/probe ties resolve by the quantized cellKey:
+  *  - queries (ids 0–19): e0 + 0.001·i·e5 — e0-dominant.
+  *  - boilerplate cluster (1,100 ids in 20..1250): EXACT copies of e0 —
+  *    the worst case for a sampled quantizer (≈39 of the 40 md5-seeds
+  *    land inside it and collapse, post-dedup, to ONE e0 seed), so the
+  *    whole cluster + the queries tie onto one cell / one LSH sign
+  *    bucket per table (1,120 members > cap).
+  *  - healthy cluster (ids 1301–1330): e7 + 0.001·(i mod 7)·e8 — one
+  *    md5-seed (id 1329, asserted as a fixture precondition) anchors a
+  *    single 30-member cell, under cap.
+  * Effective post-dedup seed set = {one e0 seed, id 1329} — queries
+  * probe the (dropped) e0 cell first and the healthy cell second, so
+  * the guard tests exercise exactly the hot-cell drop + healthy answer
+  * path. Fixture preconditions (no query id among the 40 seeds; 1329
+  * is one) are md5-deterministic and asserted at fixture build.
   * Sign stability across ALL 32 multi-table planes is by construction:
   * plane weight at dim d is ((93·pi + 1663·d) mod 2000)/1000 − 1, whose
   * dim-0 magnitude has minimum 0.023 over pi ∈ 0..31 (at pi = 11), so
   * perturbation terms are kept below it (queries ≤ 0.019·|w(pi,5)|,
-  * cluster ≤ 0.0096·|w(pi,1)|, healthy ≤ 0.006·|w(pi,8)| vs min
-  * |w(pi,7)| > 0.006) — bucket signs and argmax cells are strict, no
-  * tie-break flake, and a same-table bucket collision between different
+  * healthy ≤ 0.006·|w(pi,8)| vs min |w(pi,7)| > 0.006) — bucket signs
+  * are strict, and a same-table bucket collision between different
   * basis directions is harmless (cos ≈ 0 < the 0.3 candidate cut).
   */
 class AnnScaleProbeSpec extends SparkSpec {
 
   private val dims = 64
   private val queryIds = 0L until 20L
-  private val decoyCentroidIds = (1 to 24).map(_ * 50L)
   private val clusterIds =
     (20L to 1250L).filterNot(_ % 50 == 0).take(1100)
-  private val healthyIds = 1251L until 1281L
+  private val healthyIds = 1301L until 1331L
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   private def unit(dim: Int, scale: Float = 1.0f): Array[Float] = {
     val v = Array.fill(dims)(0.0f); v(dim) = scale; v
@@ -50,18 +58,22 @@ class AnnScaleProbeSpec extends SparkSpec {
     a.zip(b).map { case (x, y) => x + y }
 
   private lazy val probeDir: String = {
+    // fixture preconditions: the 40-smallest-md5 seed set over this id
+    // universe contains no query id and DOES contain healthy id 1329 —
+    // deterministic (md5 of fixed ids), asserted so an id-layout edit
+    // fails loudly here instead of mysteriously in the guard tests.
+    val universe = queryIds ++ clusterIds ++ healthyIds
+    val seeds = universe.sortBy(i => (md5hex(i.toString), i)).take(40).toSet
+    assert(!queryIds.exists(seeds), s"query id in md5 seed set: $seeds")
+    assert(seeds.contains(1329L), "healthy cluster lost its md5 seed")
     val dir = Files.createTempDirectory("graft_ann_probe").toFile.getAbsolutePath
     import spark.implicits._
     val queries = queryIds.map(i =>
       (i, plus(unit(0), unit(5, 0.001f * i)).toSeq, 0))
-    val decoys = decoyCentroidIds.zipWithIndex.map { case (id, k) =>
-      (id, unit(7 + k).toSeq, 1)
-    }
-    val cluster = clusterIds.map(i =>
-      (i, plus(unit(0), unit(1, 0.0001f * (i % 97))).toSeq, 2))
+    val cluster = clusterIds.map(i => (i, unit(0).toSeq, 2))
     val healthy = healthyIds.map(i =>
       (i, plus(unit(7), unit(8, 0.001f * (i % 7))).toSeq, 3))
-    (queries ++ decoys ++ cluster ++ healthy).toSeq
+    (queries ++ cluster ++ healthy).toSeq
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
@@ -80,8 +92,7 @@ class AnnScaleProbeSpec extends SparkSpec {
     val hot = (clusterIds ++ queryIds).toSet
     assert(!pairs.exists(p => hot(p._1) || hot(p._2)),
       "over-cap bucket members must produce no pairs")
-    // centroid 50 IS the e7 direction, so it cohabits the healthy bucket
-    val healthy = healthyIds.toSet + 50L
+    val healthy = healthyIds.toSet
     pairs.foreach { case (a, b) =>
       assert(healthy(a) && healthy(b), s"unexpected pair ($a,$b)")
     }
@@ -89,12 +100,11 @@ class AnnScaleProbeSpec extends SparkSpec {
 
   test("IVF hot-cell guard drops the collapsed cell but answers from healthy cells") {
     val rows = SparkEntry.queries("llm_ann_ivf")(spark, probeDir).collect()
-    // every query probes {cell 0 (dropped), cell 50 (healthy)} — results
-    // must come exclusively from the healthy inverted list
+    // every query probes {the e0 cell (dropped), the healthy e7 cell} —
+    // results must come exclusively from the healthy inverted list
     assert(rows.nonEmpty, "no IVF results at all — healthy cell lost too")
     val cluster = clusterIds.toSet
-    // cell 50's inverted list = healthy cluster + centroid 50 itself
-    val healthy = healthyIds.toSet + 50L
+    val healthy = healthyIds.toSet
     rows.foreach { r =>
       val id = r.getAs[Long]("vec_id")
       assert(!cluster(id),
@@ -117,15 +127,15 @@ class AnnScaleProbeSpec extends SparkSpec {
     rows.foreach { r =>
       val dup = r.getAs[Long]("dup_id")
       assert(!hot(dup), s"over-cap cell member $dup surfaced as a dup")
-      // healthy cell = ids 1251-1280 + centroid 50; keeper = its min id
-      assert(r.getAs[Long]("keeper_id") === 50L, r.toString)
+      // healthy cell = ids 1301-1330; keeper = its min id
+      assert(r.getAs[Long]("keeper_id") === healthyIds.min, r.toString)
     }
   }
 
   // ------------------------------------------------------ clustered recall
   // The collapse tests above and QueriesSpec's recall gates run on
   // degenerate or RANDOM vectors — the documented worst case for
-  // space-partitioned ANN, where the measured floors (ivf 0.340,
+  // space-partitioned ANN, where the measured floors (ivf 0.200,
   // lsh 0.193) certify collapse detection only. This probe is the other
   // half: a deterministic CLUSTERED corpus (the data ANN is designed
   // for), where recall must be near-perfect or the algorithm — not the
@@ -140,9 +150,12 @@ class AnnScaleProbeSpec extends SparkSpec {
   //    int8 dequantization error ~7·10⁻³, so quantization cannot
   //    tie-shuffle the whole top-5).
   //  - queries 0..19 = one per cluster; candidates 20..1019 in
-  //    contiguous blocks of 50 per cluster, so the every-50th IVF seed
-  //    rule lands EXACTLY ONE centroid inside each cluster (id 50(c+1)
-  //    → block c) — each cluster is one inverted list (51 ≤ cap).
+  //    contiguous blocks of 50 per cluster. The fixed-k md5 seed
+  //    sample (k = 40 over 1020 ids) lands ≥ 1 seed in every cluster
+  //    (deterministic for these ids; measured recall 1.000 confirms
+  //    full coverage) — members assign to a same-cluster seed because
+  //    inter-cluster |cos| ≲ 0.35 ≪ intra-cluster ≈ 0.97, so each
+  //    cluster resolves to a handful of under-cap inverted lists.
   private val clusterCount = 20
   private def center(c: Int, d: Int): Float =
     ((((c + 1) * 37 + d * 101) % 9) - 4).toFloat

@@ -88,11 +88,15 @@ class PipelineSpec extends SparkSpec {
 
   test("semDedup collapses planted embedding clusters to their min-id keepers") {
     import spark.implicits._
-    // two tight clusters on orthogonal axes; the every-50th quantizer
-    // makes ids 0 and 50 the centroid seeds, one inside each cluster
+    // two tight clusters on orthogonal axes. Under the fixed-k sampled
+    // quantizer, 40 of these 100 ids are seeds (md5 sample), so
+    // intra-cluster spread is kept BELOW the 1e-9 cellKey quantization
+    // (1 − cos ≤ (6e-6)²/2 ≈ 2e-11): every member quantize-ties across
+    // its cluster's seeds and the rank tie-break collapses each cluster
+    // into ONE cell — the deterministic-tie contract this test pins.
     def vec(axis: Int, i: Long): Seq[Float] = {
       val v = Array.fill(8)(0.0f)
-      v(axis) = 1.0f; v(axis + 2) = 0.001f * (i % 7); v.toSeq
+      v(axis) = 1.0f; v(axis + 2) = 0.000001f * (i % 7); v.toSeq
     }
     val emb = ((0L until 50L).map(i => (i, vec(0, i))) ++
       (50L until 100L).map(i => (i, vec(1, i))))

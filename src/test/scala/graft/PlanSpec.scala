@@ -315,8 +315,10 @@ class PlanSpec extends SparkSpec {
     counts.foreach { case (name, n) =>
       assert(n >= 1, s"TopKPerKey rewrite does not fire on $name")
     }
-    // the double-window site really carries both rewrites
-    assert(counts.toMap.apply("llm_ann_ivf") == 2)
+    // probe ranking + final top-5, plus the fixed-k quantizer's seed
+    // dedup window (rn = 1 over the k-row seed set) — which appears
+    // once per `cents` consumer (cell assignment + probes) = 4 sites
+    assert(counts.toMap.apply("llm_ann_ivf") == 4)
   }
 
   test("lm_quality broadcasts the unigram table and keeps two-phase aggs") {

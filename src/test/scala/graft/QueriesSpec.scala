@@ -141,8 +141,12 @@ class QueriesSpec extends SparkSpec {
       truthSets.map { case (q, t) =>
         retrieved.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
       }.sum / truthSets.size
-    // IVF is a top-k retriever: plain recall@5. Measured 0.340 on
-    // sf0.001 (nprobe=2 of ~10 cells over structureless vectors).
+    // IVF is a top-k retriever: plain recall@5. Measured 0.200 on
+    // sf0.001 with the fixed-k quantizer (nprobe=2 of k=40 cells over
+    // structureless vectors — ~5% of the corpus scanned, and recall on
+    // RANDOM data tracks the scanned fraction; r12's 0.340 probed 2 of
+    // ~10 N-dependent cells, i.e. 20%. The clustered-corpus probe in
+    // AnnScaleProbeSpec is where retrieval quality is actually graded).
     val ivf = SparkEntry.queries("llm_ann_ivf")(spark, sfDir).collect()
       .groupBy(_.getAs[Long]("q_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
@@ -161,14 +165,14 @@ class QueriesSpec extends SparkSpec {
       .filter { case (a, b) => a < 20 && b >= 20 }
       .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
     val lshRecall = recallOf(lshTruth, lsh)
-    // Measured on sf0.001: ivf 0.340; lsh 0.039 single-table in r10's
+    // Measured on sf0.001: ivf 0.200; lsh 0.039 single-table in r10's
     // shape, lifted to 0.193 by r11's 4-table LSH — one table's
     // collision rate for a near-orthogonal random pair is (1 − θ/π)^8 ≈
     // 0.01–0.05 at θ ≈ 75–80°, and L tables give 1 − (1−p)^L ≈ L·p,
     // which is what this gate made visible and then confirmed.
     info(f"recall@5 ivf=$ivfRecall%.3f lsh(cos>0.3)=$lshRecall%.3f" +
       f" (lsh denominator: ${lshTruth.size} queries)")
-    assert(ivfRecall >= 0.30, f"IVF recall@5 collapsed: $ivfRecall%.3f")
+    assert(ivfRecall >= 0.15, f"IVF recall@5 collapsed: $ivfRecall%.3f")
     assert(lshRecall >= 0.15, f"LSH candidate recall collapsed: $lshRecall%.3f")
   }
 
