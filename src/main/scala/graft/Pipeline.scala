@@ -193,8 +193,10 @@ object Pipeline {
 
   /** CCNet-style LM-frequency quality score: per-doc mean unigram
     * surprise (integer-log2 bits) under the corpus's own word
-    * distribution — natural text scores low, gibberish high. Returns
-    * (doc_id, n_words, avg_bits, suspect). */
+    * distribution — natural text scores low, gibberish high. Words are
+    * hashed into a fixed 2^16 feature-bucket space before counting
+    * (broadcast-safe at any corpus scale; colliding words pool
+    * counts). Returns (doc_id, n_words, avg_bits, suspect). */
   def lmQuality(docs: DataFrame): DataFrame = Text.lmQualityOf(docs)
 
   /** SemDeDup (semantic dedup inside coarse embedding clusters) over a
@@ -224,7 +226,9 @@ object Pipeline {
   /** DSIR-style importance scoring of raw docs against the target
     * distribution selected by `isTarget(doc_id)`: (doc_id, n_words,
     * avg_importance, selected) — selected docs look more target-like
-    * than corpus-like under per-word integer-log2 likelihood ratios.
+    * than corpus-like under per-word integer-log2 likelihood ratios,
+    * computed over the paper's fixed 2^16 hashed feature buckets
+    * (count tables broadcast-safe at any corpus scale).
     * Precondition: `isTarget` must match at least one doc — an empty
     * target distribution has no likelihoods, and every score degrades
     * to null. */

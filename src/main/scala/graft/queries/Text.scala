@@ -58,6 +58,17 @@ object Text {
     transform(split(col("text"), " "),
       w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
 
+  /** Fixed 2^16 hashed vocabulary bucket of a word — the DSIR paper's
+    * hashed-features mechanism (Xie et al., arXiv:2302.03169): the
+    * lm_quality/DSIR unigram count tables key on this bucket instead of
+    * the raw word, bounding them at 65,536 rows at ANY corpus scale
+    * (broadcast-safe by construction, where the raw web vocabulary —
+    * billions of distinct URLs/typos/code tokens — is not). First 16
+    * md5 bits; [[vocabBucketSql]] is the bit-identical DuckDB twin. */
+  private def vocabBucket(w: Column): Column =
+    conv(substring(md5(w), 1, 4), 16, 10).cast("long")
+  private val vocabBucketSql: String = "('0x' || substr(md5(w), 1, 4))::BIGINT"
+
   /** Windowed hash n-gram ids over the word-hash array column `hs`:
     * gram(i) = Σⱼ hs[i+j]·Cⱼ mod P with C = (B1, B2, B3, 1) — widths 2/3
     * are the historical bigram/shingle arithmetic verbatim; width 4
@@ -1079,13 +1090,14 @@ object Text {
     * registered oracle and the v2 capstone build from it with their own
     * CTE names (one definition, no drift). */
   private def lmBitsCtes(ws: String, f: String, t: String, b: String): String =
-    s"""$ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |            FROM documents),
-       |$f AS (SELECT w, COUNT(*) AS c FROM $ws GROUP BY w),
+    s"""$ws AS (SELECT doc_id, $vocabBucketSql AS wb
+       |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |                  FROM documents) raw_$ws),
+       |$f AS (SELECT wb, COUNT(*) AS c FROM $ws GROUP BY wb),
        |$t AS (SELECT CAST(SUM(c) AS BIGINT) AS tc FROM $f),
        |$b AS (SELECT $ws.doc_id,
        |        length(bin($t.tc)) - length(bin($f.c)) AS bits
-       |      FROM $ws JOIN $f USING (w), $t)""".stripMargin
+       |      FROM $ws JOIN $f USING (wb), $t)""".stripMargin
   private lazy val lmAvgBitsSql: String =
     oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)
 
@@ -1151,23 +1163,27 @@ object Text {
     * across engines (the same reason llm_tfidf avoids log-idf,
     * `Text.scala` §tfidf), while bin-length is bit-exact everywhere.
     *
-    * Scale shape: the unigram table is ONE two-phase count shuffle on
-    * word; its vocabulary-sized result broadcasts back onto the
-    * exploded corpus. The broadcast is pinned BY HINT — it does not
-    * fall back: the hint is deliberate (natural-language vocabulary
-    * after any sane frequency cutoff is executor-memory-sized at any
-    * corpus scale), and a caller whose raw vocabulary genuinely
-    * exceeds broadcast limits must pre-cut it (or drop the hint and
-    * accept a corpus-side shuffle on word). The per-doc mean is a
-    * two-phase agg on doc_id, and the grand total rides a broadcast
-    * 1-row crossJoin (llm_tfidf's shape). */
+    * Scale shape: words are hashed into a FIXED 2^16 feature-bucket
+    * space ([[vocabBucket]] — the DSIR paper's own hashed-features
+    * mechanism) before counting, so the count table is ≤ 65,536 rows
+    * at ANY corpus scale and the broadcast hint is unconditionally
+    * safe — a web corpus's raw vocabulary (billions of distinct URLs /
+    * typos / code tokens) never materializes as a join side. Collision
+    * semantics: words sharing a bucket pool their counts, so a rare
+    * word colliding with a common one reads as common (score is
+    * under-, never over-estimated) — exactly the hashed-DSIR trade-off,
+    * and deterministic on both engines. Bucket counts remain exact
+    * longs, so the integer-log2 scoring is still bit-exact. The
+    * per-doc mean is a two-phase agg on doc_id, and the grand total
+    * rides a broadcast 1-row crossJoin (llm_tfidf's shape). */
   private[graft] def lmQualityOf(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), vocabBucket(col("w")).as("b"))
+    val freq = words.groupBy("b").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).as("tc"))
     words
-      .join(broadcast(freq), "w")
+      .join(broadcast(freq), "b")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         (length(bin(col("tc"))) - length(bin(col("c")))).as("bits"))
@@ -1215,29 +1231,34 @@ object Text {
     * Determinism: all four log2 terms are INTEGER log2 via bin-length
     * (the lm_quality trick — libm-free, bit-exact both engines), so the
     * per-word score is an exact integer and the per-doc mean one exact
-    * long sum over a count. Scale shape: ONE two-phase word-count pass
-    * builds both sides' counts (conditional sums on the target flag —
-    * not two scans), a second pass scores; the vocabulary-sized count
-    * table broadcasts BY HINT back onto the exploded raw corpus (see
-    * the broadcast note on [[lmQualityOf]]); per-doc mean is a
-    * two-phase agg; the selected flag is a VALUE threshold, not a
-    * global rank — no single-partition sort. */
+    * long sum over a count. Scale shape: words hash into the FIXED
+    * 2^16 feature buckets of [[vocabBucket]] — the DSIR paper's own
+    * hashed-features mechanism, so the two-sided count table is ≤
+    * 65,536 rows at any corpus scale and its broadcast is
+    * unconditionally safe (collisions pool counts deterministically on
+    * both engines; see the collision note on [[lmQualityOf]]). ONE
+    * two-phase bucket-count pass builds both sides' counts
+    * (conditional sums on the target flag — not two scans), a second
+    * pass scores; per-doc mean is a two-phase agg; the selected flag
+    * is a VALUE threshold, not a global rank — no single-partition
+    * sort. */
   private[graft] def dsirSelectOf(docs: DataFrame,
       isTarget: Column => Column): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    // One count pass over the corpus: per-word target and raw counts
-    // side by side (ct is 0, not null, for target-OOV words). Each side
+      .select(col("doc_id"), vocabBucket(col("w")).as("b"))
+    // One count pass over the corpus: per-bucket target and raw counts
+    // side by side (ct is 0, not null, for target-OOV buckets). Each side
     // tests its own polarity so a NULL isTarget verdict (nullable id
     // column) counts toward NEITHER — the DuckDB CASE does the same.
     val freq = words
-      .groupBy("w").agg(
+      .groupBy("b").agg(
         sum(when(isTarget(col("doc_id")), 1L).otherwise(0L)).as("ct"),
         sum(when(!isTarget(col("doc_id")), 1L).otherwise(0L)).as("cr"))
     val totals = freq.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val bitsOf = (c: Column) => length(bin(c))
     words.filter(!isTarget(col("doc_id")))
-      .join(broadcast(freq), "w")
+      .join(broadcast(freq), "b")
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
         ((bitsOf(col("ct") + 1) - bitsOf(col("tt"))) -
@@ -2640,18 +2661,19 @@ object Text {
     // pass mirrors the Spark shape; values are identical to computing
     // the two sides separately.
     "llm_dsir_select" ->
-      s"""WITH ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |            FROM documents),
-         |f AS (SELECT w,
+      s"""WITH ws AS (SELECT doc_id, $vocabBucketSql AS wb
+         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |                  FROM documents) raw_ws),
+         |f AS (SELECT wb,
          |        CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
          |        CAST(SUM(CASE WHEN doc_id % 97 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
-         |      FROM ws GROUP BY w),
+         |      FROM ws GROUP BY wb),
          |t AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
          |             CAST(SUM(cr) AS BIGINT) AS tr FROM f),
          |b AS (SELECT ws.doc_id,
          |        (length(bin(f.ct + 1)) - length(bin(t.tt)))
          |      - (length(bin(f.cr + 1)) - length(bin(t.tr))) AS score
-         |      FROM ws JOIN f USING (w), t
+         |      FROM ws JOIN f USING (wb), t
          |      WHERE ws.doc_id % 97 != 0)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          |  ${oRound("CAST(SUM(score) AS DOUBLE) / COUNT(*)", 6)} AS avg_importance,

@@ -324,8 +324,8 @@ class PlanSpec extends SparkSpec {
   test("lm_quality broadcasts the unigram table and keeps two-phase aggs") {
     val df = SparkEntry.queries("llm_lm_quality")(spark, sfDir)
     val s = df.queryExecution.sparkPlan.toString
-    // vocabulary-sized frequency table joins back via broadcast, never
-    // a corpus-side shuffle on word for the scoring join
+    // the fixed 2^16-bucket frequency table joins back via broadcast,
+    // never a corpus-side shuffle on the bucket for the scoring join
     assert(s.contains("BroadcastHashJoin"), s.take(3000))
     // word count + per-doc mean both partial/final
     assert("partial_count".r.findAllIn(s).size >= 2, s.take(3000))
