@@ -58,7 +58,13 @@ object Bench {
     // crash the whole bench instead of flagging the bad env var.
     val repeats = math.max(1, sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3))
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Each query keeps its FULL repeat vector (empty = failed): the
+    // contract line reports [median, min, max] per headline query so the
+    // driver artifact carries its own error bars — a driver-box reading
+    // whose max/min ratio is 2-3x on identical code proves scheduling
+    // weather in the artifact itself, where a bare median left three
+    // rounds of per-query regressions unattributable (r11-r12).
+    val results: Seq[(String, Seq[Double])] = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try {
@@ -87,14 +93,14 @@ object Bench {
       // prior rounds (repeats 2+ reuse the canonical-plan cache entry, so
       // medians stay round-over-round comparable).
       spark.catalog.clearCache()
-      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
+      name -> (if (times.exists(_ < 0)) Seq.empty[Double] else times)
     }
     // Full per-query detail for humans — prefix-tagged so the driver's
     // JSON scan can never pick it up in place of the contract line.
     println("BENCH-FULL " + fullDetail(results))
     println(jsonLine(results, sfDir))
     spark.stop()
-    if (results.exists(_._2 < 0)) sys.exit(1)
+    if (results.exists(_._2.isEmpty)) sys.exit(1)
   }
 
   /** Queries whose timing the contract line reports individually — one per
@@ -125,29 +131,42 @@ object Bench {
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  /** All query timings, one JSON object (informational, not the contract). */
-  def fullDetail(results: Seq[(String, Double)]): String =
-    results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+  /** `[median, min, max]` of one query's repeat vector (callers only
+    * pass non-empty vectors). */
+  private def spread(ts: Seq[Double]): String =
+    "[" + num(median(ts)) + "," + num(ts.min) + "," + num(ts.max) + "]"
+
+  /** All query timings with spreads, one JSON object (informational,
+    * not the contract). */
+  def fullDetail(results: Seq[(String, Seq[Double])]): String =
+    results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "-1.000" else spread(ts))
+    }.mkString("{", ",", "}")
 
   /** The driver parses this single line with json.load — locale-pinned
     * number formatting (a comma-decimal locale would corrupt it). MUST
     * stay well under 2000 chars INCLUDING sbt's trailing "[success]"
     * line, or the driver's tail capture truncates it (see `headline`).
-    * "value" totals ALL queries (n = how many); "queries" lists the
-    * headline subset. Failed queries report -1 (and a "failed" list)
-    * rather than their wall time, so a broken query can't read as fast. */
-  def jsonLine(results: Seq[(String, Double)], sfDir: String): String = {
+    * "value" totals ALL queries' medians (n = how many); "queries"
+    * lists the headline subset as `[median, min, max]` over that
+    * query's repeats — the error bars that let a reader separate a
+    * real regression (tight spread around a high median) from
+    * scheduler weather (max/min of 2-3x on identical code) without
+    * another round of forensics. Failed queries report -1 (and a
+    * "failed" list) rather than a wall time, so a broken query can't
+    * read as fast. */
+  def jsonLine(results: Seq[(String, Seq[Double])], sfDir: String): String = {
     val byName = results.toMap
-    val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + num(v)))
+    val qs = headline.flatMap(k => byName.get(k).map(ts =>
+        "\"" + k + "\":" + (if (ts.isEmpty) "-1.000" else spread(ts))))
       .mkString("{", ",", "}")
-    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    val failedNames = results.collect { case (k, ts) if ts.isEmpty => k }
     // Cap the failed list so a mass failure can't push the line past the
     // tail window; the full list is on stderr + the BENCH-FULL line.
     val failed = (failedNames.take(15).map("\"" + _ + "\"") ++
       (if (failedNames.size > 15) Seq("\"(+" + (failedNames.size - 15) + " more)\"") else Nil))
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 }

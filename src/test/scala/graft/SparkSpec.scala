@@ -17,14 +17,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   * that was truncated mid-line and recorded as "parsed": null. */
 class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("bench JSON line is parseable, locale-stable, headline-only") {
+    // headline entries carry [median, min, max] over the repeats; the
+    // total sums medians; non-headline queries fold into the total only
     val line = Bench.jsonLine(
-      Seq("q1_pricing_summary" -> 1.23456, "not_a_headline" -> 0.0004), "/data/sf0.1")
+      Seq("q1_pricing_summary" -> Seq(1.23456, 1.0, 1.5),
+        "not_a_headline" -> Seq(0.0004)), "/data/sf0.1")
     assert(line ==
-      """{"metric":"total","value":1.235,"unit":"sec","n":2,"queries":{"q1_pricing_summary":1.235},"failed":[],"sf":"/data/sf0.1"}""")
+      """{"metric":"total","value":1.235,"unit":"sec","n":2,"queries":{"q1_pricing_summary":[1.235,1.000,1.500]},"failed":[],"sf":"/data/sf0.1"}""")
     val empty = Bench.jsonLine(Nil, "/x")
     assert(empty == """{"metric":"total","value":0.000,"unit":"sec","n":0,"queries":{},"failed":[],"sf":"/x"}""")
-    // a failed query is excluded from the total and named in "failed"
-    val withFail = Bench.jsonLine(Seq("ok" -> 2.0, "join_smb" -> -1.0), "/x")
+    // a failed query (empty repeat vector) is excluded from the total,
+    // reports a scalar -1 (no fabricated spread), and is named in "failed"
+    val withFail = Bench.jsonLine(
+      Seq("ok" -> Seq(2.0), "join_smb" -> Seq.empty), "/x")
     assert(withFail ==
       """{"metric":"total","value":2.000,"unit":"sec","n":2,"queries":{"join_smb":-1.000},"failed":["join_smb"],"sf":"/x"}""")
   }
@@ -32,12 +37,22 @@ class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("contract line from the FULL registry stays under the tail window") {
     // Worst realistic case: every registered query present, long sf path,
     // every headline query failed (adds the whole failed list).
-    val all = SparkEntry.queries.keys.toSeq.sorted.map(_ -> -1.0)
+    val all = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Seq.empty[Double])
     val line = Bench.jsonLine(all, "/root/testdata/sf0.1")
     assert(line.length < 1500, s"bench line too long for driver tail: ${line.length}")
     // strict-JSON check with an independent parser
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     assert((parsed \ "metric") == org.json4s.JString("total"))
+    // Healthy case: every headline query carries a 3-element spread —
+    // the longest line the contract can emit. Must clear the driver's
+    // 2000-char tail capture with sbt's "[success]" epilogue to spare.
+    val healthy = SparkEntry.queries.keys.toSeq.sorted
+      .map(_ -> Seq(88.888, 88.888, 88.888))
+    val spreadLine = Bench.jsonLine(healthy, "/root/testdata/sf0.1")
+    assert(spreadLine.length < 1900,
+      s"bench spread line too long for driver tail: ${spreadLine.length}")
+    assert((org.json4s.jackson.JsonMethods.parse(spreadLine) \ "metric")
+      == org.json4s.JString("total"))
   }
 }
 
