@@ -115,7 +115,8 @@ object Bench {
     "join_broadcast", "join_multiway", "join_smb", "join_salted",
     "join_asof", "join_range_bin", "win_ranking", "win_agg_rows",
     "sort_topk", "sort_global", "setop_except_all", "gen_lateral_view",
-    "llm_exact_dedup", "llm_minhash_lsh", "llm_simhash_neardup",
+    "llm_exact_dedup", "llm_minhash_lsh", "llm_ngram_jaccard",
+    "llm_simhash_neardup",
     "llm_cosine_topk", "llm_ann_lsh", "llm_ann_ivf", "llm_ann_ivf_int8",
     "llm_tokenize",
     "llm_dedup_incremental", "llm_dedup_cc",

@@ -44,6 +44,22 @@ object Pipeline {
     * (band, signature) buckets, capped against boilerplate blowup. */
   def nearDupPairs(docs: DataFrame): DataFrame = Text.minhashDupPairs(docs)
 
+  /** UNVERIFIED banded-LSH candidate pairs (doc_a < doc_b) — the pair
+    * source for a downstream verify stage ([[ngramJaccard]], or your
+    * own) when you want to separate candidate generation from the
+    * verification feature. */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame =
+    Text.minhashCandidatePairs(docs)
+
+  /** Exact word-bigram Jaccard verify over caller candidate pairs
+    * (doc_a, doc_b) → (doc_a, doc_b, bigram_jac). The one-argument
+    * overload wires in [[minhashCandidatePairs]], the deployed
+    * generate → verify composition. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame): DataFrame =
+    Text.ngramJaccardOf(docs, pairs)
+  def ngramJaccard(docs: DataFrame): DataFrame =
+    Text.ngramJaccardOf(docs, Text.minhashCandidatePairs(docs))
+
   /** Near-dup clusters: connected components over [[nearDupPairs]] by
     * alternating large-star/small-star contraction (O(log d) rounds).
     * Returns (doc_id, cluster_id = component-min doc_id). */

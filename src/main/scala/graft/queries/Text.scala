@@ -182,15 +182,7 @@ object Text {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sets.count() // eager: downstream stages run concurrently and would
                  // otherwise race to populate the cache, tripling the work
-    // Buckets carry only ids — the sid arrays are NOT shuffled through the
-    // bucket self-join; candidates re-join them after dedup. At 100 TB this
-    // is the difference between shuffling doc contents 4x and 16-byte rows.
-    val buckets = capBuckets(bucketsOf(sets), maxBucket)
-    val cand = buckets.alias("a")
-      .join(buckets.alias("b"), Seq("band", "sig"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+    val cand = minhashCandidates(sets)
     val sh = sets.select(col("doc_id"), col("sh"))
     // |A∪B| = |A|+|B|-|A∩B|: one intersect per pair, never a union array
     cand
@@ -202,6 +194,33 @@ object Text {
           (size(col("sh_a")) + size(col("sh_b")) - col("ni"))).as("jac"))
       .filter(col("jac") >= 0.5)
       .select(col("doc_a"), col("doc_b"), dround(col("jac"), 6).as("jaccard"))
+  }
+
+  /** The banded-LSH CANDIDATE generator (pre-verification): distinct
+    * bucket-cohabiting (doc_a < doc_b) id pairs over a [[signaturesOf]]
+    * frame. Buckets carry only ids — the sid arrays are NOT shuffled
+    * through the bucket self-join; verification stages re-join features
+    * by id. At 100 TB this is the difference between shuffling doc
+    * contents 4x and 16-byte rows. Callers own the persistence of
+    * `sets` (both registered consumers persist+count it — the cache
+    * barrier against the filter-pushdown recompute pathology). */
+  private[graft] def minhashCandidates(sets: DataFrame): DataFrame = {
+    val buckets = capBuckets(bucketsOf(sets), maxBucket)
+    buckets.alias("a")
+      .join(buckets.alias("b"), Seq("band", "sig"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+  }
+
+  /** [[minhashCandidates]] over a raw docs frame, with the signature
+    * persist barrier the candidate join needs (the caller-facing pair
+    * source for verify stages like [[ngramJaccardOf]]). */
+  private[graft] def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val sets = signaturesOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
+    minhashCandidates(sets)
   }
 
   val llmMinhashLsh: Q = (s, dir) =>
@@ -434,40 +453,46 @@ object Text {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact word-bigram Jaccard for same-language adjacent doc pairs.
+  /** Exact word-bigram Jaccard VERIFY stage over caller-supplied
+    * candidate pairs (`doc_a`, `doc_b`) — the second-feature
+    * verification a production dedup pipeline runs over its LSH
+    * candidates (the registered query feeds it [[minhashCandidatePairs]]
+    * so candidate generation → verify compose exactly as deployed; any
+    * (doc_a, doc_b) frame works, e.g. a sampled audit set).
     * Same hash-shingling as llmMinhashLsh: the distinct bigram-id SET per
     * doc is a shuffle-free per-row array projection; |A∩B| comes from a
     * gram-equality join over the exploded sets and |A|,|B| from array
     * sizes — shuffling only (doc, gram-id) long pairs for the
     * intersection, never bigram strings. */
-  val llmNgramJaccard: Q = (s, dir) => {
+  private[graft] def ngramJaccardOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val gramSet = when(size(col("hs")) >= 2, hashGramCol(2))
       .otherwise(array().cast("array<long>"))
     // Materialize-once: the per-doc gram sets feed the size lookup and both
     // sides of the intersection join (8-byte ids — cheap to cache).
-    val g = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), wordHashCol.as("hs"))
-      .select(col("doc_id"), col("lang"), gramSet.as("g"))
+    val g = docs
+      .select(col("doc_id"), wordHashCol.as("hs"))
+      .select(col("doc_id"), gramSet.as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     g.count() // eager for the same cache-race reason as llmMinhashLsh
     val sizes = g.select(col("doc_id"), size(col("g")).as("n"))
-    val pairs = g.select(col("doc_id").as("doc_a"), col("lang")).alias("a")
-      .join(g.select(col("doc_id").as("doc_b"), col("lang")).alias("b"),
-        col("a.lang") === col("b.lang") && col("doc_b") === col("doc_a") + 1)
-      .select(col("a.lang").as("lang"), col("doc_a"), col("doc_b"))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
     val ex = g.select(col("doc_id"), explode(col("g")).as("g"))
-    val inter = pairs
+    val inter = p
       .join(ex.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
       .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    pairs
+    p
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .select(col("lang"), col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"),
         dround(coalesce(col("n_inter"), lit(0L)) * lit(1.0) /
           (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6).as("bigram_jac"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  val llmNgramJaccard: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    ngramJaccardOf(d, minhashCandidatePairs(d)).orderBy("doc_a", "doc_b")
   }
 
   /** Brute-force cosine top-k (oracle baseline; scale path = llm_ann_lsh).
@@ -2401,14 +2426,19 @@ object Text {
     "llm_dedup_incremental" -> dedupIncrementalSql,
     "llm_simhash" -> simhashSql,
     "llm_simhash_neardup" -> simhashNeardupSql,
+    // Candidate pairs come from the SAME banded-LSH CTE chain as the
+    // minhash oracle (shared fragment — no drift); the bigram verify
+    // then re-joins each side's distinct bigram-id set.
     "llm_ngram_jaccard" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, lang, ${hashGramSql(2)} AS g
+      s"""WITH $minhashPairsCtes,
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |g AS (
+         |  SELECT doc_id, ${hashGramSql(2)} AS g
          |  FROM ($wordHashSql) t)
-         |SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |SELECT c.doc_a, c.doc_b,
          |  CAST(FLOOR((len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0 /
          |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
-         |FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+         |FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_contamination" ->
       s"""WITH g AS (

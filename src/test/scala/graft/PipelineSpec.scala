@@ -27,6 +27,27 @@ class PipelineSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("candidates → ngram-jaccard verify → CC composition collapses near-dups") {
+    // the full deployed dedup shape with a SECOND verification feature:
+    // banded-LSH candidate generation, word-bigram Jaccard verify (not
+    // the 3-shingle Jaccard the candidates were bucketed on), and
+    // connected-components clustering over the verified edges.
+    val cands = Pipeline.minhashCandidatePairs(docs)
+    assert(cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 2L)), "LSH candidates lost the planted near-dup")
+    val verified = Pipeline.ngramJaccard(docs, cands)
+    val v12 = verified.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 1 = 30 tokens (29 bigrams), doc 2 = those + " tail" (30, 29
+    // shared) → bigram jaccard 29/30 = 0.966667 exactly
+    assert(v12((1L, 2L)) === 0.966667)
+    val labels = Pipeline.connectedComponents(
+      docs.select("doc_id"),
+      verified.filter(col("bigram_jac") >= 0.5).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("minhashSignatures drop sub-3-word docs, keep the signature schema") {
     import spark.implicits._
     val withShort = docs.union(Seq((9L, "too short", "en", "web"))
