@@ -161,14 +161,14 @@ object Pipeline {
         // survivors vs state-at-batch-start; pinned before any writes
         val ids = Text.incrementalDedupRound(s, b, statePath, append = false)
           .localCheckpoint()
-        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try ids.withColumn("batch_id", lit(id))
-          .write.mode("overwrite").partitionBy("batch_id").parquet(outPath)
-        finally saved match {
-          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+        // dynamic overwrite scoped to THIS write (DataFrameWriter
+        // option, not a session-conf toggle): a conf set/restore here
+        // would leak 'dynamic' to any concurrent query on the shared
+        // session during the micro-batch, and the restore could clobber
+        // a value another thread set meanwhile.
+        ids.withColumn("batch_id", lit(id))
+          .write.option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").partitionBy("batch_id").parquet(outPath)
         if (append) Text.appendSurvivorState(b, ids, statePath)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
