@@ -228,6 +228,22 @@ object Pipeline {
     * including frames smaller than k. */
   def semDedup(embeddings: DataFrame): DataFrame = Text.semDedupOf(embeddings)
 
+  /** SemDeDup pairs resolved into CLUSTERS via connected components
+    * (the same O(log d) star-contraction operator the MinHash path
+    * uses): (vec_id, cluster_id = component-min vec_id) for every
+    * vector; keep one representative per cluster. Use this instead of
+    * [[semDedup]] when transitive semantic-dup chains (A~B~C with A≁C)
+    * must resolve consistently — the pairwise keeper rule maps B to A
+    * but C to B, which a per-pair drop mishandles. */
+  def semDedupClusters(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Text.connectedComponents(
+      embeddings.select("vec_id"),
+      Text.semDedupPairs(embeddings)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+
   /** Temperature-scaled (α = 0.5) domain-mixing weights per `source`:
     * (source, n_docs, n_tokens, mix_p, epochs). */
   def mixWeights(docs: DataFrame): DataFrame = Text.mixWeightsOf(docs)

@@ -660,14 +660,25 @@ object Text {
     semDedupOf(Tables.t(s, dir, "embeddings")).orderBy("dup_id")
 
   /** SemDeDup core over a caller (vec_id, embedding) frame — see
-    * [[llmSemdedup]] for semantics and scale shape. */
-  private[graft] def semDedupOf(raw: DataFrame): DataFrame = {
+    * [[llmSemdedup]] for semantics and scale shape. Pairwise keeper
+    * mapping (lowest-id partner); transitive chains resolve via
+    * [[llmSemdedupCc]]'s connected-components composition instead. */
+  private[graft] def semDedupOf(raw: DataFrame): DataFrame =
+    semDedupPairs(raw)
+      .groupBy(col("id_b").as("dup_id"))
+      .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("best_cos"))
+
+  /** The thresholded within-cell cosine pairs (id_a < id_b, cos > 0.3)
+    * behind both SemDeDup resolutions — the cell machinery of
+    * [[llmSemdedup]]. `k` = centroid-seed count (tests pin degenerate
+    * geometries with k = 1; production uses the [[ivfK]] default). */
+  private[graft] def semDedupPairs(raw: DataFrame, k: Int = ivfK): DataFrame = {
     graft.functions.VectorExpressions.register(raw.sparkSession)
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     val emb = raw
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val cents = ivfSeeds(emb)
+    val cents = ivfSeeds(emb, k)
     // unlike the ANN path there is no query/corpus split: EVERY vector
     // (centroid seeds included) is a corpus member to dedup
     val cells = emb.join(broadcast(cents))
@@ -689,8 +700,24 @@ object Text {
       .select(col("id_a"), col("id_b"),
         dround(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
       .filter(col("cos") > 0.3)
-      .groupBy(col("id_b").as("dup_id"))
-      .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("best_cos"))
+  }
+
+  /** SemDeDup pairs resolved into CLUSTERS by the same O(log d)
+    * star-contraction operator the MinHash path uses
+    * ([[connectedComponents]]): the per-pair keeper rule alone handles
+    * transitive semantic-dup chains (A~B~C with A≁C) inconsistently —
+    * B maps to keeper A while C maps to keeper B, so dropping all
+    * dup_ids removes B, C's keeper context with it. Components give
+    * every chain ONE cluster id (the component-min vec_id); keep =
+    * cluster representative, drop = everything else in the cluster.
+    * Returns (vec_id, cluster_id) for every vector. */
+  val llmSemdedupCc: Q = (s, dir) => {
+    val emb = Tables.t(s, dir, "embeddings")
+    connectedComponents(
+      emb.select("vec_id"),
+      semDedupPairs(emb).select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
   }
 
   /** IVF (inverted-file) ANN — the second 100 TB scale path beside
@@ -2170,6 +2197,7 @@ object Text {
     "llm_quality_score" -> llmQualityScore,
     "llm_lm_quality" -> llmLmQuality,
     "llm_semdedup" -> llmSemdedup,
+    "llm_semdedup_cc" -> llmSemdedupCc,
     "llm_mix_weights" -> llmMixWeights,
     "llm_dsir_select" -> llmDsirSelect,
     "llm_gopher_rules" -> llmGopherRules,
@@ -2402,6 +2430,32 @@ object Text {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
        |  FROM cand) t
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** CTE chain ending in `spairs(id_a, id_b, cos)` — the SemDeDup
+    * thresholded within-cell pairs (DuckDB twin of [[semDedupPairs]]),
+    * shared by the keeper-rule and CC-resolved oracles so the two
+    * cannot drift. */
+  private lazy val semPairsCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+       |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfK),
+       |cents AS (SELECT c_id, cv, cn, r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cv ORDER BY r) AS dup_rn
+       |    FROM cents0) t WHERE dup_rn = 1),
+       |cells AS (
+       |  SELECT vec_id, arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell
+       |  FROM n, cents GROUP BY vec_id),
+       |assigned0 AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
+       |hotcell AS (SELECT cell FROM assigned0 GROUP BY cell HAVING COUNT(*) > $maxBucket),
+       |assigned AS (SELECT * FROM assigned0 a
+       |  WHERE NOT EXISTS (SELECT 1 FROM hotcell h WHERE h.cell = a.cell)),
+       |spairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${oRound("list_inner_product(a.v, b.v)/(a.nrm*b.nrm)", 6)} AS cos
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE cos > 0.3)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" ->
@@ -2647,29 +2701,25 @@ object Text {
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // SemDeDup: the IVF cell CTEs over ALL vectors (no query/corpus
     // split), then within-cell pairs + the embed_neardup keeper rule.
+    // Shares `semPairsCtes` with the CC-resolved twin below.
     "llm_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-         |cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn,
-         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
-         |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfK),
-         |cents AS (SELECT c_id, cv, cn, r FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY cv ORDER BY r) AS dup_rn
-         |    FROM cents0) t WHERE dup_rn = 1),
-         |cells AS (
-         |  SELECT vec_id, arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell
-         |  FROM n, cents GROUP BY vec_id),
-         |assigned0 AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
-         |hotcell AS (SELECT cell FROM assigned0 GROUP BY cell HAVING COUNT(*) > $maxBucket),
-         |assigned AS (SELECT * FROM assigned0 a
-         |  WHERE NOT EXISTS (SELECT 1 FROM hotcell h WHERE h.cell = a.cell)),
-         |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${oRound("list_inner_product(a.v, b.v)/(a.nrm*b.nrm)", 6)} AS cos
-         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      s"""WITH $semPairsCtes
          |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
-         |FROM pairs WHERE cos > 0.3
+         |FROM spairs
          |GROUP BY id_b ORDER BY dup_id""".stripMargin,
+    // SemDeDup pairs resolved via connected components (transitive
+    // closure by recursive walk at fixture scale — the Spark side runs
+    // the O(log d) star contraction, same contract as llm_dedup_cc).
+    "llm_semdedup_cc" ->
+      s"""WITH RECURSIVE $semPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM spairs
+         |          UNION SELECT id_b, id_a FROM spairs),
+         |walk AS (
+         |  SELECT vec_id AS node, vec_id AS reach FROM embeddings
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+         |SELECT node AS vec_id, MIN(reach) AS cluster_id
+         |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin,
     // sqrt is IEEE-correctly-rounded in both engines (unlike pow/log);
     // the normalizer goes through the oSum quantized-long sum.
     "llm_mix_weights" ->

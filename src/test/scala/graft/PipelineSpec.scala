@@ -130,6 +130,33 @@ class PipelineSpec extends SparkSpec {
     assert(dups.filter(_._1 >= 50).values.toSet === Set(50L))
   }
 
+  test("semDedupClusters resolves transitive chains the keeper rule cannot") {
+    import spark.implicits._
+    // chain: 1 ~ 2 and 2 ~ 3 at cos ≈ 0.707 (> 0.3 cut) but 1 ≁ 3
+    // (cos 0) — the A~B~C case where the pairwise keeper rule maps
+    // 2 → 1 and 3 → 2 inconsistently. 57 identical e3-axis decoys
+    // dominate the md5 seed sample (none of ids 1-3 is a seed —
+    // deterministic for these ids, mirrored in the fixture layout of
+    // AnnScaleProbeSpec), so the chain rides the decoy cell and its
+    // pairs form there; decoys collapse to their own cluster.
+    def v(x: Float, y: Float, z: Float): Seq[Float] = Seq(x, y, z, 0.0f)
+    val emb = (Seq(
+      (1L, v(1, 0, 0)), (2L, v(1, 1, 0)), (3L, v(0, 1, 0))) ++
+      (100L until 157L).map(i => (i, v(0, 0, 1))))
+      .toDF("vec_id", "embedding")
+    val labels = Pipeline.semDedupClusters(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L,
+      s"transitive chain did not collapse to one cluster: $labels")
+    assert((100L until 157L).forall(labels(_) == 100L),
+      "decoy cluster did not collapse to its min id")
+    // the pairwise keeper rule on the same corpus demonstrates the gap:
+    // doc 3's keeper is 2, itself a dup of 1 — CC is what closes it
+    val keepers = Pipeline.semDedup(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers(2L) == 1L && keepers(3L) == 2L, keepers.toString)
+  }
+
   test("mixWeights computes sqrt-temperature sampling weights exactly") {
     import spark.implicits._
     // tokens: src a = 100, src b = 400 → w = 10, 20 → p = 1/3, 2/3;
