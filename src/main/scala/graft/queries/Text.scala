@@ -828,10 +828,14 @@ object Text {
     * path's exactly ([[ivfTopk]]): broadcast centroids, single-pass
     * hot-cell window, cell-keyed probe join — the int8 codes only
     * shrink what flows through it. */
-  val llmAnnIvfInt8: Q = (s, dir) => {
-    graft.functions.VectorExpressions.register(s)
+  /** The int8 quantize→dequantize reconstruction of a raw embeddings
+    * frame as an ivfTopk-ready (vec_id, v, nrm) frame — extracted so
+    * the k-vs-recall probe (AnnScaleProbeSpec) can compose it with
+    * [[ivfTopk]] at non-default k. Caller must have registered
+    * `dot_product`. */
+  private[graft] def int8ReconstructedEmb(raw0: DataFrame): DataFrame = {
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
-    val raw = Tables.t(s, dir, "embeddings")
+    val raw = raw0
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v0"))
       .withColumn("mn", array_min(col("v0")))
       .withColumn("mx", array_max(col("v0")))
@@ -844,12 +848,16 @@ object Text {
     val quant = raw.select(col("vec_id"), col("mn"), col("scale"), codes.as("code"))
     // dequantized scan: (code+128) is exact in [0,255], so this is
     // mn + floor(…)·scale — the identical doubles DuckDB computes
-    val emb = quant
+    quant
       .select(col("vec_id"),
         transform(col("code"),
           c => col("mn") + (c.cast("int") + lit(128)).cast("double") * col("scale")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    ivfTopk(emb)
+  }
+
+  val llmAnnIvfInt8: Q = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
+    ivfTopk(int8ReconstructedEmb(Tables.t(s, dir, "embeddings")))
   }
 
   /** Per-vector int8 quantization + reconstruction-error statistics —

@@ -205,4 +205,44 @@ class AnnScaleProbeSpec extends SparkSpec {
     assert(int8 >= 0.85, f"clustered int8 IVF recall collapsed: $int8%.3f")
     assert(lsh >= 0.60, f"clustered LSH recall collapsed: $lsh%.3f")
   }
+
+  test("k-vs-recall dial: int8 IVF across quantizer sizes on the clustered corpus") {
+    // The k-dial a 100 TB IVF operator actually tunes: more cells =
+    // cheaper probes (smaller inverted lists) but a higher chance a
+    // cluster has no seed and its members scatter to foreign cells.
+    // Assignment and probing share one preference function (cellKey),
+    // so a seedless cluster often STILL answers — members and their
+    // query pick the same foreign cell — and recall degrades smoothly
+    // rather than cliffing. Floors are measured-then-pinned
+    // (deterministic md5 seed sample, no RNG).
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorExpressions.register(spark)
+    val raw = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val truth = SparkEntry.queries("llm_cosine_topk")(spark, clusteredDir)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    def recallAt(k: Int): Double = {
+      val got = graft.queries.Text.ivfTopk(
+          graft.queries.Text.int8ReconstructedEmb(raw), k)
+        .collect().groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val byK = Seq(16, 64, 256).map(k => k -> recallAt(k)).toMap
+    info(byK.toSeq.sortBy(_._1)
+      .map { case (k, r) => f"k=$k%d -> recall@5 $r%.3f" }.mkString(", "))
+    // Measured: 0.980 at k = 16, 64 AND 256 (identical to the k = 40
+    // default) — on clustered data the dial moves probe COST, not
+    // recall, because the shared preference function keeps each
+    // cluster's members and its query in the same cell whether or not
+    // the cluster sampled a seed. The 0.95 floor would catch any
+    // k-dependent scatter regression; the residual 0.02 is the int8
+    // dequantization reorder the fixed-k test also carries.
+    byK.foreach { case (k, r) =>
+      assert(r >= 0.95, f"k=$k%d int8 recall collapsed: $r%.3f")
+    }
+  }
 }
