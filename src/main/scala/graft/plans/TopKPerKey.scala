@@ -19,10 +19,26 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Hive's analogue is `TopNHash` inside ReduceSinkOperator (map-side top-N
   * for ORDER BY LIMIT); this is its per-key generalization.
   *
-  * Scale: memory is O(keys-per-partition × k) instead of a full
+  * Scale: memory is O(distinct-keys-per-partition × k) instead of a full
   * per-partition sort buffer; input needs hash partitioning on the keys
   * but NO sort — at 100 TB this removes the dominant n·log n term and the
   * spill pressure of sort-based windowing for top-k queries.
+  *
+  * Memory bound, stated precisely: a HOT KEY costs nothing extra — its
+  * heap never holds more than k rows however many billions stream
+  * through it (ExtensionsSpec drives 1M wide rows through one key under
+  * a heap that could not hold them). What the operator retains per
+  * partition is exactly its OUTPUT for that partition (≤ k rows per
+  * distinct key), so the only way to exceed memory is an output that
+  * would not fit either — a high-distinct-key partition, mitigated by
+  * raising shuffle partitions (keys redistribute; per-key cost is
+  * unaffected). Unlike WindowExec this operator does NOT spill: that is
+  * the deliberate trade — the rewrite only fires on literal small k,
+  * where retained-equals-output makes a spill path dead weight. If a
+  * spilling variant is ever needed, fall back is trivial (the rewrite
+  * is a Rule; removing it re-plans the same query as WindowExec, which
+  * spills).
+  *
   * All registered via [[graft.GraftExtensions]]; semantics are covered by
   * the oracle gate because the test session runs with the extension on.
   */

@@ -125,6 +125,31 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKeyExec retains only k rows through a hot key that would not fit") {
+    // The memory-bound contract from plans/TopKPerKey.scala: a hot key's
+    // heap never exceeds k rows however much streams through it. One
+    // constant key funnels 1M rows, each dragging a ~512-byte payload —
+    // ~0.5 GB if the partition were held (the way a naive collect-and-
+    // sort would), vs 5 retained rows here. The assert is exact-value:
+    // the heap must keep precisely the global minimum 5 by (v, id).
+    val payload = lit("x" * 512).as("pad")
+    val df = spark.range(1000000L).select(
+      lit(1).as("k"),
+      pmod(hash(col("id")), lit(1000000)).as("v"),
+      col("id"), payload)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v"), col("id"))
+    val top = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    assert(top.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = top.select("v", "id", "rn").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sortBy(_._3)
+    val expected = df.orderBy(col("v"), col("id")).limit(5)
+      .select("v", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).zipWithIndex
+      .map { case ((v, id), i) => (v, id, i + 1) }
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("TopKRewrite leaves rank()/unfiltered windows untouched") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
