@@ -1237,9 +1237,16 @@ object Text {
     * per-doc mean is a two-phase agg on doc_id, and the grand total
     * rides a broadcast 1-row crossJoin (llm_tfidf's shape). */
   private[graft] def lmQualityOf(docs: DataFrame): DataFrame = {
+    // Persist barrier over the (doc_id, bucket) projection: both
+    // consumers (bucket-count agg + scoring join) would otherwise
+    // recompute the per-occurrence md5 — a pure projection, so there is
+    // no exchange for ReuseExchange to dedup (the same measured rule as
+    // ngramJaccardOf's gram sets); 16 bytes/row, MEMORY_AND_DISK.
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), vocabBucket(col("w")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count() // eager: concurrent consumers would race the cache
     val freq = words.groupBy("b").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).as("tc"))
     words
@@ -1307,6 +1314,8 @@ object Text {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), vocabBucket(col("w")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count() // same barrier rationale as lmQualityOf
     // One count pass over the corpus: per-bucket target and raw counts
     // side by side (ct is 0, not null, for target-OOV buckets). Each side
     // tests its own polarity so a NULL isTarget verdict (nullable id
