@@ -117,7 +117,8 @@ object Bench {
     "sort_topk", "sort_global", "setop_except_all", "gen_lateral_view",
     "llm_exact_dedup", "llm_minhash_lsh", "llm_ngram_jaccard",
     "llm_simhash_neardup",
-    "llm_cosine_topk", "llm_ann_lsh", "llm_ann_ivf", "llm_ann_ivf_int8",
+    "llm_cosine_topk", "llm_ann_lsh", "llm_ann_ivf", "llm_ann_ivf_trained",
+    "llm_ann_ivf_int8",
     "llm_tokenize",
     "llm_dedup_incremental", "llm_dedup_cc",
     "llm_contamination", "llm_repetition", "llm_corpus_pipeline",

@@ -743,10 +743,64 @@ object Text {
   /** The IVF retrieval body shared by the float and int8 paths: `emb` =
     * (vec_id, v: array&lt;double&gt;, nrm). Caller must have registered
     * `dot_product`. */
-  private[graft] def ivfTopk(emb: DataFrame, k: Int = ivfK): DataFrame = {
+  private[graft] def ivfTopk(emb: DataFrame, k: Int = ivfK): DataFrame =
+    ivfRetrieve(emb, ivfSeeds(emb, k))
+
+  /** ONE deterministic Lloyd refinement step over a seed set — the
+    * "trained k-means centers" the sampled quantizer stands in for,
+    * made real AND oracle-replayable: assign every vector to its
+    * nearest seed (the same [[cellKey]] preference retrieval uses),
+    * replace each seed's vector with its cell's per-dimension MEAN,
+    * drop seeds whose cell came up empty (standard Lloyd). Exactness:
+    * dimension sums run over 1e-6-quantized longs (the dsum trick —
+    * float summation order differs between engines, long sums cannot),
+    * and the mean divides in one fixed order, so DuckDB reproduces the
+    * refined centroids bit-for-bit. Cost: O(N·k) assignment dots +
+    * O(N·dims) sum rows per iteration, both shuffle-bounded by (cell,
+    * dim) cardinality k·dims — iterate as many steps as the corpus
+    * warrants (production k-means-- runs a handful). The refined
+    * centroid keeps its seed's rank `r`, so tie-breaks stay
+    * deterministic. */
+  private[graft] def lloydRefine(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val cells = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        cellKey(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), col("r")).as("ck"))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), col("ck")).as("cell"))
+    val dims = cells.join(emb.select(col("vec_id"), col("v")), "vec_id")
+      .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+    val sums = dims.groupBy("cell", "d").agg(
+      sum(floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).as("qs"),
+      count(lit(1)).as("n"))
+    sums
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("d"),
+        ((col("qs").cast("double") / lit(1e6)) / col("n")).as("m")))).as("dm"))
+      .select(col("cell").as("c_id"),
+        transform(col("dm"), s => s.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      .join(cents.select(col("c_id"), col("r")), "c_id")
+  }
+
+  /** IVF retrieval over Lloyd-refined centroids ([[lloydRefine]] one
+    * step from the [[ivfSeeds]] sample) — the trained-quantizer path
+    * beside `llm_ann_ivf`'s sampled seeds, fully oracle-checked. */
+  val llmAnnIvfTrained: Q = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val emb = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    ivfRetrieve(emb, lloydRefine(emb, ivfSeeds(emb)))
+  }
+
+  /** The retrieval body over a caller centroid frame (c_id, cv, cn, r) —
+    * sampled seeds ([[ivfSeeds]]) or Lloyd-refined centers
+    * ([[lloydRefine]]) plug in interchangeably. */
+  private[graft] def ivfRetrieve(emb: DataFrame, cents: DataFrame): DataFrame = {
     val nprobe = 2
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
-    val cents = ivfSeeds(emb, k)
     def cellSim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
     // assign every vector to its nearest centroid; max_by keeps the argmax
     // inside a codegen'd two-phase aggregate (no window over all pairs).
@@ -2209,6 +2263,7 @@ object Text {
     "llm_ann_lsh" -> llmAnnLsh,
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_ann_ivf" -> llmAnnIvf,
+    "llm_ann_ivf_trained" -> llmAnnIvfTrained,
     "llm_ann_ivf_int8" -> llmAnnIvfInt8,
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
@@ -2412,7 +2467,29 @@ object Text {
     * supplies the vector source CTE chain ending in `e(vec_id, v)` —
     * raw doubles for the float path, the quantize→dequantize
     * reconstruction for int8. */
-  private def ivfSql(embCte: String): String =
+  private def ivfSql(embCte: String, refine: Boolean = false): String = {
+    // Optional one-step Lloyd refinement (twin of `lloydRefine`):
+    // assignment over the SEED cents, exact per-dimension quantized-long
+    // sums joined against a 64-row dim table (fixture embedding width;
+    // DuckDB 1.0 lacks lateral range-over-column), mean in the same
+    // division order as Spark, seed rank carried through.
+    val fcents =
+      if (!refine) "fcents AS (SELECT * FROM cents)"
+      else
+        s"""cells0 AS (
+           |  SELECT vec_id, arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell
+           |  FROM n, cents GROUP BY vec_id),
+           |dimsum AS (
+           |  SELECT a.cell, t.d,
+           |    SUM(CAST(FLOOR(n.v[t.d + 1]*1000000.0 + 0.5) AS BIGINT)) AS qs,
+           |    COUNT(*) AS cnt
+           |  FROM cells0 a JOIN n USING (vec_id), range(64) t(d)
+           |  GROUP BY a.cell, t.d),
+           |means AS (SELECT cell, list(CAST(qs AS DOUBLE)/1000000.0/cnt ORDER BY d) AS cv
+           |          FROM dimsum GROUP BY cell),
+           |fcents AS (
+           |  SELECT m.cell AS c_id, m.cv, sqrt(list_inner_product(m.cv, m.cv)) AS cn, c.r
+           |  FROM means m JOIN cents c ON c.c_id = m.cell)""".stripMargin
     s"""WITH $embCte,
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn,
@@ -2421,10 +2498,11 @@ object Text {
        |cents AS (SELECT c_id, cv, cn, r FROM (
        |    SELECT *, row_number() OVER (PARTITION BY cv ORDER BY r) AS dup_rn
        |    FROM cents0) t WHERE dup_rn = 1),
+       |$fcents,
        |cells AS (
        |  SELECT vec_id,
        |    arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell
-       |  FROM n, cents WHERE vec_id >= 20 GROUP BY vec_id),
+       |  FROM n, fcents WHERE vec_id >= 20 GROUP BY vec_id),
        |assigned0 AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
        |hotcell AS (SELECT cell FROM assigned0 GROUP BY cell HAVING COUNT(*) > $maxBucket),
        |assigned AS (SELECT * FROM assigned0 a
@@ -2434,7 +2512,7 @@ object Text {
        |    SELECT n.vec_id AS q_id, c.c_id AS cell,
        |      row_number() OVER (PARTITION BY n.vec_id
        |        ORDER BY CAST(FLOOR(list_inner_product(n.v, c.cv)/(n.nrm*c.cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + c.r DESC) AS pr
-       |    FROM n, cents c WHERE n.vec_id < 20) t
+       |    FROM n, fcents c WHERE n.vec_id < 20) t
        |  WHERE pr <= 2),
        |cand AS (
        |  SELECT p.q_id, a.vec_id,
@@ -2447,6 +2525,7 @@ object Text {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
        |  FROM cand) t
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** CTE chain ending in `spairs(id_a, id_b, cos)` — the SemDeDup
     * thresholded within-cell pairs (DuckDB twin of [[semDedupPairs]]),
@@ -2645,6 +2724,9 @@ object Text {
     "llm_ann_lsh" -> s"$lshPairsSql\nSELECT id_a, id_b, cos FROM pairs ORDER BY id_a, id_b",
     "llm_ann_ivf" ->
       ivfSql("e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"),
+    "llm_ann_ivf_trained" ->
+      ivfSql("e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        refine = true),
     // int8 path: e = the quantize→dequantize reconstruction. The CASE
     // mirrors Spark's mx=mn guard; mn + FLOOR((x−mn)/scale + 0.5)·scale
     // is the (−128/+128)-cancelled dequant, same IEEE ops in the same

@@ -187,6 +187,7 @@ class AnnScaleProbeSpec extends SparkSpec {
       }.sum / truth.size
 
     val ivf = recallOf(topkSets("llm_ann_ivf"))
+    val trained = recallOf(topkSets("llm_ann_ivf_trained"))
     val int8 = recallOf(topkSets("llm_ann_ivf_int8"))
     val lshPairs = SparkEntry.queries("llm_ann_lsh")(spark, clusteredDir)
       .select("id_a", "id_b").collect()
@@ -194,7 +195,8 @@ class AnnScaleProbeSpec extends SparkSpec {
       .filter { case (a, b) => a < 20 && b >= 20 }
       .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
     val lsh = recallOf(lshPairs)
-    info(f"clustered recall@5 ivf=$ivf%.3f int8=$int8%.3f lsh=$lsh%.3f")
+    info(f"clustered recall@5 ivf=$ivf%.3f trained=$trained%.3f" +
+      f" int8=$int8%.3f lsh=$lsh%.3f")
     // Floors are measured-then-pinned (deterministic — only a real
     // parameter/semantics change can move them). Measured: ivf=1.000
     // (probes the one cell that IS the query's cluster), int8=0.980
@@ -202,6 +204,10 @@ class AnnScaleProbeSpec extends SparkSpec {
     // ~7e-3 vs intra-cluster cos spread ~1e-2), lsh=1.000 (4-table
     // collision recovery beats per-plane boundary flips).
     assert(ivf >= 0.95, f"clustered IVF recall collapsed: $ivf%.3f")
+    // Lloyd-refined centers must never LOSE to the raw sample on
+    // clustered data (the data k-means training exists for)
+    assert(trained >= ivf - 0.001,
+      f"trained IVF recall below sampled seeds: $trained%.3f vs $ivf%.3f")
     assert(int8 >= 0.85, f"clustered int8 IVF recall collapsed: $int8%.3f")
     assert(lsh >= 0.60, f"clustered LSH recall collapsed: $lsh%.3f")
   }
