@@ -244,6 +244,30 @@ object Pipeline {
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
 
+  /** IVF approximate-nearest-neighbor search over CALLER frames —
+    * `corpus` and `queries` both (vec_id: long, embedding:
+    * array&lt;float&gt;). Returns (q_id, rnk, vec_id, cos): the `topK`
+    * highest-cosine corpus neighbors of each query, scanning only each
+    * query's `nprobe` nearest inverted lists. The coarse quantizer is
+    * the fixed-k md5 seed sample refined by `refineSteps` deterministic
+    * Lloyd iterations (0 = raw sample); hot cells beyond the candidate
+    * cap are dropped rather than scanned (boilerplate-cluster guard).
+    * Centroids broadcast (k-sized at any corpus scale); assignment is
+    * O(N·k); the scan shuffles only probed cells. */
+  def annSearch(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+      nprobe: Int = 2, refineSteps: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    def prep(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val c = prep(corpus)
+    var cents = Text.ivfSeeds(c)
+    (1 to refineSteps).foreach(_ => cents = Text.lloydRefine(c, cents))
+    Text.ivfRetrieve(c, prep(queries), cents, topK, nprobe)
+  }
+
   /** Temperature-scaled (α = 0.5) domain-mixing weights per `source`:
     * (source, n_docs, n_tokens, mix_p, epochs). */
   def mixWeights(docs: DataFrame): DataFrame = Text.mixWeightsOf(docs)

@@ -744,7 +744,8 @@ object Text {
     * (vec_id, v: array&lt;double&gt;, nrm). Caller must have registered
     * `dot_product`. */
   private[graft] def ivfTopk(emb: DataFrame, k: Int = ivfK): DataFrame =
-    ivfRetrieve(emb, ivfSeeds(emb, k))
+    ivfRetrieve(emb.filter(col("vec_id") >= 20),
+      emb.filter(col("vec_id") < 20), ivfSeeds(emb, k))
 
   /** ONE deterministic Lloyd refinement step over a seed set — the
     * "trained k-means centers" the sampled quantizer stands in for,
@@ -792,14 +793,18 @@ object Text {
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    ivfRetrieve(emb, lloydRefine(emb, ivfSeeds(emb)))
+    ivfRetrieve(emb.filter(col("vec_id") >= 20),
+      emb.filter(col("vec_id") < 20), lloydRefine(emb, ivfSeeds(emb)))
   }
 
-  /** The retrieval body over a caller centroid frame (c_id, cv, cn, r) —
-    * sampled seeds ([[ivfSeeds]]) or Lloyd-refined centers
-    * ([[lloydRefine]]) plug in interchangeably. */
-  private[graft] def ivfRetrieve(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val nprobe = 2
+  /** The retrieval body over caller corpus/query frames (vec_id, v,
+    * nrm) and a centroid frame (c_id, cv, cn, r) — sampled seeds
+    * ([[ivfSeeds]]) or Lloyd-refined centers ([[lloydRefine]]) plug in
+    * interchangeably; the registered queries bind the fixture's
+    * vec_id-split convention, the [[graft.Pipeline.annSearch]] facade
+    * binds caller tables. */
+  private[graft] def ivfRetrieve(corpus: DataFrame, queries: DataFrame,
+      cents: DataFrame, topK: Int = 5, nprobe: Int = 2): DataFrame = {
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     def cellSim = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
     // assign every vector to its nearest centroid; max_by keeps the argmax
@@ -810,7 +815,7 @@ object Text {
     // SortAggregate; the vectors re-join by id afterwards instead. The
     // ordering is cellKey (quantized csim + seed-rank tie-break), one
     // long, for the same HashAggregate reason.
-    val cells = emb.filter(col("vec_id") >= 20).join(broadcast(cents))
+    val cells = corpus.join(broadcast(cents))
       .select(col("vec_id"), col("c_id"), cellKey(cellSim, col("r")).as("ck"))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), col("ck")).as("cell"))
@@ -834,7 +839,7 @@ object Text {
     // count, with no second pass and no extra array shuffle.
     val cellW = org.apache.spark.sql.expressions.Window.partitionBy("cell")
     val assigned = cells
-      .join(emb.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(corpus.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .withColumn("cn", count(lit(1)).over(cellW))
       .filter(col("cn") <= maxBucket)
       .drop("cn")
@@ -846,7 +851,7 @@ object Text {
     // assignment never populated.
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("pk").desc)
-    val probes = emb.filter(col("vec_id") < 20)
+    val probes = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       .join(broadcast(cents))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
@@ -861,7 +866,7 @@ object Text {
       .select(col("q_id"), col("vec_id"),
         dround(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
       .withColumn("rnk", row_number().over(topW))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
       .orderBy("q_id", "rnk")
   }

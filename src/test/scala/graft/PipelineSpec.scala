@@ -157,6 +157,32 @@ class PipelineSpec extends SparkSpec {
     assert(keepers(2L) == 1L && keepers(3L) == 2L, keepers.toString)
   }
 
+  test("annSearch answers caller-frame queries from the right clusters") {
+    import spark.implicits._
+    // two orthogonal-direction corpus clusters with slight per-member
+    // tilt; one query per direction must retrieve only its own cluster,
+    // ranked by cosine — across refineSteps 0 (raw seed sample) and 1
+    // (Lloyd-refined), which must agree on this geometry.
+    def v(axis: Int, tilt: Float): Seq[Float] = {
+      val a = Array.fill(8)(0.0f); a(axis) = 1.0f; a(axis + 4) = tilt; a.toSeq
+    }
+    val corpus = ((0L until 30L).map(i => (i, v(0, 0.01f * (i % 5)))) ++
+      (30L until 60L).map(i => (i, v(1, 0.01f * (i % 5)))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1000L, v(0, 0.0f)), (1001L, v(1, 0.0f)))
+      .toDF("vec_id", "embedding")
+    for (steps <- Seq(0, 1)) {
+      val hits = Pipeline.annSearch(corpus, queries, topK = 3,
+          refineSteps = steps).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+      assert(hits(1000L).size == 3 && hits(1000L).forall(_ < 30L),
+        s"steps=$steps axis-0 query left its cluster: ${hits(1000L)}")
+      assert(hits(1001L).size == 3 && hits(1001L).forall(id => id >= 30L && id < 60L),
+        s"steps=$steps axis-1 query left its cluster: ${hits(1001L)}")
+    }
+  }
+
   test("mixWeights computes sqrt-temperature sampling weights exactly") {
     import spark.implicits._
     // tokens: src a = 100, src b = 400 → w = 10, 20 → p = 1/3, 2/3;
