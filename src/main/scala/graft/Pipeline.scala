@@ -203,6 +203,13 @@ object Pipeline {
     * clean_hash = md5 of the scrubbed text). */
   def chunkScrub(docs: DataFrame): DataFrame = Text.chunkScrubOf(docs)
 
+  /** HTML → text extraction over a raw-markup `text` column: strips
+    * script/style blocks, comments and tags, decodes the common
+    * entities, collapses whitespace — the deterministic
+    * boilerplate-removal stage ahead of quality scoring and dedup.
+    * Returns (doc_id, clean_text). */
+  def htmlExtract(docs: DataFrame): DataFrame = Text.htmlExtractOf(docs)
+
   /** C4/RefinedWeb-style per-source corpus statistics and the
     * source-level keep/drop decision. Needs `source`, `lang`, `text`. */
   def sourceStats(docs: DataFrame): DataFrame = Text.sourceStatsOf(docs)

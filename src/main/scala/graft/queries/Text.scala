@@ -1952,6 +1952,60 @@ object Text {
       .orderBy("shard", "pos")
   }
 
+  /** HTML → text extraction of a raw-markup column — the
+    * boilerplate-removal stage every web corpus runs before quality /
+    * dedup (the deterministic regex analogue of trafilatura/jusText
+    * content extraction; model-based block scoring would sit on top of
+    * this plumbing). Order matters and is part of the contract:
+    * script/style blocks WITH their contents, then comments, then
+    * remaining tags, then entity decode (&lt;/&gt;/&quot;/&#39;/&nbsp;
+    * before &amp; — the standard double-encoding order), then
+    * whitespace collapse. Every pattern is RE2-safe (no backreferences,
+    * explicit char classes) so the DuckDB oracle replays the identical
+    * chain. Scale shape: pure per-row codegen'd projection, shuffle-free. */
+  private[graft] def htmlExtractOf(docs: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("text"),
+      lit("(?is)<script[^>]*>.*?</script>"), lit(" "))
+    val noStyle = regexp_replace(noScript,
+      lit("(?is)<style[^>]*>.*?</style>"), lit(" "))
+    val noComment = regexp_replace(noStyle, lit("(?s)<!--.*?-->"), lit(" "))
+    val noTag = regexp_replace(noComment, lit("<[^>]+>"), lit(" "))
+    val ent = replace(replace(replace(replace(replace(replace(noTag,
+      lit("&nbsp;"), lit(" ")),
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    docs.select(col("doc_id"),
+      trim(regexp_replace(ent, lit("[ \\t\\n\\r]+"), lit(" "))).as("clean_text"))
+  }
+
+  /** Registered twin of [[htmlExtractOf]]: the fixture corpus is plain
+    * text, so the query PLANTS a deterministic HTML wrapper (script +
+    * style + comment + tags + entities, parameterized by doc_id) and
+    * then extracts — planting and extraction are mirrored in the
+    * oracle, so the compare checks the strip semantics end-to-end
+    * (the llm_pii_scrub pattern). Output hashes the clean text to keep
+    * compared rows small; the exact-text contract is pinned on planted
+    * markup in PipelineSpec. */
+  val llmHtmlExtract: Q = (s, dir) => {
+    val planted = concat(
+      lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script><style>p { margin: 0; }</style></head><body><!-- doc "),
+      col("doc_id"),
+      lit(" --><h1>Title &amp; "), col("doc_id"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><br/>&nbsp;&lt;end&gt;</body></html>"))
+    htmlExtractOf(Tables.t(s, dir, "documents")
+        .select(col("doc_id"), planted.as("text")))
+      .select(col("doc_id"),
+        length(col("clean_text")).as("clean_n_chars"),
+        size(split(col("clean_text"), " ")).as("clean_words"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing: regex redaction of emails / phone numbers / IPv4
     * addresses, with per-doc redaction counts — the Dolma-style privacy
     * pass (Soldaini et al. 2024 arXiv:2402.00159 §2).
@@ -2291,6 +2345,7 @@ object Text {
     "llm_contamination" -> llmContamination,
     "llm_domain_mix" -> llmDomainMix,
     "llm_pii_scrub" -> llmPiiScrub,
+    "llm_html_extract" -> llmHtmlExtract,
     "llm_repetition" -> llmRepetition,
     "llm_dup_chunks" -> llmDupChunks,
     "llm_chunk_scrub" -> llmChunkScrub,
@@ -2706,6 +2761,27 @@ object Text {
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY k, doc_id, epoch) AS INT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    // Same plant-then-transform pattern as llm_pii_scrub: the wrapper is
+    // rebuilt identically, every strip stage mirrored with RE2-safe
+    // patterns and explicit 'g' flags (DuckDB replaces first-match-only
+    // by default; Spark replaces all).
+    "llm_html_extract" ->
+      """WITH raw AS (SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>p { margin: 0; }</style></head><body><!-- doc ' ||
+        |  CAST(doc_id AS VARCHAR) || ' --><h1>Title &amp; ' || CAST(doc_id AS VARCHAR) ||
+        |  '</h1><p>' || text || '</p><br/>&nbsp;&lt;end&gt;</body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM raw),
+        |s2 AS (SELECT doc_id, regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(h, '<[^>]+>', ' ', 'g') AS h FROM s3),
+        |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(h,
+        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h FROM s4),
+        |c AS (SELECT doc_id, trim(regexp_replace(h, '[ \t\n\r]+', ' ', 'g')) AS ct FROM s5)
+        |SELECT doc_id, CAST(length(ct) AS INT) AS clean_n_chars,
+        |  CAST(len(string_split(ct, ' ')) AS INT) AS clean_words,
+        |  md5(ct) AS clean_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
     "llm_pii_scrub" ->
       """WITH p AS (
         |  SELECT doc_id,

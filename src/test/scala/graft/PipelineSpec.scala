@@ -130,6 +130,24 @@ class PipelineSpec extends SparkSpec {
     assert(dups.filter(_._1 >= 50).values.toSet === Set(50L))
   }
 
+  test("htmlExtract strips blocks, comments, tags and entities exactly") {
+    import spark.implicits._
+    val html = Seq(
+      (1L, "<html><head><script>if (a < b) { alert('x'); }</script>" +
+        "<style>h1 { font-size: 2em; }</style></head>" +
+        "<body><!-- nav boilerplate --><h1>The  Title</h1>\n" +
+        "<p>Rock &amp; roll &lt;3 &quot;quoted&quot; &#39;single&#39;&nbsp;end</p>" +
+        "</body></html>"),
+      (2L, "no markup at all"),
+      (3L, "<p>unclosed tag soup <b>bold")) // trailing unclosed tag survives as text
+      .toDF("doc_id", "text")
+    val got = Pipeline.htmlExtract(html).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "The Title Rock & roll <3 \"quoted\" 'single' end")
+    assert(got(2L) === "no markup at all")
+    assert(got(3L) === "unclosed tag soup bold")
+  }
+
   test("semDedupClusters resolves transitive chains the keeper rule cannot") {
     import spark.implicits._
     // chain: 1 ~ 2 and 2 ~ 3 at cos ≈ 0.707 (> 0.3 cut) but 1 ≁ 3
