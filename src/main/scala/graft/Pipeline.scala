@@ -203,6 +203,20 @@ object Pipeline {
     * clean_hash = md5 of the scrubbed text). */
   def chunkScrub(docs: DataFrame): DataFrame = Text.chunkScrubOf(docs)
 
+  /** Per-source document cap (C4-style domain balancing): keep at most
+    * `cap` docs per `source`, selected deterministically by md5(doc_id)
+    * — an unbiased per-source sample. Plans through the heap-based
+    * grouped-top-k operator, so no per-partition sort at scale. */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= cap)
+      .drop("__graft_rn")
+  }
+
   /** HTML → text extraction over a raw-markup `text` column: strips
     * script/style blocks, comments and tags, decodes the common
     * entities, collapses whitespace — the deterministic

@@ -1952,6 +1952,25 @@ object Text {
       .orderBy("shard", "pos")
   }
 
+  /** Per-source document cap — C4/RefinedWeb-style domain balancing:
+    * keep at most `cap` docs per source so no single domain dominates
+    * the mix, selected deterministically by md5(doc_id) (an unbiased
+    * per-source sample rather than first-crawled bias). The
+    * `row_number ≤ k` filter plans through TopKPerKeyExec (the custom
+    * grouped-top-k operator — PlanSpec pins the rewrite), so at 100 TB
+    * the cap keeps a bounded heap per source instead of sorting every
+    * partition. */
+  val llmSourceCap: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   /** HTML → text extraction of a raw-markup column — the
     * boilerplate-removal stage every web corpus runs before quality /
     * dedup (the deterministic regex analogue of trafilatura/jusText
@@ -2346,6 +2365,7 @@ object Text {
     "llm_domain_mix" -> llmDomainMix,
     "llm_pii_scrub" -> llmPiiScrub,
     "llm_html_extract" -> llmHtmlExtract,
+    "llm_source_cap" -> llmSourceCap,
     "llm_repetition" -> llmRepetition,
     "llm_dup_chunks" -> llmDupChunks,
     "llm_chunk_scrub" -> llmChunkScrub,
@@ -2761,6 +2781,13 @@ object Text {
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY k, doc_id, epoch) AS INT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    "llm_source_cap" ->
+      """SELECT source, doc_id, rn FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
     // Same plant-then-transform pattern as llm_pii_scrub: the wrapper is
     // rebuilt identically, every strip stage mirrored with RE2-safe
     // patterns and explicit 'g' flags (DuckDB replaces first-match-only

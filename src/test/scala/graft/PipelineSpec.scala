@@ -130,6 +130,17 @@ class PipelineSpec extends SparkSpec {
     assert(dups.filter(_._1 >= 50).values.toSet === Set(50L))
   }
 
+  test("sourceCap keeps a deterministic bounded sample per source") {
+    val capped = Pipeline.sourceCap(docs, 1)
+    val bySource = capped.collect()
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySource.values.forall(_ == 1), bySource.toString)
+    // deterministic: the same invocation keeps the same docs
+    assert(capped.collect().map(_.getAs[Long]("doc_id")).toSet ===
+      Pipeline.sourceCap(docs, 1).collect().map(_.getAs[Long]("doc_id")).toSet)
+    assert(Pipeline.sourceCap(docs, 100).count() === docs.count())
+  }
+
   test("htmlExtract strips blocks, comments, tags and entities exactly") {
     import spark.implicits._
     val html = Seq(

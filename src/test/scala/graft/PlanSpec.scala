@@ -305,7 +305,8 @@ class PlanSpec extends SparkSpec {
       "llm_ann_ivf",       // probe ranking + final top-5 (2 sites)
       "llm_ann_ivf_int8",  // same body over dequantized vectors
       "llm_tfidf_top",     // per-doc top terms
-      "llm_dedup_rows")    // rn = 1 keeper selection
+      "llm_dedup_rows",    // rn = 1 keeper selection
+      "llm_source_cap")    // per-source doc cap (domain balancing)
     val counts = sites.map { name =>
       val n = SparkEntry.queries(name)(spark, sfDir).queryExecution
         .optimizedPlan.collect { case t: graft.plans.TopKPerKeyNode => t }.size
