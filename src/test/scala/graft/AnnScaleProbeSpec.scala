@@ -113,6 +113,15 @@ class AnnScaleProbeSpec extends SparkSpec {
     }
     // top-5 per query over 30 healthy candidates
     rows.groupBy(_.getAs[Long]("q_id")).values.foreach(rs => assert(rs.length <= 5))
+    // the Lloyd-refined path shares the guard: refining the e0 seed
+    // toward its (degenerate) cell mean must not resurrect the hot cell
+    val trained = SparkEntry.queries("llm_ann_ivf_trained")(spark, probeDir).collect()
+    assert(trained.nonEmpty, "trained path lost the healthy cell")
+    trained.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(!cluster(id), s"trained path surfaced hot-cell vec $id")
+      assert(healthy(id), s"trained path vec $id outside the healthy cell")
+    }
   }
 
   test("SemDeDup's hot-cell guard suppresses the boilerplate cluster too") {
