@@ -790,6 +790,12 @@ object Text {
   val llmAnnIvfTrained: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    // NO persist barrier, deliberately (measured): six consumers re-scan
+    // this projection, but at 2,000 rows the rescans are cheaper than a
+    // materialization job — A/B'd 1.267 s without vs 1.659 s with
+    // (7-repeat micro medians). The persist rule pays over EXPENSIVE
+    // multi-consumed projections (lmQualityOf's per-occurrence md5,
+    // ngramJaccardOf's gram sets), not over a cheap scan+norm.
     val emb = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
