@@ -84,11 +84,14 @@ object Pipeline {
     Text.incrementalDedupRound(spark, batch, statePath, append)
 
   /** Build and write the initial dedup state (signatures + content
-    * hashes) for a corpus. One output file — partition/bucket the write
-    * yourself for TB-scale corpora. */
+    * hashes) for a corpus. Output parallelism follows the corpus scan
+    * with a per-file record cap, so a TB-scale corpus lands as many
+    * bounded shards and a fixture corpus as a handful of files — never
+    * the single-reducer bottleneck a coalesce(1) would force at scale. */
   def writeDedupState(corpus: DataFrame, statePath: String): Unit =
-    Text.dedupStateOf(corpus).coalesce(1)
-      .write.mode("overwrite").parquet(statePath)
+    Text.dedupStateOf(corpus)
+      .write.mode("overwrite").option("maxRecordsPerFile", 1000000)
+      .parquet(statePath)
 
   /** Streaming twin of [[incrementalDedup]]'s EXACT layer: dedup a
     * STREAMING frame of (doc_id, text) rows against the persisted state
@@ -240,14 +243,19 @@ object Pipeline {
     * caller (vec_id, embedding) frame: returns (dup_id, keeper_id,
     * best_cos) — every vector with a lower-id same-cell partner above
     * the cosine threshold maps to its lowest such partner. Coarse
-    * quantizer convention: the k = 40 vectors with the smallest
+    * quantizer convention: the `k` vectors with the smallest
     * md5(vec_id) serve as centroid seeds (a deterministic,
     * oracle-replayable stand-in for trained k-means centers; k is
-    * FIXED — independent of corpus size — so the centroid broadcast
-    * and the O(N·k) assignment hold at any scale, with exact-duplicate
-    * seed ties resolved deterministically). Works for any id space,
-    * including frames smaller than k. */
-  def semDedup(embeddings: DataFrame): DataFrame = Text.semDedupOf(embeddings)
+    * FIXED per invocation — independent of corpus size — so the
+    * centroid broadcast and the O(N·k) assignment hold at any scale,
+    * with exact-duplicate seed ties resolved deterministically).
+    * SIZE k FOR YOUR CORPUS: expected cell size is N/k and cells past
+    * the hot-cell candidate cap (1000) are DROPPED, so pick
+    * k ≳ N / 1000 (≈ 2^16 at tens of millions of vectors; the default
+    * 40 suits the test fixtures). Works for any id space, including
+    * frames smaller than k. */
+  def semDedup(embeddings: DataFrame, k: Int = 40): DataFrame =
+    Text.semDedupOf(embeddings, k)
 
   /** SemDeDup pairs resolved into CLUSTERS via connected components
     * (the same O(log d) star-contraction operator the MinHash path
@@ -255,12 +263,13 @@ object Pipeline {
     * vector; keep one representative per cluster. Use this instead of
     * [[semDedup]] when transitive semantic-dup chains (A~B~C with A≁C)
     * must resolve consistently — the pairwise keeper rule maps B to A
-    * but C to B, which a per-pair drop mishandles. */
-  def semDedupClusters(embeddings: DataFrame): DataFrame = {
+    * but C to B, which a per-pair drop mishandles. `k` sizes the coarse
+    * quantizer (see [[semDedup]]'s sizing rule). */
+  def semDedupClusters(embeddings: DataFrame, k: Int = 40): DataFrame = {
     import org.apache.spark.sql.functions.col
     Text.connectedComponents(
       embeddings.select("vec_id"),
-      Text.semDedupPairs(embeddings)
+      Text.semDedupPairs(embeddings, k)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
@@ -270,13 +279,17 @@ object Pipeline {
     * array&lt;float&gt;). Returns (q_id, rnk, vec_id, cos): the `topK`
     * highest-cosine corpus neighbors of each query, scanning only each
     * query's `nprobe` nearest inverted lists. The coarse quantizer is
-    * the fixed-k md5 seed sample refined by `refineSteps` deterministic
+    * the k-seed md5 sample refined by `refineSteps` deterministic
     * Lloyd iterations (0 = raw sample); hot cells beyond the candidate
     * cap are dropped rather than scanned (boilerplate-cluster guard).
     * Centroids broadcast (k-sized at any corpus scale); assignment is
-    * O(N·k); the scan shuffles only probed cells. */
+    * O(N·k); the scan shuffles only probed cells. SIZE k FOR YOUR
+    * CORPUS: expected inverted-list length is N/k and lists past the
+    * cap (1000) are dropped, so pick k ≳ N / 1000 (≈ 2^16 at tens of
+    * millions of vectors; the default 40 suits the test fixtures) and
+    * scale `nprobe` with the recall you need. */
   def annSearch(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
-      nprobe: Int = 2, refineSteps: Int = 1): DataFrame = {
+      nprobe: Int = 2, refineSteps: Int = 1, k: Int = 40): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
@@ -284,7 +297,7 @@ object Pipeline {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val c = prep(corpus)
-    var cents = Text.ivfSeeds(c)
+    var cents = Text.ivfSeeds(c, k)
     (1 to refineSteps).foreach(_ => cents = Text.lloydRefine(c, cents))
     Text.ivfRetrieve(c, prep(queries), cents, topK, nprobe)
   }

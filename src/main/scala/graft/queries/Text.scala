@@ -663,8 +663,8 @@ object Text {
     * [[llmSemdedup]] for semantics and scale shape. Pairwise keeper
     * mapping (lowest-id partner); transitive chains resolve via
     * [[llmSemdedupCc]]'s connected-components composition instead. */
-  private[graft] def semDedupOf(raw: DataFrame): DataFrame =
-    semDedupPairs(raw)
+  private[graft] def semDedupOf(raw: DataFrame, k: Int = ivfK): DataFrame =
+    semDedupPairs(raw, k)
       .groupBy(col("id_b").as("dup_id"))
       .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("best_cos"))
 
