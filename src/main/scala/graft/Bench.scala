@@ -138,11 +138,18 @@ object Bench {
   private def spread(ts: Seq[Double]): String =
     "[" + num(median(ts)) + "," + num(ts.min) + "," + num(ts.max) + "]"
 
+  /** A failed query's entry: same 3-element shape as a healthy spread
+    * (consumers index [0] for the median without type-branching; the
+    * "failed" list is the authoritative failure signal). Compact
+    * integer form keeps the all-failed worst-case line inside the
+    * driver's tail window. */
+  private val failedSpread = "[-1,-1,-1]"
+
   /** All query timings with spreads, one JSON object (informational,
     * not the contract). */
   def fullDetail(results: Seq[(String, Seq[Double])]): String =
     results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.isEmpty) "-1.000" else spread(ts))
+      "\"" + k + "\":" + (if (ts.isEmpty) failedSpread else spread(ts))
     }.mkString("{", ",", "}")
 
   /** The driver parses this single line with json.load — locale-pinned
@@ -154,13 +161,14 @@ object Bench {
     * query's repeats — the error bars that let a reader separate a
     * real regression (tight spread around a high median) from
     * scheduler weather (max/min of 2-3x on identical code) without
-    * another round of forensics. Failed queries report -1 (and a
-    * "failed" list) rather than a wall time, so a broken query can't
-    * read as fast. */
+    * another round of forensics. Failed queries report the same
+    * 3-element shape filled with -1 (and a "failed" list) rather than
+    * a wall time, so a broken query can't read as fast and consumers
+    * never type-branch on entry shape. */
   def jsonLine(results: Seq[(String, Seq[Double])], sfDir: String): String = {
     val byName = results.toMap
     val qs = headline.flatMap(k => byName.get(k).map(ts =>
-        "\"" + k + "\":" + (if (ts.isEmpty) "-1.000" else spread(ts))))
+        "\"" + k + "\":" + (if (ts.isEmpty) failedSpread else spread(ts))))
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, ts) if ts.isEmpty => k }
     // Cap the failed list so a mass failure can't push the line past the

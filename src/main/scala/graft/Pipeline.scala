@@ -18,13 +18,16 @@ import graft.queries.{MmFeat, MmRow, Text}
   *    hot-bucket caps, two-phase aggregation, O(log d) star-contraction
   *    clustering, broadcast-sized state joins.
   *
-  * Cache contract: the dedup/contamination/repetition/chunk operators
-  * materialize small id-only intermediates via `persist` (load-bearing
-  * barriers against a filter-pushdown recompute pathology — see
-  * [[graft.queries.Text]]), and nothing unpersists them when your
-  * terminal action completes. Long-lived sessions invoking these in a
-  * loop should call [[releaseCaches]] (or `spark.catalog.clearCache()`)
-  * between invocations, exactly as graft's own Bench/Verify drivers do.
+  * Cache contract: the dedup/contamination/repetition/chunk operators —
+  * and, since r13, [[lmQuality]], [[dsirSelect]], [[ngramJaccard]] and
+  * [[minhashCandidatePairs]] — materialize small id/bucket-only
+  * intermediates via `persist` (load-bearing barriers against a
+  * filter-pushdown recompute pathology and against multi-consumer
+  * re-hashing — measured, see [[graft.queries.Text]]), and nothing
+  * unpersists them when your terminal action completes. Long-lived
+  * sessions invoking these in a loop should call [[releaseCaches]] (or
+  * `spark.catalog.clearCache()`) between invocations, exactly as
+  * graft's own Bench/Verify drivers do.
   */
 object Pipeline {
 
@@ -210,15 +213,8 @@ object Pipeline {
     * `cap` docs per `source`, selected deterministically by md5(doc_id)
     * — an unbiased per-source sample. Plans through the heap-based
     * grouped-top-k operator, so no per-partition sort at scale. */
-  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    docs.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= cap)
-      .drop("__graft_rn")
-  }
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame =
+    Text.sourceCapOf(docs, cap).drop("__graft_rn")
 
   /** HTML → text extraction over a raw-markup `text` column: strips
     * script/style blocks, comments and tags, decodes the common
@@ -254,7 +250,7 @@ object Pipeline {
     * k ≳ N / 1000 (≈ 2^16 at tens of millions of vectors; the default
     * 40 suits the test fixtures). Works for any id space, including
     * frames smaller than k. */
-  def semDedup(embeddings: DataFrame, k: Int = 40): DataFrame =
+  def semDedup(embeddings: DataFrame, k: Int = Text.ivfK): DataFrame =
     Text.semDedupOf(embeddings, k)
 
   /** SemDeDup pairs resolved into CLUSTERS via connected components
@@ -265,14 +261,8 @@ object Pipeline {
     * must resolve consistently — the pairwise keeper rule maps B to A
     * but C to B, which a per-pair drop mishandles. `k` sizes the coarse
     * quantizer (see [[semDedup]]'s sizing rule). */
-  def semDedupClusters(embeddings: DataFrame, k: Int = 40): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    Text.connectedComponents(
-      embeddings.select("vec_id"),
-      Text.semDedupPairs(embeddings, k)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-  }
+  def semDedupClusters(embeddings: DataFrame, k: Int = Text.ivfK): DataFrame =
+    Text.semDedupClustersOf(embeddings, k)
 
   /** IVF approximate-nearest-neighbor search over CALLER frames —
     * `corpus` and `queries` both (vec_id: long, embedding:
@@ -289,7 +279,7 @@ object Pipeline {
     * millions of vectors; the default 40 suits the test fixtures) and
     * scale `nprobe` with the recall you need. */
   def annSearch(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
-      nprobe: Int = 2, refineSteps: Int = 1, k: Int = 40): DataFrame = {
+      nprobe: Int = 2, refineSteps: Int = 1, k: Int = Text.ivfK): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)

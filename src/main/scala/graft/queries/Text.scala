@@ -486,8 +486,15 @@ object Text {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        dround(coalesce(col("n_inter"), lit(0L)) * lit(1.0) /
-          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6).as("bigram_jac"))
+        // guard the degenerate caller pair where BOTH docs have no
+        // bigram (sub-2-word texts): |A∪B| = 0 would NaN the double
+        // division — two empty sets share nothing, so the score is 0
+        // (unreachable from the registered query: minhash candidates
+        // require a 3-word signature)
+        when(col("n_a") + col("n_b") === 0, lit(0.0))
+          .otherwise(dround(coalesce(col("n_inter"), lit(0L)) * lit(1.0) /
+            (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6))
+          .as("bigram_jac"))
   }
 
   val llmNgramJaccard: Q = (s, dir) => {
@@ -711,14 +718,16 @@ object Text {
     * every chain ONE cluster id (the component-min vec_id); keep =
     * cluster representative, drop = everything else in the cluster.
     * Returns (vec_id, cluster_id) for every vector. */
-  val llmSemdedupCc: Q = (s, dir) => {
-    val emb = Tables.t(s, dir, "embeddings")
+  /** The shared composition core (registered query + Pipeline facade —
+    * one spelling of the pairs → CC → relabel chain). */
+  private[graft] def semDedupClustersOf(raw: DataFrame, k: Int = ivfK): DataFrame =
     connectedComponents(
-      emb.select("vec_id"),
-      semDedupPairs(emb).select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      raw.select("vec_id"),
+      semDedupPairs(raw, k).select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
-      .orderBy("vec_id")
-  }
+
+  val llmSemdedupCc: Q = (s, dir) =>
+    semDedupClustersOf(Tables.t(s, dir, "embeddings")).orderBy("vec_id")
 
   /** IVF (inverted-file) ANN — the second 100 TB scale path beside
     * random-hyperplane LSH: a deterministic fixed-k coarse quantizer
@@ -1966,16 +1975,22 @@ object Text {
     * grouped-top-k operator — PlanSpec pins the rewrite), so at 100 TB
     * the cap keeps a bounded heap per source instead of sorting every
     * partition. */
-  val llmSourceCap: Q = (s, dir) => {
+  /** The shared cap core (registered query + Pipeline facade — one
+    * definition of the ordering and filter, so the two cannot drift).
+    * Internal rank column is `__graft_`-prefixed per the facade's
+    * reserved-name contract. */
+  private[graft] def sourceCapOf(docs: DataFrame, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-    Tables.t(s, dir, "documents")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("source"), col("doc_id"), col("rn"))
-      .orderBy("source", "rn")
+    docs.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= cap)
   }
+
+  val llmSourceCap: Q = (s, dir) =>
+    sourceCapOf(Tables.t(s, dir, "documents"), 10)
+      .select(col("source"), col("doc_id"), col("__graft_rn").as("rn"))
+      .orderBy("source", "rn")
 
   /** HTML → text extraction of a raw-markup column — the
     * boilerplate-removal stage every web corpus runs before quality /

@@ -46,6 +46,13 @@ class PipelineSpec extends SparkSpec {
       verified.filter(col("bigram_jac") >= 0.5).select("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L))
+    // degenerate caller pair (both docs under 2 words): score is 0.0,
+    // never NaN — two empty bigram sets share nothing
+    import spark.implicits._
+    val tiny = Seq((7L, "hello"), (8L, "world")).toDF("doc_id", "text")
+    val pair = Seq((7L, 8L)).toDF("doc_a", "doc_b")
+    val deg = Pipeline.ngramJaccard(tiny, pair).collect()
+    assert(deg.length == 1 && deg.head.getDouble(2) == 0.0, deg.toSeq.toString)
   }
 
   test("minhashSignatures drop sub-3-word docs, keep the signature schema") {

