@@ -264,6 +264,16 @@ object Pipeline {
   def semDedupClusters(embeddings: DataFrame, k: Int = Text.ivfK): DataFrame =
     Text.semDedupClustersOf(embeddings, k)
 
+  /** Cluster-balanced diversity sampling: keep at most `m` vectors per
+    * semantic cluster (the [[semDedupClusters]] labels), selected by
+    * deterministic md5 order. m = 1 reproduces SemDeDup's retention;
+    * m > 1 trades residual redundancy for coverage. Returns (vec_id,
+    * cluster_id) for the kept vectors. */
+  def clusterSample(embeddings: DataFrame, m: Int,
+      k: Int = Text.ivfK): DataFrame =
+    Text.clusterSampleOf(embeddings, m, k)
+      .select("vec_id", "cluster_id")
+
   /** IVF approximate-nearest-neighbor search over CALLER frames —
     * `corpus` and `queries` both (vec_id: long, embedding:
     * array&lt;float&gt;). Returns (q_id, rnk, vec_id, cos): the `topK`

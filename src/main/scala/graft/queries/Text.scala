@@ -729,6 +729,30 @@ object Text {
   val llmSemdedupCc: Q = (s, dir) =>
     semDedupClustersOf(Tables.t(s, dir, "embeddings")).orderBy("vec_id")
 
+  /** Cluster-balanced diversity sampling — the generalization of
+    * SemDeDup's keep-one: keep at most `m` vectors per SEMANTIC cluster
+    * ([[semDedupClustersOf]] labels), chosen by deterministic md5 order
+    * (an unbiased within-cluster sample). m = 1 reproduces SemDeDup's
+    * retention; m > 1 trades residual redundancy for coverage — the
+    * knob diversity-aware curation actually tunes (cf. Abbas et al.
+    * 2303.09540 §5's dedup-strength sweep). The cap plans through
+    * TopKPerKeyExec over the cluster label; clustering costs what
+    * llm_semdedup_cc costs, the cap itself is heap-bounded. */
+  private[graft] def clusterSampleOf(raw: DataFrame, m: Int,
+      k: Int = ivfK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    semDedupClustersOf(raw, k)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= m)
+  }
+
+  val llmClusterSample: Q = (s, dir) =>
+    clusterSampleOf(Tables.t(s, dir, "embeddings"), 2)
+      .select(col("cluster_id"), col("vec_id"), col("__graft_rn").as("rn"))
+      .orderBy("cluster_id", "rn")
+
   /** IVF (inverted-file) ANN — the second 100 TB scale path beside
     * random-hyperplane LSH: a deterministic fixed-k coarse quantizer
     * ([[ivfSeeds]] — k vectors with smallest md5(vec_id), k independent
@@ -2369,6 +2393,7 @@ object Text {
     "llm_lm_quality" -> llmLmQuality,
     "llm_semdedup" -> llmSemdedup,
     "llm_semdedup_cc" -> llmSemdedupCc,
+    "llm_cluster_sample" -> llmClusterSample,
     "llm_mix_weights" -> llmMixWeights,
     "llm_dsir_select" -> llmDsirSelect,
     "llm_gopher_rules" -> llmGopherRules,
@@ -2948,6 +2973,23 @@ object Text {
          |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
          |SELECT node AS vec_id, MIN(reach) AS cluster_id
          |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin,
+    // The CC labels above + a per-cluster md5-ordered cap of 2.
+    "llm_cluster_sample" ->
+      s"""WITH RECURSIVE $semPairsCtes,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM spairs
+         |          UNION SELECT id_b, id_a FROM spairs),
+         |walk AS (
+         |  SELECT vec_id AS node, vec_id AS reach FROM embeddings
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         |lab AS (SELECT node AS vec_id, MIN(reach) AS cluster_id
+         |        FROM walk GROUP BY node)
+         |SELECT cluster_id, vec_id, rn FROM (
+         |  SELECT cluster_id, vec_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM lab) t
+         |WHERE rn <= 2 ORDER BY cluster_id, rn""".stripMargin,
     // sqrt is IEEE-correctly-rounded in both engines (unlike pow/log);
     // the normalizer goes through the oSum quantized-long sum.
     "llm_mix_weights" ->

@@ -193,6 +193,25 @@ class PipelineSpec extends SparkSpec {
     assert(keepers(2L) == 1L && keepers(3L) == 2L, keepers.toString)
   }
 
+  test("clusterSample keeps m per semantic cluster; m=1 matches cluster count") {
+    import spark.implicits._
+    // the semDedupClusters chain fixture: 3-vector transitive chain
+    // (one cluster) + 57 identical decoys (one cluster)
+    def v(x: Float, y: Float, z: Float): Seq[Float] = Seq(x, y, z, 0.0f)
+    val emb = (Seq(
+      (1L, v(1, 0, 0)), (2L, v(1, 1, 0)), (3L, v(0, 1, 0))) ++
+      (100L until 157L).map(i => (i, v(0, 0, 1))))
+      .toDF("vec_id", "embedding")
+    val one = Pipeline.clusterSample(emb, 1).collect()
+    assert(one.length === 2, s"m=1 must keep one per cluster: ${one.length}")
+    assert(one.map(_.getLong(1)).toSet === Set(1L, 100L))
+    val two = Pipeline.clusterSample(emb, 2).collect()
+    assert(two.length === 4)
+    assert(two.count(_.getLong(1) == 1L) === 2)
+    // m large enough keeps everything
+    assert(Pipeline.clusterSample(emb, 100).count() === 60L)
+  }
+
   test("annSearch answers caller-frame queries from the right clusters") {
     import spark.implicits._
     // two orthogonal-direction corpus clusters with slight per-member
