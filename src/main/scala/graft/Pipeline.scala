@@ -195,6 +195,17 @@ object Pipeline {
   def contaminationStream(stream: DataFrame, evalDocs: DataFrame): DataFrame =
     Text.contaminationStream(stream, evalDocs)
 
+  /** Fuzzy (near-duplicate) benchmark decontamination — catches the
+    * paraphrased/partially-edited eval leakage [[contamination]]'s exact
+    * 4-gram overlap misses: corpus docs LSH-bucket against the eval
+    * partition's minhash signatures and candidate pairs verify by exact
+    * shingle Jaccard ≥ 0.3 (recall-leaning; flagged docs get exact or
+    * human follow-up). Returns (doc_id, eval_id, jaccard). Eval suites
+    * are KB-sized, so the eval side of both joins broadcasts and the
+    * corpus side streams map-side through them. */
+  def fuzzyContamination(docs: DataFrame, isEval: Column => Column): DataFrame =
+    Text.fuzzyContaminationOf(docs, isEval)
+
   /** Gopher-rule intra-doc repetition ratios (duplicate-word fraction,
     * top-bigram mass) with the 0.20 flag. */
   def repetition(docs: DataFrame): DataFrame = Text.repetitionOf(docs)
@@ -324,6 +335,41 @@ object Pipeline {
     * to null. */
   def dsirSelect(docs: DataFrame, isTarget: Column => Column): DataFrame =
     Text.dsirSelectOf(docs, isTarget)
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) per doc:
+    * window-minimum selection over the positional 3-word hash-gram
+    * stream at density 2/(w+1). Any ≥ (w+2)-word substring shared by
+    * two docs yields at least one shared fingerprint, so the
+    * (fingerprint → doc) inverted index this feeds detects extract-level
+    * overlap that whole-doc hashing misses. Returns (doc_id, n_fp,
+    * fp_sum, fp_min, fp_max) summary rows; shuffle-free per-row
+    * arithmetic. Docs under w+2 words carry no window and are absent. */
+  def winnow(docs: DataFrame): DataFrame = Text.winnowOf(docs)
+
+  /** First-iteration BPE merge-candidate table (Sennrich et al., ACL
+    * 2016): the `topK` most frequent adjacent character pairs weighted
+    * by corpus word frequency — (pair, cnt). The pair explode runs over
+    * DISTINCT words (vocabulary-sized), never the token stream. */
+  def bpeMerges(docs: DataFrame, topK: Int = 20): DataFrame =
+    Text.bpeMergesOf(docs, topK)
+
+  /** Deterministic global training-order shuffle + shard assignment:
+    * (shard, pos, doc_id) where the whole ordering replays
+    * byte-identically from `seed` alone. Set `nShards` to total_bytes /
+    * target_shard_bytes at scale — it is the write-parallelism knob and
+    * bounds every per-shard sort. */
+  def shuffleShards(docs: DataFrame, nShards: Int, seed: String): DataFrame =
+    Text.shuffleOrderOf(docs, nShards, seed)
+
+  /** Token-budget corpus selection: the highest-quality docs whose
+    * cumulative token count fits `frac` of the corpus total — exact to
+    * the document, via two-phase quality buckets so no corpus-wide
+    * single-partition window exists (only the ~1/nBuckets boundary
+    * bucket pays a doc-level running sum). Returns (doc_id, bucket,
+    * n_tokens, q). */
+  def tokenBudget(docs: DataFrame, frac: Double = 0.5,
+      nBuckets: Int = 20): DataFrame =
+    Text.tokenBudgetOf(docs, frac, nBuckets)
 
   /** Greedy longest-match wordpiece token count for one word — the exact
     * matcher behind the `llm_tokenize` query (set-backed, JVM-side; use

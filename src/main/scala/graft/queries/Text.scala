@@ -2371,6 +2371,195 @@ object Text {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ r13b corpus curation
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 §4): over the POSITIONAL 3-word hash-gram sequence, slide a
+    * window of [[winnowW]] consecutive gram hashes and select each
+    * window's minimum; the distinct selected values are the document's
+    * fingerprint set. The winnowing guarantee: any shared substring of
+    * ≥ w+k-1 words produces at least one shared fingerprint, at expected
+    * density 2/(w+1) — the robust substring-fingerprint alternative to
+    * [[llmFingerprint]]'s single whole-doc rolling hash.
+    *
+    * Scale shape: pure per-row array arithmetic over the shared word-hash
+    * projection — no explode, no shuffle, one bounded output row per doc.
+    * The fingerprint→doc inverted index this feeds at 100 TB is a groupBy
+    * over ~2/(w+1) of the gram stream; selection cuts index write volume
+    * 2.5× at w=4 versus indexing every gram. */
+  private val winnowW = 4
+
+  private[graft] def winnowOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wordHashCol.as("hs"))
+      .filter(size(col("hs")) >= lit(winnowW + 2)) // ≥ w grams of width 3
+      .select(col("doc_id"), hashGramCol(3, distinct = false).as("g"))
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(0), size(col("g")) - winnowW),
+          i => array_min(slice(col("g"), i + 1, lit(winnowW))))).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("int").as("n_fp"),
+        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+
+  val llmWinnow: Q = (s, dir) =>
+    winnowOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** BPE merge-candidate counting (Sennrich/Haddow/Birch, ACL 2016 §3.2 —
+    * the first merge iteration a byte-pair-encoding tokenizer trainer
+    * runs): corpus word frequencies, then adjacent character-pair counts
+    * weighted by word frequency; the top pairs (count desc, pair asc on
+    * ties) are the head of the merge table.
+    *
+    * Scale shape: the pair explode runs over DISTINCT words (vocab-sized,
+    * Heaps'-law sublinear in corpus bytes), never the token stream — the
+    * only corpus-sized stage is the word-count groupBy with map-side
+    * partial aggregation; everything downstream is vocabulary-sized.
+    * Top-k lands in TakeOrderedAndProject (no global sort materializes). */
+  private[graft] def bpeMergesOf(docs: DataFrame, topK: Int = 20): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+
+  val llmBpeMerges: Q = (s, dir) =>
+    bpeMergesOf(Tables.t(s, dir, "documents").select("text"))
+
+  /** Deterministic global training-order shuffle + shard assignment:
+    * order key = md5 over a seeded doc key, shard = key mod `nShards`,
+    * position = rank within the shard under the key order. The writer
+    * shape of a pretraining data loader: examples land in `nShards`
+    * files, each internally shuffled, and the whole assignment replays
+    * byte-identically from the seed alone — the reproducibility property
+    * a resumable pipeline needs (no rand(), no zipWithIndex).
+    *
+    * Scale shape: one hash-partition shuffle on `shard` plus a per-shard
+    * sort (row_number partitioned by shard) — exactly the
+    * repartition(shard).sortWithinPartitions write path. `nShards` is the
+    * parallelism knob: fixture 8; at 100 TB set total_bytes /
+    * target_shard_bytes (≫ cores), keeping every sort partition bounded. */
+  private[graft] def shuffleOrderOf(docs: DataFrame, nShards: Int,
+      seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("okey", "doc_id")
+    docs.select(col("doc_id"),
+        conv(substring(md5(concat(lit(seed + ":"), col("doc_id"))), 1, 7), 16, 10)
+          .cast("long").as("okey"))
+      .select(col("doc_id"), col("okey"),
+        (col("okey") % nShards).cast("int").as("shard"))
+      .select(col("shard"),
+        row_number().over(w).cast("int").as("pos"), col("doc_id"))
+  }
+
+  val llmShuffleOrder: Q = (s, dir) =>
+    shuffleOrderOf(Tables.t(s, dir, "documents").select("doc_id"), 8, "shuf1")
+      .orderBy("shard", "pos")
+
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * whose cumulative token count fits a budget (a fixed fraction of the
+    * corpus total) — the curation step that turns "score every doc" into
+    * "the n-token training set".
+    *
+    * Scale shape — the naive form is one global quality-ordered running
+    * sum: a single-partition window, dead at 100 TB. This is the
+    * two-phase bucket form: (1) docs aggregate into `nBuckets` fixed
+    * quality buckets (map-side combine, ≤ nBuckets+1 result rows); the
+    * bucket-level running total — a window over that tiny aggregate —
+    * picks the buckets that fit entirely plus the single boundary
+    * bucket; (2) only boundary-bucket docs (~1/nBuckets of the corpus)
+    * pay a doc-level running sum, partitioned by bucket. Selection is
+    * exact to the document; raise nBuckets to shrink the boundary
+    * share. Quality is the quantized [[qualityCol]] composite, ties
+    * broken by doc_id — fully deterministic across engines. */
+  private[graft] def tokenBudgetOf(docs: DataFrame, frac: Double = 0.5,
+      nBuckets: Int = 20): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        dround(qualityCol(col("ws")), 6).as("q"))
+      .select(col("doc_id"), col("n_tokens"), col("q"),
+        floor(col("q") * nBuckets).cast("int").as("bucket"))
+    val tot = scored.agg(sum(col("n_tokens")).as("total"))
+    // bucket-level running totals: bounded by construction (≤ nBuckets+1
+    // rows), so the unpartitioned window is safe here and only here
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+    val cls = scored.groupBy("bucket").agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum", sum(col("btok")).over(wb))
+      .crossJoin(broadcast(tot))
+      .withColumn("budget", floor(col("total") * frac))
+      .select(col("bucket"), col("btok"), col("cum"), col("budget"),
+        (col("cum") <= col("budget")).as("full_in"),
+        (col("cum") > col("budget") &&
+          (col("cum") - col("btok")) < col("budget")).as("boundary"))
+    val tagged = scored.join(broadcast(cls), "bucket")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("q").desc, col("doc_id"))
+    val boundaryRows = tagged.filter(col("boundary"))
+      .withColumn("dcum", sum(col("n_tokens")).over(wd))
+      .filter(col("dcum") + (col("cum") - col("btok")) <= col("budget"))
+      .drop("dcum")
+    tagged.filter(col("full_in")).unionByName(boundaryRows)
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("q"))
+  }
+
+  val llmTokenBudget: Q = (s, dir) =>
+    tokenBudgetOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  /** Fuzzy benchmark decontamination — [[llmContamination]]'s exact
+    * 4-gram overlap misses paraphrased or partially-edited eval leakage;
+    * this is the near-dup variant (Llama/PaLM-style): corpus docs LSH-
+    * bucket against the eval set's minhash signatures, and candidate
+    * pairs verify by exact shingle Jaccard ≥ 0.3 (looser than the dedup
+    * 0.5 — a contamination review prefers recall; flagged docs get human
+    * or exact-substring follow-up).
+    *
+    * Scale shape: identical to [[minhashDupPairs]] except the bucket join
+    * is corpus×eval instead of a self-join — eval suites are KB-sized, so
+    * the eval bucket table and eval shingle sets broadcast and the corpus
+    * side streams map-side through both joins; only candidate ids are
+    * shuffled to re-fetch corpus shingle sets. */
+  private[graft] def fuzzyContaminationOf(docs: DataFrame,
+      isEval: Column => Column): DataFrame = {
+    val sets = signaturesOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count() // eager, same cache-race rationale as llmMinhashLsh
+    val buckets = capBuckets(bucketsOf(sets), maxBucket)
+    val cand = buckets.filter(!isEval(col("doc_id"))).alias("c")
+      .join(broadcast(buckets.filter(isEval(col("doc_id"))).alias("e")),
+        Seq("band", "sig"))
+      .select(col("c.doc_id").as("doc_id"), col("e.doc_id").as("eval_id"))
+      .distinct()
+    val sh = sets.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_c")), "doc_id")
+      .join(broadcast(sh.filter(isEval(col("doc_id")))
+        .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))), "eval_id")
+      .withColumn("ni", size(array_intersect(col("sh_c"), col("sh_e"))))
+      .select(col("doc_id"), col("eval_id"),
+        (col("ni") * lit(1.0) /
+          (size(col("sh_c")) + size(col("sh_e")) - col("ni"))).as("jac"))
+      .filter(col("jac") >= 0.3)
+      .select(col("doc_id"), col("eval_id"), dround(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Registered split: `% 7` (denser than [[llmContamination]]'s `% 97`) —
+    * the planted fixture near-dup pairs must cross the corpus/eval cut for
+    * the oracle to exercise the verify arithmetic at the driver's sf0.01
+    * gate (at `% 97` no fixture candidate pair crosses and the compare is
+    * vacuously empty; measured: `% 7` → 9 verified hits at sf0.01). */
+  val llmContaminationFuzzy: Q = (s, dir) =>
+    fuzzyContaminationOf(
+      Tables.t(s, dir, "documents").select("doc_id", "text"),
+      id => id % 7 === 0)
+      .orderBy("doc_id", "eval_id")
+
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> llmExactDedup,
     "llm_dedup_rows" -> llmDedupRows,
@@ -2417,7 +2606,12 @@ object Text {
     "llm_chunk_scrub" -> llmChunkScrub,
     "llm_source_stats" -> llmSourceStats,
     "llm_corpus_pipeline" -> llmCorpusPipeline,
-    "llm_corpus_pipeline_v2" -> llmCorpusPipelineV2
+    "llm_corpus_pipeline_v2" -> llmCorpusPipelineV2,
+    "llm_winnow" -> llmWinnow,
+    "llm_bpe_merges" -> llmBpeMerges,
+    "llm_shuffle_order" -> llmShuffleOrder,
+    "llm_token_budget" -> llmTokenBudget,
+    "llm_contamination_fuzzy" -> llmContaminationFuzzy
   )
 
   // ---------------------------------------------------------------- oracle
@@ -3154,6 +3348,89 @@ object Text {
         |CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
         |upper(array_to_string(list_transform(range(1, 5), i -> to_hex(ascii(text[i]))), '')) AS magic,
         |lang, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Winnowing replay: same positional 3-gram stream (shared hashGramSql
+    // fragment), window-min selection over w consecutive grams. DuckDB
+    // list slices are 1-based inclusive-inclusive, so g[i+1:i+w] is the
+    // w-gram window starting at 0-based offset i — exactly Spark's
+    // slice(g, i+1, w).
+    "llm_winnow" ->
+      s"""WITH wh AS ($wordHashSql),
+         |g AS (SELECT doc_id, ${hashGramSql(3, distinct = false)} AS g
+         |      FROM wh WHERE len(hs) >= ${winnowW + 2}),
+         |f AS (SELECT doc_id, list_distinct(list_transform(range(len(g) - ${winnowW - 1}),
+         |        i -> list_min(g[i+1:i+$winnowW]))) AS fps FROM g)
+         |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+         |  CAST(list_sum(fps) AS BIGINT) AS fp_sum,
+         |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "llm_bpe_merges" ->
+      """WITH w0 AS (
+        |  SELECT w, COUNT(*) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (SELECT wc, unnest(list_transform(range(1, length(w)),
+        |        i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w0)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "llm_shuffle_order" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS okey
+        |  FROM documents),
+        |s AS (SELECT doc_id, okey, CAST(okey % 8 AS INT) AS shard FROM k)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS INT) AS pos,
+        |  doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    // Token-budget replay: same two-phase bucket selection — bucket-level
+    // running totals pick full buckets + the single boundary bucket; only
+    // boundary docs pay a doc-level running sum. Window default frames
+    // (RANGE .. CURRENT ROW) agree across engines; both order keys are
+    // tie-free (distinct buckets; unique doc_id).
+    "llm_token_budget" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |    ${oRound(qualitySql("text"), 6)} AS q
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, n_tokens, q,
+         |       CAST(FLOOR(q * 20) AS INT) AS bucket FROM s0),
+         |tot AS (SELECT SUM(n_tokens) AS total FROM s1),
+         |cls AS (SELECT bucket, SUM(n_tokens) AS btok FROM s1 GROUP BY bucket),
+         |cls2 AS (SELECT bucket, btok,
+         |  SUM(btok) OVER (ORDER BY bucket DESC) AS cum,
+         |  FLOOR(total * 0.5) AS budget FROM cls, tot),
+         |tagged AS (
+         |  SELECT s.doc_id, s.n_tokens, s.q, s.bucket, c.btok, c.cum, c.budget,
+         |    (c.cum <= c.budget) AS full_in,
+         |    (c.cum > c.budget AND (c.cum - c.btok) < c.budget) AS boundary
+         |  FROM s1 s JOIN cls2 c ON s.bucket = c.bucket),
+         |bnd AS (
+         |  SELECT doc_id, bucket, n_tokens, q, cum, btok, budget,
+         |    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY q DESC, doc_id) AS dcum
+         |  FROM tagged WHERE boundary),
+         |sel AS (
+         |  SELECT doc_id, bucket, n_tokens, q FROM tagged WHERE full_in
+         |  UNION ALL
+         |  SELECT doc_id, bucket, n_tokens, q FROM bnd
+         |  WHERE dcum + (cum - btok) <= budget)
+         |SELECT doc_id, CAST(bucket AS INT) AS bucket,
+         |  CAST(n_tokens AS INT) AS n_tokens, q
+         |FROM sel ORDER BY doc_id""".stripMargin,
+    // Fuzzy-decontamination replay: the SAME capped-bucket CTE chain as
+    // the minhash oracle (shared fragment — no drift), with the self-join
+    // split corpus×eval instead of doc_a<doc_b.
+    "llm_contamination_fuzzy" ->
+      s"""WITH ${bucketCtes(maxBucket)},
+         |cand AS (
+         |  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id,
+         |    len(list_filter(c.sh, x -> list_contains(e.sh, x))) * 1.0 /
+         |    (len(c.sh) + len(e.sh)
+         |     - len(list_filter(c.sh, x -> list_contains(e.sh, x)))) AS jac
+         |  FROM buckets c JOIN buckets e
+         |    ON c.band = e.band AND c.sig = e.sig
+         |  WHERE c.doc_id % 7 != 0 AND e.doc_id % 7 = 0)
+         |SELECT doc_id, eval_id, ${oRound("jac", 6)} AS jaccard
+         |FROM cand WHERE jac >= 0.3 ORDER BY doc_id, eval_id""".stripMargin
   )
 }

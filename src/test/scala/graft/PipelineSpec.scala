@@ -347,6 +347,93 @@ class PipelineSpec extends SparkSpec {
       === Set(1L))
   }
 
+  test("winnow: summary shape, short-doc absence, determinism") {
+    import spark.implicits._
+    val six = "w1 w2 w3 w4 w5 w6" // exactly w+2 words → one window
+    val d = Seq(
+      (1L, six), (2L, six),                       // identical → identical rows
+      (3L, "too short to fingerprint"),           // < w+2 words → absent
+      (4L, (1 to 40).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.winnow(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!rows.contains(3L))
+    // one window: the fingerprint set is a single gram-min
+    val (nFp, fpSum, fpMin, fpMax) = rows(1L)
+    assert(nFp === 1 && fpSum === fpMin && fpMin === fpMax)
+    assert(rows(1L) === rows(2L), "identical texts must fingerprint identically")
+    // 40 words → 38 grams → 35 windows; distinct mins ≤ windows, ≥ 1
+    val (nFp4, _, min4, max4) = rows(4L)
+    assert(nFp4 >= 1 && nFp4 <= 35 && min4 <= max4)
+  }
+
+  test("bpeMerges counts frequency-weighted adjacent character pairs exactly") {
+    import spark.implicits._
+    // words: "abc" ×3 (pairs ab, bc), "bcd" ×1 (bc, cd); 1-char words drop
+    val d = Seq((1L, "abc abc x"), (2L, "abc bcd")).toDF("doc_id", "text")
+    val got = Pipeline.bpeMerges(d, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // bc: 3+1=4; ab: 3; cd: 1 — ordered count desc, pair asc
+    assert(got.toSeq === Seq(("bc", 4L), ("ab", 3L), ("cd", 1L)))
+  }
+
+  test("shuffleShards: deterministic, contiguous per-shard positions, seed-sensitive") {
+    import spark.implicits._
+    val d = (1L to 64L).toDF("doc_id")
+    val a = Pipeline.shuffleShards(d, 8, "s1").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val b = Pipeline.shuffleShards(d, 8, "s1").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(a.sorted.toSeq === b.sorted.toSeq, "same seed must replay identically")
+    assert(a.map(_._3).toSet === (1L to 64L).toSet, "every doc lands exactly once")
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length).toSeq,
+        "positions within a shard must be contiguous from 1")
+    }
+    val c = Pipeline.shuffleShards(d, 8, "s2").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(r => (r._1, r._2)).map(_._3).toSeq !==
+      c.sortBy(r => (r._1, r._2)).map(_._3).toSeq,
+      "a different seed must produce a different order")
+  }
+
+  test("tokenBudget keeps the exact quality-greedy prefix, boundary split included") {
+    import spark.implicits._
+    // stopword-free texts → q = min(n/100,1)*0.5 + 0.5, so quality order
+    // IS word-count order and the greedy reference is computable by hand.
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+    // distinct buckets: greedy picks 100, 90, 80; 70 overflows budget 275
+    val d1 = Seq(doc(1, 10), doc(2, 20), doc(3, 30), doc(4, 40), doc(5, 50),
+      doc(6, 60), doc(7, 70), doc(8, 80), doc(9, 90), doc(10, 100))
+      .toDF("doc_id", "text")
+    val k1 = Pipeline.tokenBudget(d1, frac = 0.5).collect().map(_.getLong(0)).toSet
+    assert(k1 === Set(8L, 9L, 10L))
+    // boundary split INSIDE bucket 19: budget floor(382*0.7)=267 admits
+    // the 100w full bucket + the 95w head of bucket 19, rejects 94/93
+    val d2 = Seq(doc(1, 100), doc(2, 95), doc(3, 94), doc(4, 93))
+      .toDF("doc_id", "text")
+    val k2 = Pipeline.tokenBudget(d2, frac = 0.7).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(k2.keySet === Set(1L, 2L))
+    assert(k2(2L) === 95, "n_tokens column must carry the doc's token count")
+  }
+
+  test("fuzzyContamination flags the planted eval near-dup, skips unrelated docs") {
+    import spark.implicits._
+    val template = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, template),                                  // corpus: leaked doc
+      (14L, template + " tail"),                       // eval (14 % 7 == 0)
+      (3L, "an entirely different document about join plans"),
+      (21L, "unrelated eval text body with other words entirely"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.fuzzyContamination(d, id => id % 7 === 0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === Set((1L, 14L)))
+    assert(got((1L, 14L)) > 0.3 && got((1L, 14L)) <= 1.0)
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
