@@ -343,6 +343,51 @@ class PlanSpec extends SparkSpec {
       || s.contains("BroadcastHashJoin [cell"), s.take(3000))
   }
 
+  test("r13b curation operators: no shuffle in winnow, bounded md5 inlining") {
+    // winnow is a pure per-row projection chain — any Exchange means a
+    // regression; and its size(hs) filter must not fan the md5 word-hash
+    // array into per-element recomputes (the CollapseProject/pushdown
+    // trap — hs/g are multi-referenced, so the isCheap gate protects
+    // them; pin that). The pushed scan filter legitimately evaluates the
+    // word-hash array once for size(), so the healthy bound is 2.
+    // drive the CORE, not the registered query — the fixture query adds
+    // the oracle's total-order orderBy, whose range Exchange is contract
+    // noise, and AQE's AdaptiveSparkPlanExec would hide it from the
+    // string assert anyway
+    val win = graft.queries.Text.winnowOf(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"))
+    assert(!win.queryExecution.sparkPlan.toString.contains("Exchange"),
+      "winnowOf is no longer shuffle-free")
+    val winMd5 = "md5\\(".r.findAllIn(win.queryExecution.optimizedPlan.toString).size
+    assert(winMd5 <= 2, s"winnowOf inlines md5 $winMd5 times — per-element recompute is back")
+    // fuzzy contamination rides the same persisted signature build as
+    // the minhash family — the barrier is load-bearing (same
+    // InferFiltersFromGenerate pathology class as llm_contamination).
+    // Every md5 in the healthy plan is a PRINT artifact of a cache
+    // consumer re-rendering the cached build (Project + Filter + scan
+    // DataFilters = 3 per InMemoryRelation occurrence); a pushdown
+    // blowup adds md5 sites BEYOND the cached prints, breaking the
+    // structural bound.
+    val fz = SparkEntry.queries("llm_contamination_fuzzy")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val fzCaches = "InMemoryRelation".r.findAllIn(fz).size
+    assert(fzCaches >= 1, "llm_contamination_fuzzy lost its persist barrier")
+    val fzMd5 = "md5\\(".r.findAllIn(fz).size
+    assert(fzMd5 <= 3 * fzCaches,
+      s"llm_contamination_fuzzy inlines md5 $fzMd5 times beyond its $fzCaches cached prints")
+    // token budget: the only unpartitioned window runs over the
+    // ≤ nBuckets+1 bucket aggregate, never over doc rows — every
+    // doc-level window must be partitioned
+    val tb = SparkEntry.queries("llm_token_budget")(spark, sfDir)
+    val tbWins = tb.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(tbWins.nonEmpty)
+    val unpart = tbWins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.forall(_.toString.contains("btok")),
+      "unpartitioned doc-level window in llm_token_budget")
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
