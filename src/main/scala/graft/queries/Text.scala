@@ -2390,8 +2390,13 @@ object Text {
   private val winnowW = 4
 
   private[graft] def winnowOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), wordHashCol.as("hs"))
-      .filter(size(col("hs")) >= lit(winnowW + 2)) // ≥ w grams of width 3
+    docs
+      // length gate on the SPLIT, not the hash array: size(hs) would push
+      // the whole md5 word-hash transform into the scan filter and pay
+      // the hash pass twice per row (size(split) ≡ size(hs) — the
+      // transform is length-preserving)
+      .filter(size(split(col("text"), " ")) >= lit(winnowW + 2))
+      .select(col("doc_id"), wordHashCol.as("hs"))
       .select(col("doc_id"), hashGramCol(3, distinct = false).as("g"))
       .select(col("doc_id"), array_distinct(
         transform(sequence(lit(0), size(col("g")) - winnowW),
