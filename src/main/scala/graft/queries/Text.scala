@@ -993,6 +993,66 @@ object Text {
       .orderBy("vec_id")
   }
 
+  /** Sparse-random-projection dimensionality reduction (Achlioptas, JCSS
+    * 66(4) 2003 — Johnson–Lindenstrauss with database-friendly binary
+    * coins): project 64-dim embeddings to [[rpOutDims]] dims through a
+    * fixed ternary matrix r(i,j) ∈ {+1, 0, −1} with P(±1) = 1/6 each,
+    * y_j = sqrt(3/p) · Σᵢ r(i,j)·xᵢ — the step a 100 TB embedding
+    * pipeline runs BEFORE LSH/clustering to cut per-vector bytes and
+    * hash cost 4× while preserving pairwise distances to JL tolerance
+    * (2/3 of the matrix is zero, so the projection is also 3× fewer
+    * multiplies than dense Gaussian).
+    *
+    * Determinism: the matrix is a pure function of (i, j) — entry bucket
+    * = first 16 md5 bits of "i_j" mod 6 (0→+1, 1→−1, else 0), the
+    * [[vocabBucket]] idiom — computed driver-side into ONE plan-time
+    * literal (matrix size is p·d, data-independent; nothing is
+    * collected). Inputs quantize to 1e-6 longs, the inner product runs
+    * over exact longs (|Σ| < 64·10⁶ ≪ 2⁵³, so DuckDB's double
+    * list_inner_product is still exact), and only the final scale by
+    * sqrt(3/p) — 3.0/16.0 is a power-of-two divide, sqrt is
+    * correctly-rounded IEEE in both engines — touches floats.
+    *
+    * Scale shape: per-row array arithmetic against a literal matrix —
+    * no shuffle, no explode in the compute (the output posexplode is
+    * presentation), no broadcast, fully codegen'd. */
+  private val rpOutDims = 16
+  private val rpInDims = 64
+
+  /** The (i, j) → {−1, 0, +1} Achlioptas entry — Scala twin of the
+    * oracle's `('0x'||substr(md5(i||'_'||j),1,4))::BIGINT % 6`. */
+  private[graft] def rpEntry(i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_${j}".getBytes("UTF-8"))
+    val hex4 = d.take(2).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex4, 16) % 6 match {
+      case 0 => 1L
+      case 1 => -1L
+      case _ => 0L
+    }
+  }
+
+  private[graft] def randomProjOf(raw: DataFrame): DataFrame = {
+    // p rows of d ternary longs, [j][i] — one nested literal in the plan
+    val m = Seq.tabulate(rpOutDims, rpInDims)((j, i) => rpEntry(i, j))
+    val matrix = typedLit(m)
+    val qx = transform(col("v"), x =>
+      floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val yq = transform(sequence(lit(0), lit(rpOutDims - 1)), j =>
+      aggregate(
+        zip_with(col("qx"), element_at(matrix, j + 1), (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t))
+    raw.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), qx.as("qx"))
+      .select(col("vec_id"), posexplode(yq).as(Seq("j", "yq")))
+      .select(col("vec_id"), col("j"),
+        dround((col("yq").cast("double") / lit(1e6)) *
+          lit(math.sqrt(3.0 / rpOutDims)), 6).as("y"))
+  }
+
+  val llmRandomProj: Q = (s, dir) =>
+    randomProjOf(Tables.t(s, dir, "embeddings")).orderBy("vec_id", "j")
+
   /** Incremental dedup — the production shape: a NEW batch (doc_id ≥ 250)
     * dedups against an EXISTING corpus (doc_id < 250), not against itself.
     * Exact layer: anti-join on content hash. Near layer: minhash band
@@ -2577,6 +2637,7 @@ object Text {
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_embed_quantize" -> llmEmbedQuantize,
+    "llm_random_proj" -> llmRandomProj,
     "llm_ann_lsh" -> llmAnnLsh,
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_ann_ivf" -> llmAnnIvf,
@@ -3108,6 +3169,24 @@ object Text {
          |  ${oRound("list_max(err)", 6)} AS max_err,
          |  ${oRound("list_reduce(list_prepend(0.0::DOUBLE, err), (a, b) -> a + b) / len(err)", 6)} AS mean_err
          |FROM er ORDER BY vec_id""".stripMargin,
+    // Achlioptas ternary matrix as a pure function of (i, j) — the
+    // vocabBucket md5 idiom; BIGINT inner product stays < 2^53 so
+    // DuckDB's double list_inner_product is exact. 3.0/16.0 is a
+    // power-of-two divide and sqrt is correctly-rounded IEEE — the
+    // only float steps mirror the Spark side's spelling.
+    "llm_random_proj" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |        list_transform(v, x -> CAST(FLOOR(x*1000000.0+0.5) AS BIGINT)) AS qx
+         |      FROM e),
+         |m AS (SELECT j, i,
+         |        CASE (('0x'||substr(md5(i||'_'||j),1,4))::BIGINT % 6)
+         |          WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS r
+         |      FROM range(16) t1(j), range(64) t2(i)),
+         |mr AS (SELECT j, list(r ORDER BY i) AS rj FROM m GROUP BY j)
+         |SELECT q.vec_id, CAST(mr.j AS INT) AS j,
+         |  ${oRound("(list_inner_product(q.qx, mr.rj) / 1000000.0) * sqrt(3.0/16.0)", 6)} AS y
+         |FROM q, mr ORDER BY vec_id, j""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |sims AS (

