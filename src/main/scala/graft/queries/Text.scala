@@ -1692,6 +1692,57 @@ object Text {
       .orderBy("doc_id", "rnk")
   }
 
+  /** BM25 retrieval (Robertson/Walker, TREC-3 Okapi weighting; k1 = 1.2,
+    * b = 0.75): the first 3 documents act as multi-term QUERIES against
+    * the rest of the corpus, top-5 docs per query. The idf term uses the
+    * integer-bits surrogate `bits(N) − bits(df)` ([[llmLmQuality]]'s
+    * bin-length idiom) instead of ln((N−df+.5)/(df+.5)) — same
+    * monotonicity, bit-exact on both engines where libm `ln` is not —
+    * and per-(query, doc) accumulation runs over 1e-6-quantized longs
+    * ([[dsum]]) so the term-score sum has no float-order drift.
+    *
+    * Scale shape — the inverted-index join, not a vocabulary broadcast:
+    * postings (doc, term, tf) and document frequencies both come off the
+    * SAME groupBy-on-term exchange, so the df join is co-partitioned and
+    * reuses it; the query side is query-sized (broadcast by AQE); the
+    * only corpus-sized shuffles are the tf/dl aggregations every index
+    * build pays once. avgdl/N ride broadcast 1-row totals. Top-5 per
+    * query plans through TopKPerKeyExec. */
+  val llmBm25Topk: Q = (s, dir) => {
+    val docs = Tables.t(s, dir, "documents")
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = tf.filter(col("doc_id") >= 3)
+    val qterms = tf.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("w")).distinct()
+    val dfc = corpus.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.filter(col("doc_id") >= 3).agg(count(lit(1)).as("n"))
+    val avgdl = dl.filter(col("doc_id") >= 3)
+      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // per-(term, doc) partial score: every factor is fixed-order IEEE
+    // arithmetic the oracle mirrors parenthesis-for-parenthesis
+    val termScore =
+      (length(bin(col("n"))) - length(bin(col("df")))).cast("double") *
+        ((col("tf") * (lit(1.2) + lit(1.0))) /
+          (col("tf") + lit(1.2) *
+            ((lit(1.0) - lit(0.75)) + lit(0.75) * (col("dl") / col("avgdl")))))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    qterms.join(corpus, "w")
+      .join(dfc, "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .withColumn("s", termScore)
+      .groupBy("q_id", "doc_id")
+      .agg(dsum(col("s"), 6).as("score"), count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("doc_id"),
+        col("score"), col("n_terms"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
     * across runs, engines, and partitionings (never rand()), and adding
@@ -2656,6 +2707,7 @@ object Text {
     "llm_tokenize" -> llmTokenize,
     "llm_chunk_split" -> llmChunkSplit,
     "llm_tfidf_top" -> llmTfidfTop,
+    "llm_bm25_topk" -> llmBm25Topk,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -3413,6 +3465,32 @@ object Text {
          |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
          |  ${oRound("score", 6)} AS score
          |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    // BM25 with integer-bits idf; parenthesization mirrors the Spark
+    // expression term-for-term (fixed-order IEEE), and the per-pair sum
+    // goes through the quantized-long oSum.
+    "llm_bm25_topk" ->
+      s"""WITH wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM wrd GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM wrd GROUP BY doc_id),
+         |c AS (SELECT * FROM tf WHERE doc_id >= 3),
+         |q AS (SELECT DISTINCT doc_id AS q_id, w FROM tf WHERE doc_id < 3),
+         |dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY w),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id >= 3),
+         |ad AS (SELECT CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl WHERE doc_id >= 3),
+         |ts AS (SELECT q.q_id, c.doc_id,
+         |  CAST(length(bin(nn.n)) - length(bin(dfc.df)) AS DOUBLE) *
+         |    ((c.tf * (1.2 + 1.0)) /
+         |      (c.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / ad.avgdl)))) AS s
+         |  FROM q JOIN c USING (w) JOIN dfc USING (w)
+         |    JOIN dl ON c.doc_id = dl.doc_id, nn, ad),
+         |sc AS (SELECT q_id, doc_id, ${oSum("s", 6)} AS score,
+         |         CAST(COUNT(*) AS BIGINT) AS n_terms
+         |       FROM ts GROUP BY q_id, doc_id),
+         |r AS (SELECT q_id, doc_id, score, n_terms,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rnk
+         |  FROM sc)
+         |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, score, n_terms
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id,
          |list_reduce(list_prepend(0::BIGINT,

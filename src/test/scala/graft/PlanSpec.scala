@@ -305,6 +305,7 @@ class PlanSpec extends SparkSpec {
       "llm_ann_ivf",       // probe ranking + final top-5 (2 sites)
       "llm_ann_ivf_int8",  // same body over dequantized vectors
       "llm_tfidf_top",     // per-doc top terms
+      "llm_bm25_topk",     // per-query top docs
       "llm_dedup_rows",    // rn = 1 keeper selection
       "llm_source_cap")    // per-source doc cap (domain balancing)
     val counts = sites.map { name =>

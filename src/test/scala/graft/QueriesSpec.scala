@@ -441,6 +441,51 @@ class QueriesSpec extends SparkSpec {
     assert(zeros > 512 && zeros < 820, s"zero count $zeros of 1024")
   }
 
+  test("bm25 top-5 agrees with an independent driver-side recomputation") {
+    val got = SparkEntry.queries("llm_bm25_topk")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // every query returns a full, rank-consistent top-5 (ties broken by id)
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length),
+        s"query $q ranks not dense")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Double]("score"), b.getAs[Double]("score"))
+          sa > sb || (sa == sb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id"))
+        case _ => true
+      }, s"query $q not ordered by (score desc, doc_id)")
+    }
+    // independent scalar recomputation of the whole ranking
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+      .toMap
+    val corpusIds = docs.keySet.filter(_ >= 3)
+    val n = corpusIds.size
+    val tf = docs.view.mapValues(_.groupBy(identity).view.mapValues(_.size).toMap).toMap
+    val df = corpusIds.toSeq.flatMap(d => tf(d).keys).groupBy(identity).view.mapValues(_.size).toMap
+    val avgdl = corpusIds.toSeq.map(d => docs(d).size.toLong).sum.toDouble / n
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length
+    for (q <- docs.keySet.filter(_ < 3)) {
+      val qt = docs(q).toSet
+      val scores = corpusIds.toSeq.flatMap { d =>
+        val terms = qt.filter(tf(d).contains)
+        if (terms.isEmpty) None else Some(d -> terms.toSeq.map { t =>
+          val s = (bits(n) - bits(df(t))).toDouble *
+            ((tf(d)(t) * 2.2) / (tf(d)(t) + 1.2 * (0.25 + 0.75 * (docs(d).size / avgdl))))
+          math.floor(s * 1e6 + 0.5).toLong
+        }.sum / 1e6)
+      }
+      val expect = scores.sortBy { case (d, s) => (-s, d) }.take(5)
+      val gotQ = got.filter(_.getAs[Long]("q_id") == q).sortBy(_.getAs[Int]("rnk"))
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toSeq
+      assert(gotQ.map(_._1) == expect.map(_._1), s"query $q ranking differs")
+      gotQ.zip(expect).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-9, s"query $q score $a vs $b") }
+    }
+  }
+
   test("corpus pipeline manifest respects every composed filter") {
     // collect ONCE — each construction re-runs the whole multi-stage
     // pipeline (two persist+count jobs plus the manifest job)
