@@ -958,6 +958,96 @@ object Text {
     ivfTopk(int8ReconstructedEmb(Tables.t(s, dir, "embeddings")))
   }
 
+  /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 33(1) 2011 —
+    * the FAISS IVF-PQ compression family): split each 64-dim vector
+    * into [[pqM]] = 8 subspaces of 8 dims, learn a [[pqKs]] = 32-entry
+    * codebook per subspace, store each corpus vector as 8 code ids
+    * (5 bits each — 256 float bytes → 5, the storage that makes
+    * billion-vector indexes fit; production uses Ks = 256 = 1 byte per
+    * code, the same plan at a bigger broadcast), and answer queries by
+    * ASYMMETRIC
+    * DISTANCE COMPUTATION: one small query×codebook distance table,
+    * then per-candidate distance = Σₘ table[m][codeₘ] — M lookups per
+    * vector instead of d multiplies.
+    *
+    * Codebooks use the [[ivfSeeds]] deterministic sampling idiom (the
+    * pqKs corpus vectors with smallest md5(vec_id), subvector m of seed
+    * r = codebook entry (m, r)) so DuckDB replays training, encoding,
+    * and retrieval bit-exact. Distances fold left over the sub-dims
+    * (Spark `aggregate` ≡ DuckDB `list_reduce` — both sequential, same
+    * order), quantize to 1e-9 longs, and the ADC sum runs over exact
+    * longs; argmin encoding packs (quantized dist, rank) into one long
+    * for the same codegen'd HashAggregate max_by/min_by shape as
+    * [[cellKey]].
+    *
+    * Scale shape: codebook is M·Ks rows at ANY corpus scale →
+    * broadcast-safe; encoding = one broadcast join + two-phase
+    * min_by agg (O(N·M·Ks) sub-distances); the code table — the
+    * persisted index artifact — is M small ints per vector; the ADC
+    * scan joins codes against a broadcast query×codebook table and
+    * partial-aggregates map-side, so the only corpus-sized shuffle is
+    * the final (q_id, vec_id) sum over M rows each. Top-5 per query
+    * plans through TopKPerKeyExec. */
+  private val pqM = 8
+  private val pqSubDim = 8
+  private val pqKs = 32
+
+  /** Left-fold squared L2 distance between two sub-dim arrays — the
+    * sequential-order spelling both engines share. */
+  private def pqDist2(xs: Column, cs: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(pqSubDim)),
+        j => (element_at(xs, j) - element_at(cs, j)) *
+             (element_at(xs, j) - element_at(cs, j))),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** (id, m, xs) subvector rows of a (idCol, v) frame. */
+  private def pqSubvectors(frame: DataFrame, idCol: String): DataFrame =
+    frame.select(col(idCol), explode(sequence(lit(0), lit(pqM - 1))).as("m"), col("v"))
+      .select(col(idCol), col("m"),
+        slice(col("v"), col("m") * lit(pqSubDim) + lit(1), lit(pqSubDim)).as("xs"))
+
+  private[graft] def pqTopk(emb: DataFrame, topK: Int = 5): DataFrame = {
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val queries = emb.filter(col("vec_id") < 20)
+    // codebook training: deterministic fixed-size md5 sample of the
+    // corpus (rank window runs over <= pqKs rows, after the limit)
+    val ord = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val seeds = corpus.orderBy(ord: _*).limit(pqKs)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+    val codebook = pqSubvectors(seeds.select(col("r"), col("v")), "r")
+      .select(col("m"), col("r"), col("xs").as("cs"))
+    // encoding: per (vector, subspace) argmin over the broadcast codebook;
+    // (1e-9-quantized dist, rank) packs into one long so min_by stays in
+    // a codegen'd HashAggregate and ties break to the smallest rank
+    val qd = floor(pqDist2(col("xs"), col("cs")) * lit(1e9) + lit(0.5)).cast("long")
+    val codes = pqSubvectors(corpus, "vec_id")
+      .join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("r"), (qd * lit(256L) + col("r")).as("k"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("r"), col("k")).as("r"))
+    // ADC: query-side distance table (queries × M × Ks rows — broadcast),
+    // exact long distances; candidate distance = sum of M lookups
+    val dtable = pqSubvectors(queries.select(col("vec_id").as("q_id"), col("v")), "q_id")
+      .join(broadcast(codebook), "m")
+      .select(col("q_id"), col("m"), col("r"), qd.as("dq"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("qsum").asc, col("vec_id").asc)
+    codes.join(broadcast(dtable), Seq("m", "r"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("dq")).as("qsum"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        dround(col("qsum").cast("double") / lit(1e9), 6).as("adist"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val llmAnnPq: Q = (s, dir) =>
+    pqTopk(Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+
   /** Per-vector int8 quantization + reconstruction-error statistics —
     * the storage-compression step a 100 TB embedding pipeline runs
     * before writing vectors (4 bytes/dim → 1; scalar min/max
@@ -2694,6 +2784,7 @@ object Text {
     "llm_ann_ivf" -> llmAnnIvf,
     "llm_ann_ivf_trained" -> llmAnnIvfTrained,
     "llm_ann_ivf_int8" -> llmAnnIvfInt8,
+    "llm_ann_pq" -> llmAnnPq,
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_lm_quality" -> llmLmQuality,
@@ -3208,6 +3299,42 @@ object Text {
       s"""$lshPairsSql
          |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
          |FROM pairs GROUP BY id_b ORDER BY dup_id""".stripMargin,
+    // Product quantization: md5-sampled codebooks, left-fold sub-distances
+    // (list_reduce ≡ Spark aggregate — both sequential), 1e-9-quantized
+    // long distances, argmin via arg_min over the same packed (dist, rank)
+    // long the Spark min_by uses, then the ADC sum over exact longs.
+    "llm_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id, v,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+         |  FROM e WHERE vec_id >= 20
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqKs),
+         |cb AS (SELECT m, r, list_slice(v, m*8+1, m*8+8) AS cs
+         |       FROM seeds, range(8) t(m)),
+         |csub AS (SELECT vec_id, m, list_slice(v, m*8+1, m*8+8) AS xs
+         |         FROM e, range(8) t(m) WHERE vec_id >= 20),
+         |qsub AS (SELECT vec_id AS q_id, m, list_slice(v, m*8+1, m*8+8) AS xs
+         |         FROM e, range(8) t(m) WHERE vec_id < 20),
+         |codes AS (
+         |  SELECT vec_id, m, arg_min(r,
+         |    CAST(FLOOR(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, 9), j -> (xs[j]-cs[j])*(xs[j]-cs[j]))),
+         |      (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT) * 256 + r) AS r
+         |  FROM csub JOIN cb USING (m) GROUP BY vec_id, m),
+         |dtable AS (
+         |  SELECT q_id, m, r,
+         |    CAST(FLOOR(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, 9), j -> (xs[j]-cs[j])*(xs[j]-cs[j]))),
+         |      (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT) AS dq
+         |  FROM qsub JOIN cb USING (m)),
+         |adc AS (SELECT q_id, vec_id, CAST(SUM(dq) AS BIGINT) AS qsum
+         |        FROM codes JOIN dtable USING (m, r) GROUP BY q_id, vec_id),
+         |rk AS (SELECT q_id, vec_id, qsum,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY qsum, vec_id) AS rnk
+         |  FROM adc)
+         |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
+         |  ${oRound("CAST(qsum AS DOUBLE) / 1000000000.0", 6)} AS adist
+         |FROM rk WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "llm_embed_quantize" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
