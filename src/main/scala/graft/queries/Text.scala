@@ -2637,6 +2637,57 @@ object Text {
   val llmBpeMerges: Q = (s, dir) =>
     bpeMergesOf(Tables.t(s, dir, "documents").select("text"))
 
+  /** BPE APPLY — encode the corpus vocabulary through the learned merge
+    * table (Sennrich §3.2's apply step): each symbol is wrapped in
+    * \u0001…\u0002 sentinels, so the merge of pair (a, b) is the
+    * LITERAL replace of "\u0001a\u0002\u0001b\u0002" with
+    * "\u0001ab\u0002" — the sentinels make whole-symbol matching exact
+    * (pair "a b" can never match inside a previously merged "aa b"),
+    * and because a replacement ends at a symbol boundary, left-to-right
+    * non-overlapping replace chains adjacent repeats ("a a a a" →
+    * "aa aa") exactly like the canonical one-pass merge. One pass per
+    * merge in priority order is the algorithm's fixed point for a
+    * char-pair merge table: merged 2-char symbols can only pair via
+    * entries a char-level table does not contain. (Contract: input
+    * words must not contain the sentinel code points — true of any
+    * text that has been through [[llmPiiScrub]]-style printable
+    * normalization.)
+    *
+    * The merge table is COLLECTED to the driver (10 rows — the trained
+    * tokenizer model artifact; same metadata-sized train/apply boundary
+    * as [[graft.queries.Maintenance]]'s touched-partition collect) and
+    * folded into the plan as 10 chained literal replaces, so encoding
+    * itself is a pure per-row projection.
+    *
+    * Scale shape: encoding runs over DISTINCT words (vocab-sized,
+    * Heaps'-law sublinear — the encode table is the artifact a
+    * tokenizer service ships), never the token stream; training costs
+    * one [[bpeMergesOf]] pass. The oracle replays the training CTE and
+    * applies the merges via a recursive CTE over merge priority. */
+  private val bpeOpen = "\u0001"
+  private val bpeClose = "\u0002"
+
+  private[graft] def bpeEncodeOf(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val merges = bpeMergesOf(docs, topK).collect()
+      .map(_.getAs[String]("pair"))
+    val start = regexp_replace(col("w"), "(.)", s"$bpeOpen$$1$bpeClose")
+    val folded = merges.foldLeft(start) { (c, p) =>
+      replace(c,
+        lit(s"$bpeOpen${p(0)}$bpeClose$bpeOpen${p(1)}$bpeClose"),
+        lit(s"$bpeOpen$p$bpeClose"))
+    }
+    val encoded = ltrim(rtrim(replace(folded, lit(s"$bpeClose$bpeOpen"), lit(" ")),
+      bpeClose), bpeOpen)
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1).distinct()
+      .select(col("w"), encoded.as("encoded"))
+      .select(col("w"), col("encoded"),
+        size(split(col("encoded"), " ")).as("n_syms"))
+  }
+
+  val llmBpeEncode: Q = (s, dir) =>
+    bpeEncodeOf(Tables.t(s, dir, "documents").select("text")).orderBy("w")
+
   /** Deterministic global training-order shuffle + shard assignment:
     * order key = md5 over a seeded doc key, shard = key mod `nShards`,
     * position = rank within the shard under the key order. The writer
@@ -2818,6 +2869,7 @@ object Text {
     "llm_corpus_pipeline_v2" -> llmCorpusPipelineV2,
     "llm_winnow" -> llmWinnow,
     "llm_bpe_merges" -> llmBpeMerges,
+    "llm_bpe_encode" -> llmBpeEncode,
     "llm_shuffle_order" -> llmShuffleOrder,
     "llm_token_budget" -> llmTokenBudget,
     "llm_contamination_fuzzy" -> llmContaminationFuzzy
@@ -3662,6 +3714,44 @@ object Text {
         |        i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w0)
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    // Training CTE = the bpe_merges oracle at top-10; the apply step is
+    // a recursive CTE folding the word's sentinel-wrapped form
+    // (chr(1)=symbol-open, chr(2)=symbol-close — whole-symbol literal
+    // matching, same left-to-right non-overlapping replace semantics as
+    // the Spark side) through the merges in priority order.
+    "llm_bpe_encode" ->
+      """WITH RECURSIVE w0 AS (
+        |  SELECT w, COUNT(*) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |p AS (SELECT wc, unnest(list_transform(range(1, length(w)),
+        |        i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w0),
+        |pc AS (SELECT pair, SUM(wc) AS cnt FROM p GROUP BY pair
+        |       ORDER BY cnt DESC, pair LIMIT 10),
+        |merges AS (SELECT pair,
+        |    row_number() OVER (ORDER BY cnt DESC, pair) AS i FROM pc),
+        |vocab AS (
+        |  SELECT DISTINCT w
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE length(w) >= 1),
+        |rec AS (
+        |  SELECT w, regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS state,
+        |    0 AS i
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT r.w,
+        |    replace(r.state,
+        |      chr(1) || substr(m.pair, 1, 1) || chr(2) ||
+        |      chr(1) || substr(m.pair, 2, 1) || chr(2),
+        |      chr(1) || m.pair || chr(2)),
+        |    r.i + 1
+        |  FROM rec r JOIN merges m ON m.i = r.i + 1),
+        |fin AS (SELECT w,
+        |    ltrim(rtrim(replace(state, chr(2) || chr(1), ' '), chr(2)), chr(1)) AS encoded
+        |  FROM rec WHERE i = (SELECT MAX(i) FROM merges))
+        |SELECT w, encoded,
+        |  CAST(len(string_split(encoded, ' ')) AS INT) AS n_syms
+        |FROM fin ORDER BY w""".stripMargin,
     "llm_shuffle_order" ->
       """WITH k AS (
         |  SELECT doc_id,

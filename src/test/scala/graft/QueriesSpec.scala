@@ -486,6 +486,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode respects symbol boundaries and chains adjacent repeats") {
+    import spark.implicits._
+    // planted corpus: pair counts aa=5 (2 from each "aab" + 3 from
+    // "aaaa"), ab=2 -> merge priority [aa, ab]
+    val docs = Seq("aab aab aaaa").toDF("text")
+    val got = graft.queries.Text.bpeEncodeOf(docs, topK = 2).collect()
+      .map(r => r.getAs[String]("w") ->
+        (r.getAs[String]("encoded"), r.getAs[Int]("n_syms"))).toMap
+    // "aab": after merging (a,a) the state is [aa, b]; the lower-priority
+    // (a,b) merge must NOT fire across the merged symbol's boundary (a
+    // naive space-separated replace would produce "aab")
+    assert(got("aab") == ("aa b", 2), s"got ${got("aab")}")
+    // "aaaa": one left-to-right pass of (a,a) merges BOTH adjacent
+    // pairs (canonical non-overlapping greedy), not just the first
+    assert(got("aaaa") == ("aa aa", 2), s"got ${got("aaaa")}")
+  }
+
   test("corpus pipeline manifest respects every composed filter") {
     // collect ONCE — each construction re-runs the whole multi-stage
     // pipeline (two persist+count jobs plus the manifest job)
