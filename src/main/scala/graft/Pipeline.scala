@@ -353,6 +353,46 @@ object Pipeline {
   def bpeMerges(docs: DataFrame, topK: Int = 20): DataFrame =
     Text.bpeMergesOf(docs, topK)
 
+  /** BPE APPLY: train the top-`topK` merge table on `docs` (collected
+    * driver-side — the tokenizer model artifact, `topK` rows) and
+    * encode the corpus VOCABULARY through it with exact whole-symbol
+    * greedy merging. Returns (w, encoded, n_syms) — the encode table a
+    * tokenizer service ships; vocab-sized, never the token stream.
+    * Contract: words must not contain code points U+0001/U+0002 (the
+    * internal symbol sentinels). */
+  def bpeEncode(docs: DataFrame, topK: Int = 10): DataFrame =
+    Text.bpeEncodeOf(docs, topK)
+
+  /** BM25 retrieval (Okapi k1 = 1.2, b = 0.75): docs matching
+    * `isQuery(doc_id)` are multi-term queries against the rest; top-`k`
+    * docs per query by the integer-bits-idf BM25 score. The df join is
+    * co-partitioned with the postings aggregation (inverted-index
+    * shape — no vocabulary broadcast); ranking runs through
+    * TopKPerKeyExec. */
+  def bm25(docs: DataFrame, isQuery: Column => Column, topK: Int = 5): DataFrame =
+    Text.bm25Of(docs, isQuery, topK)
+
+  /** Sparse-random-projection dimensionality reduction (Achlioptas
+    * ternary JL matrix, 64 → 16 dims): (vec_id, j, y) projected
+    * coordinates, deterministic across engines and partitionings.
+    * Shuffle-free per-row arithmetic against a plan-time literal
+    * matrix — run it before LSH/clustering to cut vector bytes and
+    * hash cost 4x. */
+  def randomProject(embeddings: DataFrame): DataFrame =
+    Text.randomProjOf(embeddings)
+
+  /** Product-quantization ANN over caller (vec_id, v: array&lt;double&gt;)
+    * frames: train `m`×32 sub-codebooks on a deterministic corpus
+    * sample, encode the corpus to `m` code ids per vector, answer
+    * queries by asymmetric distance computation — (q_id, rnk, vec_id,
+    * adist). `m` · `subDim` must equal the vector dimensionality.
+    * Codebook and query distance table are fixed-size broadcasts at any
+    * corpus scale; the only corpus-sized shuffle is the final per-
+    * candidate sum. */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+      m: Int = 8, subDim: Int = 8): DataFrame =
+    Text.pqRetrieve(corpus, queries, topK, m, subDim)
+
   /** Deterministic global training-order shuffle + shard assignment:
     * (shard, pos, doc_id) where the whole ordering replays
     * byte-identically from `seed` alone. Set `nShards` to total_bytes /

@@ -994,42 +994,50 @@ object Text {
 
   /** Left-fold squared L2 distance between two sub-dim arrays — the
     * sequential-order spelling both engines share. */
-  private def pqDist2(xs: Column, cs: Column): Column =
+  private def pqDist2(xs: Column, cs: Column, subDim: Int): Column =
     aggregate(
-      transform(sequence(lit(1), lit(pqSubDim)),
+      transform(sequence(lit(1), lit(subDim)),
         j => (element_at(xs, j) - element_at(cs, j)) *
              (element_at(xs, j) - element_at(cs, j))),
       lit(0.0), (acc, t) => acc + t)
 
   /** (id, m, xs) subvector rows of a (idCol, v) frame. */
-  private def pqSubvectors(frame: DataFrame, idCol: String): DataFrame =
-    frame.select(col(idCol), explode(sequence(lit(0), lit(pqM - 1))).as("m"), col("v"))
+  private def pqSubvectors(frame: DataFrame, idCol: String,
+      m: Int, subDim: Int): DataFrame =
+    frame.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
       .select(col(idCol), col("m"),
-        slice(col("v"), col("m") * lit(pqSubDim) + lit(1), lit(pqSubDim)).as("xs"))
+        slice(col("v"), col("m") * lit(subDim) + lit(1), lit(subDim)).as("xs"))
 
-  private[graft] def pqTopk(emb: DataFrame, topK: Int = 5): DataFrame = {
-    val corpus = emb.filter(col("vec_id") >= 20)
-    val queries = emb.filter(col("vec_id") < 20)
+  private[graft] def pqTopk(emb: DataFrame, topK: Int = 5): DataFrame =
+    pqRetrieve(emb.filter(col("vec_id") >= 20),
+      emb.filter(col("vec_id") < 20), topK)
+
+  /** PQ training + encode + ADC retrieval over caller (vec_id, v)
+    * frames — see [[llmAnnPq]] for semantics and scale shape. `m` ×
+    * `subDim` must equal the vector dimensionality. */
+  private[graft] def pqRetrieve(corpus: DataFrame, queries: DataFrame,
+      topK: Int = 5, m: Int = pqM, subDim: Int = pqSubDim): DataFrame = {
     // codebook training: deterministic fixed-size md5 sample of the
     // corpus (rank window runs over <= pqKs rows, after the limit)
     val ord = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
     val seeds = corpus.orderBy(ord: _*).limit(pqKs)
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
-    val codebook = pqSubvectors(seeds.select(col("r"), col("v")), "r")
+    val codebook = pqSubvectors(seeds.select(col("r"), col("v")), "r", m, subDim)
       .select(col("m"), col("r"), col("xs").as("cs"))
     // encoding: per (vector, subspace) argmin over the broadcast codebook;
     // (1e-9-quantized dist, rank) packs into one long so min_by stays in
     // a codegen'd HashAggregate and ties break to the smallest rank
-    val qd = floor(pqDist2(col("xs"), col("cs")) * lit(1e9) + lit(0.5)).cast("long")
-    val codes = pqSubvectors(corpus, "vec_id")
+    val qd = floor(pqDist2(col("xs"), col("cs"), subDim) * lit(1e9) + lit(0.5)).cast("long")
+    val codes = pqSubvectors(corpus, "vec_id", m, subDim)
       .join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"), col("r"), (qd * lit(256L) + col("r")).as("k"))
       .groupBy("vec_id", "m")
       .agg(min_by(col("r"), col("k")).as("r"))
     // ADC: query-side distance table (queries × M × Ks rows — broadcast),
     // exact long distances; candidate distance = sum of M lookups
-    val dtable = pqSubvectors(queries.select(col("vec_id").as("q_id"), col("v")), "q_id")
+    val dtable = pqSubvectors(
+        queries.select(col("vec_id").as("q_id"), col("v")), "q_id", m, subDim)
       .join(broadcast(codebook), "m")
       .select(col("q_id"), col("m"), col("r"), qd.as("dq"))
     val win = org.apache.spark.sql.expressions.Window
@@ -1798,17 +1806,24 @@ object Text {
     * only corpus-sized shuffles are the tf/dl aggregations every index
     * build pays once. avgdl/N ride broadcast 1-row totals. Top-5 per
     * query plans through TopKPerKeyExec. */
-  val llmBm25Topk: Q = (s, dir) => {
-    val docs = Tables.t(s, dir, "documents")
+  val llmBm25Topk: Q = (s, dir) =>
+    bm25Of(Tables.t(s, dir, "documents").select("doc_id", "text"),
+      id => id < 3)
+
+  /** BM25 core over a caller (doc_id, text) frame: docs matching
+    * `isQuery(doc_id)` act as multi-term queries against the rest —
+    * see [[llmBm25Topk]] for the weighting and scale shape. */
+  private[graft] def bm25Of(docs: DataFrame, isQuery: Column => Column,
+      topK: Int = 5): DataFrame = {
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val corpus = tf.filter(col("doc_id") >= 3)
-    val qterms = tf.filter(col("doc_id") < 3)
+    val corpus = tf.filter(!isQuery(col("doc_id")))
+    val qterms = tf.filter(isQuery(col("doc_id")))
       .select(col("doc_id").as("q_id"), col("w")).distinct()
     val dfc = corpus.groupBy("w").agg(count(lit(1)).as("df"))
-    val n = docs.filter(col("doc_id") >= 3).agg(count(lit(1)).as("n"))
-    val avgdl = dl.filter(col("doc_id") >= 3)
+    val n = docs.filter(!isQuery(col("doc_id"))).agg(count(lit(1)).as("n"))
+    val avgdl = dl.filter(!isQuery(col("doc_id")))
       .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     // per-(term, doc) partial score: every factor is fixed-order IEEE
     // arithmetic the oracle mirrors parenthesis-for-parenthesis
@@ -1827,7 +1842,7 @@ object Text {
       .groupBy("q_id", "doc_id")
       .agg(dsum(col("s"), 6).as("score"), count(lit(1)).as("n_terms"))
       .withColumn("rnk", row_number().over(win))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("doc_id"),
         col("score"), col("n_terms"))
       .orderBy("q_id", "rnk")

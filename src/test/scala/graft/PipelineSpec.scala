@@ -434,6 +434,44 @@ class PipelineSpec extends SparkSpec {
     assert(got((1L, 14L)) > 0.3 && got((1L, 14L)) <= 1.0)
   }
 
+  test("bpeEncode, bm25, randomProject, pqSearch run over caller frames") {
+    import spark.implicits._
+    // bpeEncode invariant: symbols concatenate back to the word exactly
+    val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    Pipeline.bpeEncode(docs, topK = 5).collect().foreach { r =>
+      assert(r.getAs[String]("encoded").replace(" ", "") == r.getAs[String]("w"),
+        s"symbols do not reconstruct ${r.getAs[String]("w")}")
+    }
+    // bm25 with a caller-chosen query predicate: dense per-query ranks
+    val bm = Pipeline.bm25(docs, id => id % 7 === 0, topK = 3).collect()
+    assert(bm.nonEmpty)
+    bm.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length),
+        s"query $q ranks not dense")
+      assert(rs.forall(_.getAs[Long]("doc_id") % 7 != 0),
+        s"query $q retrieved a query doc")
+    }
+    // randomProject -> pqSearch composition: PQ over the PROJECTED
+    // 16-dim vectors (the at-scale pipeline order: cut dims, then
+    // compress) — 5 hits per query, self-hit excluded by the split
+    val proj = Pipeline.randomProject(Tables.t(spark, sfDir, "embeddings"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(col("j"), col("y")))).as("sj"))
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("sj"),
+          s => s.getField("y")).as("v"))
+    val hits = Pipeline.pqSearch(proj.filter(col("vec_id") >= 20),
+      proj.filter(col("vec_id") < 20), topK = 5, m = 4, subDim = 4).collect()
+    val perQ = hits.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} hits")
+      assert(rs.forall(_.getAs[Long]("vec_id") >= 20))
+    }
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
