@@ -1525,6 +1525,53 @@ object Text {
   val llmLmQuality: Q = (s, dir) =>
     lmQualityOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Bigram-conditional LM surprise — the context-aware half of the
+    * CCNet-style quality family ([[lmQualityOf]] scores tokens against
+    * the unigram distribution; real filters use n-gram LMs, cf. Wenzek
+    * et al. arXiv:1911.00359 §4.3): per adjacent word pair, conditional
+    * surprise ≈ log2 c(prev) − log2 c(prev, cur) in the integer
+    * bin-length arithmetic, clamped at 0 (hash collisions can pool a
+    * bigram bucket above its context's), averaged per doc. Low
+    * avg_cond_bits = strongly collocated text (boilerplate, templates);
+    * high = word salad — the dual signal to unigram rarity.
+    *
+    * Scale shape: BOTH count tables hash into the fixed 2^16
+    * [[vocabBucket]] feature space (the bigram keys on the joined
+    * "prev_cur" string), so each is ≤ 65,536 rows at ANY corpus scale
+    * and broadcast-safe by construction; the bigram projection persists
+    * once (pure projection, two consumers — the measured barrier rule);
+    * per-doc means are two-phase aggs. Docs under 2 words carry no
+    * bigram and are absent. */
+  private[graft] def lmBigramOf(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val pairs = ws
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("wp"),
+          element_at(col("ws"), i + 1).as("wc")))).as("p"))
+      .select(col("doc_id"),
+        vocabBucket(col("p.wp")).as("bp"),
+        vocabBucket(concat(col("p.wp"), lit("_"), col("p.wc"))).as("bb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager: concurrent consumers would race the cache
+    val freqU = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(vocabBucket(col("w")).as("bp"))
+      .groupBy("bp").agg(count(lit(1)).as("cp"))
+    val freqB = pairs.groupBy("bb").agg(count(lit(1)).as("cb"))
+    pairs
+      .join(broadcast(freqU), "bp")
+      .join(broadcast(freqB), "bb")
+      .select(col("doc_id"),
+        greatest(lit(0), length(bin(col("cp"))) - length(bin(col("cb")))).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        dround(sum(col("bits")).cast("double") / count(lit(1)), 6).as("avg_cond_bits"))
+  }
+
+  val llmLmBigram: Q = (s, dir) =>
+    lmBigramOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** DSIR-style data selection via importance resampling (Xie et al.,
     * arXiv:2302.03169): score every raw doc by how much more likely its
     * words are under the TARGET distribution (here the eval slice
@@ -2854,6 +2901,7 @@ object Text {
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_lm_quality" -> llmLmQuality,
+    "llm_lm_bigram" -> llmLmBigram,
     "llm_semdedup" -> llmSemdedup,
     "llm_semdedup_cc" -> llmSemdedupCc,
     "llm_cluster_sample" -> llmClusterSample,
