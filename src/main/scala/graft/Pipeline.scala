@@ -246,6 +246,15 @@ object Pipeline {
     * counts). Returns (doc_id, n_words, avg_bits, suspect). */
   def lmQuality(docs: DataFrame): DataFrame = Text.lmQualityOf(docs)
 
+  /** Bigram-conditional LM surprise — the context-aware dual of
+    * [[lmQuality]]: per adjacent word pair, bits(c(prev)) −
+    * bits(c(prev,cur)) clamped at 0, averaged per doc. Low
+    * avg_cond_bits = strongly collocated (boilerplate/templates), high
+    * = word salad. Same fixed 2^16 hashed-bucket count tables
+    * (broadcast-safe at any scale). Docs under 2 words carry no row.
+    * Returns (doc_id, n_bigrams, avg_cond_bits). */
+  def lmBigram(docs: DataFrame): DataFrame = Text.lmBigramOf(docs)
+
   /** SemDeDup (semantic dedup inside coarse embedding clusters) over a
     * caller (vec_id, embedding) frame: returns (dup_id, keeper_id,
     * best_cos) — every vector with a lower-id same-cell partner above

@@ -3524,6 +3524,29 @@ object Text {
          |  $lmAvgBitsSql AS avg_bits,
          |  ($lmAvgBitsSql >= 12.0) AS suspect
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Bigram conditional surprise: same bin-length integer log2 as
+    // lm_quality, now over TWO hashed count tables — unigram context
+    // counts (over ALL words, including docs with one word) and bigram
+    // counts (over adjacent pairs only). DuckDB 1-based ws[i]/ws[i+1]
+    // mirrors Spark's element_at over sequence(1, size-1); range(1,
+    // len) is empty for single-word docs, so they carry no row on
+    // either engine. greatest(0, …) clamps the collision case where a
+    // pooled bigram bucket outgrows its context's.
+    "llm_lm_bigram" ->
+      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |pairs AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(ws[i]), 1, 4))::BIGINT AS bp,
+         |    ('0x' || substr(md5(ws[i] || '_' || ws[i + 1]), 1, 4))::BIGINT AS bb
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wt) px),
+         |fu AS (SELECT $vocabBucketSql AS bp, COUNT(*) AS cp
+         |       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) raw_u
+         |       GROUP BY bp),
+         |fb AS (SELECT bb, COUNT(*) AS cb FROM pairs GROUP BY bb)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ${oRound("CAST(SUM(greatest(0, length(bin(cp)) - length(bin(cb)))) AS DOUBLE) / COUNT(*)", 6)} AS avg_cond_bits
+         |FROM pairs JOIN fu USING (bp) JOIN fb USING (bb)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // SemDeDup: the IVF cell CTEs over ALL vectors (no query/corpus
     // split), then within-cell pairs + the embed_neardup keeper rule.
     // Shares `semPairsCtes` with the CC-resolved twin below.

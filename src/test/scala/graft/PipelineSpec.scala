@@ -114,6 +114,28 @@ class PipelineSpec extends SparkSpec {
     assert(scores(1L) == 1.0 && scores(2L) == 4.0, scores.toString)
   }
 
+  test("lmBigram scores collocated text below novel-pair text, drops 1-word docs") {
+    import spark.implicits._
+    // doc 1 alternates a/b — every bigram repeats 4×; doc 2 pairs the
+    // common context `a` with four singleton continuations. Exact
+    // integer-log2 arithmetic: unigram a=9 (4 bits), b=4 (3 bits),
+    // z*=1 (1 bit); bigrams a_b=b_a=4 (3 bits), a_z*/z*_a=1 (1 bit).
+    // doc 1: a_b ×4 → 4−3=1 bit, b_a ×4 → 3−3=0 → avg 4/8 = 0.5.
+    // doc 2: a_z* ×4 → 4−1=3, z*_a ×3 → 1−1=0 → avg 12/7 ≈ 1.714286.
+    val corpus = Seq(
+      (1L, "a b a b a b a b a"),
+      (2L, "a z1 a z2 a z3 a z4"),
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.lmBigram(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_cond_bits")))).toMap
+    assert(!rows.contains(3L), "single-word doc must carry no bigram row")
+    assert(rows(1L) === ((8L, 0.5)), rows.toString)
+    assert(rows(2L) === ((7L, 1.714286)), rows.toString)
+    assert(rows(1L)._2 < rows(2L)._2)
+  }
+
   test("semDedup collapses planted embedding clusters to their min-id keepers") {
     import spark.implicits._
     // two tight clusters on orthogonal axes. Under the fixed-k sampled
