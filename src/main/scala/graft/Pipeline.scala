@@ -391,16 +391,24 @@ object Pipeline {
     Text.randomProjOf(embeddings)
 
   /** Product-quantization ANN over caller (vec_id, v: array&lt;double&gt;)
-    * frames: train `m`×32 sub-codebooks on a deterministic corpus
-    * sample, encode the corpus to `m` code ids per vector, answer
-    * queries by asymmetric distance computation — (q_id, rnk, vec_id,
-    * adist). `m` · `subDim` must equal the vector dimensionality.
-    * Codebook and query distance table are fixed-size broadcasts at any
-    * corpus scale; the only corpus-sized shuffle is the final per-
-    * candidate sum. */
+    * frames: seed `m`×32 sub-codebooks from a deterministic corpus
+    * sample, train them with `refineSteps` per-subspace Lloyd
+    * iterations (exact quantized-long arithmetic — deterministic across
+    * engines and partitionings; 0 = raw sampled seeds), encode the
+    * corpus to `m` code ids per vector, answer queries by asymmetric
+    * distance computation, then re-rank the `rerank`·topK ADC shortlist
+    * by exact L2 over the full vectors (FAISS refine-stage style; 0 =
+    * pure ADC) — (q_id, rnk, vec_id, adist). `m` · `subDim` must equal
+    * the vector dimensionality. Codebook and query distance table are
+    * fixed-size broadcasts at any corpus scale; each Lloyd step adds
+    * one O(N·M·Ks) assignment pass whose shuffle is bounded by the
+    * M·Ks·subDim cell grid; the exact refine touches only
+    * rerank·topK·|queries| pairs; the only corpus-sized shuffle is the
+    * per-candidate ADC sum. */
   def pqSearch(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
-      m: Int = 8, subDim: Int = 8): DataFrame =
-    Text.pqRetrieve(corpus, queries, topK, m, subDim)
+      m: Int = 8, subDim: Int = 8, refineSteps: Int = 1,
+      rerank: Int = 4): DataFrame =
+    Text.pqRetrieve(corpus, queries, topK, m, subDim, refineSteps, rerank = rerank)
 
   /** Deterministic global training-order shuffle + shard assignment:
     * (shard, pos, doc_id) where the whole ordering replays

@@ -53,20 +53,34 @@ object Tables {
     }
   }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS). Spark reads
-    * it as LongType when `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench sessions); convert to a microsecond timestamp here so every
-    * downstream query sees a plain TimestampType column, matching what the
-    * DuckDB oracle gets from `CAST(ts AS TIMESTAMP)` (ns → µs truncation).
+  /** Normalize `events.ts` to a plain `TimestampType` column regardless of
+    * how the fixture generation encoded it. Observed encodings across
+    * driver rounds:
+    *   - parquet TIMESTAMP(NANOS): Spark reads it as `LongType` under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench
+    *     sessions) → ns DIV 1000 → `timestamp_micros`.
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it
+    *     as `TIMESTAMP_NTZ` → cast to TIMESTAMP (an identity re-tag under
+    *     the pinned UTC session timezone, matching DuckDB's naive reading).
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=true): already
+    *     `TimestampType`, pass through.
+    * Every downstream query (windowing, `unix_micros`, stream twins) then
+    * sees one stable type, so a fixture regeneration can't break analysis.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = t(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(t(spark, sfDir, "events"))
+
+  /** The encoding-dispatch itself, reusable for streaming sources (the
+    * `readStream` twins in [[graft.streaming.Events]] read the same files
+    * and must apply the identical normalization). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
 
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>

@@ -970,10 +970,12 @@ object Text {
     * then per-candidate distance = Σₘ table[m][codeₘ] — M lookups per
     * vector instead of d multiplies.
     *
-    * Codebooks use the [[ivfSeeds]] deterministic sampling idiom (the
-    * pqKs corpus vectors with smallest md5(vec_id), subvector m of seed
-    * r = codebook entry (m, r)) so DuckDB replays training, encoding,
-    * and retrieval bit-exact. Distances fold left over the sub-dims
+    * Codebooks seed from the [[ivfSeeds]] deterministic sampling idiom
+    * (the pqKs corpus vectors with smallest md5(vec_id), subvector m of
+    * seed r = codebook entry (m, r)) and then TRAIN: [[pqLloydStep]]
+    * runs per-subspace Lloyd over the (m, r) cells in exact
+    * quantized-long arithmetic, so DuckDB replays sampling, training,
+    * encoding, and retrieval bit-exact. Distances fold left over the sub-dims
     * (Spark `aggregate` ≡ DuckDB `list_reduce` — both sequential, same
     * order), quantize to 1e-9 longs, and the ADC sum runs over exact
     * longs; argmin encoding packs (quantized dist, rank) into one long
@@ -1012,24 +1014,72 @@ object Text {
     pqRetrieve(emb.filter(col("vec_id") >= 20),
       emb.filter(col("vec_id") < 20), topK)
 
+  /** ONE deterministic Lloyd step over a PQ codebook — [[lloydRefine]]'s
+    * idiom transposed to the (m, r) sub-codebook grid: per subspace m,
+    * assign every corpus SUBVECTOR to its nearest codebook entry (the
+    * same packed (1e-9-quantized dist, rank) argmin encoding uses), then
+    * replace each entry with its cell's per-dimension mean over
+    * 1e-6-quantized long sums (float summation order differs between
+    * engines; long sums cannot), dividing in one fixed order so DuckDB
+    * reproduces the trained codebook bit-for-bit. Entries whose cell
+    * came up empty drop (standard Lloyd); ranks survive so argmin
+    * tie-breaks stay deterministic. Cost per step: O(N·M·Ks)
+    * sub-distances + an (m, r, d)-keyed sum — the shuffle is bounded by
+    * M·Ks·subDim cells at ANY corpus scale. */
+  private[graft] def pqLloydStep(csub: DataFrame, cb: DataFrame,
+      subDim: Int): DataFrame = {
+    val qd = floor(pqDist2(col("xs"), col("cs"), subDim) * lit(1e9) + lit(0.5)).cast("long")
+    // argmin carries only fixed-width columns (HashAggregate-safe — see
+    // ivfRetrieve's cells comment); subvectors re-join by key afterwards
+    val assigned = csub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("r"), (qd * lit(256L) + col("r")).as("k"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("r"), col("k")).as("r"))
+      .join(csub, Seq("vec_id", "m"))
+    assigned
+      .select(col("m"), col("r"), posexplode(col("xs")).as(Seq("d", "x")))
+      .groupBy("m", "r", "d")
+      .agg(sum(floor(col("x") * lit(1e6) + lit(0.5)).cast("long")).as("qs"),
+        count(lit(1)).as("n"))
+      .groupBy("m", "r")
+      .agg(sort_array(collect_list(struct(col("d"),
+        ((col("qs").cast("double") / lit(1e6)) / col("n")).as("mv")))).as("dm"))
+      .select(col("m"), col("r"), transform(col("dm"), s => s.getField("mv")).as("cs"))
+  }
+
   /** PQ training + encode + ADC retrieval over caller (vec_id, v)
     * frames — see [[llmAnnPq]] for semantics and scale shape. `m` ×
-    * `subDim` must equal the vector dimensionality. */
+    * `subDim` must equal the vector dimensionality. `refineSteps` Lloyd
+    * iterations ([[pqLloydStep]]) turn the md5 seed sample into trained
+    * per-subspace centers; `rerank` · topK is the ADC shortlist the
+    * exact-L2 refine stage re-ranks (0 disables — pure ADC). Defaults
+    * (1 step, 4·topK shortlist) are what the DuckDB oracle replays.
+    * Measured on AnnScaleProbeSpec's clustered corpus: 0.670 pure-ADC
+    * sampled seeds → 0.960 trained + re-ranked (Ks is the other dial:
+    * 0.810/0.970 pure-ADC at Ks = 64/128). */
   private[graft] def pqRetrieve(corpus: DataFrame, queries: DataFrame,
-      topK: Int = 5, m: Int = pqM, subDim: Int = pqSubDim): DataFrame = {
+      topK: Int = 5, m: Int = pqM, subDim: Int = pqSubDim,
+      refineSteps: Int = 1, ks: Int = pqKs, rerank: Int = 4): DataFrame = {
     // codebook training: deterministic fixed-size md5 sample of the
-    // corpus (rank window runs over <= pqKs rows, after the limit)
+    // corpus (rank window runs over <= ks rows, after the limit)
     val ord = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-    val seeds = corpus.orderBy(ord: _*).limit(pqKs)
+    val seeds = corpus.orderBy(ord: _*).limit(ks)
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
-    val codebook = pqSubvectors(seeds.select(col("r"), col("v")), "r", m, subDim)
+    val seedCb = pqSubvectors(seeds.select(col("r"), col("v")), "r", m, subDim)
       .select(col("m"), col("r"), col("xs").as("cs"))
+    // corpus subvectors feed training assignment AND encoding; kept
+    // unpersisted deliberately — the slice projection is a cheap
+    // per-row rearrangement of the scan, the llmAnnIvfTrained measured
+    // posture (persist pays over EXPENSIVE projections, not these)
+    val csub = pqSubvectors(corpus, "vec_id", m, subDim)
+    val codebook = (1 to refineSteps).foldLeft(seedCb)((cb, _) =>
+      pqLloydStep(csub, cb, subDim))
     // encoding: per (vector, subspace) argmin over the broadcast codebook;
     // (1e-9-quantized dist, rank) packs into one long so min_by stays in
     // a codegen'd HashAggregate and ties break to the smallest rank
     val qd = floor(pqDist2(col("xs"), col("cs"), subDim) * lit(1e9) + lit(0.5)).cast("long")
-    val codes = pqSubvectors(corpus, "vec_id", m, subDim)
+    val codes = csub
       .join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"), col("r"), (qd * lit(256L) + col("r")).as("k"))
       .groupBy("vec_id", "m")
@@ -1042,14 +1092,45 @@ object Text {
       .select(col("q_id"), col("m"), col("r"), qd.as("dq"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("qsum").asc, col("vec_id").asc)
-    codes.join(broadcast(dtable), Seq("m", "r"))
+    val adc = codes.join(broadcast(dtable), Seq("m", "r"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("dq")).as("qsum"))
       .withColumn("rnk", row_number().over(win))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk"), col("vec_id"),
-        dround(col("qsum").cast("double") / lit(1e9), 6).as("adist"))
-      .orderBy("q_id", "rnk")
+    if (rerank <= 0)
+      adc.filter(col("rnk") <= topK)
+        .select(col("q_id"), col("rnk"), col("vec_id"),
+          dround(col("qsum").cast("double") / lit(1e9), 6).as("adist"))
+        .orderBy("q_id", "rnk")
+    else {
+      // FAISS-style refine stage (IndexRefineFlat over IVFPQ): the coded
+      // index produces a rerank·topK ADC shortlist per query, then the
+      // TRUE squared L2 over the full vectors re-ranks it — the coded
+      // scan does the corpus-sized work, the exact pass touches only
+      // R·|queries| candidate pairs (a vec_id-keyed fetch join; at 100 TB
+      // this is the standard accuracy/IO trade every production PQ
+      // deployment ships). Exact distance = the same left-fold spelling
+      // as the sub-distances ([[pqDist2]] over all m·subDim dims),
+      // 1e-9-quantized for the deterministic (dist, vec_id) order both
+      // engines share. The reported adist stays the ADC distance — the
+      // number the index computed; the RANK is what the refine corrects.
+      val shortlist = adc.filter(col("rnk") <= lit(rerank * topK))
+        .select(col("q_id"), col("vec_id"), col("qsum"))
+      val dims = m * subDim
+      val exactQ = floor(pqDist2(col("v"), col("qv"), dims) * lit(1e9) + lit(0.5))
+        .cast("long")
+      val rwin = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dqe").asc, col("vec_id").asc)
+      shortlist
+        .join(corpus.select(col("vec_id"), col("v")), "vec_id")
+        .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))),
+          "q_id")
+        .select(col("q_id"), col("vec_id"), col("qsum"), exactQ.as("dqe"))
+        .withColumn("rnk", row_number().over(rwin))
+        .filter(col("rnk") <= topK)
+        .select(col("q_id"), col("rnk"), col("vec_id"),
+          dround(col("qsum").cast("double") / lit(1e9), 6).as("adist"))
+        .orderBy("q_id", "rnk")
+    }
   }
 
   val llmAnnPq: Q = (s, dir) =>
@@ -1543,7 +1624,12 @@ object Text {
     * per-doc means are two-phase aggs. Docs under 2 words carry no
     * bigram and are absent. */
   private[graft] def lmBigramOf(docs: DataFrame): DataFrame = {
+    // Drop <2-word docs BEFORE building pair indices: sequence(1, 0) in
+    // Spark is the DESCENDING [1, 0] (not empty like DuckDB's range), so
+    // an unguarded transform would element_at index 2 of a 1-word array
+    // and crash the job. The filter keeps the documented drop-semantics.
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
     val pairs = ws
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("ws")) - 1),
@@ -1862,16 +1948,29 @@ object Text {
     * see [[llmBm25Topk]] for the weighting and scale shape. */
   private[graft] def bm25Of(docs: DataFrame, isQuery: Column => Column,
       topK: Int = 5): DataFrame = {
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE corpus scan: explode → postings (doc, term, tf), persisted. This
+    // is the inverted index a retrieval system materializes anyway —
+    // per-doc-distinct-term-sized, far smaller than the raw token stream.
+    // Everything downstream derives from it: dl = Σ tf per doc (exact,
+    // since every token lands in exactly one (doc, term) posting), df from
+    // the term-side groupBy, and the corpus totals n/avgdl from dl (split
+    // of any string yields ≥1 element, so dl has a row for EVERY doc).
+    // Before this persist the plan re-scanned and re-exploded the corpus
+    // six times (tf, dl, dfc, n, avgdl, qterms) — at 100 TB that is six
+    // passes over the token stream where one suffices.
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // eager: concurrent consumers would race the cache
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val corpus = tf.filter(!isQuery(col("doc_id")))
     val qterms = tf.filter(isQuery(col("doc_id")))
       .select(col("doc_id").as("q_id"), col("w")).distinct()
     val dfc = corpus.groupBy("w").agg(count(lit(1)).as("df"))
-    val n = docs.filter(!isQuery(col("doc_id"))).agg(count(lit(1)).as("n"))
-    val avgdl = dl.filter(!isQuery(col("doc_id")))
-      .agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // one broadcast 1-row frame carries both corpus totals
+    val totals = dl.filter(!isQuery(col("doc_id")))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     // per-(term, doc) partial score: every factor is fixed-order IEEE
     // arithmetic the oracle mirrors parenthesis-for-parenthesis
     val termScore =
@@ -1884,7 +1983,7 @@ object Text {
     qterms.join(corpus, "w")
       .join(dfc, "w")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(totals))
       .withColumn("s", termScore)
       .groupBy("q_id", "doc_id")
       .agg(dsum(col("s"), 6).as("score"), count(lit(1)).as("n_terms"))
@@ -2699,6 +2798,80 @@ object Text {
   val llmBpeMerges: Q = (s, dir) =>
     bpeMergesOf(Tables.t(s, dir, "documents").select("text"))
 
+  /** Pair-key separator inside a candidate ("a\u0003b") — distinguishes
+    * the (sym_a, sym_b) boundary once symbols grow past one char. Same
+    * printable-text contract as the \u0001/\u0002 sentinels. */
+  private val bpeSep = "\u0003"
+
+  /** symbol list of a sentinel-wrapped form ("\u0001a\u0002\u0001b\u0002"
+    * → [a, b]). */
+  private def bpeSyms(s: Column): Column =
+    split(ltrim(rtrim(s, bpeClose), bpeOpen), s"$bpeClose$bpeOpen")
+
+  /** ITERATIVE BPE training — Sennrich §3.2's actual loop, not just its
+    * first iteration ([[bpeMergesOf]] keeps that single-pass statistic):
+    * count adjacent SYMBOL pairs over the frequency-weighted vocabulary,
+    * merge the argmax pair everywhere, recount — so merged symbols
+    * become candidates and later steps learn ≥3-char symbols ("th" + "e"
+    * → "the"), which a single char-pair pass never can. Each step's
+    * argmax is ONE collected row (cnt desc, pair asc tie-break —
+    * TakeOrderedAndProject, deterministic); the merge applies as the
+    * sentinel-literal replace [[bpeEncodeOf]] uses, so the training
+    * states and the apply step share one exact semantics.
+    *
+    * Scale shape: the corpus-sized work is the word-count groupBy, paid
+    * once into a persisted vocab (Heaps'-law sublinear); each of the
+    * `steps` iterations is one vocab-sized job (pair explode + two-phase
+    * agg + top-1) and one 1-row driver collect — the merge table IS the
+    * model artifact, built steps rows at a time, exactly how a
+    * production tokenizer trainer checkpoints. Returns (step, sym_a,
+    * sym_b, cnt). */
+  private[graft] def bpeTrainOf(docs: DataFrame, steps: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        regexp_replace(col("w"), "(.)", s"$bpeOpen$$1$bpeClose").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count() // eager: every iteration's job re-reads this base
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var cur = vocab
+    var step = 1
+    var dry = false
+    while (step <= steps && !dry) {
+      // syms lands in its own column (multi-referenced in the pair
+      // lambda → protected from CollapseProject inlining); 1-symbol
+      // words guard to array() — sequence(1, 0) is DESCENDING in Spark
+      val top = cur
+        .select(col("wc"), bpeSyms(col("s")).as("syms"))
+        .select(col("wc"), explode(when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => concat(element_at(col("syms"), i), lit(bpeSep),
+              element_at(col("syms"), i + 1))))
+          .otherwise(array())).as("pr"))
+        .groupBy("pr").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr").asc)
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val pr = top(0).getAs[String]("pr")
+        val cnt = top(0).getAs[Long]("cnt")
+        val Array(a, b) = pr.split(bpeSep)
+        merges += ((step, a, b, cnt))
+        cur = cur.withColumn("s", replace(col("s"),
+          lit(s"$bpeOpen$a$bpeClose$bpeOpen$b$bpeClose"),
+          lit(s"$bpeOpen$a$b$bpeClose")))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "sym_a", "sym_b", "cnt")
+  }
+
+  val llmBpeTrain: Q = (s, dir) =>
+    bpeTrainOf(Tables.t(s, dir, "documents").select("text")).orderBy("step")
+
   /** BPE APPLY — encode the corpus vocabulary through the learned merge
     * table (Sennrich §3.2's apply step): each symbol is wrapped in
     * \u0001…\u0002 sentinels, so the merge of pair (a, b) is the
@@ -2707,36 +2880,38 @@ object Text {
     * (pair "a b" can never match inside a previously merged "aa b"),
     * and because a replacement ends at a symbol boundary, left-to-right
     * non-overlapping replace chains adjacent repeats ("a a a a" →
-    * "aa aa") exactly like the canonical one-pass merge. One pass per
-    * merge in priority order is the algorithm's fixed point for a
-    * char-pair merge table: merged 2-char symbols can only pair via
-    * entries a char-level table does not contain. (Contract: input
-    * words must not contain the sentinel code points — true of any
-    * text that has been through [[llmPiiScrub]]-style printable
-    * normalization.)
+    * "aa aa") exactly like the canonical one-pass merge. Replaying the
+    * learned merges in TRAINING order, one pass each, is precisely the
+    * canonical BPE apply (Sennrich §3.2) — training applied them to the
+    * vocabulary in that same order, so the states agree step for step.
+    * (Contract: input words must not contain the sentinel code points —
+    * true of any text that has been through [[llmPiiScrub]]-style
+    * printable normalization.)
     *
-    * The merge table is COLLECTED to the driver (10 rows — the trained
-    * tokenizer model artifact; same metadata-sized train/apply boundary
-    * as [[graft.queries.Maintenance]]'s touched-partition collect) and
+    * The merge table ([[bpeTrainOf]]'s iterative loop — merged symbols
+    * become candidates, so entries can carry ≥3-char symbols) is
+    * COLLECTED to the driver (10 rows — the trained tokenizer model
+    * artifact; same metadata-sized train/apply boundary as
+    * [[graft.queries.Maintenance]]'s touched-partition collect) and
     * folded into the plan as 10 chained literal replaces, so encoding
     * itself is a pure per-row projection.
     *
     * Scale shape: encoding runs over DISTINCT words (vocab-sized,
     * Heaps'-law sublinear — the encode table is the artifact a
     * tokenizer service ships), never the token stream; training costs
-    * one [[bpeMergesOf]] pass. The oracle replays the training CTE and
-    * applies the merges via a recursive CTE over merge priority. */
+    * [[bpeTrainOf]]'s per-step vocab jobs. The oracle replays the
+    * unrolled training CTEs and folds the same literal replaces. */
   private val bpeOpen = "\u0001"
   private val bpeClose = "\u0002"
 
   private[graft] def bpeEncodeOf(docs: DataFrame, topK: Int = 10): DataFrame = {
-    val merges = bpeMergesOf(docs, topK).collect()
-      .map(_.getAs[String]("pair"))
+    val merges = bpeTrainOf(docs, topK).orderBy("step").collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
     val start = regexp_replace(col("w"), "(.)", s"$bpeOpen$$1$bpeClose")
-    val folded = merges.foldLeft(start) { (c, p) =>
+    val folded = merges.foldLeft(start) { case (c, (a, b)) =>
       replace(c,
-        lit(s"$bpeOpen${p(0)}$bpeClose$bpeOpen${p(1)}$bpeClose"),
-        lit(s"$bpeOpen$p$bpeClose"))
+        lit(s"$bpeOpen$a$bpeClose$bpeOpen$b$bpeClose"),
+        lit(s"$bpeOpen$a$b$bpeClose"))
     }
     val encoded = ltrim(rtrim(replace(folded, lit(s"$bpeClose$bpeOpen"), lit(" ")),
       bpeClose), bpeOpen)
@@ -2932,6 +3107,7 @@ object Text {
     "llm_corpus_pipeline_v2" -> llmCorpusPipelineV2,
     "llm_winnow" -> llmWinnow,
     "llm_bpe_merges" -> llmBpeMerges,
+    "llm_bpe_train" -> llmBpeTrain,
     "llm_bpe_encode" -> llmBpeEncode,
     "llm_shuffle_order" -> llmShuffleOrder,
     "llm_token_budget" -> llmTokenBudget,
@@ -3111,6 +3287,68 @@ object Text {
     * supplies the vector source CTE chain ending in `e(vec_id, v)` —
     * raw doubles for the float path, the quantize→dequantize
     * reconstruction for int8. */
+  /** Unrolled iterative-BPE training CTEs (`v0, p1, m1, v1, …, m<steps>`)
+    * — the DuckDB twin of [[bpeTrainOf]]'s loop. Each m{k} is the 1-row
+    * argmax merge (chr(3)-separated pair key) and v{k} the vocab with it
+    * applied; [[bpeTrainSql]] unions the m's into the merge table,
+    * [[bpeEncodeSql]] folds them over the distinct-word vocabulary. */
+  private def bpeTrainCtes(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """v0 AS (
+      |  SELECT COUNT(*) AS wc,
+      |    regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin
+    for (k <- 1 to steps) {
+      sb ++= s""",
+        |p$k AS (
+        |  SELECT wc, unnest(list_transform(range(1, len(syms)),
+        |      i -> syms[i] || chr(3) || syms[i+1])) AS pr
+        |  FROM (SELECT wc,
+        |          string_split(ltrim(rtrim(s, chr(2)), chr(1)), chr(2) || chr(1)) AS syms
+        |        FROM v${k - 1})),
+        |m$k AS (SELECT pr, CAST(SUM(wc) AS BIGINT) AS cnt FROM p$k
+        |        GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1),
+        |v$k AS (SELECT v.wc, replace(v.s,
+        |    chr(1) || replace(m.pr, chr(3), chr(2) || chr(1)) || chr(2),
+        |    chr(1) || replace(m.pr, chr(3), '') || chr(2)) AS s
+        |  FROM v${k - 1} v, m$k m)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def bpeTrainSql(steps: Int): String = {
+    val union = (1 to steps).map { k =>
+      s"""SELECT CAST($k AS INT) AS step,
+         |  string_split(pr, chr(3))[1] AS sym_a,
+         |  string_split(pr, chr(3))[2] AS sym_b, cnt FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${bpeTrainCtes(steps)}\nSELECT * FROM (\n$union\n) ORDER BY step"
+  }
+
+  private def bpeEncodeSql(steps: Int): String = {
+    // fold the sentinel-wrapped word through m1..m<steps> in training
+    // order; each step's search/replace strings come from the 1-row
+    // m{k} scalar subqueries (same chr-literal construction as v{k})
+    val folded = (1 to steps).foldLeft(
+      "regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')") { (acc, k) =>
+      s"""replace($acc,
+         |  chr(1) || replace((SELECT pr FROM m$k), chr(3), chr(2) || chr(1)) || chr(2),
+         |  chr(1) || replace((SELECT pr FROM m$k), chr(3), '') || chr(2))""".stripMargin
+    }
+    s"""WITH ${bpeTrainCtes(steps)},
+       |vocab AS (
+       |  SELECT DISTINCT w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE length(w) >= 1),
+       |fin AS (SELECT w,
+       |    ltrim(rtrim(replace($folded, chr(2) || chr(1), ' '), chr(2)), chr(1)) AS encoded
+       |  FROM vocab)
+       |SELECT w, encoded,
+       |  CAST(len(string_split(encoded, ' ')) AS INT) AS n_syms
+       |FROM fin ORDER BY w""".stripMargin
+  }
+
   private def ivfSql(embCte: String, refine: Boolean = false): String = {
     // Optional one-step Lloyd refinement (twin of `lloydRefine`):
     // assignment over the SEED cents, exact per-dimension quantized-long
@@ -3414,22 +3652,40 @@ object Text {
       s"""$lshPairsSql
          |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
          |FROM pairs GROUP BY id_b ORDER BY dup_id""".stripMargin,
-    // Product quantization: md5-sampled codebooks, left-fold sub-distances
-    // (list_reduce ≡ Spark aggregate — both sequential), 1e-9-quantized
-    // long distances, argmin via arg_min over the same packed (dist, rank)
-    // long the Spark min_by uses, then the ADC sum over exact longs.
+    // Product quantization: md5-sampled seed codebooks refined by ONE
+    // Lloyd step (twin of pqLloydStep — packed-long argmin assignment,
+    // per-(m, r, d) 1e-6-quantized long sums, mean in the same division
+    // order), left-fold sub-distances (list_reduce ≡ Spark aggregate —
+    // both sequential), 1e-9-quantized long distances, argmin via
+    // arg_min over the same packed (dist, rank) long the Spark min_by
+    // uses, then the ADC sum over exact longs and the exact-L2 re-rank
+    // of the top-20 ADC shortlist (twin of the Spark refine stage).
     "llm_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (SELECT vec_id, v,
          |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
          |  FROM e WHERE vec_id >= 20
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqKs),
-         |cb AS (SELECT m, r, list_slice(v, m*8+1, m*8+8) AS cs
+         |cb0 AS (SELECT m, r, list_slice(v, m*8+1, m*8+8) AS cs
          |       FROM seeds, range(8) t(m)),
          |csub AS (SELECT vec_id, m, list_slice(v, m*8+1, m*8+8) AS xs
          |         FROM e, range(8) t(m) WHERE vec_id >= 20),
          |qsub AS (SELECT vec_id AS q_id, m, list_slice(v, m*8+1, m*8+8) AS xs
          |         FROM e, range(8) t(m) WHERE vec_id < 20),
+         |tassign AS (
+         |  SELECT vec_id, m, arg_min(r,
+         |    CAST(FLOOR(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, 9), j -> (xs[j]-cs[j])*(xs[j]-cs[j]))),
+         |      (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT) * 256 + r) AS r
+         |  FROM csub JOIN cb0 USING (m) GROUP BY vec_id, m),
+         |tsum AS (
+         |  SELECT a.m, a.r, t.d,
+         |    SUM(CAST(FLOOR(c.xs[t.d + 1]*1000000.0 + 0.5) AS BIGINT)) AS qs,
+         |    COUNT(*) AS cnt
+         |  FROM tassign a JOIN csub c USING (vec_id, m), range(8) t(d)
+         |  GROUP BY a.m, a.r, t.d),
+         |cb AS (SELECT m, r, list(CAST(qs AS DOUBLE)/1000000.0/cnt ORDER BY d) AS cs
+         |       FROM tsum GROUP BY m, r),
          |codes AS (
          |  SELECT vec_id, m, arg_min(r,
          |    CAST(FLOOR(list_reduce(list_prepend(0.0,
@@ -3444,9 +3700,20 @@ object Text {
          |  FROM qsub JOIN cb USING (m)),
          |adc AS (SELECT q_id, vec_id, CAST(SUM(dq) AS BIGINT) AS qsum
          |        FROM codes JOIN dtable USING (m, r) GROUP BY q_id, vec_id),
+         |short AS (SELECT q_id, vec_id, qsum FROM (
+         |    SELECT q_id, vec_id, qsum,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY qsum, vec_id) AS rnk0
+         |    FROM adc) t WHERE rnk0 <= 20),
+         |rr AS (
+         |  SELECT s.q_id, s.vec_id, s.qsum,
+         |    CAST(FLOOR(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, 65), j -> (c.v[j]-q.v[j])*(c.v[j]-q.v[j]))),
+         |      (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT) AS dqe
+         |  FROM short s JOIN e c ON c.vec_id = s.vec_id
+         |               JOIN e q ON q.vec_id = s.q_id),
          |rk AS (SELECT q_id, vec_id, qsum,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY qsum, vec_id) AS rnk
-         |  FROM adc)
+         |  row_number() OVER (PARTITION BY q_id ORDER BY dqe, vec_id) AS rnk
+         |  FROM rr)
          |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
          |  ${oRound("CAST(qsum AS DOUBLE) / 1000000000.0", 6)} AS adist
          |FROM rk WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
@@ -3800,44 +4067,16 @@ object Text {
         |        i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w0)
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
-    // Training CTE = the bpe_merges oracle at top-10; the apply step is
-    // a recursive CTE folding the word's sentinel-wrapped form
-    // (chr(1)=symbol-open, chr(2)=symbol-close — whole-symbol literal
-    // matching, same left-to-right non-overlapping replace semantics as
-    // the Spark side) through the merges in priority order.
-    "llm_bpe_encode" ->
-      """WITH RECURSIVE w0 AS (
-        |  SELECT w, COUNT(*) AS wc
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE length(w) >= 2 GROUP BY w),
-        |p AS (SELECT wc, unnest(list_transform(range(1, length(w)),
-        |        i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w0),
-        |pc AS (SELECT pair, SUM(wc) AS cnt FROM p GROUP BY pair
-        |       ORDER BY cnt DESC, pair LIMIT 10),
-        |merges AS (SELECT pair,
-        |    row_number() OVER (ORDER BY cnt DESC, pair) AS i FROM pc),
-        |vocab AS (
-        |  SELECT DISTINCT w
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-        |  WHERE length(w) >= 1),
-        |rec AS (
-        |  SELECT w, regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g') AS state,
-        |    0 AS i
-        |  FROM vocab
-        |  UNION ALL
-        |  SELECT r.w,
-        |    replace(r.state,
-        |      chr(1) || substr(m.pair, 1, 1) || chr(2) ||
-        |      chr(1) || substr(m.pair, 2, 1) || chr(2),
-        |      chr(1) || m.pair || chr(2)),
-        |    r.i + 1
-        |  FROM rec r JOIN merges m ON m.i = r.i + 1),
-        |fin AS (SELECT w,
-        |    ltrim(rtrim(replace(state, chr(2) || chr(1), ' '), chr(2)), chr(1)) AS encoded
-        |  FROM rec WHERE i = (SELECT MAX(i) FROM merges))
-        |SELECT w, encoded,
-        |  CAST(len(string_split(encoded, ' ')) AS INT) AS n_syms
-        |FROM fin ORDER BY w""".stripMargin,
+    // Iterative trainer, unrolled: v0 = sentinel-wrapped weighted vocab;
+    // per step k, p{k} = adjacent symbol pairs (chr(3)-keyed), m{k} =
+    // the argmax merge, v{k} = the vocab with it applied (chr(1)/chr(2)
+    // sentinel-literal replace — same semantics as the Spark side).
+    "llm_bpe_train" -> bpeTrainSql(10),
+    // Training = the same unrolled CTEs; the apply step folds the
+    // word's sentinel-wrapped form through the m1..m10 scalar
+    // subqueries in training order (left-to-right non-overlapping
+    // replace — the canonical BPE apply).
+    "llm_bpe_encode" -> bpeEncodeSql(10),
     "llm_shuffle_order" ->
       """WITH k AS (
         |  SELECT doc_id,

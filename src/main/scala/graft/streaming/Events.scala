@@ -228,18 +228,24 @@ object Events {
          |GROUP BY e.user_id ORDER BY user_id""".stripMargin
   )
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** File-source stream over the events fixture. `readStream` needs an
+    * explicit schema, but hardcoding one breaks whenever the driver
+    * regenerates the fixture with a different `ts` physical type (it has
+    * shipped Long-nanos, TIMESTAMP_NTZ micros, and TIMESTAMP micros across
+    * rounds) — so sniff the real schema from the parquet footer via a
+    * one-off batch read, then run the exact same normalization the batch
+    * table loader applies ([[Tables.normalizeEventTs]]). */
+  private def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val actualSchema = spark.read.parquet(eventsDir).schema
+    Tables.normalizeEventTs(
+      spark.readStream.schema(actualSchema).parquet(eventsDir))
+  }
 
   /** Streaming twin of [[streamStatefulSessions]]: the same custom-state
     * function over a file-source stream. */
   def statefulStream(spark: SparkSession, eventsDir: String): DataFrame = {
     import spark.implicits._
-    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    typedEvents(spark, raw)
+    typedEvents(spark, eventsStream(spark, eventsDir))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionStats)
       .toDF()
@@ -273,9 +279,7 @@ object Events {
   /** Streaming twin of [[streamStatefulSessions]] on the v2 API. */
   def statefulStreamTws(spark: SparkSession, eventsDir: String): DataFrame = {
     import spark.implicits._
-    val raw = spark.readStream.schema(eventsSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    typedEvents(spark, raw)
+    typedEvents(spark, eventsStream(spark, eventsDir))
       .groupByKey(_.user_id)
       .transformWithState(new SessionStatsProcessor, TimeMode.None(), OutputMode.Append())
       .toDF()
@@ -287,8 +291,7 @@ object Events {
     * rows are evicted once the other side's watermark passes their match
     * window). */
   def intervalJoinStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    def src = spark.readStream.schema(eventsSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src = eventsStream(spark, eventsDir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
       .withWatermark("cts", "2 hours")
@@ -309,8 +312,7 @@ object Events {
   /** Streaming twin of [[streamTumbling]] for the readStream smoke test:
     * same aggregation over a file-source stream. */
   def tumblingStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.readStream.schema(eventsSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsStream(spark, eventsDir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))

@@ -264,12 +264,16 @@ class AnnScaleProbeSpec extends SparkSpec {
   test("PQ ADC recall@5 vs exact L2 on the clustered corpus") {
     // PQ ranks by squared L2 over 8-dim sub-quantizers, so the truth set
     // is the EXACT L2 top-5 (cosine truth would conflate metric change
-    // with quantization loss). 32 sampled codebook entries per subspace
-    // over 20 clusters still merge some clusters per subspace (measured:
-    // 0.500 at Ks = 16, 0.670 at Ks = 32 — the Ks dial buys recall the
-    // way production's Ks = 256 does) — the recall floor certifies the
-    // ADC machinery, while the random-fixture oracle certifies the
-    // arithmetic bit-for-bit.
+    // with quantization loss). The default path = Lloyd-trained
+    // codebooks (1 step) + exact-L2 re-rank of the 4·topK ADC
+    // shortlist. Measured on this corpus: pure ADC from sampled seeds
+    // 0.670 (0.500 at Ks = 16, 0.810 at Ks = 64, 0.970 at Ks = 128 —
+    // the Ks dial buys recall the way production's Ks = 256 does);
+    // trained + re-ranked 0.960 — the shortlist contains the true top-5
+    // almost always (0.950/0.990 at R = 20/50 untrained), and the exact
+    // pass orders it perfectly. The floor certifies the trained+refine
+    // machinery; the random-fixture oracle certifies the arithmetic
+    // bit-for-bit.
     val vecs = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
       .collect()
       .map(r => r.getAs[Long]("vec_id") ->
@@ -292,6 +296,6 @@ class AnnScaleProbeSpec extends SparkSpec {
       got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
     }.sum / truth.size
     info(f"clustered PQ ADC recall@5 = $recall%.3f")
-    assert(recall >= 0.60, f"PQ ADC recall collapsed: $recall%.3f")
+    assert(recall >= 0.85, f"PQ trained+reranked recall collapsed: $recall%.3f")
   }
 }

@@ -488,18 +488,26 @@ class QueriesSpec extends SparkSpec {
 
   test("bpe encode respects symbol boundaries and chains adjacent repeats") {
     import spark.implicits._
-    // planted corpus: pair counts aa=5 (2 from each "aab" + 3 from
-    // "aaaa"), ab=2 -> merge priority [aa, ab]
+    // planted corpus: step-1 pair counts aa=5 (2 from each "aab" + 3 from
+    // "aaaa"), ab=2 -> merge 1 = (a,a). The ITERATIVE recount then sees
+    // [aa,b] (wc 2) and [aa,aa] (wc 1), so merge 2 = (aa,b) — a candidate
+    // built FROM a merged symbol, which the old single-pass table could
+    // never learn (it would have picked the stale char pair (a,b)).
     val docs = Seq("aab aab aaaa").toDF("text")
+    val table = graft.queries.Text.bpeTrainOf(docs, steps = 2).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("sym_a"),
+        r.getAs[String]("sym_b"), r.getAs[Long]("cnt"))).toSeq
+    assert(table == Seq((1, "a", "a", 5L), (2, "aa", "b", 2L)), table.toString)
     val got = graft.queries.Text.bpeEncodeOf(docs, topK = 2).collect()
       .map(r => r.getAs[String]("w") ->
         (r.getAs[String]("encoded"), r.getAs[Int]("n_syms"))).toMap
-    // "aab": after merging (a,a) the state is [aa, b]; the lower-priority
-    // (a,b) merge must NOT fire across the merged symbol's boundary (a
-    // naive space-separated replace would produce "aab")
-    assert(got("aab") == ("aa b", 2), s"got ${got("aab")}")
+    // "aab": merge 1 -> [aa, b], merge 2 joins the merged symbol with its
+    // tail -> the whole word is one learned token
+    assert(got("aab") == ("aab", 1), s"got ${got("aab")}")
     // "aaaa": one left-to-right pass of (a,a) merges BOTH adjacent
-    // pairs (canonical non-overlapping greedy), not just the first
+    // pairs (canonical non-overlapping greedy), not just the first; and
+    // (aa,b)'s sentinel-literal search cannot fire inside [aa, aa] — the
+    // merged-symbol boundary holds
     assert(got("aaaa") == ("aa aa", 2), s"got ${got("aaaa")}")
   }
 

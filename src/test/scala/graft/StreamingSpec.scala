@@ -155,9 +155,13 @@ class StreamingSpec extends SparkSpec {
     val streamDir = Files.createTempDirectory("graft_ckpt_stream").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_loc").toString
     val outDir = Files.createTempDirectory("graft_ckpt_out").toString
-    // raw schema (ts = nanos long under the session's nanosAsLong conf)
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    // Normalize ts first so the median split works whatever the fixture's
+    // physical encoding is (Long-nanos, NTZ micros, TIMESTAMP micros); the
+    // normalized frame is also what gets written to the stream dir, and
+    // eventsStream re-normalizes on read (TimestampType passthrough).
+    val raw = Tables.normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
+      .withColumn("tsu", unix_micros(col("ts")))
+    val cut = raw.stat.approxQuantile("tsu", Array(0.5), 0.0).head.toLong
     def run(): Unit = {
       val q = graft.streaming.Events.statefulStream(spark, streamDir)
         .writeStream
@@ -170,9 +174,9 @@ class StreamingSpec extends SparkSpec {
         .start()
       assert(q.awaitTermination(120000), "stream did not finish in 120s")
     }
-    raw.filter(col("ts") <= cut).write.mode("append").parquet(streamDir)
+    raw.filter(col("tsu") <= cut).drop("tsu").write.mode("append").parquet(streamDir)
     run()
-    raw.filter(col("ts") > cut).write.mode("append").parquet(streamDir)
+    raw.filter(col("tsu") > cut).drop("tsu").write.mode("append").parquet(streamDir)
     run()
     // Last emission per user wins (n_events grows monotonically across
     // micro-batches); the time-ordered split makes phase1++phase2 equal
