@@ -1948,25 +1948,34 @@ object Text {
     * see [[llmBm25Topk]] for the weighting and scale shape. */
   private[graft] def bm25Of(docs: DataFrame, isQuery: Column => Column,
       topK: Int = 5): DataFrame = {
-    // ONE corpus scan: explode → postings (doc, term, tf), persisted. This
-    // is the inverted index a retrieval system materializes anyway —
+    // ONE corpus scan: explode → postings (doc, term, tf). This is the
+    // inverted index a retrieval system materializes anyway —
     // per-doc-distinct-term-sized, far smaller than the raw token stream.
     // Everything downstream derives from it: dl = Σ tf per doc (exact,
     // since every token lands in exactly one (doc, term) posting), df from
     // the term-side groupBy, and the corpus totals n/avgdl from dl (split
     // of any string yields ≥1 element, so dl has a row for EVERY doc).
-    // Before this persist the plan re-scanned and re-exploded the corpus
-    // six times (tf, dl, dfc, n, avgdl, qterms) — at 100 TB that is six
-    // passes over the token stream where one suffices.
+    // No persist: every consumer sits above the SAME (doc_id, w) groupBy
+    // exchange, so ReuseExchange dedups the scan+explode+shuffle once in
+    // the physical plan (PlanSpec pins scan count ≤ 2 and the reuse) —
+    // shuffle-file reuse, unlike a MEMORY_AND_DISK persist, costs no
+    // executor memory at 100 TB and no materialization job at any scale.
+    // Before deriving everything from tf the plan re-scanned and
+    // re-exploded the corpus six times (tf, dl, dfc, n, avgdl, qterms).
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count() // eager: concurrent consumers would race the cache
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val corpus = tf.filter(!isQuery(col("doc_id")))
     val qterms = tf.filter(isQuery(col("doc_id")))
       .select(col("doc_id").as("q_id"), col("w")).distinct()
-    val dfc = corpus.groupBy("w").agg(count(lit(1)).as("df"))
+    // The tf >= 1 filter is semantically a no-op (tf is a group count),
+    // but the optimizer cannot prove it, so it keeps the tf column alive
+    // in this subtree. Without it, ColumnPruning rewrites the df branch
+    // into a bare DISTINCT(doc_id, w) whose pre-exchange plan no longer
+    // matches the postings exchange — and AQE stage reuse only fires on
+    // canonically identical subtrees, costing a second corpus scan
+    // (measured: final plan 2 corpus scans → 1 with this filter).
+    val dfc = corpus.filter(col("tf") >= 1).groupBy("w").agg(count(lit(1)).as("df"))
     // one broadcast 1-row frame carries both corpus totals
     val totals = dl.filter(!isQuery(col("doc_id")))
       .agg(count(lit(1)).as("n"),

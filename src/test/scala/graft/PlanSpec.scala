@@ -389,6 +389,21 @@ class PlanSpec extends SparkSpec {
       "unpartitioned doc-level window in llm_token_budget")
   }
 
+  test("llm_bm25_topk: one corpus scan, shared postings exchange reused") {
+    // The whole index (tf, dl, df, n, avgdl) derives from ONE
+    // (doc_id, w) groupBy exchange; AQE stage reuse dedups it, so the
+    // final plan reads the corpus once (plus the pushed-filter
+    // query-side scan, which prunes to the handful of query docs).
+    // Regression guard for the six-scan shape the r14 verdict flagged.
+    val df = SparkEntry.queries("llm_bm25_topk")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val finalPlan = planString(df).split("== Initial Plan ==").head
+    val corpusScans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("GreaterThanOrEqual(doc_id"))
+    assert(corpusScans <= 1, s"corpus scanned $corpusScans times:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
