@@ -345,6 +345,19 @@ object Pipeline {
   def dsirSelect(docs: DataFrame, isTarget: Column => Column): DataFrame =
     Text.dsirSelectOf(docs, isTarget)
 
+  /** Trained linear quality classifier (the GPT-3-style "train a
+    * classifier on labeled docs, score the corpus" selection step):
+    * batch perceptron over 2^16 hashed unigram counts, `positive` is
+    * the ±1 label predicate evaluated over `docs`. Integer weights —
+    * training and scoring are bit-exact across engines. Returns
+    * (doc_id, y, score, pred) for every doc; `pred` is the trained
+    * decision, `score` the raw margin for thresholding at a different
+    * operating point. Weight tables are ≤ 65,536 rows at any corpus
+    * scale (broadcast-safe by construction). */
+  def qualityClassifier(docs: DataFrame, positive: Column,
+      epochs: Int = 3): DataFrame =
+    Text.qualityClassifierOf(docs, epochs, positive)
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) per doc:
     * window-minimum selection over the positional 3-word hash-gram
     * stream at density 2/(w+1). Any ≥ (w+2)-word substring shared by

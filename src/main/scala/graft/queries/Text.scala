@@ -1055,7 +1055,8 @@ object Text {
     * exact-L2 refine stage re-ranks (0 disables — pure ADC). Defaults
     * (1 step, 4·topK shortlist) are what the DuckDB oracle replays.
     * Measured on AnnScaleProbeSpec's clustered corpus: 0.670 pure-ADC
-    * sampled seeds → 0.960 trained + re-ranked (Ks is the other dial:
+    * sampled seeds → 0.920 trained (on the fixed 16·Ks md5 sample) +
+    * re-ranked (Ks is the other dial:
     * 0.810/0.970 pure-ADC at Ks = 64/128). */
   private[graft] def pqRetrieve(corpus: DataFrame, queries: DataFrame,
       topK: Int = 5, m: Int = pqM, subDim: Int = pqSubDim,
@@ -1073,8 +1074,18 @@ object Text {
     // per-row rearrangement of the scan, the llmAnnIvfTrained measured
     // posture (persist pays over EXPENSIVE projections, not these)
     val csub = pqSubvectors(corpus, "vec_id", m, subDim)
+    // Lloyd refinement trains on a FIXED-SIZE deterministic sample
+    // (16·Ks vectors by the same md5 order the seeds use) — the FAISS
+    // posture: k-means needs a bounded multiple of Ks points per
+    // centroid, not the corpus, so the O(|train|·M·Ks) assignment cost
+    // is constant at ANY corpus scale while encoding (every vector,
+    // once) stays the only corpus-sized pass. Clustered-probe recall
+    // 0.920 trained + re-ranked (0.960 with full-corpus training).
+    val trainN = 16 * ks
+    val csubTrain = pqSubvectors(corpus.orderBy(ord: _*).limit(trainN),
+      "vec_id", m, subDim)
     val codebook = (1 to refineSteps).foldLeft(seedCb)((cb, _) =>
-      pqLloydStep(csub, cb, subDim))
+      pqLloydStep(csubTrain, cb, subDim))
     // encoding: per (vector, subspace) argmin over the broadcast codebook;
     // (1e-9-quantized dist, rank) packs into one long so min_by stays in
     // a codegen'd HashAggregate and ties break to the smallest rank
@@ -1730,6 +1741,79 @@ object Text {
   val llmDsirSelect: Q = (s, dir) =>
     dsirSelectOf(Tables.t(s, dir, "documents"), id => id % 97 === 0)
       .orderBy("doc_id")
+
+  /** TRAINED linear quality classifier — the GPT-3/LLaMA-style "train a
+    * classifier, score the corpus" selection component (Brown et al.
+    * arXiv:2005.14165 Appendix A trains logistic regression on hashed
+    * features; fastText's supervised mode is the same linear model).
+    * This is the trained counterpart of the heuristic scorers
+    * ([[lmQualityOf]], gopher rules): a batch PERCEPTRON over
+    * [[vocabBucket]]-hashed unigram counts, labels y = ±1 from the
+    * fixture's `lang = 'en'` flag (a language-targeting quality cut).
+    * Perceptron, not logistic: its updates are INTEGER sums (no
+    * sigmoid/exp — libm transcendentals differ across engines in the
+    * last ulp, the llm_tfidf lesson), so training, scoring, and the
+    * decision boundary are bit-exact on both engines and the whole
+    * train→score pipeline is oracle-checked, not rows-only.
+    *
+    * Epoch arithmetic: weights start at 0, so epoch 1's update is the
+    * full label-weighted count (every doc has y·score = 0, i.e. is
+    * misclassified — the standard batch-perceptron step); each later
+    * epoch scores docs under the current weights, takes the
+    * misclassified set (y·score ≤ 0), and adds Σ y·cnt_f over it.
+    *
+    * Scale shape: the postings table (doc, feature, cnt) is the one
+    * corpus-sized frame; every epoch re-reads the SAME (doc_id, f)
+    * groupBy exchange (AQE stage reuse — the BM25 posture, no persist
+    * needed over a shuffle) and joins weights as a broadcast ≤ 65,536
+    * rows by construction. Per-epoch gradients are two-phase aggs
+    * bounded by the feature space, never the corpus; nothing collects
+    * to the driver. Epochs are a fixed small constant (3), exactly how
+    * a production filter trains (few passes, early stop).
+    *
+    * Fixture note: the synthetic corpus draws every doc's words from
+    * ONE shared 31-word vocabulary and assigns `lang` independently of
+    * the text, so no bag-of-words model can beat the base rate there —
+    * the oracle checks the training arithmetic, and the planted
+    * PipelineSpec corpus (disjoint class vocabularies) pins that the
+    * perceptron actually separates separable data at accuracy 1.0. */
+  private[graft] def qualityClassifierOf(docs: DataFrame,
+      epochs: Int = 3,
+      positive: Column = col("lang") === "en"): DataFrame = {
+    val labeled = docs.select(col("doc_id"),
+      when(positive, 1L).otherwise(-1L).as("y"))
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), vocabBucket(col("w")).as("f"))
+      .groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
+    val w1 = postings.join(labeled, "doc_id")
+      .groupBy("f").agg(sum(col("cnt") * col("y")).as("wt"))
+    val weights = (2 to epochs).foldLeft(w1) { (w, _) =>
+      val scores = postings.join(broadcast(w), "f")
+        .groupBy("doc_id").agg(sum(col("cnt") * col("wt")).as("score"))
+      val mis = labeled.join(scores, Seq("doc_id"))
+        .filter(col("y") * col("score") <= 0)
+        .select(col("doc_id"), col("y"))
+      val grad = postings.join(mis, "doc_id")
+        .groupBy("f").agg(sum(col("cnt") * col("y")).as("g"))
+      w.join(grad, Seq("f"), "full")
+        .select(col("f"),
+          (coalesce(col("wt"), lit(0L)) + coalesce(col("g"), lit(0L))).as("wt"))
+    }
+    // Final pass: score every doc under the trained weights. Every doc
+    // has ≥ 1 posting (split of any string yields ≥ 1 token) and w1
+    // covers every corpus feature, so the join is total; `weights` can
+    // only grow keys from there (full outer), never lose them.
+    val scored = postings.join(broadcast(weights), "f")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("wt")).as("score"))
+    labeled.join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("y").cast("int").as("y"), col("score"),
+        when(col("score") > 0, 1).otherwise(-1).as("pred"))
+      .orderBy("doc_id")
+  }
+
+  val llmQualityClassifier: Q = (s, dir) =>
+    qualityClassifierOf(Tables.t(s, dir, "documents"))
 
   /** The complete Gopher document-filter rule battery (Rae et al.,
     * arXiv:2112.11446 Table A1) as one per-row projection — the
@@ -3091,6 +3175,7 @@ object Text {
     "llm_cluster_sample" -> llmClusterSample,
     "llm_mix_weights" -> llmMixWeights,
     "llm_dsir_select" -> llmDsirSelect,
+    "llm_quality_classifier" -> llmQualityClassifier,
     "llm_gopher_rules" -> llmGopherRules,
     "llm_token_count" -> llmTokenCount,
     "llm_tokenize" -> llmTokenize,
@@ -3324,6 +3409,41 @@ object Text {
         |  FROM v${k - 1} v, m$k m)""".stripMargin
     }
     sb.toString
+  }
+
+  /** Unrolled batch-perceptron oracle ([[qualityClassifierOf]]): epoch
+    * 1 folds into w1 (zero weights misclassify every doc); each later
+    * epoch e appends score/misclassified/gradient/weight CTEs
+    * (s_e, m_e, g_e, w_e). Pure integer arithmetic end to end, so the
+    * trained weights and every per-doc score are bit-exact across
+    * engines. */
+  private def qualityClassifierSql(epochs: Int): String = {
+    val later = (2 to epochs).map { e =>
+      s"""s$e AS (SELECT doc_id, CAST(SUM(cnt * wt) AS BIGINT) AS score
+         |  FROM p JOIN w${e - 1} USING (f) GROUP BY doc_id),
+         |m$e AS (SELECT lab.doc_id, lab.y FROM lab JOIN s$e USING (doc_id)
+         |  WHERE y * score <= 0),
+         |g$e AS (SELECT f, CAST(SUM(cnt * y) AS BIGINT) AS g
+         |  FROM p JOIN m$e USING (doc_id) GROUP BY f),
+         |w$e AS (SELECT COALESCE(w${e - 1}.f, g$e.f) AS f,
+         |  COALESCE(wt, 0) + COALESCE(g, 0) AS wt
+         |  FROM w${e - 1} FULL JOIN g$e ON w${e - 1}.f = g$e.f),""".stripMargin
+    }.mkString("\n")
+    s"""WITH lab AS (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+       |p AS (SELECT doc_id, wb AS f, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, $vocabBucketSql AS wb
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |              FROM documents) raw_ws) hashed
+       |  GROUP BY doc_id, wb),
+       |w1 AS (SELECT f, CAST(SUM(cnt * y) AS BIGINT) AS wt
+       |  FROM p JOIN lab USING (doc_id) GROUP BY f),
+       |$later
+       |fin AS (SELECT doc_id, CAST(SUM(cnt * wt) AS BIGINT) AS score
+       |  FROM p JOIN w$epochs USING (f) GROUP BY doc_id)
+       |SELECT lab.doc_id, CAST(lab.y AS INT) AS y, fin.score,
+       |  CASE WHEN fin.score > 0 THEN 1 ELSE -1 END AS pred
+       |FROM lab JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   private def bpeTrainSql(steps: Int): String = {
@@ -3679,6 +3799,9 @@ object Text {
          |       FROM seeds, range(8) t(m)),
          |csub AS (SELECT vec_id, m, list_slice(v, m*8+1, m*8+8) AS xs
          |         FROM e, range(8) t(m) WHERE vec_id >= 20),
+         |train AS (SELECT vec_id FROM e WHERE vec_id >= 20
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${16 * pqKs}),
+         |csubt AS (SELECT c.vec_id, m, xs FROM csub c JOIN train USING (vec_id)),
          |qsub AS (SELECT vec_id AS q_id, m, list_slice(v, m*8+1, m*8+8) AS xs
          |         FROM e, range(8) t(m) WHERE vec_id < 20),
          |tassign AS (
@@ -3686,12 +3809,12 @@ object Text {
          |    CAST(FLOOR(list_reduce(list_prepend(0.0,
          |      list_transform(range(1, 9), j -> (xs[j]-cs[j])*(xs[j]-cs[j]))),
          |      (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT) * 256 + r) AS r
-         |  FROM csub JOIN cb0 USING (m) GROUP BY vec_id, m),
+         |  FROM csubt JOIN cb0 USING (m) GROUP BY vec_id, m),
          |tsum AS (
          |  SELECT a.m, a.r, t.d,
          |    SUM(CAST(FLOOR(c.xs[t.d + 1]*1000000.0 + 0.5) AS BIGINT)) AS qs,
          |    COUNT(*) AS cnt
-         |  FROM tassign a JOIN csub c USING (vec_id, m), range(8) t(d)
+         |  FROM tassign a JOIN csubt c USING (vec_id, m), range(8) t(d)
          |  GROUP BY a.m, a.r, t.d),
          |cb AS (SELECT m, r, list(CAST(qs AS DOUBLE)/1000000.0/cnt ORDER BY d) AS cs
          |       FROM tsum GROUP BY m, r),
@@ -3881,6 +4004,7 @@ object Text {
     // cr+1) — the totals are unsmoothed. One conditional-sum count
     // pass mirrors the Spark shape; values are identical to computing
     // the two sides separately.
+    "llm_quality_classifier" -> qualityClassifierSql(3),
     "llm_dsir_select" ->
       s"""WITH ws AS (SELECT doc_id, $vocabBucketSql AS wb
          |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w

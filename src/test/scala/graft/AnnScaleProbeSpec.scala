@@ -269,7 +269,8 @@ class AnnScaleProbeSpec extends SparkSpec {
     // shortlist. Measured on this corpus: pure ADC from sampled seeds
     // 0.670 (0.500 at Ks = 16, 0.810 at Ks = 64, 0.970 at Ks = 128 —
     // the Ks dial buys recall the way production's Ks = 256 does);
-    // trained + re-ranked 0.960 — the shortlist contains the true top-5
+    // trained on the fixed 16-per-centroid md5 sample + re-ranked 0.920
+    // (0.960 with full-corpus training) — the shortlist contains the true top-5
     // almost always (0.950/0.990 at R = 20/50 untrained), and the exact
     // pass orders it perfectly. The floor certifies the trained+refine
     // machinery; the random-fixture oracle certifies the arithmetic

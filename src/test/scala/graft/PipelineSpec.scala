@@ -136,6 +136,40 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1L)._2 < rows(2L)._2)
   }
 
+  test("qualityClassifier separates a separable planted corpus exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Disjoint class vocabularies: epoch 1's update (all docs count as
+    // misclassified under zero weights) already assigns every "good"
+    // feature a positive weight and every "spam" feature a negative
+    // one, so training accuracy must be exactly 1.0 and later epochs
+    // must be no-ops (empty misclassified set → unchanged weights).
+    val corpus = Seq(
+      (1L, "clean prose paragraph citation", "en"),
+      (2L, "prose citation clean structure", "en"),
+      (3L, "casino pills winner jackpot", "xx"),
+      (4L, "jackpot casino winner spam", "xx"),
+      (5L, "citation structure prose prose", "en"),
+      (6L, "spam pills pills jackpot", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val rows = Pipeline.qualityClassifier(corpus, col("lang") === "en")
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("pred") == r.getAs[Int]("y"),
+        s"misclassified doc ${r.getAs[Long]("doc_id")}: $r")
+      // margins carry the sign with real magnitude, not boundary noise
+      assert(math.signum(r.getAs[Long]("score").toDouble) ==
+        r.getAs[Int]("y").toDouble, r.toString)
+    }
+    // epoch-2/3 invariance on separable data: 1 epoch ≡ 3 epochs
+    val oneEpoch = graft.queries.Text
+      .qualityClassifierOf(corpus, epochs = 1, positive = col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    rows.foreach(r => assert(oneEpoch(r.getAs[Long]("doc_id")) ==
+      r.getAs[Long]("score"), "separable corpus: extra epochs must be no-ops"))
+  }
+
   test("semDedup collapses planted embedding clusters to their min-id keepers") {
     import spark.implicits._
     // two tight clusters on orthogonal axes. Under the fixed-k sampled
