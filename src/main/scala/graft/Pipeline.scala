@@ -358,6 +358,16 @@ object Pipeline {
       epochs: Int = 3): DataFrame =
     Text.qualityClassifierOf(docs, epochs, positive)
 
+  /** PCA top-component projection over a caller (vec_id, v) frame:
+    * center, estimate the dominant variance direction by `iters`
+    * power-iteration steps over the collected d×d covariance (a model
+    * artifact — d² cells at any corpus scale), return (vec_id, pc1).
+    * The data passes are the mean/covariance aggregations and one
+    * projection join; quantized-long sums end to end, so the trained
+    * direction and every projection replay bit-exact in DuckDB. */
+  def pcaProject(emb: DataFrame, iters: Int = 8): DataFrame =
+    Text.pcaProjectOf(emb, iters)
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) per doc:
     * window-minimum selection over the positional 3-word hash-gram
     * stream at density 2/(w+1). Any ≥ (w+2)-word substring shared by

@@ -1243,6 +1243,77 @@ object Text {
   val llmRandomProj: Q = (s, dir) =>
     randomProjOf(Tables.t(s, dir, "embeddings")).orderBy("vec_id", "j")
 
+  /** PCA top-component projection — the data-dependent counterpart of
+    * [[randomProjOf]]'s data-free JL matrix, and the standard embedding
+    * preprocessing step (center, find the dominant variance direction,
+    * project) a pipeline runs before whitening/visualisation/drift
+    * checks. Three stages, all exactly replayable:
+    *
+    *  1. per-dimension means over 1e-6-quantized long sums
+    *     ([[dsum]] — float summation order cannot drift);
+    *  2. the 64×64 centered covariance from a vec_id-co-partitioned
+    *     self-join of the centered (vec_id, d, x) rows, every C[i,j]
+    *     a 1e-9-quantized long sum — the matrix is d² cells at ANY
+    *     corpus scale, and map-side partial aggregation collapses the
+    *     per-vector outer products before the (i, j) shuffle;
+    *  3. `iters` POWER-ITERATION steps v ← C·v / ‖C·v‖ from the
+    *     all-ones start, run DRIVER-SIDE over the collected d×d
+    *     matrix: each matvec entry is a 1e-9-quantized long sum over
+    *     64 products, the norm the same quantized sum +
+    *     IEEE-correctly-rounded sqrt — arithmetic the oracle's
+    *     unrolled CTEs replay bit-for-bit.
+    *
+    * The covariance is a MODEL ARTIFACT — d² cells at ANY corpus scale
+    * — so collecting it is the [[bpeTrainOf]] merge-table boundary,
+    * not a data collect (power iteration is O(d²) scalar math; an
+    * in-plan iteration chain would reference each step twice — value +
+    * norm — doubling the logical plan per step, ~2⁸ copies of the
+    * covariance subtree by iteration 8; measured: 110 s of mostly
+    * planning at sf0.01 vs ~15 s total this shape). Output:
+    * (vec_id, pc1) — the centered projection onto the dominant
+    * component, the 1-dim embedding a drift monitor or stratified
+    * sampler keys on. Fixed iteration count, not a convergence test:
+    * deterministic plans beat adaptive stopping for an oracle-checked
+    * artifact (8 doublings square the eigengap ratio 256-fold —
+    * converged for any spectrum a real embedding cloud shows). */
+  private[graft] def pcaProjectOf(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val dims = 64
+    val x = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+    val mu = x.groupBy("d").agg((dsum(col("x"), 6) / count(lit(1))).as("mu"))
+    val cent = x.join(broadcast(mu), "d")
+      .select(col("vec_id"), col("d"), (col("x") - col("mu")).as("x"))
+    val cov = cent.as("a").join(cent.as("b"), "vec_id")
+      .groupBy(col("a.d").as("i"), col("b.d").as("j"))
+      .agg((dsum(col("a.x") * col("b.x"), 9) / count(lit(1))).as("c"))
+    val cm = Array.ofDim[Double](dims, dims)
+    cov.collect().foreach { r =>
+      cm(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c")
+    }
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 1 to iters) {
+      // long sums are order-exact, so driver j-order ≡ the oracle's
+      // GROUP BY sum; every double op is IEEE-identical across engines
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j =>
+          math.floor(cm(i)(j) * v(j) * 1e9 + 0.5).toLong).sum / 1e9)
+      val nm = math.sqrt(
+        w.map(wi => math.floor(wi * wi * 1e9 + 0.5).toLong).sum / 1e9)
+      v = w.map(_ / nm)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vdf = v.toSeq.zipWithIndex.map { case (vd, d) => (d, vd) }
+      .toDF("d", "v")
+    cent.join(broadcast(vdf), "d")
+      .groupBy("vec_id")
+      .agg(dround(dsum(col("x") * col("v"), 9), 6).as("pc1"))
+      .orderBy("vec_id")
+  }
+
+  val llmPcaProject: Q = (s, dir) =>
+    pcaProjectOf(Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+
   /** Incremental dedup — the production shape: a NEW batch (doc_id ≥ 250)
     * dedups against an EXISTING corpus (doc_id < 250), not against itself.
     * Exact layer: anti-join on content hash. Near layer: minhash band
@@ -3160,6 +3231,7 @@ object Text {
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_embed_quantize" -> llmEmbedQuantize,
     "llm_random_proj" -> llmRandomProj,
+    "llm_pca_project" -> llmPcaProject,
     "llm_ann_lsh" -> llmAnnLsh,
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_ann_ivf" -> llmAnnIvf,
@@ -3409,6 +3481,39 @@ object Text {
         |  FROM v${k - 1} v, m$k m)""".stripMargin
     }
     sb.toString
+  }
+
+  /** Unrolled power-iteration oracle ([[pcaProjectOf]]): mean/center/
+    * covariance CTEs, then one (w_k, v_k) CTE pair per iteration —
+    * matvec entries and norms over the same quantized-long sums the
+    * Spark side uses, so every intermediate eigenvector estimate is
+    * bit-identical and the final projection replays exactly. */
+  private def pcaProjectSql(iters: Int): String = {
+    // MATERIALIZED is load-bearing on cov and each w_k: v_k references
+    // w_k twice (value + norm scalar subquery), so DuckDB's default CTE
+    // inlining would double the expression tree per iteration — ~2⁸
+    // re-evaluations of the covariance join by iteration 8.
+    val steps = (1 to iters).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (SELECT i, ${oSum("c * v", 9)} AS w
+         |  FROM cov JOIN $prev ON cov.j = $prev.d GROUP BY i),
+         |v$k AS (SELECT i AS d, w / (SELECT sqrt(${oSum("w * w", 9)})
+         |  FROM w$k) AS v FROM w$k),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |x AS (SELECT vec_id, t.d, v[t.d + 1] AS x FROM e, range(64) t(d)),
+       |mu AS (SELECT d, ${oSum("x", 6)} / COUNT(*) AS mu FROM x GROUP BY d),
+       |cent AS MATERIALIZED (SELECT vec_id, x.d, x.x - mu.mu AS x
+       |  FROM x JOIN mu USING (d)),
+       |cov AS MATERIALIZED (SELECT a.d AS i, b.d AS j,
+       |    ${oSum("a.x * b.x", 9)} / COUNT(*) AS c
+       |  FROM cent a JOIN cent b USING (vec_id) GROUP BY a.d, b.d),
+       |v0 AS (SELECT d, 1.0::DOUBLE AS v FROM range(64) t(d)),
+       |$steps
+       |prj AS (SELECT vec_id, ${oSum("x * v", 9)} AS p
+       |  FROM cent JOIN v$iters USING (d) GROUP BY vec_id)
+       |SELECT vec_id, ${oRound("p", 6)} AS pc1
+       |FROM prj ORDER BY vec_id""".stripMargin
   }
 
   /** Unrolled batch-perceptron oracle ([[qualityClassifierOf]]): epoch
@@ -4004,6 +4109,7 @@ object Text {
     // cr+1) — the totals are unsmoothed. One conditional-sum count
     // pass mirrors the Spark shape; values are identical to computing
     // the two sides separately.
+    "llm_pca_project" -> pcaProjectSql(8),
     "llm_quality_classifier" -> qualityClassifierSql(3),
     "llm_dsir_select" ->
       s"""WITH ws AS (SELECT doc_id, $vocabBucketSql AS wb

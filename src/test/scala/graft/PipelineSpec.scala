@@ -170,6 +170,33 @@ class PipelineSpec extends SparkSpec {
       r.getAs[Long]("score"), "separable corpus: extra epochs must be no-ops"))
   }
 
+  test("pcaProject recovers a planted dominant variance direction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, transform => atransform}
+    // Vectors t·u + ε·e_j with u = (1,1,...,1)/8: the u-axis variance
+    // (spread of t) dominates the per-axis noise, so pc1 must order the
+    // vectors by t (up to global sign) and be ~linear in t.
+    val dims = 64
+    val ts = Seq(-4.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    val rows = ts.zipWithIndex.map { case (t, k) =>
+      val v = Array.tabulate(dims)(d => t / 8.0 + (if (d == k % dims) 0.01 else 0.0))
+      (k.toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+      .select(col("vec_id"), atransform(col("v"), _.cast("double")).as("v"))
+    val got = Pipeline.pcaProject(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pc = ts.indices.map(k => got(k.toLong))
+    // pc1 is monotone in t (one global sign) with unit spacing: the
+    // planted vector t/8·𝟙 dotted with the unit direction 𝟙/8 is
+    // exactly t, so successive pc1 gaps equal the t-spacing of 1.0
+    val diffs = pc.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(_ > 0) || diffs.forall(_ < 0),
+      s"pc1 not monotone in the planted coefficient: $pc")
+    diffs.foreach(d => assert(math.abs(math.abs(d) - 1.0) < 0.01,
+      s"pc1 spacing ${d} != planted t-spacing 1.0 (±noise): $pc"))
+  }
+
   test("semDedup collapses planted embedding clusters to their min-id keepers") {
     import spark.implicits._
     // two tight clusters on orthogonal axes. Under the fixed-k sampled
