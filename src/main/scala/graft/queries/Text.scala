@@ -1148,6 +1148,126 @@ object Text {
     pqTopk(Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
 
+  /** IVF-PQ — the two index families composed the way production
+    * vector stores actually ship them (FAISS `IndexIVFPQ`, the
+    * billion-scale workhorse): the coarse IVF quantizer routes every
+    * vector to a cell ([[ivfSeeds]]/[[cellKey]], hot-cell guard), PQ
+    * encodes the RESIDUAL x − centroid(cell) (Jégou TPAMI 2011 §IV.B —
+    * residuals concentrate near 0, so the same Ks entries quantize
+    * them far better than raw vectors), and a query scans only its
+    * nprobe probed cells with a per-(query, cell) ADC distance table
+    * over the query's own residual against that cell. The exact-L2
+    * refine stage re-ranks the rerank·topK shortlist as in
+    * [[pqRetrieve]].
+    *
+    * Scale shape: centroids and sub-codebooks are k- and M·Ks-sized at
+    * ANY corpus scale (broadcast); the corpus-sized passes are cell
+    * assignment, residual encode (each vector once), and the ADC scan
+    * of probed cells only — candidate volume is bounded by nprobe ×
+    * cell size (hot cells dropped), never the corpus. The dtable is
+    * |queries|·nprobe·M·Ks rows — broadcast. Codebook training runs on
+    * the fixed 16·Ks md5 residual sample ([[pqRetrieve]]'s posture).
+    * Every step — assignment, residuals, training, encoding, ADC,
+    * refine — is quantized-long arithmetic the DuckDB oracle replays
+    * bit-exact. */
+  private[graft] def ivfPqRetrieve(corpus: DataFrame, queries: DataFrame,
+      cents: DataFrame, topK: Int = 5, nprobe: Int = 4,
+      m: Int = pqM, subDim: Int = pqSubDim, ks: Int = pqKs,
+      rerank: Int = 8): DataFrame = {
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val W = org.apache.spark.sql.expressions.Window
+    // coarse assignment + hot-cell guard (ivfRetrieve's shape)
+    val cells = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        cellKey(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), col("r")).as("ck"))
+      .groupBy("vec_id").agg(max_by(col("c_id"), col("ck")).as("cell"))
+    val assigned = cells
+      .join(corpus.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cnt", count(lit(1)).over(W.partitionBy("cell")))
+      .filter(col("cnt") <= maxBucket).drop("cnt")
+    // residuals against the assigned centroid
+    val resid = assigned
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    // residual sub-codebooks: md5 seeds + one Lloyd step on the fixed
+    // 16·ks training sample (the pqRetrieve posture, over residuals)
+    val ord = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val seeds = resid.select(col("vec_id"), col("rv").as("v"))
+      .orderBy(ord: _*).limit(ks)
+      .withColumn("r", row_number().over(W.orderBy(ord: _*)))
+    val seedCb = pqSubvectors(seeds.select(col("r"), col("v")), "r", m, subDim)
+      .select(col("m"), col("r"), col("xs").as("cs"))
+    val trainSub = pqSubvectors(resid.select(col("vec_id"), col("rv").as("v"))
+      .orderBy(ord: _*).limit(16 * ks), "vec_id", m, subDim)
+    val codebook = pqLloydStep(trainSub, seedCb, subDim)
+    // encode every residual: per-(vector, subspace) argmin; codes carry
+    // their cell so the ADC join below stays probed-cells-only
+    val rsub = pqSubvectors(resid.select(col("vec_id"), col("rv").as("v")),
+      "vec_id", m, subDim)
+    val qd = floor(pqDist2(col("xs"), col("cs"), subDim) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val codes = rsub.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("r"), (qd * lit(256L) + col("r")).as("k"))
+      .groupBy("vec_id", "m").agg(min_by(col("r"), col("k")).as("r"))
+      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+    // probes + per-(query, cell) residual distance tables
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        cellKey(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), col("r")).as("pk"))
+      .withColumn("pr", row_number().over(W.partitionBy("q_id").orderBy(col("pk").desc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+    val dtable = probes
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("cv"))), "cell")
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("v"))
+      .select(col("q_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
+      .select(col("q_id"), col("cell"), col("m"),
+        slice(col("v"), col("m") * lit(subDim) + lit(1), lit(subDim)).as("xs"))
+      .join(broadcast(codebook), "m")
+      .select(col("q_id"), col("cell"), col("m"), col("r"), qd.as("dq"))
+    // ADC over probed cells only, then the exact-L2 refine stage
+    val adc = codes.join(broadcast(dtable), Seq("cell", "m", "r"))
+      .groupBy("q_id", "vec_id").agg(sum(col("dq")).as("qsum"))
+      .withColumn("rnk", row_number().over(
+        W.partitionBy("q_id").orderBy(col("qsum").asc, col("vec_id"))))
+    val dims = m * subDim
+    val exactQ = floor(pqDist2(col("v"), col("qv"), dims) * lit(1e9) + lit(0.5))
+      .cast("long")
+    adc.filter(col("rnk") <= lit(rerank * topK))
+      .select(col("q_id"), col("vec_id"), col("qsum"))
+      .join(corpus.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))),
+        "q_id")
+      .withColumn("dqe", exactQ)
+      .withColumn("rnk", row_number().over(
+        W.partitionBy("q_id").orderBy(col("dqe").asc, col("vec_id"))))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        dround(col("qsum").cast("double") / lit(1e9), 6).as("adist"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** IVF-PQ over a (vec_id, v) frame with the fixture's query/corpus
+    * split — the probe-spec entry point beside [[pqTopk]]. Caller must
+    * have registered `dot_product`. */
+  private[graft] def ivfPqTopk(emb: DataFrame, topK: Int = 5): DataFrame = {
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val e = emb.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    ivfPqRetrieve(e.filter(col("vec_id") >= 20),
+      e.filter(col("vec_id") < 20), ivfSeeds(e), topK)
+  }
+
+  val llmAnnIvfPq: Q = (s, dir) => {
+    graft.functions.VectorExpressions.register(s)
+    ivfPqTopk(Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
+  }
+
   /** Per-vector int8 quantization + reconstruction-error statistics —
     * the storage-compression step a 100 TB embedding pipeline runs
     * before writing vectors (4 bytes/dim → 1; scalar min/max
@@ -3238,6 +3358,7 @@ object Text {
     "llm_ann_ivf_trained" -> llmAnnIvfTrained,
     "llm_ann_ivf_int8" -> llmAnnIvfInt8,
     "llm_ann_pq" -> llmAnnPq,
+    "llm_ann_ivfpq" -> llmAnnIvfPq,
     "llm_lang_id" -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_lm_quality" -> llmLmQuality,
@@ -3583,7 +3704,12 @@ object Text {
        |FROM fin ORDER BY w""".stripMargin
   }
 
-  private def ivfSql(embCte: String, refine: Boolean = false): String = {
+  /** The IVF CTE prefix shared by the plain/trained/int8 retrieval
+    * oracles ([[ivfSql]]) and the IVF-PQ composition ([[ivfPqSql]]) —
+    * everything through `assigned` (hot-cell-guarded corpus cells) and
+    * `probes` (per-query nprobe cells), so the coarse layers of the
+    * two index families cannot drift. */
+  private def ivfCoreCtes(embCte: String, refine: Boolean, nprobe: Int = 2): String = {
     // Optional one-step Lloyd refinement (twin of `lloydRefine`):
     // assignment over the SEED cents, exact per-dimension quantized-long
     // sums joined against a 64-row dim table (fixture embedding width;
@@ -3606,7 +3732,7 @@ object Text {
            |fcents AS (
            |  SELECT m.cell AS c_id, m.cv, sqrt(list_inner_product(m.cv, m.cv)) AS cn, c.r
            |  FROM means m JOIN cents c ON c.c_id = m.cell)""".stripMargin
-    s"""WITH $embCte,
+    s"""$embCte,
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn,
        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
@@ -3621,7 +3747,7 @@ object Text {
        |  FROM n, fcents WHERE vec_id >= 20 GROUP BY vec_id),
        |assigned0 AS (SELECT c.vec_id, c.cell, n.v, n.nrm FROM cells c JOIN n USING (vec_id)),
        |hotcell AS (SELECT cell FROM assigned0 GROUP BY cell HAVING COUNT(*) > $maxBucket),
-       |assigned AS (SELECT * FROM assigned0 a
+       |assigned AS MATERIALIZED (SELECT * FROM assigned0 a
        |  WHERE NOT EXISTS (SELECT 1 FROM hotcell h WHERE h.cell = a.cell)),
        |probes AS (
        |  SELECT q_id, cell FROM (
@@ -3629,7 +3755,11 @@ object Text {
        |      row_number() OVER (PARTITION BY n.vec_id
        |        ORDER BY CAST(FLOOR(list_inner_product(n.v, c.cv)/(n.nrm*c.cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + c.r DESC) AS pr
        |    FROM n, fcents c WHERE n.vec_id < 20) t
-       |  WHERE pr <= 2),
+       |  WHERE pr <= $nprobe)""".stripMargin
+  }
+
+  private def ivfSql(embCte: String, refine: Boolean = false): String =
+    s"""WITH ${ivfCoreCtes(embCte, refine)},
        |cand AS (
        |  SELECT p.q_id, a.vec_id,
        |    ${oRound("list_inner_product(q.v, a.v)/(q.nrm*a.nrm)", 6)} AS cos
@@ -3641,6 +3771,78 @@ object Text {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
        |  FROM cand) t
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** IVF-PQ oracle ([[ivfPqRetrieve]]): the shared [[ivfCoreCtes]]
+    * coarse layer, then residuals against the assigned centroid,
+    * sampled-Lloyd residual sub-codebooks, per-residual encoding,
+    * per-(query, probed-cell) ADC tables, and the exact-L2 refine
+    * tail — the PQ oracle's arithmetic over the IVF oracle's cells.
+    * MATERIALIZED on the multi-referenced frames (resid, rsub, cb):
+    * DuckDB's default CTE inlining would re-run the assignment join
+    * once per reference. */
+  private def ivfPqSql(embCte: String): String = {
+    val d2 = (xs: String, cs: String) =>
+      s"""CAST(FLOOR(list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, 9), j -> ($xs[j]-$cs[j])*($xs[j]-$cs[j]))),
+         |      (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT)""".stripMargin
+    s"""WITH ${ivfCoreCtes(embCte, refine = false, nprobe = 4)},
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS rv
+       |  FROM assigned a JOIN fcents c ON c.c_id = a.cell),
+       |rseeds AS (SELECT vec_id, rv,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+       |  FROM resid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqKs),
+       |cb0 AS (SELECT m, r, list_slice(rv, m*8+1, m*8+8) AS cs
+       |  FROM rseeds, range(8) t(m)),
+       |rsub AS MATERIALIZED (SELECT vec_id, m, list_slice(rv, m*8+1, m*8+8) AS xs
+       |  FROM resid, range(8) t(m)),
+       |rtrain AS (SELECT vec_id FROM resid
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${16 * pqKs}),
+       |rsubt AS (SELECT s.vec_id, m, xs FROM rsub s JOIN rtrain USING (vec_id)),
+       |tassign AS (
+       |  SELECT vec_id, m, arg_min(r, ${d2("xs", "cs")} * 256 + r) AS r
+       |  FROM rsubt JOIN cb0 USING (m) GROUP BY vec_id, m),
+       |tsum AS (
+       |  SELECT a.m, a.r, t.d,
+       |    SUM(CAST(FLOOR(c.xs[t.d + 1]*1000000.0 + 0.5) AS BIGINT)) AS qs,
+       |    COUNT(*) AS cnt
+       |  FROM tassign a JOIN rsubt c USING (vec_id, m), range(8) t(d)
+       |  GROUP BY a.m, a.r, t.d),
+       |cb AS MATERIALIZED (SELECT m, r,
+       |    list(CAST(qs AS DOUBLE)/1000000.0/cnt ORDER BY d) AS cs
+       |  FROM tsum GROUP BY m, r),
+       |codes AS MATERIALIZED (
+       |  SELECT k.vec_id, r2.cell, k.m, k.r FROM (
+       |    SELECT vec_id, m, arg_min(r, ${d2("xs", "cs")} * 256 + r) AS r
+       |    FROM rsub JOIN cb USING (m) GROUP BY vec_id, m) k
+       |  JOIN resid r2 USING (vec_id)),
+       |qres AS (SELECT p.q_id, p.cell,
+       |    list_transform(range(1, 65), i -> n.v[i] - c.cv[i]) AS rv
+       |  FROM probes p JOIN n ON n.vec_id = p.q_id
+       |               JOIN fcents c ON c.c_id = p.cell),
+       |dtable AS (SELECT q.q_id, q.cell, q.m, cb.r, ${d2("q.xs", "cb.cs")} AS dq
+       |  FROM (SELECT q_id, cell, m, list_slice(rv, m*8+1, m*8+8) AS xs
+       |        FROM qres, range(8) t(m)) q JOIN cb USING (m)),
+       |adc AS (SELECT q_id, vec_id, CAST(SUM(dq) AS BIGINT) AS qsum
+       |  FROM codes JOIN dtable USING (cell, m, r) GROUP BY q_id, vec_id),
+       |short AS (SELECT q_id, vec_id, qsum FROM (
+       |    SELECT q_id, vec_id, qsum,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY qsum, vec_id) AS rnk0
+       |    FROM adc) t WHERE rnk0 <= 40),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id, s.qsum,
+       |    CAST(FLOOR(list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, 65), j -> (c.v[j]-q.v[j])*(c.v[j]-q.v[j]))),
+       |      (a, b) -> a + b) * 1000000000.0 + 0.5) AS BIGINT) AS dqe
+       |  FROM short s JOIN n c ON c.vec_id = s.vec_id
+       |               JOIN n q ON q.vec_id = s.q_id),
+       |rk AS (SELECT q_id, vec_id, qsum,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY dqe, vec_id) AS rnk
+       |  FROM rr)
+       |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id,
+       |  ${oRound("CAST(qsum AS DOUBLE) / 1000000000.0", 6)} AS adist
+       |FROM rk WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
   /** CTE chain ending in `spairs(id_a, id_b, cos)` — the SemDeDup
@@ -3894,6 +4096,8 @@ object Text {
     // arg_min over the same packed (dist, rank) long the Spark min_by
     // uses, then the ADC sum over exact longs and the exact-L2 re-rank
     // of the top-20 ADC shortlist (twin of the Spark refine stage).
+    "llm_ann_ivfpq" ->
+      ivfPqSql("e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"),
     "llm_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (SELECT vec_id, v,

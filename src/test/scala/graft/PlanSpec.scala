@@ -404,6 +404,25 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange"), finalPlan)
   }
 
+  test("llm_quality_classifier: postings exchange reused across epochs") {
+    // Three epochs read the SAME (doc_id, f) postings groupBy; AQE
+    // stage reuse must dedup it so the corpus text is scanned once
+    // (the two remaining scans are 2-column label projections). A
+    // plan that re-tokenizes per epoch would show epochs×scans here.
+    // clearCache first: an earlier test's persisted frame can
+    // plan-match one epoch's subtree and break canonical equality for
+    // the others (suite-order-dependent; 12 scans observed). Bench and
+    // Verify clear the cache between queries, so the clean-cache plan
+    // is the one that ships.
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("llm_quality_classifier")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val finalPlan = planString(df).split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 3, s"classifier scanned the corpus $scans times:\n$finalPlan")
+    assert(finalPlan.contains("ReusedExchange"), finalPlan)
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
