@@ -255,6 +255,17 @@ object Pipeline {
     * Returns (doc_id, n_bigrams, avg_cond_bits). */
   def lmBigram(docs: DataFrame): DataFrame = Text.lmBigramOf(docs)
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007) of the
+    * held-out slice (`!isTrain`) under the train slice's hashed count
+    * tables — the quality-family member where backoff genuinely fires
+    * on unseen n-grams. Integer bin-length bits, +1 bit per backoff
+    * level. Returns (doc_id, n_trigrams, avg_bits, backoff_frac) for
+    * held-out docs with ≥ 3 words; backoff_frac is itself a strong
+    * out-of-distribution signal. All three count tables are ≤ 65,536
+    * rows at any corpus scale (broadcast-safe by construction). */
+  def lmTrigram(docs: DataFrame, isTrain: Column => Column): DataFrame =
+    Text.lmTrigramOf(docs, isTrain)
+
   /** SemDeDup (semantic dedup inside coarse embedding clusters) over a
     * caller (vec_id, embedding) frame: returns (dup_id, keeper_id,
     * best_cos) — every vector with a lower-id same-cell partner above

@@ -1860,6 +1860,112 @@ object Text {
   val llmLmBigram: Q = (s, dir) =>
     lmBigramOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Stupid-backoff trigram LM scoring (Brants et al., EMNLP 2007 §4 —
+    * the web-scale LM recipe: unnormalized relative frequencies with a
+    * fixed backoff penalty, no discounting) — the HELD-OUT half of the
+    * CCNet quality family: [[lmQualityOf]]/[[lmBigramOf]] score docs
+    * against the corpus's OWN counts, where every observed n-gram has
+    * count ≥ 1 and backoff can never fire; here the count tables come
+    * from the TRAIN slice (doc_id % 7 ≠ 0) and the scored docs are the
+    * held-out slice, so unseen trigrams are real and the backoff chain
+    * trigram → bigram → unigram does what it exists to do. Per scored
+    * position (w1 w2 w3), in integer bin-length bits with a +1-bit
+    * penalty per backoff level (the integer analogue of α = 0.4's
+    * −log₂ ≈ 1.3 bits):
+    *
+    *   c(w1w2w3) > 0 → bits(c(w1w2)+1) − bits(c(w1w2w3))
+    *   c(w2w3)   > 0 → 1 + bits(c(w2)+1) − bits(c(w2w3))
+    *   else          → 2 + bits(N) − bits(c(w3)+1)
+    *
+    * (each clamped at 0 before the penalty; contexts +1-smoothed so an
+    * absent context bucket is well-defined). Output per held-out doc:
+    * n_trigrams, avg_bits, and backoff_frac — the fraction of
+    * positions that backed off, itself a strong OOD signal.
+    *
+    * Scale shape: all three count tables hash into the fixed 2^16
+    * [[vocabBucket]] space (trigram/pair/unigram keys on the joined
+    * strings) — each ≤ 65,536 rows and broadcast-safe at ANY corpus
+    * scale; ONE pair table serves both the trigram context (w1_w2) and
+    * the bigram level (w2_w3) lookups, one unigram table both contexts.
+    * The train side pays three token-stream passes (trigram, pair,
+    * unigram explodes — distinct aggregates, unlike BM25's six copies
+    * of ONE aggregate); the scored side is one pass; per-doc means are
+    * two-phase aggs over exact integer bits. Docs under 3 words carry
+    * no position and are absent. */
+  private[graft] def lmTrigramOf(docs: DataFrame,
+      isTrain: Column => Column): DataFrame = {
+    val train = docs.filter(isTrain(col("doc_id")))
+    val t3 = trigramPositions(train)
+      .select(vocabBucket(concat_ws("_", col("p.w1"), col("p.w2"), col("p.w3"))).as("b3"))
+      .groupBy("b3").agg(count(lit(1)).as("c3"))
+    val t2 = train.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws("_", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("pr"))
+      .select(vocabBucket(col("pr")).as("b2"))
+      .groupBy("b2").agg(count(lit(1)).as("c2"))
+    val t1 = train.select(explode(split(col("text"), " ")).as("w"))
+      .select(vocabBucket(col("w")).as("b1"))
+      .groupBy("b1").agg(count(lit(1)).as("c1"))
+    val totals = t1.agg(sum(col("c1")).as("n"))
+    val pos = trigramPositions(docs.filter(!isTrain(col("doc_id"))))
+      .select(col("doc_id"),
+        vocabBucket(concat_ws("_", col("p.w1"), col("p.w2"), col("p.w3"))).as("b3"),
+        vocabBucket(concat_ws("_", col("p.w1"), col("p.w2"))).as("b2c"),
+        vocabBucket(concat_ws("_", col("p.w2"), col("p.w3"))).as("b2"),
+        vocabBucket(col("p.w2")).as("b1c"),
+        vocabBucket(col("p.w3")).as("b1w"))
+    val bitsOf = (c: Column) => length(bin(c))
+    val joined = pos
+      .join(broadcast(t3), Seq("b3"), "left")
+      .join(broadcast(t2.withColumnRenamed("b2", "b2c")
+        .withColumnRenamed("c2", "c2ctx")), Seq("b2c"), "left")
+      .join(broadcast(t2), Seq("b2"), "left")
+      .join(broadcast(t1.withColumnRenamed("b1", "b1c")
+        .withColumnRenamed("c1", "c1ctx")), Seq("b1c"), "left")
+      .join(broadcast(t1.withColumnRenamed("b1", "b1w")
+        .withColumnRenamed("c1", "c1w")), Seq("b1w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        coalesce(col("c3"), lit(0L)).as("c3"),
+        coalesce(col("c2ctx"), lit(0L)).as("c2ctx"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c1ctx"), lit(0L)).as("c1ctx"),
+        coalesce(col("c1w"), lit(0L)).as("c1w"),
+        col("n"))
+    joined.select(col("doc_id"),
+        when(col("c3") > 0,
+          greatest(lit(0), bitsOf(col("c2ctx") + 1) - bitsOf(col("c3"))))
+          .when(col("c2") > 0,
+            greatest(lit(0), bitsOf(col("c1ctx") + 1) - bitsOf(col("c2"))) + 1)
+          .otherwise(
+            greatest(lit(0), bitsOf(col("n")) - bitsOf(col("c1w") + 1)) + 2)
+          .as("bits"),
+        (col("c3") === 0).cast("long").as("backed"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        dround(sum(col("bits")).cast("double") / count(lit(1)), 6).as("avg_bits"),
+        dround(sum(col("backed")).cast("double") / count(lit(1)), 6).as("backoff_frac"))
+  }
+
+  /** (doc_id, p: struct&lt;w1, w2, w3&gt;) rows at every trigram
+    * position of a docs frame — the &lt; 3-word docs filter out BEFORE
+    * the index transform, [[lmBigramOf]]'s guard (Spark's
+    * sequence(1, 0) is descending, not empty). */
+  private def trigramPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2"),
+          element_at(col("ws"), i + 2).as("w3")))).as("p"))
+
+  val llmLmTrigram: Q = (s, dir) =>
+    lmTrigramOf(Tables.t(s, dir, "documents"), id => id % 7 =!= 0)
+      .orderBy("doc_id")
+
   /** DSIR-style data selection via importance resampling (Xie et al.,
     * arXiv:2302.03169): score every raw doc by how much more likely its
     * words are under the TARGET distribution (here the eval slice
@@ -3363,6 +3469,7 @@ object Text {
     "llm_quality_score" -> llmQualityScore,
     "llm_lm_quality" -> llmLmQuality,
     "llm_lm_bigram" -> llmLmBigram,
+    "llm_lm_trigram" -> llmLmTrigram,
     "llm_semdedup" -> llmSemdedup,
     "llm_semdedup_cc" -> llmSemdedupCc,
     "llm_cluster_sample" -> llmClusterSample,
@@ -4240,6 +4347,49 @@ object Text {
     // len) is empty for single-word docs, so they carry no row on
     // either engine. greatest(0, …) clamps the collision case where a
     // pooled bigram bucket outgrows its context's.
+    "llm_lm_trigram" ->
+      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tp AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM wt) px),
+         |t3 AS (SELECT ('0x' || substr(md5(w1 || '_' || w2 || '_' || w3), 1, 4))::BIGINT AS b3,
+         |    CAST(COUNT(*) AS BIGINT) AS c3
+         |  FROM tp WHERE doc_id % 7 != 0 GROUP BY 1),
+         |t2 AS (SELECT ('0x' || substr(md5(ws[i] || '_' || ws[i + 1]), 1, 4))::BIGINT AS b2,
+         |    CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM wt) px
+         |  WHERE doc_id % 7 != 0 GROUP BY 1),
+         |t1 AS (SELECT ('0x' || substr(md5(w), 1, 4))::BIGINT AS b1,
+         |    CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM (SELECT doc_id, unnest(ws) AS w FROM wt) uw
+         |  WHERE doc_id % 7 != 0 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM t1),
+         |pos AS (SELECT doc_id,
+         |    ('0x' || substr(md5(w1 || '_' || w2 || '_' || w3), 1, 4))::BIGINT AS b3,
+         |    ('0x' || substr(md5(w1 || '_' || w2), 1, 4))::BIGINT AS b2c,
+         |    ('0x' || substr(md5(w2 || '_' || w3), 1, 4))::BIGINT AS b2,
+         |    ('0x' || substr(md5(w2), 1, 4))::BIGINT AS b1c,
+         |    ('0x' || substr(md5(w3), 1, 4))::BIGINT AS b1w
+         |  FROM tp WHERE doc_id % 7 = 0),
+         |sc AS (SELECT p.doc_id,
+         |    COALESCE(t3.c3, 0) AS c3, COALESCE(a.c2, 0) AS c2ctx,
+         |    COALESCE(b.c2, 0) AS c2, COALESCE(x.c1, 0) AS c1ctx,
+         |    COALESCE(y.c1, 0) AS c1w, tot.n
+         |  FROM pos p
+         |  LEFT JOIN t3 ON t3.b3 = p.b3
+         |  LEFT JOIN t2 a ON a.b2 = p.b2c
+         |  LEFT JOIN t2 b ON b.b2 = p.b2
+         |  LEFT JOIN t1 x ON x.b1 = p.b1c
+         |  LEFT JOIN t1 y ON y.b1 = p.b1w, tot),
+         |bt AS (SELECT doc_id,
+         |    CASE WHEN c3 > 0 THEN GREATEST(0, length(bin(c2ctx + 1)) - length(bin(c3)))
+         |         WHEN c2 > 0 THEN GREATEST(0, length(bin(c1ctx + 1)) - length(bin(c2))) + 1
+         |         ELSE GREATEST(0, length(bin(n)) - length(bin(c1w + 1))) + 2 END AS bits,
+         |    CASE WHEN c3 = 0 THEN 1 ELSE 0 END AS backed
+         |  FROM sc)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         |  ${oRound("CAST(SUM(bits) AS DOUBLE) / COUNT(*)", 6)} AS avg_bits,
+         |  ${oRound("CAST(SUM(backed) AS DOUBLE) / COUNT(*)", 6)} AS backoff_frac
+         |FROM bt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_lm_bigram" ->
       s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |pairs AS (

@@ -136,6 +136,32 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1L)._2 < rows(2L)._2)
   }
 
+  test("lmTrigram backs off on unseen n-grams and scores OOD text higher") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Train slice (ids 1-3): one repeated phrase, so its trigrams are
+    // the in-distribution signal. Held-out: doc 7 repeats the phrase
+    // (every trigram seen → backoff_frac 0.0), doc 14 is disjoint
+    // vocabulary (no trigram/bigram/unigram seen → every position
+    // backs off to the unigram floor → backoff_frac 1.0, higher bits).
+    val corpus = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c"),
+      (3L, "a b c a b c a b c a b c"),
+      (7L, "a b c a b c"),
+      (14L, "x y z x y z"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.lmTrigram(corpus, id => id % 7 =!= 0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_bits"),
+          r.getAs[Double]("backoff_frac")))).toMap
+    assert(rows.keySet == Set(7L, 14L), s"train docs must not be scored: $rows")
+    assert(rows(7L)._3 == 0.0, s"in-distribution doc backed off: ${rows(7L)}")
+    assert(rows(14L)._3 == 1.0, s"OOD doc failed to back off: ${rows(14L)}")
+    assert(rows(14L)._2 > rows(7L)._2,
+      s"OOD doc must carry more bits: $rows")
+  }
+
   test("qualityClassifier separates a separable planted corpus exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
