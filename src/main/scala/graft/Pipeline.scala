@@ -255,6 +255,17 @@ object Pipeline {
     * Returns (doc_id, n_bigrams, avg_cond_bits). */
   def lmBigram(docs: DataFrame): DataFrame = Text.lmBigramOf(docs)
 
+  /** Cross-document repeated-span removal with text reconstruction
+    * (Lee et al. 2107.06499's finding that span-level cutting beats
+    * document-level dropping, at non-overlapping `chunkWords`-word
+    * chunk granularity): a chunk occurring anywhere else in the corpus
+    * survives only at its global first occurrence, and clean_text
+    * reassembles each doc's kept chunks in order. Returns (doc_id,
+    * n_chunks, kept, removed, clean_text). Chunk stats are one
+    * hash-keyed two-phase agg; reconstruction is per-doc bounded. */
+  def spanDedup(docs: DataFrame, chunkWords: Int = 5): DataFrame =
+    Text.spanDedupOf(docs, chunkWords)
+
   /** Stupid-backoff trigram LM scoring (Brants et al. 2007) of the
     * held-out slice (`!isTrain`) under the train slice's hashed count
     * tables — the quality-family member where backoff genuinely fires

@@ -3057,6 +3057,62 @@ object Text {
   val llmDupChunks: Q = (s, dir) =>
     dupChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
+  /** Cross-document repeated-span REMOVAL with text reconstruction —
+    * the surgical counterpart of [[dupChunksOf]]'s per-doc dup
+    * FRACTION: where dup_chunks scores docs for wholesale dropping,
+    * this operator cuts the repeated material out and keeps the rest,
+    * the Lee et al. (arXiv:2107.06499 §4, ExactSubstr) finding that
+    * span-level removal beats document-level dropping on mixed
+    * boilerplate. Granularity is NON-OVERLAPPING `chunkWords`-word
+    * chunks (the MapReduce-able approximation of the paper's
+    * suffix-array substrings — C4 does the same at three-sentence
+    * spans): a chunk occurring anywhere else in the corpus survives
+    * only at its GLOBAL FIRST occurrence (min packed (doc_id, idx)
+    * key — "keep one copy", not "drop all", so the corpus never loses
+    * content entirely), and every doc's clean_text reassembles its
+    * kept chunks in order.
+    *
+    * Scale shape: one token-stream chunk pass; chunk stats are a
+    * two-phase count+min agg keyed on the 16-byte chunk hash (never
+    * the chunk text); the keep decision joins back on the SAME hash
+    * key (co-partitioned with the stats exchange); reconstruction is a
+    * per-doc sort_array(collect_list) bounded by document size. The
+    * packed first-occurrence key is doc_id·10⁶ + idx — valid while
+    * docs stay under 10⁶ chunks (a 100k-word doc has 2·10⁴; the bound
+    * is asserted nowhere because the fixture maximum is 3 orders of
+    * magnitude under it, but a production caller with longer docs
+    * widens the multiplier). */
+  private[graft] def spanDedupOf(docs: DataFrame,
+      chunkWords: Int = 5): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (size(col("ws")) + chunkWords - 1)
+          .divide(chunkWords).cast("int") - 1),
+        j => array_join(slice(col("ws"), j * chunkWords + 1, lit(chunkWords)), " ")))
+        .as(Seq("j", "chunk")))
+      .select(col("doc_id"), col("j"), col("chunk"),
+        md5(col("chunk")).as("h"),
+        (col("doc_id") * lit(1000000L) + col("j")).as("pk"))
+    val stats = chunks.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(col("pk")).as("firstk"))
+    chunks.join(stats, "h")
+      .select(col("doc_id"), col("j"), col("chunk"),
+        (col("pk") === col("firstk")).as("keep"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("keep").cast("long")).as("kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep"), struct(col("j"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"))
+      .select(col("doc_id"), col("n_chunks"), col("kept"),
+        (col("n_chunks") - col("kept")).as("removed"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val llmSpanDedup: Q = (s, dir) =>
+    spanDedupOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   /** Capstone #2 — the FULL corpus-hygiene composition, one manifest
     * query chaining every r10/r11 filter family the way a production
     * pre-training pipeline does (each stage is the same injectable core
@@ -3495,6 +3551,7 @@ object Text {
     "llm_source_cap" -> llmSourceCap,
     "llm_repetition" -> llmRepetition,
     "llm_dup_chunks" -> llmDupChunks,
+    "llm_span_dedup" -> llmSpanDedup,
     "llm_chunk_scrub" -> llmChunkScrub,
     "llm_source_stats" -> llmSourceStats,
     "llm_corpus_pipeline" -> llmCorpusPipeline,
@@ -4347,6 +4404,24 @@ object Text {
     // len) is empty for single-word docs, so they carry no row on
     // either engine. greatest(0, …) clamps the collision case where a
     // pooled bigram bucket outgrows its context's.
+    "llm_span_dedup" ->
+      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ch AS (SELECT doc_id, j,
+         |    array_to_string(list_slice(ws, j*5 + 1, j*5 + 5), ' ') AS chunk,
+         |    doc_id*1000000 + j AS pk
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(0, CAST(CEIL(len(ws)/5.0) AS BIGINT))) AS j
+         |        FROM wt) t),
+         |st AS (SELECT md5(chunk) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(MIN(pk) AS BIGINT) AS firstk
+         |  FROM ch GROUP BY 1),
+         |kp AS (SELECT c.doc_id, c.j, c.chunk, (c.pk = s.firstk) AS keep
+         |  FROM ch c JOIN st s ON s.h = md5(c.chunk))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |  CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+         |  COALESCE(string_agg(chunk, ' ' ORDER BY j) FILTER (WHERE keep), '') AS clean_text
+         |FROM kp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_lm_trigram" ->
       s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |tp AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3

@@ -136,6 +136,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1L)._2 < rows(2L)._2)
   }
 
+  test("spanDedup removes repeated chunks, keeps first occurrence, reconstructs") {
+    import spark.implicits._
+    // Docs 1 and 2 share their first 5-word chunk ("a b c d e"); doc 1
+    // is the global first occurrence (smaller packed key) so it keeps
+    // everything, doc 2 loses exactly that chunk and its clean_text
+    // reassembles the remainder. Doc 3 is untouched — and shorter than
+    // one chunk, exercising the partial-final-chunk path.
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "solo words only"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.spanDedup(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("kept"),
+          r.getAs[Long]("removed"), r.getAs[String]("clean_text")))).toMap
+    assert(rows(1L) === ((2L, 2L, 0L, "a b c d e f g h i j")), rows.toString)
+    assert(rows(2L) === ((2L, 1L, 1L, "x y z w v")), rows.toString)
+    assert(rows(3L) === ((1L, 1L, 0L, "solo words only")), rows.toString)
+  }
+
   test("lmTrigram backs off on unseen n-grams and scores OOD text higher") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
