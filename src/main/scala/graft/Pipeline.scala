@@ -255,6 +255,16 @@ object Pipeline {
     * Returns (doc_id, n_bigrams, avg_cond_bits). */
   def lmBigram(docs: DataFrame): DataFrame = Text.lmBigramOf(docs)
 
+  /** Media preprocessing manifest: per payload, the resize plan
+    * (longest side to 224 px, aspect preserved) and the uniform
+    * frame-sample plan (≤ 4 frames at stride indices, stub timestamps
+    * and byte offsets) — one row per sampled frame, the work list a
+    * decode fleet executes downstream. Shuffle-free per-row
+    * arithmetic; at 100 TB the manifest generation is the
+    * corpus-sized pass, the decode is per-row work behind it. */
+  def mediaManifest(spark: SparkSession, sfDir: String): DataFrame =
+    Text.llmMediaManifest(spark, sfDir)
+
   /** Cross-document repeated-span removal with text reconstruction
     * (Lee et al. 2107.06499's finding that span-level cutting beats
     * document-level dropping, at non-overlapping `chunkWords`-word

@@ -2615,6 +2615,50 @@ object Text {
     ds.mapPartitions(_.map(decodeFeatures)).toDF().orderBy("doc_id")
   }
 
+  /** Media preprocessing MANIFEST — the resize + frame-sample planning
+    * pass of a multimodal pipeline ([[llmMultimodalDecode]] extracts
+    * per-payload features; this operator turns them into the work
+    * list a decode fleet executes): per payload, a resize plan fitting
+    * the longest side to 224 px preserving aspect ratio, and a uniform
+    * frame-sample plan — up to 4 frames at indices ⌊j·F/k⌋ (the
+    * classic stride sample, distinct for k ≤ F), each with its stub
+    * timestamp (25 fps) and byte offset (frame_idx · ⌊bytes/F⌋). At
+    * 100 TB this manifest IS the distributed work: deciding which
+    * frames to touch and at what offsets is corpus-sized arithmetic;
+    * the decode itself (stubbed offline — no codecs) happens
+    * per-manifest-row downstream. One row per sampled frame.
+    *
+    * Scale shape: pure per-row arithmetic + a ≤ 4-element explode —
+    * shuffle-free except the presentation sort; every quantity derives
+    * deterministically from payload bytes, so DuckDB replays the full
+    * manifest bit-exact. */
+  val llmMediaManifest: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n", length(col("text").cast("binary")).cast("int"))
+      .withColumn("b0", when(length(col("text")) > 0,
+        ascii(substring(col("text"), 1, 1))).otherwise(0))
+      .withColumn("src_w", (lit(64) + col("n") % 640).cast("int"))
+      .withColumn("src_h", (lit(64) + (col("b0") * 3) % 480).cast("int"))
+      .withColumn("frames", (lit(1) + col("n") % 30).cast("int"))
+      .withColumn("k", least(col("frames"), lit(4)))
+      .withColumn("scale",
+        lit(224.0) / greatest(col("src_w"), col("src_h")).cast("double"))
+      .withColumn("out_w", floor(col("src_w") * col("scale") + 0.5).cast("int"))
+      .withColumn("out_h", floor(col("src_h") * col("scale") + 0.5).cast("int"))
+    d.select(col("doc_id"), col("n"), col("src_w"), col("src_h"),
+        col("frames"), col("out_w"), col("out_h"),
+        dround(col("scale"), 6).as("scale"),
+        posexplode(transform(sequence(lit(0), col("k") - 1),
+          j => floor(j * col("frames") / col("k")).cast("int"))).as(Seq("j", "frame_idx")))
+      .select(col("doc_id"), col("j"), col("frame_idx"),
+        (col("frame_idx") * 40).as("ts_ms"),
+        (col("frame_idx").cast("long") *
+          floor(col("n") / col("frames")).cast("long")).as("byte_off"),
+        col("src_w"), col("src_h"), col("out_w"), col("out_h"), col("scale"))
+      .orderBy("doc_id", "j")
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any word 4-gram
     * with a held-out eval set (the GPT-3/PaLM-style n-gram overlap check,
     * Brown et al. 2020 arXiv:2005.14165 App. C —
@@ -3544,6 +3588,7 @@ object Text {
     "llm_fingerprint" -> llmFingerprint,
     "llm_multimodal" -> llmMultimodal,
     "llm_multimodal_decode" -> llmMultimodalDecode,
+    "llm_media_manifest" -> llmMediaManifest,
     "llm_contamination" -> llmContamination,
     "llm_domain_mix" -> llmDomainMix,
     "llm_pii_scrub" -> llmPiiScrub,
@@ -4698,6 +4743,31 @@ object Text {
          |    w -> length(w)::BIGINT * 256 + ascii(w[1]))),
          |  (a, b) -> (a * 31 + b) % $P) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_media_manifest" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS INT) AS n,
+        |    CASE WHEN length(text) > 0 THEN ascii(text[1]) ELSE 0 END AS b0
+        |  FROM documents),
+        |g AS (SELECT doc_id, n,
+        |    CAST(64 + n % 640 AS INT) AS src_w,
+        |    CAST(64 + (b0 * 3) % 480 AS INT) AS src_h,
+        |    CAST(1 + n % 30 AS INT) AS frames
+        |  FROM f),
+        |h AS (SELECT *, LEAST(frames, 4) AS k,
+        |    224.0 / GREATEST(src_w, src_h) AS sc
+        |  FROM g),
+        |m AS (SELECT doc_id, n, src_w, src_h, frames, k, sc,
+        |    CAST(FLOOR(src_w * sc + 0.5) AS INT) AS out_w,
+        |    CAST(FLOOR(src_h * sc + 0.5) AS INT) AS out_h,
+        |    CAST(j AS INT) AS j,
+        |    CAST(FLOOR(j * frames / k) AS INT) AS frame_idx
+        |  FROM h, unnest(range(0, k)) t(j))
+        |SELECT doc_id, j, frame_idx,
+        |  CAST(frame_idx * 40 AS INT) AS ts_ms,
+        |  CAST(frame_idx AS BIGINT) * CAST(FLOOR(n / frames) AS BIGINT) AS byte_off,
+        |  src_w, src_h, out_w, out_h,
+        |  CAST(FLOOR(sc * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS scale
+        |FROM m ORDER BY doc_id, j""".stripMargin,
     "llm_multimodal_decode" ->
       """SELECT doc_id, lang,
         |CAST(octet_length(encode(text)) AS INT) AS bytes,

@@ -136,6 +136,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1L)._2 < rows(2L)._2)
   }
 
+  test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
+    val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val idxs = rs.map(_.getAs[Int]("frame_idx")).toSeq
+      assert(idxs.distinct.size == idxs.size, s"doc $id repeated a frame: $idxs")
+      assert(idxs.forall(_ >= 0), s"doc $id negative frame index")
+      assert(rs.length <= 4, s"doc $id sampled ${rs.length} > 4 frames")
+      val r = rs.head
+      // the resize plan fits the longest side to 224 exactly (stub dims
+      // are always under 704, so rounding the exact 224.0/max scale
+      // reproduces 224 on the max side)
+      val maxSide = math.max(r.getAs[Int]("src_w"), r.getAs[Int]("src_h"))
+      val maxOut = math.max(r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(maxOut == 224, s"doc $id resize missed target: $r (max src $maxSide)")
+      // byte offsets are frame-aligned and monotone in the sample order
+      val offs = rs.sortBy(_.getAs[Int]("j")).map(_.getAs[Long]("byte_off"))
+      assert(offs.zip(offs.tail).forall { case (a, b) => a <= b },
+        s"doc $id offsets not monotone: $offs")
+    }
+  }
+
   test("spanDedup removes repeated chunks, keeps first occurrence, reconstructs") {
     import spark.implicits._
     // Docs 1 and 2 share their first 5-word chunk ("a b c d e"); doc 1
