@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.MatchPath
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence rows fed to the matcher (ts as µs long — sorting and
@@ -73,9 +74,45 @@ object Sequences {
         sum(col("n_steps")).cast("long").as("n_steps_total"))
       .orderBy("user_id")
 
+  /** Session-gap threshold for [[seqSessionize]]: 12 h in µs. The fixture's
+    * median inter-event gap is ~7.3 h (p90 ~25 h), so a 12 h cut splits
+    * real sessions instead of degenerating to one-event-per-session. */
+  private val SessionGapUs = 43200L * 1000000L
+
+  /** Batch sessionization (gaps-and-islands) over `events` — the batch twin
+    * of `stream_session` (SURVEY.md §2.8 session windows): a new session
+    * starts when the gap from the previous event of the same user exceeds
+    * 12 h. Classic two-window idiom: `lag` marks boundaries, a running
+    * `sum` over the same (user, ts, event_id) ordering numbers the islands
+    * — both windows share one partitioning, so Spark plans ONE shuffle on
+    * `user_id` and evaluates both WindowExecs pipelined on the sorted
+    * stream. Per-user window partitioning scales: no global sort, skew
+    * bounded by the busiest single user.
+    */
+  val seqSessionize: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val sess = e
+      .withColumn("new_sess",
+        when(col("tsu") - lag("tsu", 1).over(w) > SessionGapUs
+          || lag("tsu", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_idx", sum("new_sess").over(w))
+    sess.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("tsu").as("start_tsu"), max("tsu").as("end_tsu"),
+        dsum(col("value"), 2).as("total_value"))
+      .withColumn("session_idx", col("session_idx").cast("int"))
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "start_tsu", "end_tsu",
+        "total_value")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_matchpath" -> seqMatchpath,
-    "seq_matchpath_counts" -> seqMatchpathCounts
+    "seq_matchpath_counts" -> seqMatchpathCounts,
+    "seq_sessionize" -> seqSessionize
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -115,6 +152,25 @@ object Sequences {
         |m AS (SELECT user_id, regexp_extract_all(sym, 'cv+p') AS ms FROM seq)
         |SELECT user_id, CAST(len(ms) AS BIGINT) AS n_matches,
         |       CAST(list_sum(list_transform(ms, x -> len(x))) AS BIGINT) AS n_steps_total
-        |FROM m WHERE len(ms) > 0 ORDER BY user_id""".stripMargin
+        |FROM m WHERE len(ms) > 0 ORDER BY user_id""".stripMargin,
+    "seq_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+         |g AS (
+         |  SELECT user_id, event_id, tsu, value,
+         |    CASE WHEN lag(tsu) OVER w IS NULL
+         |           OR tsu - lag(tsu) OVER w > ${SessionGapUs} THEN 1 ELSE 0
+         |    END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |s AS (
+         |  SELECT user_id, tsu, value,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+         |      AS session_idx
+         |  FROM g)
+         |SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+         |  COUNT(*) AS n_events, MIN(tsu) AS start_tsu, MAX(tsu) AS end_tsu,
+         |  ${oSum("value", 2)} AS total_value
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin
   )
 }

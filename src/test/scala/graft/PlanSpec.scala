@@ -423,6 +423,23 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("ReusedExchange"), finalPlan)
   }
 
+  test("seq_sessionize: both windows and the session agg share one user_id shuffle") {
+    // lag + running-sum windows share PARTITION BY user_id ORDER BY
+    // (tsu, event_id), and the (user_id, session_idx) groupBy is
+    // satisfied by the same hash partitioning (subset rule), so the
+    // only exchanges are ONE hash shuffle on user_id plus the final
+    // presentation range-sort. A plan that re-shuffles per window or
+    // for the agg would be 100 TB-hostile.
+    val df = SparkEntry.queries("seq_sessionize")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val finalPlan = planString(df).split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$finalPlan")
+    val windows = finalPlan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 2, s"expected 2 Window nodes:\n$finalPlan")
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")

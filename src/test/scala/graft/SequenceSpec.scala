@@ -72,4 +72,40 @@ class SequenceSpec extends SparkSpec {
     }
     assert(counts == fromRows)
   }
+
+  test("seq_sessionize: sessions replay a driver-side gap scan exactly") {
+    val gapUs = 43200L * 1000000L
+    val sessions = SparkEntry.queries("seq_sessionize")(spark, sfDir).collect()
+    assert(sessions.nonEmpty)
+    // independent reference: single-threaded gap scan over the raw events
+    val raw = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsu", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = raw.groupBy(_._1).flatMap { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      val sessBuf = scala.collection.mutable.ListBuffer[List[(Long, Double)]]()
+      ordered.foreach { e =>
+        if (sessBuf.isEmpty || e._3 - sessBuf.last.last._1 > gapUs)
+          sessBuf += List((e._3, e._4))
+        else sessBuf.update(sessBuf.length - 1, sessBuf.last :+ ((e._3, e._4)))
+      }
+      sessBuf.zipWithIndex.map { case (es, i) =>
+        (uid, i + 1, es.length.toLong, es.head._1, es.last._1,
+          es.map(e => math.floor(e._2 * 100 + 0.5).toLong).sum / 100.0)
+      }
+    }.toSet
+    val got = sessions.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected)
+    // island boundaries: start of session k+1 is > gap after end of session k
+    sessions.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byIdx = rs.sortBy(_.getInt(1))
+      assert(byIdx.map(_.getInt(1)).sameElements(1 to rs.length))
+      byIdx.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(3) - a.getLong(4) > gapUs)
+        case _ =>
+      }
+    }
+  }
 }
