@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.Extras.queries ++
     graft.queries.Extras2.queries ++
     graft.queries.Maintenance.queries ++
-    graft.queries.Sequences.queries
+    graft.queries.Sequences.queries ++
+    graft.queries.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     graft.queries.Extras.oracleSql ++
     graft.queries.Extras2.oracleSql ++
     graft.queries.Maintenance.oracleSql ++
-    graft.queries.Sequences.oracleSql
+    graft.queries.Sequences.oracleSql ++
+    graft.queries.Graph.oracleSql
 }

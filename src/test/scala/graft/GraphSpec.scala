@@ -1,0 +1,44 @@
+package graft
+
+/** Exact-value coverage for graph_pagerank: replay the md5 edge
+  * derivation and all 5 quantized iterations single-threaded and compare
+  * bit-for-bit, then check the probability-mass invariant. */
+class GraphSpec extends SparkSpec {
+
+  private def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+  test("graph_pagerank replays a driver-side quantized power iteration") {
+    val got = SparkEntry.queries("graph_pagerank")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = got.size
+    assert(n == 500)
+
+    // identical edge derivation (md5 of "src:i", first 8 hex chars, mod N)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map(i => src.toLong -> (h(s"$src:$i") % n))
+    }
+    var rank = (0 until n).map(i => i.toLong -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        // the engine's dsum(…, 9): per-row quantize to long, exact long sum
+        dst -> es.map(e => math.floor(rank(e._1) / 3.0 * 1e9 + 0.5).toLong)
+          .sum / 1e9
+      }
+      rank = (0 until n).map { i =>
+        i.toLong -> q9(0.15 / n + 0.85 * in.getOrElse(i.toLong, 0.0))
+      }.toMap
+    }
+    assert(got == rank)
+    // probability mass: sum of ranks ~ 1 (within quantization slack)
+    assert(math.abs(got.values.sum - 1.0) < 1e-5)
+    // teleport floor: no rank below 0.15/N
+    assert(got.values.forall(_ >= 0.15 / n - 1e-9))
+    // the graph is non-degenerate: ranks genuinely differ
+    assert(got.values.toSet.size > 100)
+  }
+}
