@@ -255,6 +255,14 @@ object Pipeline {
     * Returns (doc_id, n_bigrams, avg_cond_bits). */
   def lmBigram(docs: DataFrame): DataFrame = Text.lmBigramOf(docs)
 
+  /** CCNet head/middle/tail partitioning (Wenzek et al. 1911.00359
+    * §4.3): per language, docs split into best/middle/worst thirds by
+    * the integer LM-surprise score — head is what CCNet trains on.
+    * Thresholds come from a per-(lang, quantized-score) histogram, so
+    * no per-doc ntile/sort at any corpus scale. Returns (doc_id, lang,
+    * avg_bits, bucket). */
+  def ccnetBuckets(docs: DataFrame): DataFrame = Text.ccnetBucketsOf(docs)
+
   /** Media preprocessing manifest: per payload, the resize plan
     * (longest side to 224 px, aspect preserved) and the uniform
     * frame-sample plan (≤ 4 frames at stride indices, stub timestamps

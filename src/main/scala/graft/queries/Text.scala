@@ -1860,6 +1860,64 @@ object Text {
   val llmLmBigram: Q = (s, dir) =>
     lmBigramOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** CCNet head/middle/tail corpus partitioning (Wenzek et al.
+    * arXiv:1911.00359 §4.3) — the SELECTION step the LM-score family
+    * feeds: per LANGUAGE, docs are split into the best/middle/worst
+    * thirds by LM score (CCNet keeps "head" for training, drops or
+    * down-weights "tail"). The score is [[lmQualityOf]]'s integer
+    * bin-length surprise, carried as the exact long
+    * `sq = (Σbits · 10^6) div n_words` so every threshold comparison is
+    * integer arithmetic — no float quantile interpolation to drift
+    * between engines (Spark's `percentile` and DuckDB's `quantile_cont`
+    * disagree in the last ulp on interpolated cuts).
+    *
+    * Scale shape: thresholds come from a per-(lang, sq) HISTOGRAM — a
+    * two-phase agg over docs, then a cumulative window over the
+    * histogram itself (≤ langs × distinct quantized scores rows, corpus
+    * -size-independent), never a per-doc ntile (CCNet's literal
+    * per-language sort would single-partition the biggest language at
+    * 100 TB). t1/t2 = smallest score whose cumulative count covers
+    * ⅓ / ⅔ of the language (integer `cum·3 ≥ n` tests, ties inclusive),
+    * broadcast back as a #langs-row table. */
+  private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
+    // same persist rationale as lmQualityOf: the per-occurrence md5
+    // projection feeds both the count table and the scoring join
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), vocabBucket(col("w")).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count() // eager: concurrent consumers would race the cache
+    val freq = words.groupBy("b").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("tc"))
+    val scored = words
+      .join(broadcast(freq), "b")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(col("tc"))) - length(bin(col("c")))).as("bits"))
+      .groupBy("doc_id")
+      .agg(sum(col("bits")).cast("long").as("sb"), count(lit(1)).as("nw"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("sq", expr("sb * 1000000 DIV nw"))
+    val hist = scored.groupBy("lang", "sq").agg(count(lit(1)).as("c"))
+    val langW = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val cumW = langW.orderBy("sq")
+    val thr = hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(langW))
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("n"), col("sq"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("sq"))).as("t2"))
+    scored.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"),
+        dround(col("sb").cast("double") / col("nw"), 6).as("avg_bits"),
+        when(col("sq") <= col("t1"), lit("head"))
+          .when(col("sq") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  val llmCcnetBuckets: Q = (s, dir) =>
+    ccnetBucketsOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** Stupid-backoff trigram LM scoring (Brants et al., EMNLP 2007 §4 —
     * the web-scale LM recipe: unnormalized relative frequencies with a
     * fixed backoff penalty, no discounting) — the HELD-OUT half of the
@@ -3570,6 +3628,7 @@ object Text {
     "llm_lm_quality" -> llmLmQuality,
     "llm_lm_bigram" -> llmLmBigram,
     "llm_lm_trigram" -> llmLmTrigram,
+    "llm_ccnet_buckets" -> llmCcnetBuckets,
     "llm_semdedup" -> llmSemdedup,
     "llm_semdedup_cc" -> llmSemdedupCc,
     "llm_cluster_sample" -> llmClusterSample,
@@ -4441,6 +4500,33 @@ object Text {
          |  $lmAvgBitsSql AS avg_bits,
          |  ($lmAvgBitsSql >= 12.0) AS suspect
          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet thirds: integer quantized score sq = (Σbits·10^6) // n_words,
+    // per-lang histogram cum window, thresholds by cum·3 >= n / >= 2n —
+    // all-integer threshold math, no quantile interpolation to drift.
+    "llm_ccnet_buckets" ->
+      s"""WITH ${lmBitsCtes("ws", "f", "t", "b")},
+         |sc AS (SELECT doc_id, CAST(SUM(bits) AS BIGINT) AS sb,
+         |         CAST(COUNT(*) AS BIGINT) AS nw
+         |       FROM b GROUP BY doc_id),
+         |sq AS (SELECT s.doc_id, d.lang, s.sb, s.nw,
+         |         (s.sb * 1000000) // s.nw AS sq
+         |       FROM sc s JOIN documents d USING (doc_id)),
+         |h AS (SELECT lang, sq, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM sq GROUP BY lang, sq),
+         |cum AS (SELECT lang, sq,
+         |          CAST(SUM(c) OVER (PARTITION BY lang ORDER BY sq) AS BIGINT) AS cum,
+         |          CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |        FROM h),
+         |thr AS (SELECT lang,
+         |          MIN(CASE WHEN cum*3 >= n THEN sq END) AS t1,
+         |          MIN(CASE WHEN cum*3 >= 2*n THEN sq END) AS t2
+         |        FROM cum GROUP BY lang)
+         |SELECT q.doc_id, q.lang,
+         |  ${oRound("CAST(q.sb AS DOUBLE) / q.nw", 6)} AS avg_bits,
+         |  CASE WHEN q.sq <= t.t1 THEN 'head'
+         |       WHEN q.sq <= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sq q JOIN thr t USING (lang) ORDER BY q.doc_id""".stripMargin,
     // Bigram conditional surprise: same bin-length integer log2 as
     // lm_quality, now over TWO hashed count tables — unigram context
     // counts (over ALL words, including docs with one word) and bigram

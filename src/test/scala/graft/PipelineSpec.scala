@@ -136,6 +136,40 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1L)._2 < rows(2L)._2)
   }
 
+  test("ccnetBuckets: exact per-lang thirds with hand-computed thresholds") {
+    import spark.implicits._
+    // en doc i = "wi" × i (c=i), fr doc j = "fj" × 2^(j-1) (c=2^(j-1));
+    // tc = 45 + 63 = 108 → 7 bin bits. Every doc is one repeated word,
+    // so avg_bits is exactly 7 − bitlen(c): en doc 1 → 6.0, docs 2,3 →
+    // 5.0, docs 4-7 → 4.0, docs 8,9 → 3.0; fr doc j → (7−j).0.
+    // Thresholds (cum·3 ≥ n / ≥ 2n over the per-lang histogram):
+    //  en (n=9, cum 2/6/8/9 at sq 3e6/4e6/5e6/6e6): t1 = t2 = 4e6 →
+    //    head = docs 4..9, middle EMPTY (tie collapse), tail = 1,2,3.
+    //  fr (n=6, distinct scores): t1 = 2e6, t2 = 4e6 → perfect thirds
+    //    head = {f6,f5}, middle = {f4,f3}, tail = {f2,f1}.
+    // (planted words verified 4-hex-md5 collision-free)
+    val corpus = (
+      (1 to 9).map(i => (i.toLong, Seq.fill(i)(s"w$i").mkString(" "), "en")) ++
+      (1 to 6).map(j => (100L + j, Seq.fill(1 << (j - 1))(s"f$j").mkString(" "), "fr"))
+    ).toDF("doc_id", "text", "lang")
+    val rows = Pipeline.ccnetBuckets(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Double]("avg_bits"),
+        r.getAs[String]("bucket")))).toMap
+    assert(rows.size == 15)
+    def bitlen(x: Int): Int = 32 - Integer.numberOfLeadingZeros(x)
+    (1 to 9).foreach { i =>
+      assert(rows(i.toLong)._1 == (7 - bitlen(i)).toDouble, s"en doc $i")
+    }
+    (1 to 6).foreach { j =>
+      assert(rows(100L + j)._1 == (7 - j).toDouble, s"fr doc $j")
+    }
+    assert((4 to 9).forall(i => rows(i.toLong)._2 == "head"))
+    assert((1 to 3).forall(i => rows(i.toLong)._2 == "tail"))
+    assert(rows(106L)._2 == "head" && rows(105L)._2 == "head")
+    assert(rows(104L)._2 == "middle" && rows(103L)._2 == "middle")
+    assert(rows(102L)._2 == "tail" && rows(101L)._2 == "tail")
+  }
+
   test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
     val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
     assert(rows.nonEmpty)
