@@ -263,6 +263,16 @@ object Pipeline {
     * avg_bits, bucket). */
   def ccnetBuckets(docs: DataFrame): DataFrame = Text.ccnetBucketsOf(docs)
 
+  /** Hybrid retrieval: BM25 lexical + 64-dim hashed-count cosine dense
+    * rankers fused by Reciprocal Rank Fusion (Cormack et al. 2009,
+    * `Σ 1/(60+rank)`) — the standard lexical+dense combiner in RAG
+    * stacks. A doc in only one ranker's pool keeps the other rank NULL
+    * and scores on the present term alone. Returns (q_id, rnk, doc_id,
+    * rrf, lex_rnk, dense_rnk). */
+  def rrfFusion(docs: DataFrame, isQuery: Column => Column,
+      poolK: Int = 20, topK: Int = 5): DataFrame =
+    Text.rrfFusionOf(docs, isQuery, poolK, topK)
+
   /** Media preprocessing manifest: per payload, the resize plan
     * (longest side to 224 px, aspect preserved) and the uniform
     * frame-sample plan (≤ 4 frames at stride indices, stub timestamps

@@ -2442,6 +2442,66 @@ object Text {
       .orderBy("q_id", "rnk")
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al., SIGIR
+    * 2009: `score(d) = Σ_rankers 1/(60 + rank_r(d))` — the standard way
+    * production RAG stacks combine lexical and dense retrieval, robust
+    * to the two score scales being incomparable). Lexical ranker =
+    * [[bm25Of]] (pool of `poolK` per query); dense ranker = cosine over
+    * 64-dim HASHED word-count vectors (feature hashing: dim =
+    * md5-bucket mod 64, value = occurrence count — integer dot products
+    * and norms, so cosine = dot/(√n2q·√n2d) is exact IEEE arithmetic in
+    * both engines; sqrt is correctly rounded per IEEE 754, not libm
+    * folklore). A doc missing from one ranker's pool contributes only
+    * the other's term (its rank column stays NULL in the output).
+    *
+    * Scale shape: the lexical side is the shared-postings-exchange BM25
+    * index; the dense side here is the brute pairwise baseline over the
+    * query-sized probe set (3 queries × corpus — fine for a bounded
+    * query batch; a standing 100 TB dense index would swap in the IVF
+    * family's cell-probed search, same fusion step). Fusion itself is a
+    * full-outer join of two poolK-bounded lists per query — trivially
+    * small at any corpus scale. */
+  private[graft] def rrfFusionOf(docs: DataFrame, isQuery: Column => Column,
+      poolK: Int = 20, topK: Int = 5): DataFrame = {
+    val lex = bm25Of(docs, isQuery, poolK)
+      .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val vecs = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), (vocabBucket(col("w")) % 64).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
+    val norms = vecs.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
+    val dots = vecs.filter(isQuery(col("doc_id")))
+      .select(col("doc_id").as("q_id"), col("dim"), col("v").as("vq"))
+      .join(vecs.filter(!isQuery(col("doc_id"))), "dim")
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("vq") * col("v")).as("dot"))
+    val denseWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))
+    val dense = dots
+      .join(norms.select(col("doc_id").as("q_id"), col("n2").as("n2q")), "q_id")
+      .join(norms, "doc_id")
+      .withColumn("cos",
+        dround(col("dot") / (sqrt(col("n2q")) * sqrt(col("n2"))), 6))
+      .withColumn("dense_rnk", row_number().over(denseWin))
+      .filter(col("dense_rnk") <= poolK)
+      .select(col("q_id"), col("doc_id"), col("dense_rnk"))
+    val fuseWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", dround(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("dense_rnk")), lit(0.0)), 9))
+      .withColumn("rnk", row_number().over(fuseWin))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf"),
+        col("lex_rnk"), col("dense_rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val llmRrfFusion: Q = (s, dir) =>
+    rrfFusionOf(Tables.t(s, dir, "documents").select("doc_id", "text"),
+      id => id < 3)
+
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
     * across runs, engines, and partitionings (never rand()), and adding
@@ -3641,6 +3701,7 @@ object Text {
     "llm_chunk_split" -> llmChunkSplit,
     "llm_tfidf_top" -> llmTfidfTop,
     "llm_bm25_topk" -> llmBm25Topk,
+    "llm_rrf_fusion" -> llmRrfFusion,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -4822,6 +4883,58 @@ object Text {
          |  FROM sc)
          |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, score, n_terms
          |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // RRF fusion: the BM25 CTEs verbatim (pool 20) + a 64-dim hashed
+    // count-vector cosine ranker (integer dots/norms, IEEE sqrt), fused
+    // by 1/(60+rank) with NULL ranks contributing zero.
+    "llm_rrf_fusion" ->
+      s"""WITH wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM wrd GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM wrd GROUP BY doc_id),
+         |c AS (SELECT * FROM tf WHERE doc_id >= 3),
+         |q AS (SELECT DISTINCT doc_id AS q_id, w FROM tf WHERE doc_id < 3),
+         |dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY w),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE doc_id >= 3),
+         |ad AS (SELECT CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl WHERE doc_id >= 3),
+         |ts AS (SELECT q.q_id, c.doc_id,
+         |  CAST(length(bin(nn.n)) - length(bin(dfc.df)) AS DOUBLE) *
+         |    ((c.tf * (1.2 + 1.0)) /
+         |      (c.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / ad.avgdl)))) AS s
+         |  FROM q JOIN c USING (w) JOIN dfc USING (w)
+         |    JOIN dl ON c.doc_id = dl.doc_id, nn, ad),
+         |sc AS (SELECT q_id, doc_id, ${oSum("s", 6)} AS score
+         |       FROM ts GROUP BY q_id, doc_id),
+         |lr AS (SELECT q_id, doc_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS lex_rnk
+         |  FROM sc),
+         |ltop AS (SELECT * FROM lr WHERE lex_rnk <= 20),
+         |vec AS (SELECT doc_id,
+         |    (('0x' || substr(md5(w), 1, 4))::BIGINT % 64) AS dim,
+         |    CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM wrd GROUP BY doc_id, dim),
+         |n2 AS (SELECT doc_id, CAST(SUM(v*v) AS BIGINT) AS n2 FROM vec GROUP BY doc_id),
+         |dot AS (SELECT qv.doc_id AS q_id, cv.doc_id,
+         |    CAST(SUM(qv.v * cv.v) AS BIGINT) AS dot
+         |  FROM vec qv JOIN vec cv USING (dim)
+         |  WHERE qv.doc_id < 3 AND cv.doc_id >= 3 GROUP BY qv.doc_id, cv.doc_id),
+         |cosr AS (SELECT d.q_id, d.doc_id,
+         |    ${oRound("d.dot / (sqrt(nq.n2) * sqrt(nc.n2))", 6)} AS cos
+         |  FROM dot d JOIN n2 nq ON nq.doc_id = d.q_id
+         |    JOIN n2 nc ON nc.doc_id = d.doc_id),
+         |dr AS (SELECT q_id, doc_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS dense_rnk
+         |  FROM cosr),
+         |dtop AS (SELECT * FROM dr WHERE dense_rnk <= 20),
+         |fused AS (SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+         |    COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rnk, d.dense_rnk,
+         |    ${oRound("COALESCE(1.0/(60 + l.lex_rnk), 0.0) + COALESCE(1.0/(60 + d.dense_rnk), 0.0)", 9)} AS rrf
+         |  FROM ltop l FULL OUTER JOIN dtop d
+         |    ON l.q_id = d.q_id AND l.doc_id = d.doc_id),
+         |fr AS (SELECT q_id, doc_id, lex_rnk, dense_rnk, rrf,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rnk
+         |  FROM fused)
+         |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, rrf,
+         |  CAST(lex_rnk AS INT) AS lex_rnk, CAST(dense_rnk AS INT) AS dense_rnk
+         |FROM fr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id,
          |list_reduce(list_prepend(0::BIGINT,

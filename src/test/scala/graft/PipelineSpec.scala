@@ -170,6 +170,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows(102L)._2 == "tail" && rows(101L)._2 == "tail")
   }
 
+  test("rrfFusion: lexical-only and dense-only docs fuse with NULL ranks") {
+    import spark.implicits._
+    // 'qq' and 'z46' hash to the same 64-bucket dim (27), 'other' to 31
+    // (verified against md5 offline). Query doc 0 = "qq qq qq".
+    //  doc 10 "qq qq": shares the term → lex rank 1; dense cos = 1.0.
+    //  doc 11 "z46 ×4 other": NO shared term → absent from lexical list,
+    //    but dim-27 overlap gives dot = 12, cos = 12/(3·√17) ≈ 0.970 →
+    //    dense rank 2, lex_rnk NULL.
+    val corpus = Seq(
+      (0L, "qq qq qq"),
+      (10L, "qq qq"),
+      (11L, "z46 z46 z46 z46 other"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.rrfFusion(corpus, id => id < 3).collect()
+    assert(rows.length == 2)
+    val byDoc = rows.map(r => r.getLong(2) -> r).toMap
+    val d10 = byDoc(10L)
+    assert(d10.getInt(1) == 1)                       // fused rank 1
+    assert(d10.getInt(4) == 1 && d10.getInt(5) == 1) // both rankers rank 1
+    assert(d10.getDouble(3) == math.floor((1.0 / 61 + 1.0 / 61) * 1e9 + 0.5) / 1e9)
+    val d11 = byDoc(11L)
+    assert(d11.getInt(1) == 2)
+    assert(d11.isNullAt(4), "doc 11 must have NULL lex_rnk")
+    assert(d11.getInt(5) == 2)
+    assert(d11.getDouble(3) == math.floor((1.0 / 62) * 1e9 + 0.5) / 1e9)
+  }
+
   test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
     val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
     assert(rows.nonEmpty)
