@@ -273,6 +273,20 @@ object Pipeline {
       poolK: Int = 20, topK: Int = 5): DataFrame =
     Text.rrfFusionOf(docs, isQuery, poolK, topK)
 
+  /** Exact-quota stratified sampling: per language, EXACTLY
+    * ⌈frac · n_lang⌉ docs in md5(doc_id) order — quota honored exactly
+    * (unlike threshold sampling), membership stable under corpus growth
+    * up to hash interleaving. Returns (doc_id, lang, rn, n_lang,
+    * quota). */
+  def stratifiedSample(docs: DataFrame, frac: Double = 0.2): DataFrame =
+    Text.stratifiedSampleOf(docs, frac)
+
+  /** k-anonymity suppression over the (lang, source, size-bucket)
+    * quasi-identifier triple: rows whose QI group holds fewer than k
+    * docs get their QIs masked to '*' before release. Returns (doc_id,
+    * lang, source, size_bucket, group_n). */
+  def kAnon(docs: DataFrame, k: Int = 5): DataFrame = Text.kAnonOf(docs, k)
+
   /** Media preprocessing manifest: per payload, the resize plan
     * (longest side to 224 px, aspect preserved) and the uniform
     * frame-sample plan (≤ 4 frames at stride indices, stub timestamps

@@ -2502,6 +2502,67 @@ object Text {
     rrfFusionOf(Tables.t(s, dir, "documents").select("doc_id", "text"),
       id => id < 3)
 
+  /** Exact-quota stratified sampling: per language, EXACTLY
+    * ⌈0.2 · n_lang⌉ docs, chosen in md5(doc_id) order — the
+    * deterministic complement of `sort_hashsample`'s threshold sampling
+    * (which gives each row an independent 20% chance and only
+    * approximates the per-stratum count; survey-style corpus audits and
+    * eval-set construction need the quota honored exactly).
+    *
+    * Scale shape: quota selection = rank-within-stratum, a per-lang
+    * window ordered by the hash (never a global sort; skew bounded by
+    * the largest language, same bound CCNet bucketing documents). The
+    * per-lang counts ride a broadcast #langs-row join. Hash order means
+    * adding NEW docs later shifts membership only where hashes
+    * interleave — unlike positional sampling, no global renumbering. */
+  private[graft] def stratifiedSampleOf(docs: DataFrame,
+      frac: Double = 0.2): DataFrame = {
+    val d = docs.select("doc_id", "lang")
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    d.join(broadcast(counts), "lang")
+      .withColumn("rn", row_number().over(win))
+      .withColumn("quota", ceil(col("n_lang") * lit(frac)))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rn"),
+        col("n_lang"), col("quota").cast("long").as("quota"))
+  }
+
+  val llmStratifiedSample: Q = (s, dir) =>
+    stratifiedSampleOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
+  /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
+    * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
+    * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
+    * whose QI combination is shared by fewer than k = 5 docs has its
+    * quasi-identifiers masked to '*' (full-domain suppression), so no
+    * released row's QI tuple isolates fewer than 5 individuals.
+    *
+    * Scale shape: one window count over the QI partitioning (a single
+    * hash shuffle on the QI key; group sizes are what the operator
+    * measures, so the shuffle IS the semantics), per-row masking is
+    * projection-only. At 100 TB the QI cardinality is bounded by
+    * langs × sources × size-buckets — the count side aggregates to that
+    * bound. */
+  private[graft] def kAnonOf(docs: DataFrame, k: Int = 5): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      expr("n_chars DIV 100").as("size_bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source", "size_bucket")
+    d.withColumn("group_n", count(lit(1)).over(w))
+      .select(col("doc_id"),
+        when(col("group_n") >= k, col("lang")).otherwise(lit("*")).as("lang"),
+        when(col("group_n") >= k, col("source")).otherwise(lit("*")).as("source"),
+        when(col("group_n") >= k, col("size_bucket").cast("string"))
+          .otherwise(lit("*")).as("size_bucket"),
+        col("group_n"))
+  }
+
+  val llmKAnon: Q = (s, dir) =>
+    kAnonOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
     * across runs, engines, and partitionings (never rand()), and adding
@@ -3702,6 +3763,8 @@ object Text {
     "llm_tfidf_top" -> llmTfidfTop,
     "llm_bm25_topk" -> llmBm25Topk,
     "llm_rrf_fusion" -> llmRrfFusion,
+    "llm_stratified_sample" -> llmStratifiedSample,
+    "llm_k_anon" -> llmKAnon,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -4935,6 +4998,34 @@ object Text {
          |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, rrf,
          |  CAST(lex_rnk AS INT) AS lex_rnk, CAST(dense_rnk AS INT) AS dense_rnk
          |FROM fr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Exact-quota stratified sample: rank within lang by md5(doc_id),
+    // keep rn <= ceil(0.2 * n_lang) — all-integer membership test.
+    "llm_stratified_sample" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+        |           FROM documents GROUP BY lang),
+        |r AS (SELECT d.doc_id, d.lang,
+        |        row_number() OVER (PARTITION BY d.lang
+        |          ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |      FROM documents d)
+        |SELECT r.doc_id, r.lang, CAST(r.rn AS INT) AS rn, c.n_lang,
+        |  CAST(CEIL(c.n_lang * 0.2) AS BIGINT) AS quota
+        |FROM r JOIN c USING (lang)
+        |WHERE r.rn <= CEIL(c.n_lang * 0.2)
+        |ORDER BY r.doc_id""".stripMargin,
+    // k-anonymity: QI triple (lang, source, n_chars//100); groups under
+    // k = 5 get their quasi-identifiers masked to '*'.
+    "llm_k_anon" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars // 100 AS size_bucket
+        |           FROM documents),
+        |g AS (SELECT doc_id, lang, source, size_bucket,
+        |        COUNT(*) OVER (PARTITION BY lang, source, size_bucket) AS group_n
+        |      FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN group_n >= 5 THEN lang ELSE '*' END AS lang,
+        |  CASE WHEN group_n >= 5 THEN source ELSE '*' END AS source,
+        |  CASE WHEN group_n >= 5 THEN CAST(size_bucket AS VARCHAR) ELSE '*' END AS size_bucket,
+        |  CAST(group_n AS BIGINT) AS group_n
+        |FROM g ORDER BY doc_id""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id,
          |list_reduce(list_prepend(0::BIGINT,

@@ -197,6 +197,43 @@ class PipelineSpec extends SparkSpec {
     assert(d11.getDouble(3) == math.floor((1.0 / 62) * 1e9 + 0.5) / 1e9)
   }
 
+  test("stratifiedSample: every stratum's quota is honored exactly") {
+    import spark.implicits._
+    // 7 "en" docs (quota ⌈1.4⌉ = 2), 3 "fr" (⌈0.6⌉ = 1), 1 "de" (⌈0.2⌉ = 1)
+    val corpus = ((1 to 7).map(i => (i.toLong, "en")) ++
+      (8 to 10).map(i => (i.toLong, "fr")) ++ Seq((11L, "de")))
+      .toDF("doc_id", "lang")
+    val rows = Pipeline.stratifiedSample(corpus).collect()
+    val byLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 2, "fr" -> 1, "de" -> 1), byLang.toString)
+    // membership = the lowest-md5 docs of each stratum, rn dense from 1
+    rows.groupBy(_.getString(1)).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expectEn = (1 to 7).map(_.toLong).sortBy(h).take(2).toSet
+    assert(rows.filter(_.getString(1) == "en").map(_.getLong(0)).toSet == expectEn)
+  }
+
+  test("kAnon: small QI groups are suppressed, large ones released") {
+    import spark.implicits._
+    // group A: 5 identical QI tuples (released); group B: 4 (masked)
+    val corpus = ((1 to 5).map(i => (i.toLong, "en", "web", 150L)) ++
+      (6 to 9).map(i => (i.toLong, "fr", "book", 250L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val rows = Pipeline.kAnon(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))).toMap
+    (1 to 5).foreach { i =>
+      assert(rows(i.toLong) == (("en", "web", "1", 5L)), s"doc $i")
+    }
+    (6 to 9).foreach { i =>
+      assert(rows(i.toLong) == (("*", "*", "*", 4L)), s"doc $i")
+    }
+  }
+
   test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
     val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
     assert(rows.nonEmpty)
