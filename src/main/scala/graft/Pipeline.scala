@@ -287,6 +287,15 @@ object Pipeline {
     * lang, source, size_bucket, group_n). */
   def kAnon(docs: DataFrame, k: Int = 5): DataFrame = Text.kAnonOf(docs, k)
 
+  /** MMR diversity reranking (Carbonell & Goldstein 1998) of a cosine
+    * retrieval pool: greedy λ·rel − (1−λ)·max-sim-to-selected picks,
+    * sequential per query but parallel across queries
+    * (groupByKey(q_id) group fold — no per-step plan growth). Returns
+    * (q_id, step, vec_id, mmr). */
+  def mmrRerank(embeddings: DataFrame, isQuery: Column => Column,
+      poolK: Int = 10, selectK: Int = 5, lambda: Double = 0.7): DataFrame =
+    Text.mmrRerankOf(embeddings, isQuery, poolK, selectK, lambda)
+
   /** Media preprocessing manifest: per payload, the resize plan
     * (longest side to 224 px, aspect preserved) and the uniform
     * frame-sample plan (≤ 4 frames at stride indices, stub timestamps

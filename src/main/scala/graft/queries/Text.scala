@@ -26,6 +26,14 @@ case class MmRow(doc_id: Long, payload: Array[Byte], lang: String)
 case class MmFeat(doc_id: Long, lang: String, bytes: Int,
   width: Int, height: Int, frames: Int)
 
+/** Per-(query, candidate-pair) input row for the MMR group fold: the
+  * candidate `a` with its query relevance plus one pool neighbor `b`
+  * and their similarity (self rows a=b keep pool singletons present). */
+case class MmrIn(q_id: Long, a: Long, rel_a: Double, b: Long, sim: Double)
+/** One MMR selection: `vec_id` chosen at `step` with the quantized
+  * marginal-relevance score that won the step. */
+case class MmrOut(q_id: Long, step: Int, vec_id: Long, mmr: Double)
+
 object Text {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -524,6 +532,86 @@ object Text {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
       .orderBy("q_id", "rnk")
   }
+
+  /** MMR diversity reranking (Carbonell & Goldstein, SIGIR 1998):
+    * greedily re-order a retrieval pool so each pick maximizes
+    * `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — relevance traded against
+    * redundancy with what's already selected. THE standard
+    * result-diversification step after any retriever (here: the
+    * brute-cosine pool; the fused RRF list would slot in identically).
+    *
+    * Scale shape — greedy selection is inherently sequential PER QUERY
+    * but embarrassingly parallel ACROSS queries, so the engine shape is
+    * `groupByKey(q_id).flatMapGroups`: each group folds its own
+    * ≤ pool² similarity rows with a bounded greedy loop (pool = 10 →
+    * ≤ 90 pair rows/group), one shuffle on q_id, no driver-side state
+    * and no per-step plan growth (an unrolled DataFrame chain would
+    * reference the selected-set three times per step — the PCA planning
+    * -blowup lesson). Pool relevances and pairwise sims are computed
+    * distributed first: broadcast query join + per-query pool self-join.
+    *
+    * Cross-engine determinism: rel and sim are the [[llmCosineTopk]]
+    * dround(6) cosines; each step's score quantizes to 1e-9 before the
+    * argmax (vec_id tiebreak), so the greedy trajectory replays exactly
+    * in DuckDB's unrolled per-step CTEs. */
+  private[graft] def mmrRerankOf(emb0: DataFrame, isQuery: Column => Column,
+      poolK: Int = 10, selectK: Int = 5, lambda: Double = 0.7): DataFrame = {
+    val spark = emb0.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val emb = emb0
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = emb.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val poolW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rel").desc, col("vec_id"))
+    val pool = broadcast(q).join(emb.filter(!isQuery(col("vec_id"))))
+      .select(col("q_id"), col("vec_id"),
+        dround(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("rel"))
+      .withColumn("prnk", row_number().over(poolW))
+      .filter(col("prnk") <= poolK)
+    val withVec = pool.join(emb, "vec_id")
+    val a = withVec.select(col("q_id"), col("vec_id").as("a"),
+      col("rel").as("rel_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withVec.select(col("q_id"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, "q_id")
+      .select(col("q_id"), col("a"), col("rel_a"), col("b"),
+        when(col("a") === col("b"), lit(1.0))
+          .otherwise(dround(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+          .as("sim"))
+      .as[MmrIn]
+    def q9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    pairs.groupByKey(_.q_id).flatMapGroups { (qid, it) =>
+      val rows = it.toVector
+      val rel = rows.map(r => r.a -> r.rel_a).toMap
+      val sim = rows.iterator.filter(r => r.a != r.b)
+        .map(r => (r.a, r.b) -> r.sim).toMap
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      val remaining = scala.collection.mutable.TreeSet[Long](rel.keys.toSeq: _*)
+      while (selected.length < selectK && remaining.nonEmpty) {
+        val scored = remaining.iterator.map { cand =>
+          val red =
+            if (selected.isEmpty) 0.0
+            else selected.iterator
+              .map(s => sim.getOrElse((cand, s._1), 0.0)).max
+          cand -> q9(lambda * rel(cand) - (1 - lambda) * red)
+        }.toVector
+        val best = scored.minBy { case (id, sc) => (-sc, id) }
+        selected += best
+        remaining -= best._1
+      }
+      selected.iterator.zipWithIndex.map { case ((id, sc), i) =>
+        MmrOut(qid, i + 1, id, sc)
+      }
+    }.toDF()
+  }
+
+  val llmMmrRerank: Q = (s, dir) =>
+    mmrRerankOf(Tables.t(s, dir, "embeddings"), id => id < 3)
+      .orderBy("q_id", "step")
 
   /** Random-hyperplane LSH candidate pairs — vectors hash to sign-pattern
     * buckets; pairs form per bucket (shuffle on bucket id), no crossJoin.
@@ -3765,6 +3853,7 @@ object Text {
     "llm_rrf_fusion" -> llmRrfFusion,
     "llm_stratified_sample" -> llmStratifiedSample,
     "llm_k_anon" -> llmKAnon,
+    "llm_mmr_rerank" -> llmMmrRerank,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -4592,6 +4681,55 @@ object Text {
          |  FROM sims)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // MMR: pool + pairwise sims materialized once, then the greedy
+    // selection unrolled step-by-step — each step's score is the same
+    // 1e-9-quantized λ·rel − (1−λ)·max-sim arithmetic the Spark group
+    // fold runs ((1 - 0.7) spelled as the subtraction so both engines
+    // use the identical IEEE double 0.30000000000000004).
+    "llm_mmr_rerank" -> {
+      def stepSql(k: Int): String =
+        s"""cand$k AS (SELECT p.q_id, p.vec_id, p.rel, MAX(pr.sim) AS red
+           |  FROM p JOIN pr ON pr.q_id = p.q_id AND pr.a = p.vec_id
+           |    JOIN sel${k - 1} s ON s.q_id = pr.q_id AND s.vec_id = pr.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+           |                    WHERE x.q_id = p.q_id AND x.vec_id = p.vec_id)
+           |  GROUP BY p.q_id, p.vec_id, p.rel),
+           |s$k AS MATERIALIZED (SELECT q_id, vec_id, mmr, $k AS step FROM (
+           |  SELECT q_id, vec_id,
+           |    ${oRound("0.7*rel - (1 - 0.7)*red", 9)} AS mmr,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${oRound("0.7*rel - (1 - 0.7)*red", 9)} DESC, vec_id) AS rn
+           |  FROM cand$k) t WHERE rn = 1),
+           |sel$k AS MATERIALIZED (SELECT q_id, vec_id FROM sel${k - 1}
+           |  UNION ALL SELECT q_id, vec_id FROM s$k)""".stripMargin
+      val cosSql = (a: String, b: String) =>
+        s"list_inner_product($a.v, $b.v) / (sqrt(list_inner_product($a.v, $a.v)) * sqrt(list_inner_product($b.v, $b.v)))"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS MATERIALIZED (
+         |  SELECT q_id, vec_id, rel FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |      ${oRound(cosSql("q", "c"), 6)} AS rel
+         |    FROM e q JOIN e c ON q.vec_id < 3 AND c.vec_id >= 3) t
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) <= 10),
+         |pr AS MATERIALIZED (
+         |  SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+         |    ${oRound(cosSql("ea", "eb"), 6)} AS sim
+         |  FROM p a JOIN p b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+         |    JOIN e ea ON ea.vec_id = a.vec_id
+         |    JOIN e eb ON eb.vec_id = b.vec_id),
+         |s1 AS MATERIALIZED (SELECT q_id, vec_id, mmr, 1 AS step FROM (
+         |  SELECT q_id, vec_id, ${oRound("0.7*rel", 9)} AS mmr,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${oRound("0.7*rel", 9)} DESC, vec_id) AS rn
+         |  FROM p) t WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT q_id, vec_id FROM s1),
+         |${(2 to 5).map(stepSql).mkString(",\n")}
+         |SELECT q_id, CAST(step AS INT) AS step, vec_id, mmr
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |      UNION ALL SELECT * FROM s5)
+         |ORDER BY q_id, step""".stripMargin
+    },
     "llm_lang_id" ->
       """SELECT doc_id, lang,
         |CAST(len(list_filter(list_distinct(string_split(text,' ')), x -> list_contains(['the','a','and','of','to'], x))) AS INT) AS sc_en,

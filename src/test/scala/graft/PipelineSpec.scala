@@ -234,6 +234,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: diversity flips a redundant higher-relevance candidate") {
+    import spark.implicits._
+    // q = [1,0]. vec 11 ([0.81, 0.586], rel ≈ .8102) edges out vec 10
+    // ([0.8, 0.6], rel = .8) on pure relevance, and vec 12 ([0.8,-0.6],
+    // rel = .8) ties vec 10 — but 10 is nearly parallel to the step-1
+    // pick 11 (sim ≈ 1) while 12 points away (sim ≈ .296), so MMR
+    // selects 11, 12, 10: the diversity term demotes the redundant
+    // vector below a same-relevance diverse one.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (10L, Array(0.8f, 0.6f), 0),
+      (11L, Array(0.81f, 0.586f), 0),
+      (12L, Array(0.8f, -0.6f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Pipeline.mmrRerank(emb, id => id < 3).collect()
+      .sortBy(_.getInt(1))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(11L, 12L, 10L),
+      rows.mkString(", "))
+    // replay the fold's exact arithmetic (float→double casts included)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map(p => p._1.toDouble * p._2.toDouble).sum
+      r6(d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b))))
+    }
+    val v = Map(0L -> Array(1.0f, 0.0f), 10L -> Array(0.8f, 0.6f),
+      11L -> Array(0.81f, 0.586f), 12L -> Array(0.8f, -0.6f))
+    val rel = Seq(10L, 11L, 12L).map(i => i -> cos(v(0L), v(i))).toMap
+    val expected = Seq(
+      q9(0.7 * rel(11L)),
+      q9(0.7 * rel(12L) - (1 - 0.7) * cos(v(12L), v(11L))),
+      q9(0.7 * rel(10L) - (1 - 0.7) *
+        Seq(cos(v(10L), v(11L)), cos(v(10L), v(12L))).max))
+    assert(rows.map(_.getDouble(3)).toSeq == expected,
+      s"${rows.map(_.getDouble(3)).toSeq} vs $expected")
+  }
+
   test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
     val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
     assert(rows.nonEmpty)
