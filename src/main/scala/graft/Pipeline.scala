@@ -296,6 +296,13 @@ object Pipeline {
       poolK: Int = 10, selectK: Int = 5, lambda: Double = 0.7): DataFrame =
     Text.mmrRerankOf(embeddings, isQuery, poolK, selectK, lambda)
 
+  /** PMI-ranked collocation extraction (Church & Hanks 1990): adjacent
+    * word pairs scored by the un-logged association ratio
+    * p(a,b)/(p(a)·p(b)), hapax-guarded (`minCount`), global top-k via
+    * TakeOrderedAndProject. Returns (a, b, cab, ca, cbn, ratio). */
+  def collocations(docs: DataFrame, minCount: Int = 3,
+      topK: Int = 20): DataFrame = Text.collocationsOf(docs, minCount, topK)
+
   /** Media preprocessing manifest: per payload, the resize plan
     * (longest side to 224 px, aspect preserved) and the uniform
     * frame-sample plan (≤ 4 frames at stride indices, stub timestamps

@@ -2651,6 +2651,54 @@ object Text {
   val llmKAnon: Q = (s, dir) =>
     kAnonOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** PMI-ranked collocation extraction (Church & Hanks 1990, the
+    * association-ratio method): for each adjacent word pair, the
+    * pointwise-mutual-information RATIO p(a,b)/(p(a)·p(b)) =
+    * (c_ab/T_b)·(T_w/c_a)·(T_w/c_b) — ranked un-logged, since log is
+    * monotone and libm-free ranking keeps both engines bit-identical.
+    * Pairs under 3 occurrences are dropped (the classic sparse-PMI
+    * guard: a hapax pair maximizes PMI vacuously). Top-20 collocations
+    * by (ratio, a, b).
+    *
+    * Scale shape: bigram counts are a two-phase agg over observed
+    * pairs (bounded by the token stream, not vocab²); unigram counts
+    * are vocab-sized (Heaps' law — the [[llmTfidfTop]] posture);
+    * corpus totals ride broadcast 1-row frames; the global top-20 is
+    * TakeOrderedAndProject (per-partition heads, never a global
+    * sort). The ratio arithmetic is parenthesized identically in both
+    * engines — products never materialize beyond double-exact range
+    * because the division interleaves. */
+  private[graft] def collocationsOf(docs: DataFrame,
+      minCount: Int = 3, topK: Int = 20): DataFrame = {
+    // size >= 2 guard: Spark's sequence(1, 0) is the descending [1, 0],
+    // not empty — the lmBigramOf lesson
+    val pairs = docs
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("a"),
+          element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cw = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tw = cw.agg(sum(col("c")).as("tw"))
+    val cb = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val tb = cb.agg(sum(col("cab")).as("tb"))
+    cb.filter(col("cab") >= minCount)
+      .join(cw.select(col("w").as("a"), col("c").as("ca")), "a")
+      .join(cw.select(col("w").as("b"), col("c").as("cbn")), "b")
+      .crossJoin(broadcast(tw))
+      .crossJoin(broadcast(tb))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cbn"),
+        dround(((col("cab") * lit(1.0) * col("tw") / col("tb")) *
+          (col("tw") * lit(1.0) / col("ca"))) / col("cbn"), 6).as("ratio"))
+      .orderBy(col("ratio").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  val llmCollocations: Q = (s, dir) =>
+    collocationsOf(Tables.t(s, dir, "documents"))
+
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
     * across runs, engines, and partitionings (never rand()), and adding
@@ -3854,6 +3902,7 @@ object Text {
     "llm_stratified_sample" -> llmStratifiedSample,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
+    "llm_collocations" -> llmCollocations,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -5150,6 +5199,26 @@ object Text {
         |FROM r JOIN c USING (lang)
         |WHERE r.rn <= CEIL(c.n_lang * 0.2)
         |ORDER BY r.doc_id""".stripMargin,
+    // PMI association ratio, un-logged (monotone, libm-free), with the
+    // division interleaved into the products exactly as the Spark side
+    // parenthesizes it; cab >= 3 hapax guard; DuckDB range(1, len) is
+    // empty for 1-word docs, mirroring the Spark size >= 2 filter.
+    "llm_collocations" ->
+      s"""WITH wt AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |prs AS (SELECT ws[i] AS a, ws[i+1] AS b
+         |        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM wt) t),
+         |cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |             FROM documents) wrd GROUP BY w),
+         |tw AS (SELECT CAST(SUM(c) AS BIGINT) AS tw FROM cw),
+         |cb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+         |       FROM prs GROUP BY a, b),
+         |tb AS (SELECT CAST(SUM(cab) AS BIGINT) AS tb FROM cb)
+         |SELECT cb.a, cb.b, cb.cab, wa.c AS ca, wb.c AS cbn,
+         |  ${oRound("((cb.cab * 1.0 * tw.tw / tb.tb) * (tw.tw * 1.0 / wa.c)) / wb.c", 6)} AS ratio
+         |FROM cb JOIN cw wa ON wa.w = cb.a JOIN cw wb ON wb.w = cb.b, tw, tb
+         |WHERE cb.cab >= 3
+         |ORDER BY ratio DESC, a, b LIMIT 20""".stripMargin,
     // k-anonymity: QI triple (lang, source, n_chars//100); groups under
     // k = 5 get their quasi-identifiers masked to '*'.
     "llm_k_anon" ->

@@ -272,6 +272,22 @@ class PipelineSpec extends SparkSpec {
       s"${rows.map(_.getDouble(3)).toSeq} vs $expected")
   }
 
+  test("collocations: exact PMI ratios, hapax pairs filtered") {
+    import spark.implicits._
+    // doc 1: pairs x_y ×3, y_x ×2 (dropped — under minCount);
+    // doc 2: z_z ×3. Totals: tw = 10 words, tb = 8 pairs.
+    //   ratio(x,y) = ((3·10/8)·(10/3))/3 = 4.166667 (q6)
+    //   ratio(z,z) = ((3·10/8)·(10/4))/4 = 2.34375
+    val corpus = Seq((1L, "x y x y x y"), (2L, "z z z z"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.collocations(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      ("x", "y", 3L, 3L, 3L, 4.166667),
+      ("z", "z", 3L, 4L, 4L, 2.34375)), rows.mkString(", "))
+  }
+
   test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
     val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
     assert(rows.nonEmpty)
