@@ -63,8 +63,49 @@ object Graph {
     ranks.orderBy("doc_id")
   }
 
+  /** Per-node triangle counts over the undirected closure of the same
+    * md5 link graph — the standard compact-forward/ordered-join
+    * algorithm (Schank & Wagner 2005; the MapReduce formulation in Suri
+    * & Vassilvitskii WWW 2011): orient every edge low→high, join
+    * (a,b)⋈(b,c) to form wedges, close each wedge against the oriented
+    * edge list (a,c), then credit all three corners. Ordering by id
+    * bounds each join key's fan-out by the node's HIGHER-neighbor count
+    * — the trick that keeps wedge counts near-linear on skewed degree
+    * distributions instead of Σdeg² on hubs.
+    *
+    * Scale shape: two shuffle-joins on edge endpoints plus one explode
+    * + groupBy — the canonical cluster triangle-count dataflow. Edge
+    * dedup (the 3-out-link multigraph collapses to simple edges first)
+    * is a two-phase distinct on the oriented pair. */
+  val triangles: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val edges = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")) // drop self-loops
+      .distinct()
+    val wedges = edges.as("e1")
+      .join(edges.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tris = wedges
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "graph_pagerank" -> pagerank
+    "graph_pagerank" -> pagerank,
+    "graph_triangles" -> triangles
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -78,6 +119,25 @@ object Graph {
        |  GROUP BY i.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |tris AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.a = e1.b
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM tris, unnest([a, b, c]) AS u(v)
+         |GROUP BY v ORDER BY doc_id""".stripMargin,
     "graph_pagerank" -> {
       val iters = (1 to Iterations)
         .map(k => iterSql(s"r${k - 1}", s"r$k")).mkString(",\n")

@@ -89,30 +89,81 @@ object Sequences {
     * stream. Per-user window partitioning scales: no global sort, skew
     * bounded by the busiest single user.
     */
-  val seqSessionize: Q = (s, dir) => {
+  /** The sessionization core shared by [[seqSessionize]] and the
+    * concurrency sweep: one session row per (user, island). */
+  private def sessionsOf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tsu"), col("value"))
     val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-    val sess = e
-      .withColumn("new_sess",
+    e.withColumn("new_sess",
         when(col("tsu") - lag("tsu", 1).over(w) > SessionGapUs
           || lag("tsu", 1).over(w).isNull, 1).otherwise(0))
       .withColumn("session_idx", sum("new_sess").over(w))
-    sess.groupBy("user_id", "session_idx")
+      .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         min("tsu").as("start_tsu"), max("tsu").as("end_tsu"),
         dsum(col("value"), 2).as("total_value"))
       .withColumn("session_idx", col("session_idx").cast("int"))
+  }
+
+  val seqSessionize: Q = (s, dir) =>
+    sessionsOf(s, dir)
       .orderBy("user_id", "session_idx")
       .select("user_id", "session_idx", "n_events", "start_tsu", "end_tsu",
         "total_value")
+
+  /** Peak session concurrency per day — the interval-overlap sweep-line
+    * (how many users are mid-session at once, the load metric behind
+    * capacity planning and concurrency-limit sizing): each session emits
+    * +1 at start and −1 at end, and the running sum over the
+    * (tsu, delta DESC, user_id) total order IS the live concurrency
+    * (+1 before −1 at time ties → inclusive-inclusive overlap).
+    *
+    * Scale shape — a global running sum would single-partition the
+    * corpus, so the sweep is the distributed PREFIX-SUM decomposition
+    * (the `llm_token_budget` posture): per-day partial sums aggregate to
+    * a #days-row frame, a window over THAT tiny frame yields each day's
+    * carry-in offset, broadcast back, and the within-day running sum is
+    * a day-partitioned window. Max + earliest-attaining instant per day
+    * resolve with a co-partitioned self-join on the day key (max-struct
+    * argmax would force SortAggregate — the catalogued quantized-argmax
+    * caveat). The DuckDB oracle intentionally computes the UNSPLIT
+    * global running sum — an independent derivation that must agree
+    * with the bucket decomposition everywhere. */
+  val seqConcurrency: Q = (s, dir) => {
+    val DayUs = 86400L * 1000000L
+    val sess = sessionsOf(s, dir)
+    val deltas = sess
+      .select(col("start_tsu").as("tsu"), lit(1).as("delta"), col("user_id"))
+      .unionAll(sess
+        .select(col("end_tsu").as("tsu"), lit(-1).as("delta"), col("user_id")))
+      .withColumn("day", expr(s"tsu DIV $DayUs")) // integer div: a double
+        // divide + cast could misbucket a boundary tsu vs DuckDB's `//`
+    val offsets = deltas.groupBy("day").agg(sum(col("delta")).as("tot"))
+      .withColumn("off",
+        sum("tot").over(Window.orderBy("day")) - col("tot"))
+      .select("day", "off")
+    val dayW = Window.partitionBy("day")
+      .orderBy(col("tsu"), col("delta").desc, col("user_id"))
+    val cum = deltas
+      .join(broadcast(offsets), "day")
+      .withColumn("conc", sum("delta").over(dayW) + col("off"))
+    val maxes = cum.groupBy("day").agg(max(col("conc")).as("max_conc"))
+    cum.join(maxes, "day")
+      .filter(col("conc") === col("max_conc"))
+      .groupBy("day", "max_conc")
+      .agg(min(col("tsu")).as("at_tsu"))
+      .select(col("day"), col("max_conc"), col("at_tsu"))
+      .orderBy("day")
   }
 
   val queries: Map[String, Q] = Map(
     "seq_matchpath" -> seqMatchpath,
     "seq_matchpath_counts" -> seqMatchpathCounts,
-    "seq_sessionize" -> seqSessionize
+    "seq_sessionize" -> seqSessionize,
+    "seq_concurrency" -> seqConcurrency
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -154,23 +205,50 @@ object Sequences {
         |       CAST(list_sum(list_transform(ms, x -> len(x))) AS BIGINT) AS n_steps_total
         |FROM m WHERE len(ms) > 0 ORDER BY user_id""".stripMargin,
     "seq_sessionize" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
-         |g AS (
-         |  SELECT user_id, event_id, tsu, value,
-         |    CASE WHEN lag(tsu) OVER w IS NULL
-         |           OR tsu - lag(tsu) OVER w > ${SessionGapUs} THEN 1 ELSE 0
-         |    END AS new_sess
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-         |s AS (
-         |  SELECT user_id, tsu, value,
-         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
-         |      AS session_idx
-         |  FROM g)
+      s"""WITH $sessionCtesSql
          |SELECT user_id, CAST(session_idx AS INT) AS session_idx,
          |  COUNT(*) AS n_events, MIN(tsu) AS start_tsu, MAX(tsu) AS end_tsu,
          |  ${oSum("value", 2)} AS total_value
          |FROM s GROUP BY user_id, session_idx
-         |ORDER BY user_id, session_idx""".stripMargin
+         |ORDER BY user_id, session_idx""".stripMargin,
+    // Deliberately the UNSPLIT global running sum (vs the engine's
+    // bucket-decomposed prefix sum) — an independent derivation of the
+    // same sweep, so a decomposition bug cannot hide.
+    "seq_concurrency" ->
+      s"""WITH $sessionCtesSql,
+         |sess AS (SELECT user_id, session_idx, MIN(tsu) AS start_tsu,
+         |           MAX(tsu) AS end_tsu
+         |         FROM s GROUP BY user_id, session_idx),
+         |d AS (SELECT start_tsu AS tsu, 1 AS delta, user_id FROM sess
+         |      UNION ALL
+         |      SELECT end_tsu AS tsu, -1 AS delta, user_id FROM sess),
+         |c AS (SELECT tsu, delta, user_id, tsu // 86400000000 AS day,
+         |        CAST(SUM(delta) OVER (ORDER BY tsu, delta DESC, user_id)
+         |          AS BIGINT) AS conc
+         |      FROM d),
+         |m AS (SELECT day, MAX(conc) AS max_conc FROM c GROUP BY day)
+         |SELECT m.day, m.max_conc, MIN(c.tsu) AS at_tsu
+         |FROM c JOIN m ON c.day = m.day AND c.conc = m.max_conc
+         |GROUP BY m.day, m.max_conc
+         |ORDER BY m.day""".stripMargin
   )
+
+  /** Shared DuckDB session CTE chain (gaps-and-islands over `events`) —
+    * one definition for the sessionize oracle and the concurrency
+    * oracle, so the two cannot drift. Exposes `s`:
+    * (user_id, tsu, value, session_idx). */
+  private lazy val sessionCtesSql: String =
+    s"""e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events),
+       |g AS (
+       |  SELECT user_id, event_id, tsu, value,
+       |    CASE WHEN lag(tsu) OVER w IS NULL
+       |           OR tsu - lag(tsu) OVER w > ${SessionGapUs} THEN 1 ELSE 0
+       |    END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+       |s AS (
+       |  SELECT user_id, tsu, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+       |      AS session_idx
+       |  FROM g)""".stripMargin
 }

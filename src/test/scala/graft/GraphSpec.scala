@@ -41,4 +41,34 @@ class GraphSpec extends SparkSpec {
     // the graph is non-degenerate: ranks genuinely differ
     assert(got.values.toSet.size > 100)
   }
+
+  test("graph_triangles replays a driver-side enumeration") {
+    val got = SparkEntry.queries("graph_triangles")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map { i =>
+        val dst = h(s"$src:$i") % n
+        (math.min(src.toLong, dst), math.max(src.toLong, dst))
+      }
+    }.filter(e => e._1 < e._2).toSet
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, bs) <- adj.toSeq
+      b <- bs
+      c <- adj.getOrElse(b, Set.empty)
+      if edges.contains((a, c))
+    } {
+      counts(a) += 1; counts(b) += 1; counts(c) += 1
+    }
+    assert(got == counts.toMap, s"sizes: got ${got.size} vs ${counts.size}")
+    // every count is per-node triangle participation: total divides by 3
+    assert(got.values.sum % 3 == 0)
+  }
 }

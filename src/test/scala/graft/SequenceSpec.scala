@@ -108,4 +108,31 @@ class SequenceSpec extends SparkSpec {
       }
     }
   }
+
+  test("seq_concurrency matches a single-threaded global sweep") {
+    val dayUs = 86400L * 1000000L
+    val got = SparkEntry.queries("seq_concurrency")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // reference: sessions from the engine's own sessionize output (that
+    // query is replay-verified above), swept globally in one thread
+    val sessions = SparkEntry.queries("seq_sessionize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val deltas = sessions.flatMap { case (uid, st, en) =>
+      Seq((st, 1, uid), (en, -1, uid))
+    }.sortBy { case (t, d, u) => (t, -d, u) }
+    var conc = 0L
+    val best = scala.collection.mutable.Map[Long, (Long, Long)]() // day -> (max, at)
+    deltas.foreach { case (t, d, _) =>
+      conc += d
+      val day = t / dayUs
+      val cur = best.get(day)
+      if (cur.forall(_._1 < conc)) best(day) = (conc, t)
+    }
+    val expected = best.toSeq.map { case (day, (mx, at)) => (day, mx, at) }
+      .sortBy(_._1)
+    assert(got.toSeq == expected, s"${got.take(5).toSeq} vs ${expected.take(5)}")
+    // sweep sanity: every day's peak is at least 1 (a session exists)
+    assert(got.forall(_._2 >= 1))
+  }
 }
