@@ -41,12 +41,21 @@ object Graph {
     // carry N as a broadcast-joined column: no driver-side collect, and the
     // 0.15/n teleport term stays in-plan at any corpus size
     val base = ids.crossJoin(broadcast(nDf))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = base
       .select(col("doc_id").as("src"), col("n"),
         explode(array((1 to OutDeg).map(lit): _*)).as("i"))
       .select(col("src"),
         pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
           16, 10).cast("long"), col("n").cast("long")).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist rationale: both subtrees are pure projection chains (no
+    // exchange below → nothing for AQE stage reuse to dedup) consumed
+    // once per iteration — unpersisted, the executed plan re-scans the
+    // corpus 11× for 5 iterations (the catalogued multi-consumed-
+    // projection barrier rule). Eager count: concurrent iteration
+    // stages would race the cache population.
+    edges.count()
     var ranks = base.select(col("doc_id"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to Iterations) {
       val contribs = edges
