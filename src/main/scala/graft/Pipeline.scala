@@ -303,6 +303,13 @@ object Pipeline {
   def collocations(docs: DataFrame, minCount: Int = 3,
       topK: Int = 20): DataFrame = Text.collocationsOf(docs, minCount, topK)
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word co-occurrence graph, surfacing words
+    * central to the topology even when raw counts are unremarkable.
+    * Returns the top-k (word, score). */
+  def textrank(docs: DataFrame, iterations: Int = 5,
+      topK: Int = 10): DataFrame = Text.textrankOf(docs, iterations, topK)
+
   /** Media preprocessing manifest: per payload, the resize plan
     * (longest side to 224 px, aspect preserved) and the uniform
     * frame-sample plan (≤ 4 frames at stride indices, stub timestamps

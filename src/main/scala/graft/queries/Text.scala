@@ -2699,6 +2699,56 @@ object Text {
   val llmCollocations: Q = (s, dir) =>
     collocationsOf(Tables.t(s, dir, "documents"))
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * weighted PageRank over the word co-occurrence graph — nodes are
+    * distinct words, an undirected edge per adjacent pair weighted by
+    * its count, score `PR(w) = 0.15 + 0.85·Σ_v (w_vw/outw(v))·PR(v)`
+    * iterated 5 times from 1.0, top-10 words by final score. The
+    * graph-ranking dual of [[collocationsOf]]' frequency-ratio view:
+    * TextRank surfaces words central to the co-occurrence topology
+    * even when raw counts are unremarkable.
+    *
+    * Scale shape: nodes/edges are vocab-sized (Heaps' law), weights are
+    * a two-phase bigram agg bounded by the token stream; each iteration
+    * is one vocab-sized join + dst groupBy (the [[graft.queries.Graph]]
+    * PageRank dataflow), with AQE stage reuse deduping the weight
+    * exchange across iterations; the top-10 is TakeOrderedAndProject.
+    * 1e-9 quantized sums/rounds per iteration keep the trajectory
+    * bit-exact vs the DuckDB MATERIALIZED-CTE replay. */
+  private[graft] def textrankOf(docs: DataFrame, iterations: Int = 5,
+      topK: Int = 10): DataFrame = {
+    val pairs = docs
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("a"),
+          element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    val wgt = und.groupBy("a", "b").agg(count(lit(1)).as("wgt"))
+    val outw = wgt.groupBy("a").agg(sum(col("wgt")).as("ow"))
+    val e = wgt.join(outw, "a")
+    val nodes = outw.select(col("a").as("word"))
+    var pr = nodes.select(col("word"), lit(1.0).as("score"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(pr.withColumnRenamed("word", "a"), "a")
+        .select(col("b").as("word"),
+          (col("score") * col("wgt") / col("ow")).as("c"))
+      pr = nodes
+        .join(contribs, Seq("word"), "left")
+        .groupBy("word")
+        .agg(dsum(coalesce(col("c"), lit(0.0)), 9).as("sc"))
+        .select(col("word"),
+          dround(lit(0.15) + lit(0.85) * col("sc"), 9).as("score"))
+    }
+    pr.orderBy(col("score").desc, col("word")).limit(topK)
+  }
+
+  val llmTextrank: Q = (s, dir) =>
+    textrankOf(Tables.t(s, dir, "documents"))
+
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
     * across runs, engines, and partitionings (never rand()), and adding
@@ -3903,6 +3953,7 @@ object Text {
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
+    "llm_textrank" -> llmTextrank,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -5219,6 +5270,36 @@ object Text {
          |FROM cb JOIN cw wa ON wa.w = cb.a JOIN cw wb ON wb.w = cb.b, tw, tb
          |WHERE cb.cab >= 3
          |ORDER BY ratio DESC, a, b LIMIT 20""".stripMargin,
+    // TextRank: undirected weighted word graph, 5 unrolled weighted-
+    // PageRank iterations with the same quantized-long sums as the Spark
+    // side; (score * wgt / ow) parenthesized identically (left-assoc).
+    "llm_textrank" -> {
+      def iterSql(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT n.word,
+           |    ${oRound(s"0.15 + 0.85*(${oSum("COALESCE(c.c, 0.0)", 9)})", 9)} AS score
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.b AS word, r.score * e.wgt / e.ow AS c
+           |    FROM e JOIN $prev r ON r.word = e.a) c
+           |  ON c.word = n.word
+           |  GROUP BY n.word)""".stripMargin
+      s"""WITH wt AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |prs AS (SELECT ws[i] AS a, ws[i+1] AS b
+         |        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM wt) t
+         |        WHERE ws[i] <> ws[i+1]),
+         |und AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+         |wgt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS wgt
+         |        FROM und GROUP BY a, b),
+         |outw AS (SELECT a, CAST(SUM(wgt) AS BIGINT) AS ow
+         |         FROM wgt GROUP BY a),
+         |e AS MATERIALIZED (SELECT wgt.a, wgt.b, wgt.wgt, outw.ow
+         |     FROM wgt JOIN outw USING (a)),
+         |nodes AS (SELECT a AS word FROM outw),
+         |r0 AS (SELECT word, 1.0 AS score FROM nodes),
+         |${(1 to 5).map(k => iterSql(s"r${k - 1}", s"r$k")).mkString(",\n")}
+         |SELECT word, score FROM r5
+         |ORDER BY score DESC, word LIMIT 10""".stripMargin
+    },
     // k-anonymity: QI triple (lang, source, n_chars//100); groups under
     // k = 5 get their quasi-identifiers masked to '*'.
     "llm_k_anon" ->

@@ -288,6 +288,33 @@ class PipelineSpec extends SparkSpec {
       ("z", "z", 3L, 4L, 4L, 2.34375)), rows.mkString(", "))
   }
 
+  test("textrank: hub word wins; scores replay a driver-side iteration") {
+    import spark.implicits._
+    // star graph: 'a' co-occurs with b, c, d — the hub must outrank the
+    // leaves even though every edge weight is identical
+    val corpus = Seq((1L, "a b"), (2L, "a c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.textrank(corpus).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(rows.head._1 == "a", rows.mkString(", "))
+    // replay: und edges (a,x) & (x,a) wgt 1; ow(a)=3, ow(leaf)=1
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def qsum9(xs: Seq[Double]) =
+      xs.map(x => math.floor(x * 1e9 + 0.5).toLong).sum / 1e9
+    val words = Seq("a", "b", "c", "d")
+    var pr = words.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      pr = words.map { w =>
+        val in =
+          if (w == "a") Seq("b", "c", "d").map(v => pr(v) * 1 / 1.0)
+          else Seq(pr("a") * 1 / 3.0)
+        w -> q9(0.15 + 0.85 * qsum9(in))
+      }.toMap
+    }
+    val expected = pr.toSeq.sortBy { case (w, sc) => (-sc, w) }
+    assert(rows.toSeq == expected, s"${rows.toSeq} vs $expected")
+  }
+
   test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
     val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
     assert(rows.nonEmpty)
