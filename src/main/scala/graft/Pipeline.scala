@@ -310,6 +310,12 @@ object Pipeline {
   def textrank(docs: DataFrame, iterations: Int = 5,
       topK: Int = 10): DataFrame = Text.textrankOf(docs, iterations, topK)
 
+  /** Cavnar-Trenkle char-trigram language ID: per-language top-30
+    * trigram rank profiles built from the corpus's own labels, docs
+    * classified by the all-integer out-of-place distance. Returns
+    * (doc_id, lang, predicted, dist, correct). */
+  def charLangId(docs: DataFrame): DataFrame = Text.charLangIdOf(docs)
+
   /** Media preprocessing manifest: per payload, the resize plan
     * (longest side to 224 px, aspect preserved) and the uniform
     * frame-sample plan (≤ 4 frames at stride indices, stub timestamps

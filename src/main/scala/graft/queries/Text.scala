@@ -2749,6 +2749,64 @@ object Text {
   val llmTextrank: Q = (s, dir) =>
     textrankOf(Tables.t(s, dir, "documents"))
 
+  /** Character-n-gram language ID (Cavnar & Trenkle 1994, "N-Gram-Based
+    * Text Categorization" — the method fastText-era lang-ID descends
+    * from): per-language char-TRIGRAM rank profiles (top 30 by count)
+    * built from the corpus's own labels, each doc classified by the
+    * OUT-OF-PLACE distance — Σ over the doc's top-30 trigrams of
+    * |doc-rank − profile-rank|, absent trigrams costing the max rank
+    * 30. The character-level counterpart of the word-list
+    * [[Text.scala]] `llm_lang_id` heuristic — all-integer ranks and
+    * distances, no probability arithmetic to drift.
+    *
+    * Scale shape: profiles aggregate to ≤ langs×30 rows (broadcast);
+    * doc trigram top-30s are a per-doc window over the (doc, gram)
+    * count agg; scoring is doc-top-30 × #langs rows left-joined against
+    * the broadcast profile — per-doc work is constant-bounded at any
+    * corpus scale. */
+  private[graft] def charLangIdOf(docs: DataFrame): DataFrame = {
+    val P = 30
+    // length >= 3 guard: sequence(1, len-2) is the descending [1, 0]
+    // for len = 1 (the lmBigramOf trap)
+    val grams = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("g"))
+    val profW = org.apache.spark.sql.expressions.Window
+      .partitionBy("plang").orderBy(col("c").desc, col("g"))
+    val profile = grams.groupBy(col("lang").as("plang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rl", row_number().over(profW))
+      .filter(col("rl") <= P)
+      .select("plang", "g", "rl")
+    val docW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("c").desc, col("g"))
+    val docTop = grams.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rd", row_number().over(docW))
+      .filter(col("rd") <= P)
+      .select("doc_id", "g", "rd")
+    val langs = docs.select(col("lang").as("plang")).distinct()
+    val pickW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("dist"), col("plang"))
+    val dists = docTop
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profile), Seq("plang", "g"), "left")
+      .groupBy("doc_id", "plang")
+      .agg(sum(coalesce(abs(col("rd") - col("rl")), lit(P))).as("dist"))
+      .withColumn("pick", row_number().over(pickW))
+      .filter(col("pick") === 1)
+    docs.select(col("doc_id"), col("lang"))
+      .join(dists.select(col("doc_id"), col("plang").as("predicted"),
+        col("dist")), "doc_id")
+      .withColumn("correct", col("lang") === col("predicted"))
+      .orderBy("doc_id")
+  }
+
+  val llmCharngramLangid: Q = (s, dir) =>
+    charLangIdOf(Tables.t(s, dir, "documents"))
+
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
     * across runs, engines, and partitionings (never rand()), and adding
@@ -3954,6 +4012,7 @@ object Text {
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
     "llm_textrank" -> llmTextrank,
+    "llm_charngram_langid" -> llmCharngramLangid,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -5300,6 +5359,43 @@ object Text {
          |SELECT word, score FROM r5
          |ORDER BY score DESC, word LIMIT 10""".stripMargin
     },
+    // Cavnar-Trenkle: char-trigram rank profiles + out-of-place
+    // distance, all-integer; absent trigram costs the max rank 30.
+    "llm_charngram_langid" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, substr(text, i, 3) AS g
+        |  FROM (SELECT doc_id, lang, text,
+        |          unnest(range(1, length(text) - 1)) AS i
+        |        FROM documents WHERE length(text) >= 3) t),
+        |profile AS (
+        |  SELECT plang, g, rl FROM (
+        |    SELECT lang AS plang, g, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(*) DESC, g) AS rl
+        |    FROM grams GROUP BY lang, g) p WHERE rl <= 30),
+        |doctop AS (
+        |  SELECT doc_id, g, rd FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY COUNT(*) DESC, g) AS rd
+        |    FROM grams GROUP BY doc_id, g) d WHERE rd <= 30),
+        |langs AS (SELECT DISTINCT lang AS plang FROM documents),
+        |dists AS (
+        |  SELECT dt.doc_id, l.plang,
+        |    CAST(SUM(COALESCE(ABS(dt.rd - p.rl), 30)) AS BIGINT) AS dist
+        |  FROM doctop dt CROSS JOIN langs l
+        |  LEFT JOIN profile p ON p.plang = l.plang AND p.g = dt.g
+        |  GROUP BY dt.doc_id, l.plang),
+        |best AS (
+        |  SELECT doc_id, plang AS predicted, dist FROM (
+        |    SELECT doc_id, plang, dist,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY dist, plang) AS pick
+        |    FROM dists) b WHERE pick = 1)
+        |SELECT d.doc_id, d.lang, b.predicted, b.dist,
+        |  (d.lang = b.predicted) AS correct
+        |FROM documents d JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // k-anonymity: QI triple (lang, source, n_chars//100); groups under
     // k = 5 get their quasi-identifiers masked to '*'.
     "llm_k_anon" ->

@@ -315,6 +315,23 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == expected, s"${rows.toSeq} vs $expected")
   }
 
+  test("charLangId: disjoint-alphabet langs classify exactly") {
+    import spark.implicits._
+    // g1 docs are all-x, g2 all-y: each lang profile is its single
+    // trigram at rank 1 → own-lang distance 0, other-lang = 30 penalty
+    val corpus = Seq(
+      (1L, "xxxxxx", "g1"), (2L, "xxxxxx", "g1"),
+      (3L, "yyyyyy", "g2"), (4L, "yyyyyy", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val rows = Pipeline.charLangId(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "g1", "g1", 0L, true), (2L, "g1", "g1", 0L, true),
+      (3L, "g2", "g2", 0L, true), (4L, "g2", "g2", 0L, true)),
+      rows.mkString(", "))
+  }
+
   test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
     val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
     assert(rows.nonEmpty)
