@@ -222,6 +222,51 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** SCD2 point-in-time join — the warehouse temporal-join pattern
+    * [[joinAsof]] does NOT cover: the dimension is a slowly-changing
+    * type-2 table (validity intervals, open-ended current row) and each
+    * fact row joins the version active AT its timestamp. The dimension
+    * here is derived in-query: per user, consecutive same-`event_type`
+    * runs become status versions (`valid_from` = run start, `valid_to` =
+    * next run's start via `lead`, NULL while current), and the probe set
+    * is every event shifted +1 h — so probes genuinely cross version
+    * boundaries instead of trivially landing in their own run.
+    *
+    * Scale shape: the PIT join is an EQUI-join on the user key carrying
+    * the range predicate as a join condition — SMJ/shuffle on user_id
+    * with per-user version chains (bounded) scanned inside the match,
+    * never a nested-loop over facts × versions. Intervals partition
+    * [first_from, ∞) per user, so each probe matches exactly one
+    * version (row count = probe count, asserted in the spec). */
+  val joinScd2: Q = (s, dir) => {
+    val HourUs = 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu", "event_id")
+    val runs = ev
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull
+          || lag("event_type", 1).over(w) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum("chg").over(w))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("d_user").orderBy("run_id")
+    val dim = runs.groupBy(col("user_id").as("d_user"), col("run_id"))
+      .agg(min("tsu").as("valid_from"), max("event_type").as("status"))
+      .withColumn("valid_to", lead("valid_from", 1).over(wd))
+    val probes = ev.select(col("user_id"), col("event_id"),
+      (col("tsu") + HourUs).as("tsp"))
+    probes
+      .join(dim, probes("user_id") === dim("d_user")
+        && col("tsp") >= col("valid_from")
+        && (col("valid_to").isNull || col("tsp") < col("valid_to")))
+      .select(col("user_id"), col("event_id"), col("tsp"),
+        col("status"), col("valid_from"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Binned range join — the scale path for pure time-range joins (no key
     * equality): a naive range predicate plans as a nested-loop join (fine
     * for the θ-join showcase, fatal at 100 TB on two fact tables). Here
@@ -363,6 +408,7 @@ object Relational {
     "join_theta" -> joinTheta,
     "join_broadcast" -> joinBroadcast,
     "join_asof" -> joinAsof,
+    "join_scd2" -> joinScd2,
     "join_range_bin" -> joinRangeBin,
     "setop_union_all" -> setopUnionAll,
     "setop_union_distinct" -> setopUnionDistinct,
@@ -455,6 +501,33 @@ object Relational {
         |ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
         |ORDER BY user_id, event_id""".stripMargin,
+    // SCD2 PIT join: status runs via gaps-and-islands, valid_to via
+    // lead, probes shifted +1h so they cross version boundaries.
+    "join_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+        |           FROM events),
+        |r AS (SELECT user_id, event_id, tsu, event_type,
+        |        CASE WHEN lag(event_type) OVER w IS NULL
+        |               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0
+        |        END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |r2 AS (SELECT user_id, tsu, event_type,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |           AS run_id
+        |       FROM r),
+        |dim AS (SELECT user_id AS d_user, run_id, MIN(tsu) AS valid_from,
+        |          MAX(event_type) AS status
+        |        FROM r2 GROUP BY user_id, run_id),
+        |dim2 AS (SELECT d_user, run_id, valid_from, status,
+        |           lead(valid_from) OVER (PARTITION BY d_user ORDER BY run_id)
+        |             AS valid_to
+        |         FROM dim),
+        |p AS (SELECT user_id, event_id, tsu + 3600000000 AS tsp FROM e)
+        |SELECT p.user_id, p.event_id, p.tsp, d.status, d.valid_from
+        |FROM p JOIN dim2 d ON d.d_user = p.user_id
+        |  AND p.tsp >= d.valid_from
+        |  AND (d.valid_to IS NULL OR p.tsp < d.valid_to)
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
     "join_range_bin" ->
       s"""SELECT o1.o_orderpriority AS o_orderpriority, COUNT(*) AS follow_cnt,
          |${oSum("o2.o_totalprice", 2)} AS follow_total

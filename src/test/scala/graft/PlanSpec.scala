@@ -440,6 +440,24 @@ class PlanSpec extends SparkSpec {
     assert(windows == 2, s"expected 2 Window nodes:\n$finalPlan")
   }
 
+  test("join_scd2: PIT join is an equi-join on user, not a nested loop") {
+    // the range predicate must ride the user_id equi-join (SMJ/SHJ);
+    // a BroadcastNestedLoopJoin here means the equi-key was lost and
+    // the probe side would scan every version of every user at scale
+    val df = SparkEntry.queries("join_scd2")(spark, sfDir)
+    val s = planString(df)
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"PIT join degenerated to a nested loop:\n$s")
+    val rows = df.collect()
+    // intervals partition the timeline per user: every probe matches
+    // exactly one version
+    val nEvents = graft.Tables.events(spark, sfDir).count()
+    assert(rows.length.toLong == nEvents, s"${rows.length} vs $nEvents")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(4), "probe before valid_from")
+    }
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
