@@ -316,6 +316,12 @@ object Pipeline {
     * (doc_id, lang, predicted, dist, correct). */
   def charLangId(docs: DataFrame): DataFrame = Text.charLangIdOf(docs)
 
+  /** Per-doc character-distribution entropy in the integer bin-length
+    * surrogate — the cheap low-entropy garbage gate (single-char
+    * floods, keyboard mash) that runs before heavier n-gram scorers.
+    * Returns (doc_id, len, alphabet, ent_bits). */
+  def charEntropy(docs: DataFrame): DataFrame = Text.charEntropyOf(docs)
+
   /** Media preprocessing manifest: per payload, the resize plan
     * (longest side to 224 px, aspect preserved) and the uniform
     * frame-sample plan (≤ 4 frames at stride indices, stub timestamps

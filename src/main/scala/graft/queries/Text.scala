@@ -2768,11 +2768,18 @@ object Text {
     val P = 30
     // length >= 3 guard: sequence(1, len-2) is the descending [1, 0]
     // for len = 1 (the lmBigramOf trap)
+    // persist barrier: the char-trigram explode is a pure projection
+    // (no exchange for AQE reuse to dedup) consumed by BOTH the
+    // profile and the doc-top groupBys — unpersisted it scans and
+    // re-explodes the whole corpus twice (measured median 3.06 → 1.33 s
+    // in-micro at sf0.1, REPEATS=5)
     val grams = docs
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), length(col("text")) - 2),
           i => col("text").substr(i, lit(3)))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: concurrent consumers would race the cache
     val profW = org.apache.spark.sql.expressions.Window
       .partitionBy("plang").orderBy(col("c").desc, col("g"))
     val profile = grams.groupBy(col("lang").as("plang"), col("g"))
@@ -2806,6 +2813,41 @@ object Text {
 
   val llmCharngramLangid: Q = (s, dir) =>
     charLangIdOf(Tables.t(s, dir, "documents"))
+
+  /** Per-document character-distribution entropy, in the engine's
+    * integer bin-length surrogate (Σ cᵢ·(bits(L) − bits(cᵢ))/L over the
+    * doc's char counts — the libm-free stand-in for Shannon −Σp·log₂p,
+    * same monotone ordering): the cheap low-entropy detector that flags
+    * single-char floods and keyboard-mash BEFORE the heavier n-gram
+    * scorers run — Gopher-class pipelines gate on exactly this signal
+    * first because it needs one char pass and no model tables.
+    *
+    * Scale shape: explode chars → two-phase (doc, char) count agg →
+    * per-doc weighted agg; alphabet size bounds the per-doc group count,
+    * nothing global, no joins beyond the per-doc length carried through
+    * the agg. */
+  private[graft] def charEntropyOf(docs: DataFrame): DataFrame = {
+    // substr-over-range (the charLangIdOf idiom) rather than
+    // split(text, "") — the empty-delimiter split has no DuckDB twin
+    val chars = docs
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        explode(transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("ch"))
+    chars.groupBy("doc_id", "len", "ch")
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("len"),
+        (col("c") * (length(bin(col("len").cast("long"))) -
+          length(bin(col("c"))))).as("w"))
+      .groupBy("doc_id", "len")
+      .agg(sum(col("w")).as("sw"), count(lit(1)).as("alphabet"))
+      .select(col("doc_id"), col("len").cast("long").as("len"),
+        col("alphabet"),
+        dround(col("sw").cast("double") / col("len"), 6).as("ent_bits"))
+  }
+
+  val llmCharEntropy: Q = (s, dir) =>
+    charEntropyOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
@@ -4013,6 +4055,7 @@ object Text {
     "llm_collocations" -> llmCollocations,
     "llm_textrank" -> llmTextrank,
     "llm_charngram_langid" -> llmCharngramLangid,
+    "llm_char_entropy" -> llmCharEntropy,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -5359,6 +5402,19 @@ object Text {
          |SELECT word, score FROM r5
          |ORDER BY score DESC, word LIMIT 10""".stripMargin
     },
+    // Bin-length entropy surrogate over per-doc char counts; substr-
+    // over-range chars (no empty-delimiter split in DuckDB).
+    "llm_char_entropy" ->
+      s"""WITH chars AS (
+         |  SELECT doc_id, length(text) AS len, substr(text, i, 1) AS ch
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+         |        FROM documents WHERE length(text) >= 1) t),
+         |cc AS (SELECT doc_id, len, ch, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM chars GROUP BY doc_id, len, ch)
+         |SELECT doc_id, CAST(len AS BIGINT) AS len,
+         |  CAST(COUNT(*) AS BIGINT) AS alphabet,
+         |  ${oRound("CAST(SUM(c * (length(bin(CAST(len AS BIGINT))) - length(bin(c)))) AS DOUBLE) / len", 6)} AS ent_bits
+         |FROM cc GROUP BY doc_id, len ORDER BY doc_id""".stripMargin,
     // Cavnar-Trenkle: char-trigram rank profiles + out-of-place
     // distance, all-integer; absent trigram costs the max rank 30.
     "llm_charngram_langid" ->

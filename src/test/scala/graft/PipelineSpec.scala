@@ -332,6 +332,21 @@ class PipelineSpec extends SparkSpec {
       rows.mkString(", "))
   }
 
+  test("charEntropy: exact bin-length entropy on planted distributions") {
+    import spark.implicits._
+    // "aaaa": one char class → 0 bits. "abcd": uniform over 4 →
+    // bits(4)−bits(1) = 2 per char → 2.0. "aabb": two classes of 2 →
+    // bits(4)−bits(2) = 1 per char → 1.0.
+    val corpus = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.charEntropy(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(rows(1L) == ((4L, 1L, 0.0)), rows.toString)
+    assert(rows(2L) == ((4L, 4L, 2.0)), rows.toString)
+    assert(rows(3L) == ((4L, 2L, 1.0)), rows.toString)
+  }
+
   test("mediaManifest: distinct in-bounds frame samples, aspect-true resize") {
     val rows = SparkEntry.queries("llm_media_manifest")(spark, sfDir).collect()
     assert(rows.nonEmpty)
