@@ -2849,6 +2849,37 @@ object Text {
   val llmCharEntropy: Q = (s, dir) =>
     charEntropyOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Per-dimension winsorization audit of the embedding table (clip to
+    * [p05, p95] — the standard outlier guard before quantization or
+    * whitening; [[Text.scala]] `llm_embed_quantize`'s int8 range is
+    * exactly what un-clipped tails blow out): for each of the 64 dims,
+    * the exact interpolated 5th/95th percentiles (the `agg_percentile`
+    * cross-engine idiom — Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * dround(6)) and how many values each side would clip.
+    *
+    * Scale shape: posexplode to (dim, v) — persisted, a pure projection
+    * consumed by the stats agg AND the clip-count pass — then a 64-row
+    * broadcast join back; percentiles are per-dim two-phase aggs, never
+    * a global sort. */
+  val llmEmbedClip: Q = (s, dir) => {
+    val vals = Tables.t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vals.count() // eager: concurrent consumers would race the cache
+    val stats = vals.groupBy("dim").agg(
+      dround(expr("percentile(v, 0.05)"), 6).as("lo"),
+      dround(expr("percentile(v, 0.95)"), 6).as("hi"),
+      count(lit(1)).as("n"))
+    vals.join(broadcast(stats), "dim")
+      .groupBy("dim", "lo", "hi", "n")
+      .agg(sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
+      .select("dim", "lo", "hi", "n", "n_lo", "n_hi")
+      .orderBy("dim")
+  }
+
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
     * across runs, engines, and partitionings (never rand()), and adding
@@ -4056,6 +4087,7 @@ object Text {
     "llm_textrank" -> llmTextrank,
     "llm_charngram_langid" -> llmCharngramLangid,
     "llm_char_entropy" -> llmCharEntropy,
+    "llm_embed_clip" -> llmEmbedClip,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -5402,6 +5434,25 @@ object Text {
          |SELECT word, score FROM r5
          |ORDER BY score DESC, word LIMIT 10""".stripMargin
     },
+    // Winsorization audit: quantile_cont ≡ Spark percentile (the
+    // agg_percentile idiom), 64-row dim table via range(64) (DuckDB 1.0
+    // lacks lateral range-over-column), clip counts against the ROUNDED
+    // thresholds in both engines.
+    "llm_embed_clip" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vals AS (SELECT t.d AS dim, e.v[t.d + 1] AS v
+         |         FROM e, range(64) t(d)),
+         |stats AS (SELECT dim,
+         |    ${oRound("quantile_cont(v, 0.05)", 6)} AS lo,
+         |    ${oRound("quantile_cont(v, 0.95)", 6)} AS hi,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM vals GROUP BY dim)
+         |SELECT s.dim, s.lo, s.hi, s.n,
+         |  CAST(SUM(CASE WHEN va.v < s.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         |  CAST(SUM(CASE WHEN va.v > s.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+         |FROM vals va JOIN stats s USING (dim)
+         |GROUP BY s.dim, s.lo, s.hi, s.n
+         |ORDER BY s.dim""".stripMargin,
     // Bin-length entropy surrogate over per-doc char counts; substr-
     // over-range chars (no empty-delimiter split in DuckDB).
     "llm_char_entropy" ->

@@ -965,4 +965,19 @@ class QueriesSpec extends SparkSpec {
       assert((i >= 1) == (id % 2 == 0), s"doc $id: ip count wrong")
     }
   }
+
+  test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
+    val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (lo, hi, n, nLo, nHi) = (r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo <= hi)
+      // interpolated p05/p95: each strict tail holds at most 5% + the
+      // rounding slack of one value
+      assert(nLo <= math.ceil(n * 0.05).toLong + 1, s"dim ${r.getLong(0)}: $nLo")
+      assert(nHi <= math.ceil(n * 0.05).toLong + 1, s"dim ${r.getLong(0)}: $nHi")
+      assert(n == rows.head.getLong(3)) // every dim sees every vector
+    }
+  }
 }
