@@ -2849,6 +2849,29 @@ object Text {
   val llmCharEntropy: Q = (s, dir) =>
     charEntropyOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Soft deduplication weighting (the SoftDeDup idea — reweight
+    * duplicated content instead of dropping it, so the keep/drop cliff
+    * of [[llmExactDedup]] becomes a smooth loss scale: a doc appearing
+    * n times trains with weight 1/n and the CORPUS-level token
+    * distribution is preserved while duplicate gradient mass is
+    * neutralized). Clusters are exact content groups over the shared
+    * [[contentHashCol]] scheme — the same hash the exact-dedup layer
+    * and the incremental state table key on, so the three operators
+    * can never disagree about what "a duplicate" is.
+    *
+    * Scale shape: one two-phase count on the 32-byte hash + a
+    * co-partitioned join back on the same key (both sides share the
+    * hash exchange); weight arithmetic is per-row. */
+  val llmDedupWeights: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), contentHashCol.as("h"))
+    val counts = d.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    d.join(counts, "h")
+      .select(col("doc_id"), col("n_copies"),
+        dround(lit(1.0) / col("n_copies"), 9).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** Per-dimension winsorization audit of the embedding table (clip to
     * [p05, p95] — the standard outlier guard before quantization or
     * whitening; [[Text.scala]] `llm_embed_quantize`'s int8 range is
@@ -4088,6 +4111,7 @@ object Text {
     "llm_charngram_langid" -> llmCharngramLangid,
     "llm_char_entropy" -> llmCharEntropy,
     "llm_embed_clip" -> llmEmbedClip,
+    "llm_dedup_weights" -> llmDedupWeights,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -5434,6 +5458,15 @@ object Text {
          |SELECT word, score FROM r5
          |ORDER BY score DESC, word LIMIT 10""".stripMargin
     },
+    // SoftDeDup weights: sha256 content clusters (the exact-dedup
+    // scheme), weight = 1/n quantized.
+    "llm_dedup_weights" ->
+      s"""WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         |c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies
+         |      FROM h GROUP BY h)
+         |SELECT h.doc_id, c.n_copies,
+         |  ${oRound("1.0 / c.n_copies", 9)} AS weight
+         |FROM h JOIN c USING (h) ORDER BY h.doc_id""".stripMargin,
     // Winsorization audit: quantile_cont ≡ Spark percentile (the
     // agg_percentile idiom), 64-row dim table via range(64) (DuckDB 1.0
     // lacks lateral range-over-column), clip counts against the ROUNDED
