@@ -2849,6 +2849,48 @@ object Text {
   val llmCharEntropy: Q = (s, dir) =>
     charEntropyOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Vocabulary coverage curve — for budgets k ∈ {10, 100, 1000, 10000}:
+    * what fraction of all token OCCURRENCES the top-k most frequent
+    * words cover (the analysis behind every tokenizer-budget decision:
+    * Zipf's law makes the head cover most of the stream, and the k
+    * where coverage plateaus is the economic vocab size; the same curve
+    * justifies [[Text.scala]] `llm_bpe_*`'s subword fallback for the
+    * tail). Ranking ties break by word for a total order.
+    *
+    * Scale shape: the heavy pass is the two-phase word count; the
+    * ranking + cumulative windows run over the VOCAB-sized count table
+    * (Heaps' law — not the token stream), and the 4-row budget frame
+    * cross-joins in. All-integer counts; only the final fraction is a
+    * quantized division. */
+  val llmVocabCoverage: Q = (s, dir) => {
+    val budgets = Seq(10, 100, 1000, 10000)
+    val cw = Tables.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    val ranked = cw
+      .withColumn("rnk", row_number().over(rankW))
+      .withColumn("cum", sum("c").over(rankW.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val totals = cw.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("vocab"))
+    // one conditional agg over the vocab-sized ranked table, unpivoted
+    // via stack — no k×vocab theta join. For k > vocab the MAX simply
+    // sees every row and covered = total (the curve saturates).
+    val kCols = budgets.map(k =>
+      max(when(col("rnk") <= k, col("cum"))).as(s"c$k"))
+    val perK = ranked.agg(kCols.head, kCols.tail: _*)
+    val stackExpr = budgets.map(k => s"$k, c$k").mkString(", ")
+    perK
+      .select(expr(s"stack(${budgets.size}, $stackExpr) AS (k, covered)"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("covered"), col("total"), col("vocab"),
+        dround(col("covered").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy("k")
+  }
+
   /** Soft deduplication weighting (the SoftDeDup idea — reweight
     * duplicated content instead of dropping it, so the keep/drop cliff
     * of [[llmExactDedup]] becomes a smooth loss scale: a doc appearing
@@ -4112,6 +4154,7 @@ object Text {
     "llm_char_entropy" -> llmCharEntropy,
     "llm_embed_clip" -> llmEmbedClip,
     "llm_dedup_weights" -> llmDedupWeights,
+    "llm_vocab_coverage" -> llmVocabCoverage,
     "llm_split_assign" -> llmSplitAssign,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_corpus_select" -> llmCorpusSelect,
@@ -5458,6 +5501,27 @@ object Text {
          |SELECT word, score FROM r5
          |ORDER BY score DESC, word LIMIT 10""".stripMargin
     },
+    // Zipf coverage curve: rank + running-sum windows over the vocab-
+    // sized count table; k > vocab saturates at total naturally.
+    "llm_vocab_coverage" ->
+      s"""WITH cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |        FROM documents) wrd GROUP BY w),
+         |ranked AS (SELECT w, c,
+         |    row_number() OVER (ORDER BY c DESC, w) AS rnk,
+         |    CAST(SUM(c) OVER (ORDER BY c DESC, w
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM cw),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+         |        CAST(COUNT(*) AS BIGINT) AS vocab FROM cw),
+         |ks AS (SELECT unnest([10, 100, 1000, 10000]) AS k)
+         |SELECT ks.k, CAST(MAX(CASE WHEN r.rnk <= ks.k THEN r.cum END)
+         |    AS BIGINT) AS covered,
+         |  t.total, t.vocab,
+         |  ${oRound("CAST(MAX(CASE WHEN r.rnk <= ks.k THEN r.cum END) AS DOUBLE) / t.total", 6)} AS coverage
+         |FROM ks CROSS JOIN ranked r CROSS JOIN t
+         |GROUP BY ks.k, t.total, t.vocab
+         |ORDER BY ks.k""".stripMargin,
     // SoftDeDup weights: sha256 content clusters (the exact-dedup
     // scheme), weight = 1/n quantized.
     "llm_dedup_weights" ->
