@@ -2945,6 +2945,139 @@ object Text {
       .orderBy("dim")
   }
 
+  /** Unicode + whitespace normalization audit — the corpus-hygiene
+    * stage that runs BEFORE any content hash: the same page crawled
+    * twice can arrive NFC on one fetch and NFD on the other, and every
+    * downstream dedup key ([[contentHashCol]], shingles, fingerprints)
+    * then disagrees about bytes that render identically. Chain: UAX#15
+    * NFC (the custom codegen [[graft.functions.UnicodeNormalize]]
+    * expression — Spark has no built-in normalizer and a UDF would
+    * break whole-stage codegen) → strip C0/DEL control chars → collapse
+    * whitespace runs → trim. Emits the audit columns a pipeline acts
+    * on: before/after lengths, a changed flag, and the md5 of the
+    * normalized text (the new dedup key).
+    *
+    * Scale shape: pure per-row projection — no shuffle at all; the
+    * ORDER BY is presentation-only. DuckDB twin: `nfc_normalize`
+    * (utf8proc) implements the same UAX#15 algorithm as the JDK's
+    * normalizer, so the hash comparison is exact. */
+  /** The normalization chain itself (NFC → control strip → whitespace
+    * collapse → trim), reusable ahead of any content-hash stage. The
+    * caller must have run [[graft.functions.UnicodeNormalize.register]]
+    * on the session. */
+  private[graft] def normTextCol(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        call_function("unicode_normalize", c, lit("NFC")),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\r\\n]+", " "))
+
+  val llmTextNormalize: Q = (s, dir) => {
+    graft.functions.UnicodeNormalize.register(s)
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), normTextCol(col("text")).as("norm"))
+      .select(col("doc_id"),
+        length(col("text")).as("raw_len"),
+        length(col("norm")).as("norm_len"),
+        (col("norm") =!= col("text")).as("changed"),
+        md5(col("norm")).as("h"))
+      .orderBy("doc_id")
+  }
+
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the smoothing
+    * behind every serious count-based LM, and the principled upgrade of
+    * [[lmBigramOf]]'s raw conditional estimate): with discount D = 0.75,
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *               + D · N1+(w1·)/c(w1·) · N1+(·w2)/B
+    *
+    * where c(w1·) = Σ_w c(w1,w), N1+(w1·) = distinct continuations of
+    * w1, N1+(·w2) = distinct left contexts of w2 (the CONTINUATION
+    * count — "how novel is w2", the idea that makes KN beat Katz), and
+    * B = distinct bigram types. Emits the top-20 bigrams by smoothed
+    * probability (quantized-long ordering, then (w1,w2) — total order).
+    *
+    * Scale shape: one pass builds the bigram-TYPE table (vocab²-bounded
+    * but Zipf-sparse — Heaps' law, not the token stream), persisted and
+    * consumed by all four count views; the context/continuation joins
+    * re-use the bigram table's key exchanges; B broadcasts as a 1-row
+    * frame. All counts integer; only the final probability is double
+    * (identical fixed-order IEEE arithmetic in the DuckDB twin). */
+  private[graft] def lmKnOf(docs: DataFrame): DataFrame = {
+    val big = docs
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2) // sequence(1,0) is [1,0], the lmBigramOf trap
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      // A/B'd vs the BM25-style exchange-reuse derivation (no persist,
+      // REPEATS=7, sf0.1): persist 0.595 s median vs 0.743 without —
+      // with FOUR consumers of different shapes (two re-groupings, a
+      // global count, the final join) pruning breaks canonical equality
+      // for at least one, so the exchange is not reused everywhere and
+      // the cache barrier wins here.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    big.count() // eager: four consumers would race the cache
+    val ctx = big.groupBy("w1")
+      .agg(sum("c").as("cw1"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val tot = big.agg(count(lit(1)).as("bt"))
+    val pkn = greatest(col("c") - lit(0.75), lit(0.0)) / col("cw1") +
+      lit(0.75) * col("n1f") / col("cw1") * (col("n1b") / col("bt"))
+    big.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+      .withColumn("pq", floor(pkn * 1e6 + lit(0.5)).cast("long"))
+      .select(col("w1"), col("w2"), col("c"),
+        (col("pq").cast("double") / 1e6).as("p_kn"), col("pq"))
+  }
+
+  val llmLmKn: Q = (s, dir) =>
+    lmKnOf(Tables.t(s, dir, "documents"))
+      .orderBy(col("pq").desc, col("w1"), col("w2"))
+      .limit(20)
+      .drop("pq")
+
+  /** Flesch readability battery (Flesch 1948 / Kincaid et al. 1975) —
+    * the classic length-complexity quality signals beside
+    * [[llmQualityScore]]'s ratio battery: per doc, sentence count
+    * (maximal `[.!?]+` runs end sentences; empty segments dropped),
+    * word count, a syllable count from the standard vowel-group
+    * heuristic (≥1 per word — "rhythm" has no vowel-run hole), and the
+    * two derived scores
+    *   FRE  = 206.835 − 1.015·(words/sents) − 84.6·(syll/words)
+    *   FKGL = 0.39·(words/sents) + 11.8·(syll/words) − 15.59.
+    *
+    * Scale shape: pure per-row array arithmetic (split → filter →
+    * transform → aggregate fold), no shuffle; the counts are exact
+    * integers, the scores identical fixed-order IEEE doubles in the
+    * DuckDB twin (list_sum over the same per-word greatest). */
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame = {
+    val sents = filter(split(col("text"), "[.!?]+"),
+      x => length(trim(x)) > 0)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val syl = aggregate(
+      transform(words, w => greatest(lit(1),
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))))),
+      lit(0L), (acc, x) => acc + x)
+    val wps = col("n_words").cast("double") / col("n_sents")
+    val spw = col("n_syll").cast("double") / col("n_words")
+    docs
+      .select(col("doc_id"), size(sents).as("n_sents"),
+        size(words).as("n_words"), syl.as("n_syll"))
+      .select(col("doc_id"), col("n_sents"), col("n_words"), col("n_syll"),
+        when(col("n_sents") > 0 && col("n_words") > 0,
+          dround(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4))
+          .as("fre"),
+        when(col("n_sents") > 0 && col("n_words") > 0,
+          dround(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4))
+          .as("fkgl"))
+  }
+
+  val llmReadability: Q = (s, dir) =>
+    readabilityOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** Deterministic train/val split: bucket = first 16 bits of
     * md5(doc_id) mod 100, split on the 95th percentile — reproducible
     * across runs, engines, and partitionings (never rand()), and adding
@@ -4180,7 +4313,10 @@ object Text {
     "llm_bpe_encode" -> llmBpeEncode,
     "llm_shuffle_order" -> llmShuffleOrder,
     "llm_token_budget" -> llmTokenBudget,
-    "llm_contamination_fuzzy" -> llmContaminationFuzzy
+    "llm_contamination_fuzzy" -> llmContaminationFuzzy,
+    "llm_text_normalize" -> llmTextNormalize,
+    "llm_lm_kn" -> llmLmKn,
+    "llm_readability" -> llmReadability
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5751,6 +5887,65 @@ object Text {
          |    ON c.band = e.band AND c.sig = e.sig
          |  WHERE c.doc_id % 7 != 0 AND e.doc_id % 7 = 0)
          |SELECT doc_id, eval_id, ${oRound("jac", 6)} AS jaccard
-         |FROM cand WHERE jac >= 0.3 ORDER BY doc_id, eval_id""".stripMargin
+         |FROM cand WHERE jac >= 0.3 ORDER BY doc_id, eval_id""".stripMargin,
+    // NFC (utf8proc = same UAX#15 result as the JDK normalizer) →
+    // control strip → whitespace collapse → trim; md5 of the normalized
+    // text is the exactness witness. RE2 needs the 'g' flag for global
+    // replace (Java regexp_replace is global by default).
+    "llm_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t\r\n]+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS raw_len, length(norm) AS norm_len,
+        |  norm <> text AS changed, md5(norm) AS h
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // Interpolated Kneser-Ney: identical fixed-order double formula,
+    // quantized-long ordering for the cross-engine top-20.
+    "llm_lm_kn" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |prs AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w) t),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM prs GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+        |          CAST(COUNT(*) AS BIGINT) AS n1f FROM big GROUP BY w1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b
+        |         FROM big GROUP BY w2),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM big),
+        |p AS (SELECT b.w1, b.w2, b.c,
+        |    CAST(FLOOR((greatest(b.c - 0.75, 0.0) / ctx.cw1
+        |      + 0.75 * ctx.n1f / ctx.cw1 * (cont.n1b * 1.0 / tot.bt))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS pq
+        |  FROM big b JOIN ctx USING (w1) JOIN cont USING (w2)
+        |  CROSS JOIN tot)
+        |SELECT w1, w2, c, CAST(pq AS DOUBLE) / 1000000.0 AS p_kn
+        |FROM p ORDER BY pq DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Flesch battery: same split/filter/vowel-group arithmetic; the
+    // scores are the identical fixed-order IEEE expression.
+    "llm_readability" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(text, '[.!?]+'),
+         |      x -> length(trim(x)) > 0)) AS n_sents,
+         |    len(list_filter(string_split(text, ' '),
+         |      w -> length(w) > 0)) AS n_words,
+         |    CAST(COALESCE(list_sum(list_transform(
+         |      list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |      w -> greatest(1, len(regexp_extract_all(lower(w),
+         |        '[aeiouy]+'))))), 0) AS BIGINT) AS n_syll
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_sents AS INT) AS n_sents,
+         |  CAST(n_words AS INT) AS n_words, n_syll,
+         |  CASE WHEN n_sents > 0 AND n_words > 0 THEN
+         |    ${oRound("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) " +
+      "- 84.6 * (CAST(n_syll AS DOUBLE) / n_words)", 4)} END AS fre,
+         |  CASE WHEN n_sents > 0 AND n_words > 0 THEN
+         |    ${oRound("0.39 * (CAST(n_words AS DOUBLE) / n_sents) " +
+      "+ 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59", 4)} END AS fkgl
+         |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -169,3 +169,44 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 11.0)
   }
 }
+
+class UnicodeNormalizeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c).collect().head.get(0)
+
+  test("unicode_normalize composes NFD to NFC and folds NFKC compat") {
+    graft.functions.UnicodeNormalize.register(spark)
+    // decomposed e + COMBINING ACUTE -> composed é (one code point)
+    assert(one(call_function("unicode_normalize",
+      lit("café"), lit("NFC"))) == "café")
+    // NFC leaves already-composed text alone
+    assert(one(call_function("unicode_normalize",
+      lit("café"), lit("NFC"))) == "café")
+    // NFKC folds the ﬁ ligature to "fi"
+    assert(one(call_function("unicode_normalize",
+      lit("ﬁn"), lit("NFKC"))) == "fin")
+    // null propagates
+    assert(one(call_function("unicode_normalize",
+      lit(null).cast("string"), lit("NFC"))) == null)
+  }
+
+  test("unicode_normalize rejects a non-literal form") {
+    graft.functions.UnicodeNormalize.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', lower('NFC' || rand()))")
+        .collect()
+    }
+  }
+
+  test("normTextCol chain: NFC + control strip + whitespace collapse + trim") {
+    graft.functions.UnicodeNormalize.register(spark)
+    import spark.implicits._
+    val got = Seq("  café  xy\tz \r\n")
+      .toDF("text")
+      .select(queries.Text.normTextCol(col("text")))
+      .collect().head.getString(0)
+    assert(got == "café xy z")
+  }
+}

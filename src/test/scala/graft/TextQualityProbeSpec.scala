@@ -100,4 +100,47 @@ class TextQualityProbeSpec extends SparkSpec {
     val contam = graft.queries.Text.contaminationOf(docs, id => id === 4L)
     assert(contam.collect().isEmpty)
   }
+
+  test("Kneser-Ney bigram model: hand-checked probabilities + unit mass") {
+    // corpus bigrams: (a,b):2 (b,a):3 (a,c):1 (c,a):1 -> B=4 types.
+    // contexts: c(a·)=3 N1+(a·)=2; c(b·)=3 N1+(b·)=1; c(c·)=1 N1+(c·)=1.
+    // continuations: N1+(·a)=2, N1+(·b)=1, N1+(·c)=1.
+    val docs = Seq((1L, "a b a b a c"), (2L, "b a"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.Text.lmKnOf(docs).collect()
+    val p = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("p_kn")).toMap
+    assert(math.abs(p(("a", "b")) - 0.541667) < 1e-6) // (2-.75)/3+.75·(2/3)·(1/4)
+    assert(math.abs(p(("a", "c")) - 0.208333) < 1e-6) // (1-.75)/3+.75·(2/3)·(1/4)
+    assert(math.abs(p(("b", "a")) - 0.875) < 1e-6)    // (3-.75)/3+.75·(1/3)·(2/4)
+    assert(math.abs(p(("c", "a")) - 0.625) < 1e-6)    // (1-.75)/1+.75·(1/1)·(2/4)
+    // full-vocab unit mass: Σ_observed P + λ(w1)·Σ_unseen Pcont = 1,
+    // λ(w1) = D·N1+(w1·)/c(w1·), Pcont(w) = N1+(·w)/B
+    val lambda = Map("a" -> 0.75 * 2 / 3, "b" -> 0.75 * 1 / 3, "c" -> 0.75)
+    val pcont = Map("a" -> 2.0 / 4, "b" -> 1.0 / 4, "c" -> 1.0 / 4)
+    for (w1 <- Seq("a", "b", "c")) {
+      val seen = Seq("a", "b", "c").filter(w2 => p.contains((w1, w2)))
+      val mass = seen.map(w2 => p((w1, w2))).sum +
+        lambda(w1) * (pcont.values.sum - seen.map(pcont).sum)
+      assert(math.abs(mass - 1.0) < 1e-4, s"context '$w1' mass $mass")
+    }
+  }
+
+  test("readability battery on a hand-countable doc") {
+    val docs = Seq((1L, "Hello world. Nice day!"), (2L, "")).toDF("doc_id", "text")
+    val r = graft.queries.Text.readabilityOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getInt(1) == 2, "sentences") // "Hello world" / " Nice day"
+    assert(d1.getInt(2) == 4, "words")
+    // he-llo=2, world=1, ni-ce=2, day=1 vowel-groups -> 6 syllables
+    assert(d1.getLong(3) == 6L, "syllables")
+    // FRE = 206.835 - 1.015*2 - 84.6*1.5 = 77.905
+    assert(math.abs(d1.getAs[Double]("fre") - 77.905) < 1e-9)
+    // FKGL = 0.39*2 + 11.8*1.5 - 15.59 = 2.89
+    assert(math.abs(d1.getAs[Double]("fkgl") - 2.89) < 1e-9)
+    // empty doc: zero counts, null scores
+    val d2 = r(2L)
+    assert(d2.getInt(2) == 0 && d2.isNullAt(4) && d2.isNullAt(5))
+  }
 }
