@@ -210,7 +210,33 @@ object Aggregates {
       .orderBy("o_orderpriority")
   }
 
+  /** PIVOT — wide conditional aggregation (`GROUP BY … PIVOT (agg FOR
+    * col IN (...))`): per returnflag, quantity-sum and row-count columns
+    * per linestatus value. The pivot values are DECLARED (`Seq("F","O")`)
+    * — the values-discovery overload would run an extra distinct scan
+    * and make the output schema data-dependent, which no 100 TB pipeline
+    * wants. Catalyst rewrites the pivot into ONE two-phase hash
+    * aggregate over `sum(if(status = v, x, null))` columns — the same
+    * plan as hand-written conditional aggregation and exactly what the
+    * DuckDB oracle spells out. Quantity pre-quantized to a long so the
+    * pivoted SUM is exact cross-engine ([[dsum]] discipline). */
+  val aggPivot: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qq"))
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("qq")).as("sqty"), count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        (col("F_sqty").cast("double") / 100).as("qty_f"),
+        col("F_cnt").as("cnt_f"),
+        (col("O_sqty").cast("double") / 100).as("qty_o"),
+        col("O_cnt").as("cnt_o"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_pivot" -> aggPivot,
     "agg_basic" -> aggBasic,
     "agg_variance" -> aggVariance,
     "agg_covar_corr" -> aggCovarCorr,
@@ -228,6 +254,21 @@ object Aggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // PIVOT unrolled as conditional aggregation — the plan Catalyst
+    // itself lowers PIVOT to; quantized-long sums per the dsum rule.
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(FLOOR(l_quantity*100+0.5) AS BIGINT) END) AS DOUBLE)/100
+        |    AS qty_f,
+        |  CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+        |    AS cnt_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(FLOOR(l_quantity*100+0.5) AS BIGINT) END) AS DOUBLE)/100
+        |    AS qty_o,
+        |  CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+        |    AS cnt_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_basic" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |COUNT(DISTINCT l_suppkey) AS ndv_supp,

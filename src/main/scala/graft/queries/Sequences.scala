@@ -159,11 +159,52 @@ object Sequences {
       .orderBy("day")
   }
 
+  /** Ordered conversion funnel view → click → purchase (the product-
+    * analytics staple MatchPath's regex generalizes; this is the
+    * fixed-3-step strict-order variant every funnel dashboard runs):
+    * step k counts users whose FIRST step-k event strictly follows
+    * their step-(k−1) anchor — the standard "earliest qualifying
+    * event" chaining, where each step's anchor is min(ts of step-k
+    * events after the previous anchor).
+    *
+    * Scale shape: each chaining step is a user_id-keyed filter →
+    * co-partitioned join → min-aggregate; all three reuse the same
+    * user_id hash partitioning, so AQE plans one exchange lineage and
+    * no step ever sees more than its type's slice. The final frame is
+    * 3 rows; its lag-window is presentation-only. The DuckDB oracle
+    * replays the identical chaining. */
+  val seqFunnel: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsu").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("tsu") > col("t1"))
+      .groupBy("user_id").agg(min("tsu").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("tsu") > col("t2"))
+      .groupBy("user_id").agg(min("tsu").as("t3"))
+    val counts = t1.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit("view").as("etype"), col("n_users"))
+      .unionAll(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("step"), lit("click").as("etype"), col("n_users")))
+      .unionAll(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("step"), lit("purchase").as("etype"), col("n_users")))
+    // 3-row presentation frame: the single-partition window is fine here
+    val w = Window.orderBy("step")
+    counts
+      .withColumn("conv",
+        dround(col("n_users").cast("double") / lag("n_users", 1).over(w), 6))
+      .orderBy("step")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_matchpath" -> seqMatchpath,
     "seq_matchpath_counts" -> seqMatchpathCounts,
     "seq_sessionize" -> seqSessionize,
-    "seq_concurrency" -> seqConcurrency
+    "seq_concurrency" -> seqConcurrency,
+    "seq_funnel" -> seqFunnel
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -211,6 +252,30 @@ object Sequences {
          |  ${oSum("value", 2)} AS total_value
          |FROM s GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    // Identical earliest-qualifying-event chaining; lag over the 3-row
+    // result frame for the conversion ratio.
+    "seq_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu
+         |           FROM events),
+         |t1 AS (SELECT user_id, MIN(tsu) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY user_id),
+         |t2 AS (SELECT e.user_id, MIN(tsu) AS t2 FROM e
+         |       JOIN t1 USING (user_id)
+         |       WHERE event_type = 'click' AND tsu > t1.t1
+         |       GROUP BY e.user_id),
+         |t3 AS (SELECT e.user_id, MIN(tsu) AS t3 FROM e
+         |       JOIN t2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND tsu > t2.t2
+         |       GROUP BY e.user_id),
+         |c AS (
+         |  SELECT 1 AS step, 'view' AS etype,
+         |    CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+         |  UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM t2
+         |  UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM t3)
+         |SELECT step, etype, n_users,
+         |  ${oRound("CAST(n_users AS DOUBLE) / lag(n_users) OVER (ORDER BY step)", 6)}
+         |    AS conv
+         |FROM c ORDER BY step""".stripMargin,
     // Deliberately the UNSPLIT global running sum (vs the engine's
     // bucket-decomposed prefix sum) — an independent derivation of the
     // same sweep, so a decomposition bug cannot hide.

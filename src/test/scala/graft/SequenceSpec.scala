@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.MatchPath
 import graft.functions.MatchPath.{One, Plus, Star, Step}
+import org.apache.spark.sql.functions._
 
 /** Exact-value coverage for the MatchPath sequence matcher (the
   * seq_matchpath query is rows-only in the driver; semantics are pinned
@@ -134,5 +135,31 @@ class SequenceSpec extends SparkSpec {
     assert(got.toSeq == expected, s"${got.take(5).toSeq} vs ${expected.take(5)}")
     // sweep sanity: every day's peak is at least 1 (a session exists)
     assert(got.forall(_._2 >= 1))
+  }
+
+  test("seq_funnel matches a single-threaded replay of the chaining") {
+    val rows = SparkEntry.queries("seq_funnel")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val got = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    // reference: per-user earliest-qualifying-event chain in one thread
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    evs.foreach { case (_, es) =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      t1.foreach { a =>
+        n1 += 1
+        val t2 = es.filter(e => e._2 == "click" && e._3 > a).map(_._3).minOption
+        t2.foreach { b =>
+          n2 += 1
+          if (es.exists(e => e._2 == "purchase" && e._3 > b)) n3 += 1
+        }
+      }
+    }
+    assert(got == Map("view" -> n1, "click" -> n2, "purchase" -> n3))
+    // monotone funnel: each step can only lose users
+    assert(n1 >= n2 && n2 >= n3 && n3 >= 0)
   }
 }
