@@ -372,6 +372,16 @@ object Pipeline {
   def semDedup(embeddings: DataFrame, k: Int = Text.ivfK): DataFrame =
     Text.semDedupOf(embeddings, k)
 
+  /** Mutual k-NN graph over a caller (vec_id, embedding) frame: edge
+    * (id_a < id_b, cos) iff each endpoint ranks the other in its
+    * top-`k` by cosine — mutuality filters the hub vectors plain kNN
+    * graphs drown in. Candidates form only within the coarse quantizer
+    * cells (`cells` seeds — see [[semDedup]]'s sizing rule), so the
+    * pair space stays cell-bounded at any corpus size. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3,
+      cells: Int = Text.ivfK): DataFrame =
+    Text.knnGraphOf(embeddings, k, cells)
+
   /** SemDeDup pairs resolved into CLUSTERS via connected components
     * (the same O(log d) star-contraction operator the MinHash path
     * uses): (vec_id, cluster_id = component-min vec_id) for every

@@ -235,7 +235,28 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Mode (most frequent value) with a DETERMINISTIC tie-break — both
+    * Spark's `mode()` and DuckDB's leave ties unspecified, so the
+    * operator is spelled as its two-phase definition: value-count then
+    * per-group rank by (count desc, value asc). Scale shape: the count
+    * is a hash agg on (group, value); the window runs over the
+    * VALUE-DISTINCT frame (bounded by the value domain, not the row
+    * count) partitioned by group — never a global sort. */
+  val aggMode: Q = (s, dir) => {
+    val counts = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_mode" -> aggMode,
     "agg_pivot" -> aggPivot,
     "agg_basic" -> aggBasic,
     "agg_variance" -> aggVariance,
@@ -254,6 +275,16 @@ object Aggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mode() is tie-unspecified in both engines — replay the explicit
+    // count + deterministic rank definition instead.
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity,
+        |             CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY cnt DESC, l_quantity) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     // PIVOT unrolled as conditional aggregation — the plan Catalyst
     // itself lowers PIVOT to; quantized-long sums per the dsum rule.
     "agg_pivot" ->

@@ -199,12 +199,44 @@ object Sequences {
       .orderBy("step")
   }
 
+  /** Cohort retention (the other product-analytics staple beside
+    * [[seqFunnel]]): users cohorted by their FIRST active day; for day
+    * offsets 0–7, what fraction of each cohort is active again
+    * `offset` days later. Offset 0 is the tautological 1.0 row — kept
+    * as the standard self-check every retention table carries.
+    *
+    * Scale shape: the (user, day) activity frame dedups on its own
+    * key; cohort = a user-keyed min; the offset join re-uses the
+    * user_id partitioning; outputs are (#cohorts × 8) rows. No global
+    * sort, no window over the event stream. */
+  val seqRetention: Q = (s, dir) => {
+    val DayUs = 86400L * 1000000L
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        // integer div (the seq_concurrency lesson): a double divide +
+        // cast could misbucket a boundary tsu vs DuckDB's `//`
+        expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cday"))
+    val sizes = cohort.groupBy("cday").agg(count(lit(1)).as("n_cohort"))
+    days.join(cohort, "user_id")
+      .withColumn("off", col("day") - col("cday"))
+      .filter(col("off") <= 7)
+      .groupBy("cday", "off").agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cday")
+      .select(col("cday"), col("off"), col("n_active"), col("n_cohort"),
+        dround(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+      .orderBy("cday", "off")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_matchpath" -> seqMatchpath,
     "seq_matchpath_counts" -> seqMatchpathCounts,
     "seq_sessionize" -> seqSessionize,
     "seq_concurrency" -> seqConcurrency,
-    "seq_funnel" -> seqFunnel
+    "seq_funnel" -> seqFunnel,
+    "seq_retention" -> seqRetention
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -252,6 +284,21 @@ object Sequences {
          |  ${oSum("value", 2)} AS total_value
          |FROM s GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    // (user, day) dedup -> user-keyed cohort min -> offset join; the
+    // independent DuckDB derivation uses the same integer day buckets.
+    "seq_retention" ->
+      s"""WITH d AS (SELECT DISTINCT user_id,
+         |             epoch_us(ts) // 86400000000 AS day FROM events),
+         |c AS (SELECT user_id, MIN(day) AS cday FROM d GROUP BY user_id),
+         |s AS (SELECT cday, CAST(COUNT(*) AS BIGINT) AS n_cohort
+         |      FROM c GROUP BY cday),
+         |a AS (SELECT c.cday, d.day - c.cday AS off,
+         |        CAST(COUNT(*) AS BIGINT) AS n_active
+         |      FROM d JOIN c USING (user_id)
+         |      WHERE d.day - c.cday <= 7 GROUP BY c.cday, off)
+         |SELECT a.cday, a.off, a.n_active, s.n_cohort,
+         |  ${oRound("CAST(a.n_active AS DOUBLE) / s.n_cohort", 6)} AS retention
+         |FROM a JOIN s USING (cday) ORDER BY cday, off""".stripMargin,
     // Identical earliest-qualifying-event chaining; lag over the 3-row
     // result frame for the conversion ratio.
     "seq_funnel" ->

@@ -766,8 +766,11 @@ object Text {
   /** The thresholded within-cell cosine pairs (id_a < id_b, cos > 0.3)
     * behind both SemDeDup resolutions — the cell machinery of
     * [[llmSemdedup]]. `k` = centroid-seed count (tests pin degenerate
-    * geometries with k = 1; production uses the [[ivfK]] default). */
-  private[graft] def semDedupPairs(raw: DataFrame, k: Int = ivfK): DataFrame = {
+    * geometries with k = 1; production uses the [[ivfK]] default).
+    * `minCos = None` keeps EVERY within-cell pair (the
+    * [[knnGraphOf]] consumer ranks per-node instead of thresholding). */
+  private[graft] def semDedupPairs(raw: DataFrame, k: Int = ivfK,
+      minCos: Option[Double] = Some(0.3)): DataFrame = {
     graft.functions.VectorExpressions.register(raw.sparkSession)
     val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
     val emb = raw
@@ -791,11 +794,44 @@ object Text {
       col("v").as("v_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
       col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         dround(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cos"))
-      .filter(col("cos") > 0.3)
+    minCos.fold(pairs)(t => pairs.filter(col("cos") > t))
   }
+
+  /** Mutual k-NN graph over the embedding table — the neighborhood
+    * structure behind SemDeDup's clusters, HNSW-style index builds, and
+    * local-density curation analyses: node j is node i's neighbor iff
+    * EACH ranks the other in its top-`k` by cosine (mutuality filters
+    * the hub vectors that plain kNN graphs drown in). Candidates form
+    * only within IVF cells (the [[semDedupPairs]] machinery minus its
+    * threshold), so at 100 TB the pair space is cell-bounded, never
+    * all-pairs; per-node ranking is a cell-sized window, and the
+    * mutuality check is a self-join on the (src, dst) key.
+    *
+    * Cross-engine determinism: ranks order by the dround(6) cosine
+    * with dst as tie-break — a total order both engines replay. */
+  private[graft] def knnGraphOf(raw: DataFrame, k: Int = 3,
+      cells: Int = ivfK): DataFrame = {
+    val und = semDedupPairs(raw, cells, minCos = None)
+    val dirAll = und
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionAll(und
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val top = dirAll.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("src", "dst", "cos")
+    val reversed = top.select(col("dst").as("src"), col("src").as("dst"))
+    top.join(reversed, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("cos"))
+  }
+
+  val llmKnnGraph: Q = (s, dir) =>
+    knnGraphOf(Tables.t(s, dir, "embeddings")).orderBy("id_a", "id_b")
 
   /** SemDeDup pairs resolved into CLUSTERS by the same O(log d)
     * star-contraction operator the MinHash path uses
@@ -4316,7 +4352,8 @@ object Text {
     "llm_contamination_fuzzy" -> llmContaminationFuzzy,
     "llm_text_normalize" -> llmTextNormalize,
     "llm_lm_kn" -> llmLmKn,
-    "llm_readability" -> llmReadability
+    "llm_readability" -> llmReadability,
+    "llm_knn_graph" -> llmKnnGraph
   )
 
   // ---------------------------------------------------------------- oracle
@@ -4767,7 +4804,11 @@ object Text {
     * thresholded within-cell pairs (DuckDB twin of [[semDedupPairs]]),
     * shared by the keeper-rule and CC-resolved oracles so the two
     * cannot drift. */
-  private lazy val semPairsCtes: String =
+  private lazy val semPairsCtes: String = semPairsCtesWith("WHERE cos > 0.3")
+
+  /** The SemDeDup cell/pair CTE chain with a caller-chosen pair filter
+    * (empty = every within-cell pair, the kNN-graph consumer). */
+  private def semPairsCtesWith(pairFilter: String): String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn,
@@ -4787,7 +4828,7 @@ object Text {
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    ${oRound("list_inner_product(a.v, b.v)/(a.nrm*b.nrm)", 6)} AS cos
        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE cos > 0.3)""".stripMargin
+       |  $pairFilter)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "llm_exact_dedup" ->
@@ -5924,6 +5965,20 @@ object Text {
         |  CROSS JOIN tot)
         |SELECT w1, w2, c, CAST(pq AS DOUBLE) / 1000000.0 AS p_kn
         |FROM p ORDER BY pq DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Mutual kNN graph: the unthresholded SemDeDup cell pairs, ranked
+    // per node (cos desc, dst tie-break), kept iff both directions
+    // rank each other top-3.
+    "llm_knn_graph" ->
+      s"""WITH ${semPairsCtesWith("")},
+         |dirp AS (SELECT id_a AS src, id_b AS dst, cos FROM spairs
+         |         UNION ALL SELECT id_b, id_a, cos FROM spairs),
+         |topk AS (SELECT src, dst, cos FROM (
+         |    SELECT src, dst, cos, row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst) AS rnk FROM dirp) t
+         |  WHERE rnk <= 3)
+         |SELECT t.src AS id_a, t.dst AS id_b, t.cos
+         |FROM topk t JOIN topk r ON r.src = t.dst AND r.dst = t.src
+         |WHERE t.src < t.dst ORDER BY id_a, id_b""".stripMargin,
     // Flesch battery: same split/filter/vowel-group arithmetic; the
     // scores are the identical fixed-order IEEE expression.
     "llm_readability" ->

@@ -500,6 +500,29 @@ class PipelineSpec extends SparkSpec {
     assert(dups.filter(_._1 >= 50).values.toSet === Set(50L))
   }
 
+  test("knnGraphOf keeps exactly the reciprocal-nearest pairs") {
+    import spark.implicits._
+    // 2-D unit vectors at 0°, 5°, 50°, 55°, 100°: with k = 1 the NN
+    // pairs (0,1) and (2,3) are reciprocal; 100°'s NN is 55° but not
+    // vice versa — mutuality must drop that edge. cells = 1 puts all
+    // vectors in one cell (the degenerate-geometry knob; at the default
+    // every vector ≤ seed-count becomes its own centroid/cell).
+    val deg = Seq(0.0, 5.0, 50.0, 55.0, 100.0)
+    val emb = deg.zipWithIndex.map { case (d, i) =>
+      val r = math.toRadians(d)
+      (i.toLong, Seq(math.cos(r).toFloat, math.sin(r).toFloat))
+    }.toDF("vec_id", "embedding")
+    val edges = graft.queries.Text.knnGraphOf(emb, k = 1, cells = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.map(e => (e._1, e._2)).toSet === Set((0L, 1L), (2L, 3L)))
+    // both kept edges span 5° — cos ≈ 0.996195 after dround(6)
+    edges.foreach(e => assert(math.abs(e._3 - 0.996195) < 2e-6))
+    // with k = 3 every node ranks every other (4 candidates): complete
+    // mutual graph on 5 nodes = 10 edges
+    assert(graft.queries.Text.knnGraphOf(emb, k = 4, cells = 1)
+      .count() === 10L)
+  }
+
   test("sourceCap keeps a deterministic bounded sample per source") {
     val capped = Pipeline.sourceCap(docs, 1)
     val bySource = capped.collect()
