@@ -230,13 +230,41 @@ object Sequences {
       .orderBy("cday", "off")
   }
 
+  /** First-order Markov transition matrix over per-user event streams
+    * — the empirical behavior model behind next-action prediction and
+    * anomaly scoring (a transition whose probability collapses release
+    * -over-release is the classic regression smell): P(next | prev) =
+    * count(prev → next) / count(prev → ·), adjacency defined by the
+    * (ts, event_id) order within each user.
+    *
+    * Scale shape: lag over the user-partitioned window (one shuffle on
+    * user_id, skew bounded by the busiest user); the count and
+    * normalizer aggs run over the #types² ≤ 25-row transition frame.
+    * Probabilities are one quantized division of exact counts. */
+  val seqTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum("cnt").over(
+        Window.partitionBy("prev"))) // 25-row frame
+      .select(col("prev"), col("next"), col("cnt"),
+        dround(col("cnt").cast("double") / col("tot"), 6).as("p"))
+      .orderBy("prev", "next")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_matchpath" -> seqMatchpath,
     "seq_matchpath_counts" -> seqMatchpathCounts,
     "seq_sessionize" -> seqSessionize,
     "seq_concurrency" -> seqConcurrency,
     "seq_funnel" -> seqFunnel,
-    "seq_retention" -> seqRetention
+    "seq_retention" -> seqRetention,
+    "seq_transitions" -> seqTransitions
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -284,6 +312,22 @@ object Sequences {
          |  ${oSum("value", 2)} AS total_value
          |FROM s GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    // Same (ts, event_id)-ordered lag adjacency; row-count normalizer
+    // per prev state.
+    "seq_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |             epoch_us(ts) AS tsu FROM events),
+         |adj AS (SELECT event_type AS next,
+         |          lag(event_type) OVER (PARTITION BY user_id
+         |            ORDER BY tsu, event_id) AS prev
+         |        FROM e),
+         |c AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM adj WHERE prev IS NOT NULL GROUP BY prev, next),
+         |t AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot
+         |      FROM c GROUP BY prev)
+         |SELECT c.prev, c.next, c.cnt,
+         |  ${oRound("CAST(c.cnt AS DOUBLE) / t.tot", 6)} AS p
+         |FROM c JOIN t USING (prev) ORDER BY prev, next""".stripMargin,
     // (user, day) dedup -> user-keyed cohort min -> offset join; the
     // independent DuckDB derivation uses the same integer day buckets.
     "seq_retention" ->

@@ -3831,6 +3831,74 @@ object Text {
   val llmDupChunks: Q = (s, dir) =>
     dupChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
+  /** Content-defined chunking (CDC — the Rabin/Gear rolling-hash
+    * boundary idea behind storage dedup and shift-robust corpus
+    * chunking): a chunk boundary falls AFTER word p wherever the
+    * rolling 3-gram hash ending at p ≡ 0 (mod 16) — so an insertion
+    * early in a doc re-aligns at the next content-defined boundary,
+    * where [[dupChunksOf]]'s FIXED 20-word windows shift every
+    * downstream chunk and miss the duplication. Same [[hashGramCol]]
+    * B1/B2/B3·mod-P gram arithmetic (one definition, every consumer),
+    * expected chunk length 16 words; emits per-doc chunk stats + the
+    * cross-doc duplicate-chunk fraction on the CDC boundaries.
+    *
+    * Scale shape: flags are per-row array arithmetic; the chunk-index
+    * running sum is a DOC-partitioned window (bounded by the longest
+    * doc, never global); reassembly is one ObjectHashAggregate collect
+    * per (doc, chunk) — executor-sized groups by construction; the
+    * cross-doc count is a two-phase agg on the 16-byte chunk hash. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val D = 16L
+    // load-bearing persist — the explode sits above the md5 word-hash
+    // projection (the InferFiltersFromGenerate pathology; see
+    // llmContamination)
+    val base = docs
+      .filter(size(split(col("text"), " ")) >= 1)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("hs", transform(col("ws"),
+        w => conv(substring(md5(w), 1, 7), 16, 10).cast("long")))
+      .withColumn("fl", transform(sequence(lit(1), size(col("ws"))), p =>
+        when(p >= 3 && p < size(col("ws")),
+          ((element_at(col("hs"), p - 2) * b1 +
+            element_at(col("hs"), p - 1) * b2 +
+            element_at(col("hs"), p) * b3) % P % D === 0).cast("int"))
+          .otherwise(lit(0))))
+      .select(col("doc_id"), col("ws"), col("fl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager, same cache-race rationale as llmNgramJaccard
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val chunks = base
+      .select(col("doc_id"), posexplode(arrays_zip(col("ws"), col("fl"))))
+      .select(col("doc_id"), col("pos"),
+        col("col.ws").as("w"), col("col.fl").as("fl"))
+      // boundary word CLOSES its chunk: index = boundaries strictly before
+      .withColumn("chunk_idx", coalesce(sum("fl").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(concat_ws(" ",
+          transform(col("pw"), x => x.getField("w")))).as("h"),
+        size(col("pw")).cast("long").as("cw"))
+    val byChunk = chunks.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+    chunks.join(byChunk, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("cw").as("n_words"),
+        dround(sum("cw").cast("double") / count(lit(1)), 4)
+          .as("avg_chunk_words"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        dround(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
+  val llmCdcChunks: Q = (s, dir) =>
+    cdcChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id")
+
   /** Cross-document repeated-span REMOVAL with text reconstruction —
     * the surgical counterpart of [[dupChunksOf]]'s per-doc dup
     * FRACTION: where dup_chunks scores docs for wholesale dropping,
@@ -4353,7 +4421,8 @@ object Text {
     "llm_text_normalize" -> llmTextNormalize,
     "llm_lm_kn" -> llmLmKn,
     "llm_readability" -> llmReadability,
-    "llm_knn_graph" -> llmKnnGraph
+    "llm_knn_graph" -> llmKnnGraph,
+    "llm_cdc_chunks" -> llmCdcChunks
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5965,6 +6034,43 @@ object Text {
         |  CROSS JOIN tot)
         |SELECT w1, w2, c, CAST(pq AS DOUBLE) / 1000000.0 AS p_kn
         |FROM p ORDER BY pq DESC, w1, w2 LIMIT 20""".stripMargin,
+    // CDC: identical B1/B2/B3·mod-P gram arithmetic, mod-16 boundary,
+    // lag-sum chunk index, order-preserving string_agg reassembly.
+    "llm_cdc_chunks" ->
+      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |            FROM documents
+         |            WHERE len(string_split(text, ' ')) >= 1),
+         |hw AS (SELECT doc_id, ws, list_transform(ws,
+         |          x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+         |       FROM wt),
+         |px AS (SELECT doc_id, ws, hs, unnest(range(1, len(ws) + 1)) AS p
+         |       FROM hw),
+         |fl AS (SELECT doc_id, p, ws[p] AS w,
+         |        CASE WHEN p >= 3 AND p < len(ws)
+         |             AND (hs[p-2]*$b1 + hs[p-1]*$b2 + hs[p]*$b3)
+         |                 % $P % 16 = 0
+         |        THEN 1 ELSE 0 END AS fl
+         |       FROM px),
+         |ck AS (SELECT doc_id, p, w,
+         |        COALESCE(SUM(fl) OVER (PARTITION BY doc_id ORDER BY p
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS chunk_idx
+         |       FROM fl),
+         |chunks AS (SELECT doc_id, chunk_idx,
+         |        md5(string_agg(w, ' ' ORDER BY p)) AS h,
+         |        CAST(COUNT(*) AS BIGINT) AS cw
+         |       FROM ck GROUP BY doc_id, chunk_idx),
+         |bc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM (SELECT DISTINCT doc_id, h FROM chunks) t GROUP BY h)
+         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(c.cw) AS BIGINT) AS n_words,
+         |  ${oRound("CAST(SUM(c.cw) AS DOUBLE) / COUNT(*)", 4)} AS avg_chunk_words,
+         |  CAST(SUM(CASE WHEN bc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  ${oRound("CAST(SUM(CASE WHEN bc.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)}
+         |    AS dup_frac
+         |FROM chunks c JOIN bc USING (h)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // Mutual kNN graph: the unthresholded SemDeDup cell pairs, ranked
     // per node (cos desc, dst tie-break), kept iff both directions
     // rank each other top-3.

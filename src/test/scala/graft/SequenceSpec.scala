@@ -162,4 +162,16 @@ class SequenceSpec extends SparkSpec {
     // monotone funnel: each step can only lose users
     assert(n1 >= n2 && n2 >= n3 && n3 >= 0)
   }
+
+  test("seq_transitions: rows normalize and adjacency count is exact") {
+    val rows = SparkEntry.queries("seq_transitions")(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"P(·|$prev) sums to $s")
+    }
+    // total transitions = events minus one anchor per active user
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
 }

@@ -126,6 +126,26 @@ class TextQualityProbeSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunking re-aligns after an insertion; fixed windows do not") {
+    // the CDC contract: boundaries depend only on local content, so a
+    // 3-word insertion at the head desynchronizes at most the chunk(s)
+    // spanning it — everything after the first shared boundary matches
+    // verbatim. Fixed 20-word windows shift EVERY downstream chunk.
+    val body = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, "inserted words here " + body))
+      .toDF("doc_id", "text")
+    val cdc = graft.queries.Text.cdcChunksOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = cdc(1L)
+    assert(d1.getAs[Long]("n_chunks") >= 5, "mod-16 boundaries must fire")
+    assert(d1.getAs[Long]("n_dup_chunks") >= d1.getAs[Long]("n_chunks") - 1,
+      s"CDC lost alignment: ${d1}")
+    // the fixed-window operator on the same pair finds nothing
+    val fixed = graft.queries.Text.dupChunksOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_chunks")).toMap
+    assert(fixed(1L) == 0L)
+  }
+
   test("readability battery on a hand-countable doc") {
     val docs = Seq((1L, "Hello world. Nice day!"), (2L, "")).toDF("doc_id", "text")
     val r = graft.queries.Text.readabilityOf(docs).collect()
