@@ -3223,6 +3223,44 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility by language — tokens-per-word for the three
+    * tokenizers the engine carries (whitespace, the BPE-ish regex of
+    * [[llmTokenCount]], the greedy wordpiece of [[llmTokenize]]):
+    * THE multilingual-budget metric — a language whose fertility runs
+    * 2× pays 2× the context window and 2× the training compute per
+    * word, which is exactly what vocab allocation decisions (and the
+    * [[llmVocabCoverage]] curve per language) trade off.
+    *
+    * Scale shape: one corpus pass — the regex count rides the codegen'd
+    * `regexp_count` projection, the wordpiece fold a typed
+    * iterator→iterator mapPartitions (same core as llm_tokenize) —
+    * then a #langs-row aggregate. */
+  val llmTokenizerFertility: Q = (s, dir) => {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select(col("lang"), col("text"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long").as("bpe"))
+      .as[(String, String, Long)]
+      .mapPartitions(_.map { case (lang, text, bpe) =>
+        val ws = text.split(" ", -1)
+        var i = 0; var wp = 0L
+        while (i < ws.length) { wp += wpTokenCountRef(ws(i)); i += 1 }
+        (lang, ws.length.toLong, wp, bpe)
+      })
+      .toDF("lang", "n_words", "wp_tokens", "bpe_tokens")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("wp_tokens").as("wp_tokens"), sum("bpe_tokens").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("wp_tokens"), col("bpe_tokens"),
+        dround(col("wp_tokens").cast("double") / col("n_words"), 6)
+          .as("wp_fertility"),
+        dround(col("bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("bpe_fertility"))
+      .orderBy("lang")
+  }
+
   /** Document fingerprint: rolling polynomial hash over word codes —
     * deterministic integer fold, identical in both engines. */
   val llmFingerprint: Q = (s, dir) => {
@@ -4422,7 +4460,8 @@ object Text {
     "llm_lm_kn" -> llmLmKn,
     "llm_readability" -> llmReadability,
     "llm_knn_graph" -> llmKnnGraph,
-    "llm_cdc_chunks" -> llmCdcChunks
+    "llm_cdc_chunks" -> llmCdcChunks,
+    "llm_tokenizer_fertility" -> llmTokenizerFertility
   )
 
   // ---------------------------------------------------------------- oracle
@@ -4873,6 +4912,34 @@ object Text {
     * thresholded within-cell pairs (DuckDB twin of [[semDedupPairs]]),
     * shared by the keeper-rule and CC-resolved oracles so the two
     * cannot drift. */
+  /** DuckDB wordpiece token count over `text` — the packed-state greedy
+    * fold, shared by the llm_tokenize and llm_tokenizer_fertility
+    * oracles so the tokenizer replay cannot drift between them. Same
+    * list_reduce + list_prepend(0) seed trick as llm_fingerprint; the
+    * prepended 0 is the initial accumulator (pos 0, count 0).
+    * Packing bound (cf. the 31-bit gram-id caveat on contamination):
+    * acc = pos·1e5 + count, so a single word yielding ≥ 100,000 pieces
+    * would wrap count into pos and diverge from the Spark Long count.
+    * Pieces ≥ len/4, so that needs a ~400,000-char single word —
+    * unreachable for fixture docs AND for any real tokenizer input
+    * (words are pre-split on spaces); the Spark side has no such
+    * bound. Documented, not widened. */
+  private lazy val wpTokensSql: String = {
+    def lst(vs: Seq[String]) = vs.map("'" + _ + "'").mkString("[", ",", "]")
+    s"""CAST(list_sum(list_transform(string_split(text, ' '), w ->
+       |    CASE WHEN length(w) = 0 THEN 0 ELSE
+       |      list_reduce(list_prepend(0::BIGINT, range(length(w))), (acc, i) ->
+       |        CASE WHEN i < acc // 100000 THEN acc
+       |             WHEN list_contains(${lst(wpVocab4)}, substr(w, CAST(i+1 AS INT), 4))
+       |               THEN (i+4)*100000 + acc % 100000 + 1
+       |             WHEN list_contains(${lst(wpVocab3)}, substr(w, CAST(i+1 AS INT), 3))
+       |               THEN (i+3)*100000 + acc % 100000 + 1
+       |             WHEN list_contains(${lst(wpVocab2)}, substr(w, CAST(i+1 AS INT), 2))
+       |               THEN (i+2)*100000 + acc % 100000 + 1
+       |             ELSE (i+1)*100000 + acc % 100000 + 1 END) % 100000
+       |    END)) AS BIGINT)""".stripMargin
+  }
+
   private lazy val semPairsCtes: String = semPairsCtesWith("WHERE cos > 0.3")
 
   /** The SemDeDup cell/pair CTE chain with a caller-chosen pair filter
@@ -5518,35 +5585,11 @@ object Text {
         |CAST(length(text) AS INT) AS chars,
         |CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS spaces
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "llm_tokenize" -> {
-      def lst(vs: Seq[String]) = vs.map("'" + _ + "'").mkString("[", ",", "]")
-      // Same packed-state greedy fold as the Spark side, via list_reduce
-      // with the list_prepend(0) seed trick (cf. llm_fingerprint): the
-      // prepended 0 is the initial accumulator (pos 0, count 0).
-      // Packing bound (cf. the 31-bit gram-id caveat on contamination):
-      // acc = pos·1e5 + count, so a single word yielding ≥ 100,000
-      // pieces would wrap count into pos and diverge from the Spark Long
-      // count. Pieces ≥ len/4, so that needs a ~400,000-char single
-      // word — unreachable for fixture docs AND for any real tokenizer
-      // input (words are pre-split on spaces); the Spark side has no
-      // such bound. Documented, not widened: a wider factor costs
-      // nothing here but the oracle should state its domain honestly.
+    "llm_tokenize" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-         |  CAST(list_sum(list_transform(string_split(text, ' '), w ->
-         |    CASE WHEN length(w) = 0 THEN 0 ELSE
-         |      list_reduce(list_prepend(0::BIGINT, range(length(w))), (acc, i) ->
-         |        CASE WHEN i < acc // 100000 THEN acc
-         |             WHEN list_contains(${lst(wpVocab4)}, substr(w, CAST(i+1 AS INT), 4))
-         |               THEN (i+4)*100000 + acc % 100000 + 1
-         |             WHEN list_contains(${lst(wpVocab3)}, substr(w, CAST(i+1 AS INT), 3))
-         |               THEN (i+3)*100000 + acc % 100000 + 1
-         |             WHEN list_contains(${lst(wpVocab2)}, substr(w, CAST(i+1 AS INT), 2))
-         |               THEN (i+2)*100000 + acc % 100000 + 1
-         |             ELSE (i+1)*100000 + acc % 100000 + 1 END) % 100000
-         |    END)) AS BIGINT) AS wp_tokens
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         |  $wpTokensSql AS wp_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_split_assign" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS INT) AS bucket,
@@ -6034,6 +6077,22 @@ object Text {
         |  CROSS JOIN tot)
         |SELECT w1, w2, c, CAST(pq AS DOUBLE) / 1000000.0 AS p_kn
         |FROM p ORDER BY pq DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Fertility: shared wpTokensSql fold + the llm_token_count regex,
+    // summed per language.
+    "llm_tokenizer_fertility" ->
+      s"""WITH per AS (SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    $wpTokensSql AS wp_tokens,
+         |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |      AS BIGINT) AS bpe_tokens
+         |  FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(wp_tokens) AS BIGINT) AS wp_tokens,
+         |  CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+         |  ${oRound("CAST(SUM(wp_tokens) AS DOUBLE) / SUM(n_words)", 6)} AS wp_fertility,
+         |  ${oRound("CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(n_words)", 6)} AS bpe_fertility
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     // CDC: identical B1/B2/B3·mod-P gram arithmetic, mod-16 boundary,
     // lag-sum chunk index, order-preserving string_agg reassembly.
     "llm_cdc_chunks" ->
