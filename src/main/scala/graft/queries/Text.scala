@@ -814,7 +814,16 @@ object Text {
     * with dst as tie-break — a total order both engines replay. */
   private[graft] def knnGraphOf(raw: DataFrame, k: Int = 3,
       cells: Int = ivfK): DataFrame = {
+    // Both persists are load-bearing (plan audit: the unbarriered first
+    // cut re-planned the whole cell/pair chain FOUR times — 48 parquet
+    // scans — because the union's two directions and the mutual
+    // self-join's two sides each re-derive it; the BM25-style exchange
+    // reuse cannot fire across the union's column swap). `und` is the
+    // cell-bounded pair frame any kNN builder materializes; `top` is
+    // the N·k edge list.
     val und = semDedupPairs(raw, cells, minCos = None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // eager: the union's branches would race the cache
     val dirAll = und
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
       .unionAll(und
@@ -824,6 +833,8 @@ object Text {
     val top = dirAll.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("src", "dst", "cos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    top.count() // eager: the mutual join reads it twice
     val reversed = top.select(col("dst").as("src"), col("src").as("dst"))
     top.join(reversed, Seq("src", "dst"))
       .filter(col("src") < col("dst"))
@@ -3920,6 +3931,11 @@ object Text {
         md5(concat_ws(" ",
           transform(col("pw"), x => x.getField("w")))).as("h"),
         size(col("pw")).cast("long").as("cw"))
+      // second barrier (plan audit): byChunk's DISTINCT rewrites the
+      // pre-exchange subtree, so AQE stage reuse can't dedup it and the
+      // unbarriered plan ran the explode+window+collect chain TWICE
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunks.count() // eager: two consumers would race the cache
     val byChunk = chunks.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("n_docs"))
     chunks.join(byChunk, "h")
