@@ -2822,9 +2822,28 @@ object Text {
     // in-micro at sf0.1, REPEATS=5)
     val grams = docs
       .filter(length(col("text")) >= 3)
+      // char array materialized ONCE per row (3 references inside the
+      // lambda keep the alias from collapsing into the scan), then
+      // O(1) element_at — the substr(i, 3) spelling re-scans the
+      // UTF8String to the code-point offset per element, O(len²)/row
+      // (the llm_char_entropy lesson: 5.11 → 0.61 s there)
+      // bound by length(text), NOT size(cs): the empty-regex split
+      // appends a trailing "" under Spark's limit=-1, so size(cs) can
+      // read len+1 and the last "trigram" would be 2 chars. Shape A/B
+      // (REPEATS=7, sf0.1, medians): substr-over-range 1.79 (O(len²)
+      // per row — the llm_char_entropy lesson), this element_at
+      // transform 1.83, window-lead over posexplode 1.66 — all within
+      // weather locally because the gram groupBys dominate here, so
+      // the tie-break is the 100 TB shape: linear per-row work and NO
+      // char-stream shuffle (window-lead shuffles every char on
+      // doc_id; substr is quadratic in doc length).
       .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("g"))
+        split(col("text"), "").as("cs"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), col("n") - 2),
+          i => concat(element_at(col("cs"), i),
+            element_at(col("cs"), i + 1),
+            element_at(col("cs"), i + 2)))).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams.count() // eager: concurrent consumers would race the cache
     val profW = org.apache.spark.sql.expressions.Window
@@ -2874,13 +2893,21 @@ object Text {
     * nothing global, no joins beyond the per-doc length carried through
     * the agg. */
   private[graft] def charEntropyOf(docs: DataFrame): DataFrame = {
-    // substr-over-range (the charLangIdOf idiom) rather than
-    // split(text, "") — the empty-delimiter split has no DuckDB twin
+    // split(text, "") — O(len) per row, vs the substr-over-range
+    // idiom's O(len²): UTF8String.substring re-scans to the code-point
+    // offset on every call. A/B at sf0.1 (REPEATS=7 medians): substr
+    // 5.11 s → array-lambda filter 3.55 (interpreted HOFs cost ~2 µs
+    // per element) → this split + codegen'd post-explode filter 0.61.
+    // The DuckDB twin keeps substr-over-range (no empty-delimiter
+    // split there; oracle runtime is not on the path). The length
+    // filter below also drops the trailing "" the empty-regex split
+    // appends under Spark's limit=-1.
     val chars = docs
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), length(col("text")).as("len"),
-        explode(transform(sequence(lit(1), length(col("text"))),
-          i => col("text").substr(i, lit(1)))).as("ch"))
+        explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1) // codegen'd post-explode guard —
+        // an array-lambda filter here would run interpreted per element
     chars.groupBy("doc_id", "len", "ch")
       .agg(count(lit(1)).as("c"))
       .select(col("doc_id"), col("len"),
