@@ -372,6 +372,19 @@ object Pipeline {
   def semDedup(embeddings: DataFrame, k: Int = Text.ivfK): DataFrame =
     Text.semDedupOf(embeddings, k)
 
+  /** Lexical-diversity battery over a caller (doc_id, text) frame:
+    * type-token ratio, hapax fraction, Yule's K — the vocabulary-
+    * richness axis template spam passes every length/ratio gate on. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    Text.lexicalDiversityOf(docs)
+
+  /** Embedding outlier audit over a caller (vec_id, embedding) frame:
+    * flags each coarse cell's most-peripheral 5% by quantized cosine
+    * to the cell centroid (exact interpolated per-cell p05). `k` sizes
+    * the coarse quantizer (see [[semDedup]]'s sizing rule). */
+  def embedOutliers(embeddings: DataFrame, k: Int = Text.ivfK): DataFrame =
+    Text.embedOutliersOf(embeddings, k)
+
   /** Mutual k-NN graph over a caller (vec_id, embedding) frame: edge
     * (id_a < id_b, cos) iff each endpoint ranks the other in its
     * top-`k` by cosine — mutuality filters the hub vectors plain kNN

@@ -257,7 +257,46 @@ object Sequences {
       .orderBy("prev", "next")
   }
 
+  /** RFM user scoring (recency / frequency / monetary — the classic
+    * behavioral segmentation): per user, days since last event
+    * (against the corpus max — reproducible, never now()), event
+    * count, and quantized spend; each metric scored 1–5 against its
+    * own exact interpolated quintile thresholds (the `agg_percentile`
+    * cross-engine idiom), recency inverted (recent = high score).
+    *
+    * Scale shape: per-user aggs on the user_id shuffle; thresholds are
+    * ONE 12-value aggregate row broadcast back — the CCNet-buckets
+    * posture, never a global ntile sort (a literal NTILE(5) OVER
+    * (ORDER BY metric) would single-partition every user at 100 TB). */
+  val seqRfm: Q = (s, dir) => {
+    val DayUs = 86400L * 1000000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+    val per = e.groupBy("user_id").agg(
+        max("tsu").as("last_tsu"), count(lit(1)).as("frequency"),
+        dsum(col("value"), 2).as("monetary"))
+      .crossJoin(broadcast(e.agg(max("tsu").as("ref"))))
+      .withColumn("recency_days", expr(s"(ref - last_tsu) DIV $DayUs"))
+    val thCols = Seq("recency_days", "frequency", "monetary").flatMap(m =>
+      Seq(0.2, 0.4, 0.6, 0.8).map(p =>
+        expr(s"percentile($m, $p)").as(s"${m.head}${(p * 100).toInt}")))
+    val th = per.agg(thCols.head, thCols.tail: _*)
+    def up(m: org.apache.spark.sql.Column, pre: String) =
+      lit(1) + Seq(20, 40, 60, 80).map(k =>
+        (m > col(s"$pre$k")).cast("int")).reduce(_ + _)
+    per.crossJoin(broadcast(th))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (lit(6) - up(col("recency_days"), "r")).as("r_score"),
+        up(col("frequency"), "f").as("f_score"),
+        up(col("monetary"), "m").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "seq_rfm" -> seqRfm,
     "seq_matchpath" -> seqMatchpath,
     "seq_matchpath_counts" -> seqMatchpathCounts,
     "seq_sessionize" -> seqSessionize,
@@ -312,6 +351,34 @@ object Sequences {
          |  ${oSum("value", 2)} AS total_value
          |FROM s GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    // Same per-user aggs; quantile_cont thresholds (≡ Spark percentile)
+    // in one scalar subquery row, identical 1–5 scoring arithmetic.
+    "seq_rfm" -> {
+      val qSql = Seq("recency_days", "frequency", "monetary").flatMap(m =>
+        Seq(20, 40, 60, 80).map(k =>
+          s"quantile_cont(${m}, 0.${k}) AS ${m.head}${k}")).mkString(",\n|        ")
+      def upSql(m: String, pre: String) =
+        s"(1 + ${Seq(20, 40, 60, 80).map(k =>
+          s"CASE WHEN $m > t.$pre$k THEN 1 ELSE 0 END").mkString(" + ")})"
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+         |per AS (SELECT user_id, MAX(tsu) AS last_tsu,
+         |          CAST(COUNT(*) AS BIGINT) AS frequency,
+         |          ${oSum("value", 2)} AS monetary
+         |        FROM e GROUP BY user_id),
+         |r AS (SELECT user_id, frequency, monetary,
+         |        ((SELECT MAX(tsu) FROM e) - last_tsu) // 86400000000
+         |          AS recency_days
+         |      FROM per),
+         |t AS (SELECT $qSql FROM r)
+         |SELECT r.user_id, r.recency_days, r.frequency, r.monetary,
+         |  CAST(6 - ${upSql("r.recency_days", "r")} AS INT) AS r_score,
+         |  CAST(${upSql("r.frequency", "f")} AS INT) AS f_score,
+         |  CAST(${upSql("r.monetary", "m")} AS INT) AS m_score,
+         |  CAST((6 - ${upSql("r.recency_days", "r")}) * 100
+         |    + ${upSql("r.frequency", "f")} * 10
+         |    + ${upSql("r.monetary", "m")} AS INT) AS rfm
+         |FROM r, t ORDER BY r.user_id""".stripMargin
+    },
     // Same (ts, event_id)-ordered lag adjacency; row-count normalizer
     // per prev state.
     "seq_transitions" ->

@@ -844,6 +844,49 @@ object Text {
   val llmKnnGraph: Q = (s, dir) =>
     knnGraphOf(Tables.t(s, dir, "embeddings")).orderBy("id_a", "id_b")
 
+  /** Embedding outlier audit — the curation stage that catches
+    * mislabeled/noise vectors SemDeDup's similarity thresholds never
+    * see (an outlier is far from EVERYTHING in its cell, not close to
+    * something): each vector's quantized cosine to its own centroid —
+    * recovered from the packed [[cellKey]] argmax key, so assignment
+    * and score cannot disagree — compared against its cell's exact
+    * interpolated 5th percentile (the proven `agg_percentile`
+    * cross-engine idiom). Flagged = the cell's most-peripheral 5%.
+    *
+    * Scale shape: the broadcast k-sized centroid join + one vec-keyed
+    * argmax agg (the IVF assignment cost, shared shape), a per-cell
+    * two-phase percentile over ≤ cell-sized integer groups, and a
+    * broadcast #cells-row threshold join back. No windows, no global
+    * sort. */
+  private[graft] def embedOutliersOf(raw: DataFrame, k: Int = ivfK): DataFrame = {
+    graft.functions.VectorExpressions.register(raw.sparkSession)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val emb = raw
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = ivfSeeds(emb, k)
+    val assigned = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        cellKey(dot(col("v"), col("cv")) / (col("nrm") * col("cn")),
+          col("r")).as("ck"))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), col("ck")).as("cell"), max("ck").as("bk"))
+      // quantized own-centroid cosine (1e9 scale), unpacked from the key
+      .withColumn("q", expr("bk DIV 65536"))
+    val thresholds = assigned.groupBy("cell")
+      .agg(expr("percentile(q, 0.05)").as("p05_raw"),
+        count(lit(1)).as("cell_n"))
+    assigned.join(broadcast(thresholds), "cell")
+      .select(col("vec_id"), col("cell"),
+        dround(col("q").cast("double") / 1e9, 6).as("cos_c"),
+        col("cell_n"),
+        dround(col("p05_raw") / 1e9, 6).as("cell_p05"),
+        (col("q").cast("double") < col("p05_raw")).as("is_outlier"))
+  }
+
+  val llmEmbedOutliers: Q = (s, dir) =>
+    embedOutliersOf(Tables.t(s, dir, "embeddings")).orderBy("vec_id")
+
   /** SemDeDup pairs resolved into CLUSTERS by the same O(log d)
     * star-contraction operator the MinHash path uses
     * ([[connectedComponents]]): the per-pair keeper rule alone handles
@@ -3299,6 +3342,36 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Lexical diversity battery — the vocabulary-richness quality axis
+    * the length/ratio scorers miss (template spam can pass every
+    * [[llmQualityScore]] gate while cycling 30 words): per doc,
+    * type-token ratio, hapax fraction (types seen once — low hapax =
+    * formulaic text), and Yule's K = 10⁴·(Σc² − N)/N² (Yule 1944;
+    * repeat-rate characteristic — HIGH K = concentrated reuse), all
+    * from exact integer counts (Σc² ride the same (doc, word) count
+    * table; the only doubles are three fixed-order divisions).
+    *
+    * Scale shape: one two-phase (doc, word) hash count, then a per-doc
+    * agg over the doc's TYPE rows (vocab-bounded per doc) — no windows,
+    * no global state. */
+  private[graft] def lexicalDiversityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        dround(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        dround(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_frac"),
+        dround(lit(10000.0) * (col("sum_c2") - col("n_tokens")) /
+          (col("n_tokens") * col("n_tokens")), 6).as("yules_k"))
+
+  val llmLexicalDiversity: Q = (s, dir) =>
+    lexicalDiversityOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** Document fingerprint: rolling polynomial hash over word codes —
     * deterministic integer fold, identical in both engines. */
   val llmFingerprint: Q = (s, dir) => {
@@ -4504,7 +4577,9 @@ object Text {
     "llm_readability" -> llmReadability,
     "llm_knn_graph" -> llmKnnGraph,
     "llm_cdc_chunks" -> llmCdcChunks,
-    "llm_tokenizer_fertility" -> llmTokenizerFertility
+    "llm_tokenizer_fertility" -> llmTokenizerFertility,
+    "llm_lexical_diversity" -> llmLexicalDiversity,
+    "llm_embed_outliers" -> llmEmbedOutliers
   )
 
   // ---------------------------------------------------------------- oracle
@@ -4985,9 +5060,10 @@ object Text {
 
   private lazy val semPairsCtes: String = semPairsCtesWith("WHERE cos > 0.3")
 
-  /** The SemDeDup cell/pair CTE chain with a caller-chosen pair filter
-    * (empty = every within-cell pair, the kNN-graph consumer). */
-  private def semPairsCtesWith(pairFilter: String): String =
+  /** The shared embeddings + deduped-centroid CTE prefix (e, n, cents)
+    * — one spelling for the SemDeDup pair chain and the outlier
+    * chain, so the coarse quantizer cannot drift between them. */
+  private lazy val embCentsCtes: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |cents0 AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn,
@@ -4995,7 +5071,12 @@ object Text {
        |  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfK),
        |cents AS (SELECT c_id, cv, cn, r FROM (
        |    SELECT *, row_number() OVER (PARTITION BY cv ORDER BY r) AS dup_rn
-       |    FROM cents0) t WHERE dup_rn = 1),
+       |    FROM cents0) t WHERE dup_rn = 1)""".stripMargin
+
+  /** The SemDeDup cell/pair CTE chain with a caller-chosen pair filter
+    * (empty = every within-cell pair, the kNN-graph consumer). */
+  private def semPairsCtesWith(pairFilter: String): String =
+    s"""$embCentsCtes,
        |cells AS (
        |  SELECT vec_id, arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell
        |  FROM n, cents GROUP BY vec_id),
@@ -6120,6 +6201,42 @@ object Text {
         |  CROSS JOIN tot)
         |SELECT w1, w2, c, CAST(pq AS DOUBLE) / 1000000.0 AS p_kn
         |FROM p ORDER BY pq DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Lexical diversity: Σc² rides the same (doc, word) count table;
+    // three fixed-order divisions are the only doubles.
+    "llm_lexical_diversity" ->
+      s"""WITH cw AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t GROUP BY doc_id, w),
+         |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        CAST(COUNT(*) AS BIGINT) AS n_types,
+         |        CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+         |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_hapax
+         |      FROM cw GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |  ${oRound("CAST(n_types AS DOUBLE) / n_tokens", 6)} AS ttr,
+         |  ${oRound("CAST(n_hapax AS DOUBLE) / n_types", 6)} AS hapax_frac,
+         |  ${oRound("10000.0 * (sum_c2 - n_tokens) / (n_tokens * n_tokens)", 6)} AS yules_k
+         |FROM d ORDER BY doc_id""".stripMargin,
+    // Outliers: same packed-key argmax as the cell CTEs; quantile_cont
+    // ≡ Spark percentile over the unpacked integer cosines.
+    "llm_embed_outliers" ->
+      s"""WITH $embCentsCtes,
+         |asg AS (
+         |  SELECT vec_id,
+         |    arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell,
+         |    MAX(CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS bk
+         |  FROM n, cents GROUP BY vec_id),
+         |qv AS (SELECT vec_id, cell, bk // 65536 AS q FROM asg),
+         |t AS (SELECT cell, quantile_cont(q, 0.05) AS p05_raw,
+         |        CAST(COUNT(*) AS BIGINT) AS cell_n
+         |      FROM qv GROUP BY cell)
+         |SELECT qv.vec_id, qv.cell,
+         |  ${oRound("CAST(qv.q AS DOUBLE) / 1000000000.0", 6)} AS cos_c,
+         |  t.cell_n,
+         |  ${oRound("t.p05_raw / 1000000000.0", 6)} AS cell_p05,
+         |  CAST(qv.q AS DOUBLE) < t.p05_raw AS is_outlier
+         |FROM qv JOIN t USING (cell) ORDER BY qv.vec_id""".stripMargin,
     // Fertility: shared wpTokensSql fold + the llm_token_count regex,
     // summed per language.
     "llm_tokenizer_fertility" ->

@@ -146,6 +146,33 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(fixed(1L) == 0L)
   }
 
+  test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getAs[Double]("ttr") == 0.5)
+    assert(r.getAs[Double]("hapax_frac") == 0.5)
+    // K = 10^4 · (Σc² − N)/N² = 10^4 · (9 + 1 − 4)/16 = 3750
+    assert(r.getAs[Double]("yules_k") == 3750.0)
+  }
+
+  test("embed outliers: the orthogonal vector is its cell's outlier") {
+    import org.apache.spark.sql.functions.col
+    // 19 copies of e1 (cos 1 to any e1-direction centroid) + one e2
+    // (cos 0): with k = 1 every vector shares a cell; p05 interpolates
+    // between the 0 and the 1s, so exactly the orthogonal one flags
+    val emb = ((0L until 19L).map(i => (i, Seq(1.0f, 0.0f))) :+
+      (19L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = graft.queries.Text.embedOutliersOf(emb, k = 1).collect()
+    // the k=1 seed is the md5-min vec_id = 6 (an e1 vector) — pin that
+    // so a fixture-id reshuffle can't silently make the OUTLIER the
+    // centroid and vacuously pass
+    assert(out.forall(_.getAs[Long]("cell") == 6L))
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier")).map(_.getLong(0))
+    assert(flagged.toSeq == Seq(19L))
+    assert(out.count(_.getAs[Double]("cos_c") == 1.0) == 19)
+  }
+
   test("readability battery on a hand-countable doc") {
     val docs = Seq((1L, "Hello world. Nice day!"), (2L, "")).toDF("doc_id", "text")
     val r = graft.queries.Text.readabilityOf(docs).collect()
