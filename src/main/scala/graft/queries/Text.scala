@@ -234,6 +234,77 @@ object Text {
   val llmMinhashLsh: Q = (s, dir) =>
     minhashDupPairs(Tables.t(s, dir, "documents")).orderBy("doc_a", "doc_b")
 
+  /** MinHash sketch calibration — the quality audit every production
+    * dedup pipeline owes its sketch: over the LSH candidate pairs, the
+    * 12-component signature-agreement ESTIMATE of Jaccard vs the EXACT
+    * shingle Jaccard, summarized as MAE, signed bias, and the 0.5-
+    * threshold confusion counts (est ≥ 0.5 ⟺ match_k ≥ 6 — an
+    * integer compare, no float boundary). Systematic bias here means
+    * the near-dup threshold is silently wrong at corpus scale.
+    *
+    * Scale shape: the [[signaturesOf]] persist + candidate join the
+    * LSH dedup already pays; per-pair work is two 12-element array
+    * folds and one set intersect; output is ONE row. */
+  private[graft] def minhashCalibrationOf(docs: DataFrame): DataFrame = {
+    val sets = signaturesOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count() // eager: bucket join + both feature joins share it
+    val feat = sets.select(col("doc_id"), col("sh"),
+      array((0 until bands * rowsPerBand).map(i => col(s"mh$i")): _*).as("mhs"))
+    minhashCandidates(sets)
+      .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("mhs").as("mh_a")), "doc_a")
+      .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("mhs").as("mh_b")), "doc_b")
+      .withColumn("match_k", aggregate(zip_with(col("mh_a"), col("mh_b"),
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x))
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("est", col("match_k") / lit(12.0))
+      .withColumn("xact", col("ni") * lit(1.0) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("ni")))
+      .agg(count(lit(1)).as("n_pairs"),
+        davg(abs(col("est") - col("xact")), 6).as("mae"),
+        davg(col("est") - col("xact"), 6).as("bias"),
+        sum(when(col("match_k") >= 6, 1L).otherwise(0L)).as("est_pos"),
+        sum(when(col("xact") >= 0.5, 1L).otherwise(0L)).as("exact_pos"),
+        sum(when(col("match_k") >= 6 && col("xact") >= 0.5, 1L)
+          .otherwise(0L)).as("both_pos"))
+  }
+
+  val llmMinhashCalibration: Q = (s, dir) =>
+    minhashCalibrationOf(Tables.t(s, dir, "documents"))
+
+  /** Marginal n-gram novelty — the dedup-economics metric behind
+    * "is this source still contributing?": per doc, the fraction of
+    * its DISTINCT 4-grams whose first corpus occurrence (min doc_id)
+    * is this doc. A source whose docs trend toward zero novelty is
+    * re-crawling what the corpus already holds — the curve data
+    * acquisition teams actually watch.
+    *
+    * Scale shape: the shared gram arithmetic as a persisted projection
+    * (explode feeds the first-occurrence groupBy AND the join back),
+    * one two-phase min-agg on the gram id, one co-partitioned join on
+    * the same key. */
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), wordHashCol.as("hs"))
+      .filter(size(col("hs")) >= 4)
+      .select(col("doc_id"), explode(hashGramCol(4)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: two consumers would race the cache
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        dround(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
+  val llmNgramNovelty: Q = (s, dir) =>
+    ngramNoveltyOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** Hot-bucket guard, oracle-compared: the production cap (1000) never
     * trips at fixture scale, so this cap=2 twin exists to force real
     * drops and compare the kept-bucket membership engine-vs-engine — a
@@ -4579,7 +4650,9 @@ object Text {
     "llm_cdc_chunks" -> llmCdcChunks,
     "llm_tokenizer_fertility" -> llmTokenizerFertility,
     "llm_lexical_diversity" -> llmLexicalDiversity,
-    "llm_embed_outliers" -> llmEmbedOutliers
+    "llm_embed_outliers" -> llmEmbedOutliers,
+    "llm_minhash_calibration" -> llmMinhashCalibration,
+    "llm_ngram_novelty" -> llmNgramNovelty
   )
 
   // ---------------------------------------------------------------- oracle
@@ -6201,6 +6274,54 @@ object Text {
         |  CROSS JOIN tot)
         |SELECT w1, w2, c, CAST(pq AS DOUBLE) / 1000000.0 AS p_kn
         |FROM p ORDER BY pq DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Calibration: the shared bucket CTEs; per-pair match_k via a
+    // 12-element index filter, exact Jaccard via the set intersect;
+    // est ≥ 0.5 spelled as the integer match_k >= 6 in both engines.
+    "llm_minhash_calibration" -> {
+      val mhList = (0 until bands * rowsPerBand).map(i => s"mh$i")
+        .mkString("[", ", ", "]")
+      s"""WITH ${bucketCtes(maxBucket)},
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |feat AS (SELECT doc_id, sh, $mhList AS mhs FROM mh),
+         |pf AS (
+         |  SELECT
+         |    len(list_filter(range(1, 13), i -> fa.mhs[i] = fb.mhs[i]))
+         |      AS match_k,
+         |    len(list_filter(fa.sh, x -> list_contains(fb.sh, x))) AS ni,
+         |    len(fa.sh) AS na, len(fb.sh) AS nb
+         |  FROM cpairs p
+         |  JOIN feat fa ON fa.doc_id = p.doc_a
+         |  JOIN feat fb ON fb.doc_id = p.doc_b),
+         |m AS (SELECT match_k, match_k / 12.0 AS est,
+         |        ni * 1.0 / (na + nb - ni) AS xact FROM pf)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ${oAvg("abs(est - xact)", 6)} AS mae,
+         |  ${oAvg("est - xact", 6)} AS bias,
+         |  CAST(SUM(CASE WHEN match_k >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS est_pos,
+         |  CAST(SUM(CASE WHEN xact >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS exact_pos,
+         |  CAST(SUM(CASE WHEN match_k >= 6 AND xact >= 0.5 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS both_pos
+         |FROM m""".stripMargin
+    },
+    // Novelty: shared gram arithmetic; first occurrence = min doc_id
+    // over the distinct-gram explode.
+    "llm_ngram_novelty" ->
+      s"""WITH wh AS ($wordHashSql),
+         |g4 AS (SELECT doc_id, unnest(${hashGramSql(4)}) AS g
+         |       FROM wh WHERE len(hs) >= 4),
+         |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g4 GROUP BY g)
+         |SELECT g4.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN f.first_doc = g4.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  ${oRound("CAST(SUM(CASE WHEN f.first_doc = g4.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)}
+         |    AS novelty
+         |FROM g4 JOIN f USING (g)
+         |GROUP BY g4.doc_id ORDER BY g4.doc_id""".stripMargin,
     // Lexical diversity: Σc² rides the same (doc, word) count table;
     // three fixed-order divisions are the only doubles.
     "llm_lexical_diversity" ->

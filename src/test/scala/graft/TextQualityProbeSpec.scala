@@ -146,6 +146,28 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(fixed(1L) == 0L)
   }
 
+  test("ngram novelty: duplicate contributes zero, fresh doc full") {
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val nv = graft.queries.Text.ngramNoveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    assert(nv == Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  test("minhash calibration emits sane one-row error stats") {
+    val template = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, template), (2L, template + " tail"),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.queries.Text.minhashCalibrationOf(docs).collect().head
+    assert(r.getLong(0) >= 1L) // the planted near-dup pair is a candidate
+    val mae = r.getAs[Double]("mae")
+    assert(mae >= 0.0 && mae <= 1.0)
+    // est and exact agree on the planted near-dup at the 0.5 threshold
+    assert(r.getAs[Long]("both_pos") >= 1L)
+  }
+
   test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
