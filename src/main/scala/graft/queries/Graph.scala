@@ -112,9 +112,60 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Common-neighbor Jaccard link prediction (Liben-Nowell & Kleinberg
+    * CIKM 2003 — the baseline every graph-ML link predictor is scored
+    * against): for non-adjacent pairs sharing ≥ 1 neighbor,
+    * score = |N(u)∩N(w)| / |N(u)∪N(w)|, top-20 by quantized score.
+    *
+    * Scale shape: same oriented-edge discipline as [[triangles]] —
+    * common-neighbor counts come from ONE wedge self-join on the
+    * middle node (fan-out bounded by degree), existing edges drop via
+    * a co-partitioned anti-join, degrees join back on the node key.
+    * The union-set size is inclusion-exclusion arithmetic, never an
+    * array materialization. Top-k lands in TakeOrderedAndProject. */
+  val linkpred: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val edges = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      // consumed 4x (two wedge sides, the anti-join, degrees) — pure
+      // projection below, the catalogued multi-consumer barrier
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val common = und.select(col("u"), col("v").as("m"))
+      .join(und.select(col("u").as("m"), col("v").as("w")), "m")
+      .filter(col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+    common
+      .join(edges.select(col("a").as("u"), col("b").as("w")),
+        Seq("u", "w"), "left_anti")
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("w"), col("d").as("dw")), "w")
+      .withColumn("jq", floor(
+        col("cn") * lit(1.0) / (col("du") + col("dw") - col("cn")) * 1e6
+          + lit(0.5)).cast("long"))
+      .select(col("u").as("a"), col("w").as("b"), col("cn"),
+        (col("jq").cast("double") / 1e6).as("score"), col("jq"))
+      .orderBy(col("jq").desc, col("a"), col("b"))
+      .limit(20)
+      .drop("jq")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
-    "graph_triangles" -> triangles
+    "graph_triangles" -> triangles,
+    "graph_linkpred" -> linkpred
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -128,6 +179,42 @@ object Graph {
        |  GROUP BY i.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same oriented edge CTE; common neighbors via the middle-node
+    // self-join; union size by inclusion-exclusion; quantized-long
+    // top-20 ordering.
+    "graph_linkpred" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |und AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM und GROUP BY u),
+         |common AS (
+         |  SELECT n1.u, n2.v AS w, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM (SELECT u, v AS m FROM und) n1
+         |  JOIN (SELECT u AS m, v FROM und) n2 USING (m)
+         |  WHERE n1.u < n2.v GROUP BY n1.u, n2.v),
+         |cand AS (
+         |  SELECT c.u, c.w, c.cn FROM common c
+         |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+         |                    WHERE e.a = c.u AND e.b = c.w)),
+         |sc AS (
+         |  SELECT c.u, c.w, c.cn,
+         |    CAST(FLOOR(c.cn * 1.0 / (du.d + dw.d - c.cn) * 1000000.0
+         |      + 0.5) AS BIGINT) AS jq
+         |  FROM cand c
+         |  JOIN deg du ON du.u = c.u
+         |  JOIN deg dw ON dw.u = c.w)
+         |SELECT u AS a, w AS b, cn, CAST(jq AS DOUBLE) / 1000000.0 AS score
+         |FROM sc ORDER BY jq DESC, a, b LIMIT 20""".stripMargin,
     "graph_triangles" ->
       s"""WITH ids AS (SELECT doc_id FROM documents),
          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),

@@ -71,4 +71,43 @@ class GraphSpec extends SparkSpec {
     // every count is per-node triangle participation: total divides by 3
     assert(got.values.sum % 3 == 0)
   }
+
+  test("graph_linkpred replays a driver-side common-neighbor scan") {
+    val got = SparkEntry.queries("graph_linkpred")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("score")))
+    assert(got.length == 20)
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map { i =>
+        val dst = h(s"$src:$i") % n
+        (math.min(src.toLong, dst), math.max(src.toLong, dst))
+      }
+    }.filter(e => e._1 < e._2).toSet
+    val nbr = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      nbr(a) = nbr(a) + b; nbr(b) = nbr(b) + a
+    }
+    val cand = for {
+      (u, nu) <- nbr.toSeq
+      m <- nu
+      w <- nbr(m)
+      if u < w && !edges.contains((u, w))
+    } yield (u, w)
+    val scored = cand.distinct.map { case (u, w) =>
+      val cn = (nbr(u) & nbr(w)).size.toLong
+      val jq = math.floor(
+        cn * 1.0 / (nbr(u).size + nbr(w).size - cn) * 1e6 + 0.5).toLong
+      (u, w, cn, jq)
+    }
+    val expected = scored.sortBy { case (u, w, _, jq) => (-jq, u, w) }
+      .take(20).map { case (u, w, cn, jq) => (u, w, cn, jq / 1e6) }
+    assert(got.toSeq == expected)
+  }
 }
