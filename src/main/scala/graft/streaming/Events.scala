@@ -59,6 +59,26 @@ object Events {
       .orderBy("user_id", "sess_start")
   }
 
+  /** Trending detection: top-2 event types per 6-hour tumbling window
+    * (the dashboard staple — "what's hot right now"). The STATEFUL part
+    * is the windowed count (watermark-bounded in the streaming twin,
+    * [[topkCountsStream]]); the rank is a per-window post-processing
+    * step over the #types-per-window frame — tiny by construction, the
+    * shape a foreachBatch consumer (or the memory-sink reader in the
+    * spec) applies identically. */
+  val streamTopkTypes: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(rk))
+      .filter(col("rnk") <= 2)
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("rnk"), col("event_type"), col("cnt"))
+      .orderBy("win_start", "rnk")
+  }
+
   /** Deterministic stateful dedup shape: first event per (user, type) by
     * event time (streaming twin: dropDuplicatesWithinWatermark). */
   val streamDedupFirst: Q = (s, dir) => {
@@ -156,7 +176,8 @@ object Events {
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_dedup_first" -> streamDedupFirst,
-    "stream_watermark_drop" -> streamWatermarkDrop
+    "stream_watermark_drop" -> streamWatermarkDrop,
+    "stream_topk_types" -> streamTopkTypes
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -188,6 +209,15 @@ object Events {
       s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
          |event_type, COUNT(*) AS cnt, ${oSum("value")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "stream_topk_types" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP))
+        |    AS win_start, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY win_start
+        |        ORDER BY cnt DESC, event_type) AS rnk FROM c)
+        |SELECT win_start, CAST(rnk AS INT) AS rnk, event_type, cnt
+        |FROM r WHERE rnk <= 2 ORDER BY win_start, rnk""".stripMargin,
     "stream_sliding" ->
       s"""WITH t AS (
          |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS w1, value FROM events
@@ -318,5 +348,18 @@ object Events {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("val_sum"))
       .select(col("w.start").cast("timestamp_ntz").as("win_start"),
         col("event_type"), col("cnt"), col("val_sum"))
+  }
+
+  /** Streaming twin of [[streamTopkTypes]]'s STATEFUL stage: the
+    * watermark-bounded 6-hour windowed counts. The per-window rank is a
+    * consumer-side step over the tiny per-window frame (StreamingSpec
+    * applies it to the memory sink and compares to the batch query). */
+  def topkCountsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("cnt"))
   }
 }

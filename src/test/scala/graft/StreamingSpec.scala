@@ -29,6 +29,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("windowed top-k: streamed counts + consumer rank == batch result") {
+    val streamDir = Files.createTempDirectory("graft_topk_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = graft.streaming.Events.topkCountsStream(spark, streamDir.toString)
+    val q = stream.writeStream
+      .format("memory").queryName("topk_smoke")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+
+    // the consumer-side rank over the tiny per-window frame
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start").orderBy(col("cnt").desc, col("event_type"))
+    val streamed = spark.table("topk_smoke")
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(rk))
+      .filter(col("rnk") <= 2)
+      .select("win_start", "rnk", "event_type", "cnt")
+      .orderBy("win_start", "rnk").collect()
+    val batch = graft.streaming.Events.streamTopkTypes(spark, sfDir).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
   test("flatMapGroupsWithState: streaming result == batch result") {
     val streamDir = Files.createTempDirectory("graft_state_stream")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
