@@ -915,6 +915,54 @@ object Text {
   val llmKnnGraph: Q = (s, dir) =>
     knnGraphOf(Tables.t(s, dir, "embeddings")).orderBy("id_a", "id_b")
 
+  /** k-NN label-consistency audit (leave-one-out within cells) — the
+    * standard label-noise / embedding-quality probe: predict each
+    * vector's label as the majority label of its 3 nearest within-cell
+    * neighbors (ties break to the smaller label) and score per-class
+    * accuracy. A class whose kNN accuracy collapses has noisy labels
+    * or an embedding that doesn't separate it — the two defects this
+    * audit exists to surface before anyone trains on the labels.
+    *
+    * Scale shape: the same cell-bounded pair space as [[knnGraphOf]]
+    * (persisted once), per-vector top-3 via a cell-sized window, the
+    * vote a (vector, label)-keyed count + argmax rank, and the final
+    * score a #classes-row aggregate. */
+  private[graft] def knnClassifyOf(raw: DataFrame, k: Int = 3,
+      cells: Int = ivfK): DataFrame = {
+    val und = semDedupPairs(raw.select("vec_id", "embedding"), cells,
+      minCos = None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // eager: the direction-union would race the cache
+    val dirAll = und
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos"))
+      .unionAll(und
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val labels = raw.select(col("vec_id"), col("label"))
+    val votes = dirAll.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(labels.select(col("vec_id").as("dst"),
+        col("label").as("nl")), "dst")
+      .groupBy("src", "nl").agg(count(lit(1)).as("v"))
+    val vw = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("v").desc, col("nl"))
+    val pred = votes.withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("src").as("vec_id"), col("nl").as("pred"))
+    labels.join(pred, "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc",
+        dround(col("n_correct").cast("double") / col("n"), 6))
+      .orderBy("label")
+  }
+
+  val llmKnnClassify: Q = (s, dir) =>
+    knnClassifyOf(Tables.t(s, dir, "embeddings"))
+
   /** Embedding outlier audit — the curation stage that catches
     * mislabeled/noise vectors SemDeDup's similarity thresholds never
     * see (an outlier is far from EVERYTHING in its cell, not close to
@@ -4652,7 +4700,8 @@ object Text {
     "llm_lexical_diversity" -> llmLexicalDiversity,
     "llm_embed_outliers" -> llmEmbedOutliers,
     "llm_minhash_calibration" -> llmMinhashCalibration,
-    "llm_ngram_novelty" -> llmNgramNovelty
+    "llm_ngram_novelty" -> llmNgramNovelty,
+    "llm_knn_classify" -> llmKnnClassify
   )
 
   // ---------------------------------------------------------------- oracle
@@ -6411,6 +6460,33 @@ object Text {
          |    AS dup_frac
          |FROM chunks c JOIN bc USING (h)
          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // kNN classify: same unthresholded cell pairs; per-vector top-3,
+    // (vector, label) vote count, argmax with smaller-label tie-break,
+    // per-class accuracy.
+    "llm_knn_classify" ->
+      s"""WITH ${semPairsCtesWith("")},
+         |dirp AS (SELECT id_a AS src, id_b AS dst, cos FROM spairs
+         |         UNION ALL SELECT id_b, id_a, cos FROM spairs),
+         |topk AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst) AS rnk FROM dirp) t
+         |  WHERE rnk <= 3),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |votes AS (SELECT t.src, l.label AS nl,
+         |            CAST(COUNT(*) AS BIGINT) AS v
+         |          FROM topk t JOIN lab l ON l.vec_id = t.dst
+         |          GROUP BY t.src, l.label),
+         |pred AS (SELECT src AS vec_id, nl AS pred FROM (
+         |    SELECT src, nl, row_number() OVER (PARTITION BY src
+         |      ORDER BY v DESC, nl) AS vr FROM votes) t
+         |  WHERE vr = 1)
+         |SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  ${oRound("CAST(SUM(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)}
+         |    AS acc
+         |FROM lab l JOIN pred p USING (vec_id)
+         |GROUP BY l.label ORDER BY l.label""".stripMargin,
     // Mutual kNN graph: the unthresholded SemDeDup cell pairs, ranked
     // per node (cos desc, dst tie-break), kept iff both directions
     // rank each other top-3.

@@ -168,6 +168,25 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(r.getAs[Long]("both_pos") >= 1L)
   }
 
+  test("knn classify: clean clusters score 1.0, the mislabeled one dips") {
+    // two orthogonal clusters, labels = cluster — except vec 0 (an e1
+    // vector) carries label 1. Every prediction is the local majority,
+    // so class 0 stays perfect and class 1 loses exactly the planted
+    // noise vector: acc 10/11.
+    def v(axis: Int, i: Long): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f
+      a(axis + 2) = 1e-6f * (i % 7); a.toSeq
+    }
+    val emb = ((0L until 10L).map(i =>
+      (i, v(0, i), if (i == 0L) 1 else 0)) ++
+      (10L until 20L).map(i => (i, v(1, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val acc = graft.queries.Text.knnClassifyOf(emb, k = 3, cells = 1)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("acc")).toMap
+    assert(acc(0) == 1.0)
+    assert(math.abs(acc(1) - 10.0 / 11) < 1e-4)
+  }
+
   test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
