@@ -295,8 +295,90 @@ object Sequences {
       .orderBy("user_id")
   }
 
+  /** Per-user daily-activity anomaly flags (the monitoring staple behind
+    * abuse detection and pipeline drift alerts): bucket events into
+    * integer days per user, then flag days whose count sits more than
+    * 2σ above that user's own mean — each user is their own baseline,
+    * so a chatty user's normal day doesn't alarm while a quiet user's
+    * burst does.
+    *
+    * Cross-engine determinism: mean and variance come from EXACT integer
+    * sums (n, Σcnt, Σcnt²) — never a Welford single-pass stddev, whose
+    * accumulation order differs between engines — and the z-score is one
+    * fixed-shape chain of IEEE double ops quantized at 1e-6 before the
+    * threshold compare. `greatest(·, 0)` guards the all-equal-counts
+    * cell where Σcnt²/n − mean² rounds to −ε (sqrt would NaN).
+    *
+    * Scale shape: (user, day) counts on their own key's shuffle; the
+    * per-user stats frame is users-sized and joins back on user_id (AQE
+    * picks broadcast when it fits); flagged rows only. No windows over
+    * the raw event stream, no global sort; skew bounded by the busiest
+    * user's day count. */
+  val seqAnomaly: Q = (s, dir) => {
+    val DayUs = 86400L * 1000000L
+    val d = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+    val st = d.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum("cnt").as("s"),
+      sum(col("cnt") * col("cnt")).as("q"))
+    d.join(st, "user_id")
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("sd", sqrt(greatest(
+        col("q").cast("double") / col("n") - col("mean") * col("mean"),
+        lit(0.0))))
+      .filter(col("sd") > 0.0)
+      .withColumn("z", dround((col("cnt") - col("mean")) / col("sd"), 6))
+      .filter(col("z") > 2.0)
+      .select(col("user_id"), col("day"), col("cnt"),
+        dround(col("mean"), 6).as("mean_cnt"), col("z"))
+      .orderBy("user_id", "day")
+  }
+
+  /** CUSUM changepoint detection on daily event volume (Page 1954; the
+    * level-shift drift monitor behind "did ingestion break on day X"):
+    * cumulative sum of per-day deviations from the corpus mean — a
+    * sustained level shift makes |CUSUM| peak AT the shift day, where
+    * per-day z-scores (seq_anomaly) only see isolated spikes. The
+    * flagged day is the interior argmax of |CUSUM|.
+    *
+    * Cross-engine determinism: day counts are exact integers; mean is
+    * one double division; each day's deviation quantizes to a LONG
+    * before the running sum (the dsum idiom applied to a window —
+    * engines disagree on windowed-float accumulation order: DuckDB may
+    * use a segment tree where Spark accumulates sequentially, and long
+    * sums are order-free); ranking uses the quantized |CUSUM| with a
+    * day tie-break, so the argmax is engine-identical.
+    *
+    * Scale shape: the heavy pass is ONE two-phase (day) count over the
+    * event stream; every window after that runs on the #days-sized
+    * aggregate frame (the seq_transitions posture) — a single partition
+    * of a few thousand rows at any corpus scale, never the raw events. */
+  val seqChangepoint: Q = (s, dir) => {
+    val DayUs = 86400L * 1000000L
+    val d = Tables.events(s, dir)
+      .select(expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val withMean = d.crossJoin(broadcast(
+      d.agg((sum("cnt").cast("double") / count(lit(1))).as("mean"))))
+    val byDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val devQ = floor((col("cnt") - col("mean")) * 1e6 + lit(0.5)).cast("long")
+    val cum = withMean
+      .withColumn("cusum",
+        sum(devQ).over(byDay).cast("double") / 1e6)
+    val byPeak = Window.orderBy(abs(col("cusum")).desc, col("day"))
+    cum
+      .withColumn("is_changepoint", rank().over(byPeak) === 1)
+      .select(col("day"), col("cnt"), dround(col("mean"), 6).as("mean_cnt"),
+        col("cusum"), col("is_changepoint"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_rfm" -> seqRfm,
+    "seq_anomaly" -> seqAnomaly,
+    "seq_changepoint" -> seqChangepoint,
     "seq_matchpath" -> seqMatchpath,
     "seq_matchpath_counts" -> seqMatchpathCounts,
     "seq_sessionize" -> seqSessionize,
@@ -307,6 +389,43 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same integer day buckets; per-day deviation quantized to BIGINT
+    // before the running sum (order-free), identical argmax ranking.
+    "seq_changepoint" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |             CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM events GROUP BY day),
+         |m AS (SELECT CAST(SUM(cnt) AS DOUBLE)/COUNT(*) AS mean FROM d),
+         |c AS (SELECT d.day, d.cnt, m.mean,
+         |        CAST(SUM(CAST(FLOOR((d.cnt - m.mean)*1000000.0+0.5) AS BIGINT))
+         |          OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+         |                AND CURRENT ROW) AS DOUBLE)/1000000.0 AS cusum
+         |      FROM d, m),
+         |r AS (SELECT day, cnt, mean, cusum,
+         |        rank() OVER (ORDER BY abs(cusum) DESC, day) AS rk FROM c)
+         |SELECT day, cnt, ${oRound("mean", 6)} AS mean_cnt, cusum,
+         |  rk = 1 AS is_changepoint
+         |FROM r ORDER BY day""".stripMargin,
+    // Same integer day buckets and exact-integer-sum moments; the z chain
+    // is spelled with the identical IEEE op shape (q/n − (s/n)·(s/n)).
+    "seq_anomaly" ->
+      s"""WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |             CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM events GROUP BY user_id, day),
+         |st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(cnt) AS BIGINT) AS s,
+         |         CAST(SUM(cnt*cnt) AS BIGINT) AS q
+         |       FROM d GROUP BY user_id),
+         |z AS (SELECT d.user_id, d.day, d.cnt,
+         |        CAST(st.s AS DOUBLE)/st.n AS mean,
+         |        sqrt(greatest(CAST(st.q AS DOUBLE)/st.n
+         |          - (CAST(st.s AS DOUBLE)/st.n)*(CAST(st.s AS DOUBLE)/st.n),
+         |          0.0)) AS sd
+         |      FROM d JOIN st USING (user_id))
+         |SELECT user_id, day, cnt, ${oRound("mean", 6)} AS mean_cnt,
+         |  ${oRound("(cnt - mean)/sd", 6)} AS z
+         |FROM z WHERE sd > 0 AND ${oRound("(cnt - mean)/sd", 6)} > 2.0
+         |ORDER BY user_id, day""".stripMargin,
     "seq_matchpath" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_id, value, substr(event_type, 1, 1) AS sym,

@@ -581,6 +581,41 @@ object Text {
     ngramJaccardOf(d, minhashCandidatePairs(d)).orderBy("doc_a", "doc_b")
   }
 
+  /** Train/val split-leakage audit — the self-contamination check
+    * `llm_contamination` (corpus vs EXTERNAL eval set) cannot do: when
+    * near-duplicate docs straddle the train/val split, validation loss
+    * silently measures memorization (Lee et al. ACL 2022 §6.2 measure
+    * exactly this leak on C4/RealNews). Composes the SHARED machinery so
+    * the three operators cannot disagree: candidate pairs from the
+    * banded-LSH chain, verified with the exact bigram Jaccard, splits
+    * from `llm_split_assign`'s md5-bucket rule. Output = one row per
+    * split-pair category (train-train / train-val / val-val) with pair
+    * and verified-near-dup (jac ≥ 0.5 on the quantized value — no float
+    * boundary) counts; the train-val row IS the leakage number.
+    *
+    * Scale shape: rides the signaturesOf persist + bucket join the LSH
+    * dedup already pays; split assignment is a per-row md5 projection on
+    * the pair frame (no join back to documents); the category agg is a
+    * ≤ 3-row two-phase hash aggregate. */
+  private[graft] def splitLeakageOf(docs: DataFrame): DataFrame = {
+    val bucketOf = (c: Column) =>
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("int") % 100
+    val splitOf = (c: Column) =>
+      when(bucketOf(c) < 95, "train").otherwise("val")
+    ngramJaccardOf(docs, minhashCandidatePairs(docs))
+      .select(col("bigram_jac"),
+        array_join(array_sort(array(splitOf(col("doc_a")),
+          splitOf(col("doc_b")))), "-").as("cat"))
+      .groupBy("cat")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("bigram_jac") >= 0.5, 1L).otherwise(0L)).as("n_neardup"),
+        dround(max(col("bigram_jac")), 6).as("max_jac"))
+      .orderBy("cat")
+  }
+
+  val llmSplitLeakage: Q = (s, dir) =>
+    splitLeakageOf(Tables.t(s, dir, "documents"))
+
   /** Brute-force cosine top-k (oracle baseline; scale path = llm_ann_lsh).
     * Query set is small (20 vecs) and broadcast against all candidates.
     * Norms are precomputed once per vector in the projection — per pair
@@ -962,6 +997,58 @@ object Text {
 
   val llmKnnClassify: Q = (s, dir) =>
     knnClassifyOf(Tables.t(s, dir, "embeddings"))
+
+  /** Hard-negative mining for contrastive retrieval training (DPR —
+    * Karpukhin et al. EMNLP 2020 §3.2; ANCE — Xiong et al. 2020): for
+    * each query vector, the strongest POSITIVE (most-similar same-label
+    * candidate) and the top-3 strongest NEGATIVES (most-similar
+    * different-label candidates). The negatives closest to the query are
+    * the "hard" ones — random negatives saturate the loss early — and
+    * `margin = pos_cos − neg_cos` is the per-triplet training signal (a
+    * negative margin marks the query as confusable: its best
+    * wrong-label neighbor outranks its best right-label one).
+    *
+    * Scale shape: the query side is a training batch (broadcast-sized
+    * by construction); the candidate corpus streams ONCE through the
+    * broadcast join; per-query top-k via q_id-partitioned windows over
+    * label-filtered frames — never a global sort, skew bounded by the
+    * per-query candidate count. At 100 TB the brute-force pairing swaps
+    * for the ANN shortlist (`llm_ann_ivf_trained` / `pqSearch`) with
+    * identical downstream mining; the oracle pins this exact variant.
+    * Cosines are the [[llmCosineTopk]] dround(6) values, so DuckDB
+    * replays the ranking bit-for-bit. */
+  private[graft] def hardNegativesOf(raw: DataFrame, isQuery: Column => Column,
+      negK: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(raw.sparkSession)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val emb = raw
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = emb.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("label").as("q_lab"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val sims = broadcast(q).join(emb.filter(!isQuery(col("vec_id"))))
+      .select(col("q_id"), col("q_lab"), col("vec_id"), col("label"),
+        dround(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    val byCos = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val pos = sims.filter(col("label") === col("q_lab"))
+      .withColumn("r", row_number().over(byCos)).filter(col("r") === 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = sims.filter(col("label") =!= col("q_lab"))
+      .withColumn("rnk", row_number().over(byCos)).filter(col("rnk") <= negK)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neg_id"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("pos_id"), col("pos_cos"), col("rnk"),
+        col("neg_id"), col("neg_cos"),
+        dround(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+  }
+
+  val llmHardNegatives: Q = (s, dir) =>
+    hardNegativesOf(Tables.t(s, dir, "embeddings"), _ < 20)
+      .orderBy("q_id", "rnk")
 
   /** Embedding outlier audit — the curation stage that catches
     * mislabeled/noise vectors SemDeDup's similarity thresholds never
@@ -4701,7 +4788,9 @@ object Text {
     "llm_embed_outliers" -> llmEmbedOutliers,
     "llm_minhash_calibration" -> llmMinhashCalibration,
     "llm_ngram_novelty" -> llmNgramNovelty,
-    "llm_knn_classify" -> llmKnnClassify
+    "llm_knn_classify" -> llmKnnClassify,
+    "llm_hard_negatives" -> llmHardNegatives,
+    "llm_split_leakage" -> llmSplitLeakage
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5249,6 +5338,32 @@ object Text {
          |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
          |FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Split leakage: the ngram_jaccard chain verbatim, each side tagged
+    // with the split_assign md5-bucket rule, aggregated per category.
+    "llm_split_leakage" -> {
+      def splitSql(c: String) =
+        s"CASE WHEN ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 4))::INT % 100 < 95 THEN 'train' ELSE 'val' END"
+      s"""WITH $minhashPairsCtes,
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |g AS (
+         |  SELECT doc_id, ${hashGramSql(2)} AS g
+         |  FROM ($wordHashSql) t),
+         |j AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(FLOOR((len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0 /
+         |      len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
+         |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b),
+         |s AS (
+         |  SELECT bigram_jac, ${splitSql("doc_a")} AS sa, ${splitSql("doc_b")} AS sb
+         |  FROM j)
+         |SELECT CASE WHEN sa <= sb THEN sa || '-' || sb
+         |            ELSE sb || '-' || sa END AS cat,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN bigram_jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_neardup,
+         |  ${oRound("MAX(bigram_jac)", 6)} AS max_jac
+         |FROM s GROUP BY 1 ORDER BY cat""".stripMargin
+    },
     "llm_contamination" ->
       s"""WITH g AS (
          |  SELECT doc_id, ${hashGramSql(4)} AS g
@@ -5541,6 +5656,30 @@ object Text {
          |  FROM sims)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Hard-negative mining: the cosine_topk pairing carried with labels;
+    // per-query rank over the same-label frame (keep 1 = the positive)
+    // and the different-label frame (keep 3 = the hard negatives);
+    // margin is the difference of the two already-quantized cosines.
+    "llm_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS q_id, q.label AS q_lab, c.vec_id, c.label,
+         |    ${oRound("list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v)))", 6)} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20),
+         |pos AS (SELECT q_id, vec_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS r
+         |    FROM sims WHERE label = q_lab) t WHERE r = 1),
+         |neg AS (SELECT q_id, CAST(r AS INT) AS rnk, vec_id AS neg_id,
+         |          cos AS neg_cos FROM (
+         |    SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS r
+         |    FROM sims WHERE label <> q_lab) t WHERE r <= 3)
+         |SELECT p.q_id, p.pos_id, p.pos_cos, n.rnk, n.neg_id, n.neg_cos,
+         |  ${oRound("p.pos_cos - n.neg_cos", 6)} AS margin
+         |FROM pos p JOIN neg n USING (q_id)
+         |ORDER BY p.q_id, n.rnk""".stripMargin,
     // MMR: pool + pairwise sims materialized once, then the greedy
     // selection unrolled step-by-step — each step's score is the same
     // 1e-9-quantized λ·rel − (1−λ)·max-sim arithmetic the Spark group

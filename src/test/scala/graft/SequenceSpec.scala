@@ -163,6 +163,52 @@ class SequenceSpec extends SparkSpec {
     assert(n1 >= n2 && n2 >= n3 && n3 >= 0)
   }
 
+  test("seq_anomaly: flags exactly the driver-recomputed >2-sigma days") {
+    val rows = SparkEntry.queries("seq_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent driver-side recomputation from the raw events, with the
+    // query's exact arithmetic shape (integer moments, then IEEE doubles)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cnts = ev.groupBy(identity).toSeq
+      .map { case ((u, d), xs) => (u, d, xs.length.toLong) }
+    val expected = cnts.groupBy(_._1).flatMap { case (u, ds) =>
+      val n = ds.length
+      val s = ds.map(_._3).sum
+      val q = ds.map(x => x._3 * x._3).sum
+      val mean = s.toDouble / n
+      val sd = math.sqrt(math.max(q.toDouble / n - mean * mean, 0.0))
+      if (sd > 0)
+        ds.filter(x =>
+          math.floor((x._3 - mean) / sd * 1e6 + 0.5) / 1e6 > 2.0)
+          .map(x => (u, x._2, x._3))
+      else Nil
+    }.toSet
+    assert(rows.nonEmpty, "fixture should contain at least one anomaly")
+    assert(rows == expected)
+  }
+
+  test("seq_changepoint: CUSUM replay matches and flags a unique peak day") {
+    val rows = SparkEntry.queries("seq_changepoint")(spark, sfDir).collect()
+    assert(rows.count(_.getBoolean(4)) == 1, "argmax day must be unique")
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(_.getLong(0))
+    val cnts = ev.groupBy(identity).toSeq
+      .map { case (d, xs) => (d, xs.length.toLong) }.sortBy(_._1)
+    val mean = cnts.map(_._2).sum.toDouble / cnts.length
+    var acc = 0L
+    val expected = cnts.map { case (d, c) =>
+      acc += math.floor((c - mean) * 1e6 + 0.5).toLong
+      (d, c, acc / 1e6)
+    }
+    assert(rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getAs[Double]("cusum"))).toSeq == expected)
+    val peak = expected.minBy { case (d, _, s) => (-math.abs(s), d) }._1
+    assert(rows.find(_.getBoolean(4)).get.getLong(0) == peak)
+  }
+
   test("seq_transitions: rows normalize and adjacency count is exact") {
     val rows = SparkEntry.queries("seq_transitions")(spark, sfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>

@@ -187,6 +187,60 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(math.abs(acc(1) - 10.0 / 11) < 1e-4)
   }
 
+  test("split leakage: a near-dup pair straddling the split lands in train-val") {
+    // pick real ids on each side of the md5-bucket split rule
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16) % 100
+    }
+    val valId = (0L to 2000L).find(bucket(_) >= 95).get
+    val trainId = (0L to 2000L).find(bucket(_) < 95).get
+    val template = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((trainId, template), (valId, template + " tail"),
+      (9999L, (1 to 30).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.Text.splitLeakageOf(docs).collect()
+    val tv = rows.find(_.getString(0) == "train-val")
+    assert(tv.isDefined, s"no train-val row in ${rows.mkString(", ")}")
+    assert(tv.get.getAs[Long]("n_neardup") >= 1L)
+    assert(tv.get.getAs[Double]("max_jac") > 0.9)
+  }
+
+  test("hard negatives: planted confusable vectors surface with the margin sign") {
+    // Cluster A = e1 / label 0 (ids 2-9), cluster B = e2 / label 1
+    // (ids 10-19), queries = ids 0 (e1, label 0) and 1 (e2 but LABEL 0 —
+    // a mislabeled/confusable query). id 10 is planted near e1 with
+    // label 1: the textbook hard negative.
+    def e(axis: Int, i: Long): Seq[Float] = {
+      val a = Array.fill(4)(0.0f); a(axis) = 1.0f
+      a(axis + 2) = 1e-6f * (i % 7); a.toSeq
+    }
+    val hard = Seq(0.9f, 0.1f, 0.0f, 0.0f) // close to e1, labeled 1
+    val emb = (Seq(
+      (0L, e(0, 0), 0), (1L, e(1, 1), 0), (10L, hard, 1)) ++
+      (2L to 9L).map(i => (i, e(0, i), 0)) ++
+      (11L to 19L).map(i => (i, e(1, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val rows = graft.queries.Text.hardNegativesOf(emb, _ < 2).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    // q0: positive is an e1 neighbor; the planted near-e1 wrong-label
+    // vector outranks every true e2 negative, and the margin stays
+    // positive (pos cos ~1 > hard-neg cos ~0.994) but far below the
+    // easy-negative margins
+    val q0 = byQ(0L).sortBy(_.getInt(3))
+    assert(q0.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+    assert(q0.head.getLong(4) == 10L, "planted hard negative must rank first")
+    val m0 = q0.map(_.getAs[Double]("margin"))
+    assert(m0.forall(_ > 0.0) && m0.head < m0.last,
+      s"hard-negative margin should be smallest: $m0")
+    // q1 (mislabeled query): its best same-label candidate is orthogonal
+    // while its best wrong-label candidate is a near-copy — the negative
+    // margin is exactly the confusable-query signal
+    assert(byQ(1L).minBy(_.getInt(3)).getAs[Double]("margin") < 0.0)
+  }
+
   test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
