@@ -589,6 +589,24 @@ object Pipeline {
       nBuckets: Int = 20): DataFrame =
     Text.tokenBudgetOf(docs, frac, nBuckets)
 
+  /** Hard-negative mining for contrastive retrieval training (DPR/ANCE):
+    * per query vector (label carried), the top same-label positive and
+    * the `negK` most-similar different-label negatives with triplet
+    * margins — a negative margin flags a confusable/mislabeled query.
+    * Queries are a broadcast-sized training batch; the candidate corpus
+    * streams once; swap the brute pairing for [[annSearch]]'s shortlist
+    * at scale with identical downstream mining. */
+  def hardNegatives(embeddings: DataFrame, isQuery: Column => Column,
+      negK: Int = 3): DataFrame =
+    Text.hardNegativesOf(embeddings, isQuery, negK)
+
+  /** Train/val split-leakage audit: near-dup pairs (banded-LSH
+    * candidates verified by exact bigram Jaccard) tagged with the
+    * md5-bucket split rule, aggregated per split-pair category — the
+    * `train-val` row counts validation docs whose loss measures
+    * memorization, not generalization. */
+  def splitLeakage(docs: DataFrame): DataFrame = Text.splitLeakageOf(docs)
+
   /** Greedy longest-match wordpiece token count for one word — the exact
     * matcher behind the `llm_tokenize` query (set-backed, JVM-side; use
     * inside typed maps over partition iterators). */
