@@ -73,6 +73,28 @@ object Extras2 {
          |FROM per_cust GROUP BY n ORDER BY n""".stripMargin)
   }
 
+  /** WITH RECURSIVE (Spark 4's UnionLoop operator — the SQL-surface gap
+    * recursive hierarchies used to force out to driver loops): ancestry
+    * walk over the deterministic user binary tree (parent = u DIV 2, a
+    * synthetic but total hierarchy over real fixture ids), reduced to
+    * the depth-to-root histogram. Each iteration is one filtered
+    * projection of the previous step's frame — the loop runs
+    * ⌈log₂(max id)⌉ rounds regardless of user count, and every round is
+    * fully distributed (no driver-side fixpoint). DuckDB replays the
+    * identical recursion (`//` for DIV). */
+  val cteRecursive: Q = (s, dir) => {
+    graft.Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """WITH RECURSIVE chain(u, a, depth) AS (
+        |  SELECT user_id, user_id, 0
+        |  FROM (SELECT DISTINCT user_id FROM events) t
+        |  UNION ALL
+        |  SELECT u, a DIV 2, depth + 1 FROM chain WHERE a > 0),
+        |d AS (SELECT u, MAX(depth) AS depth_to_root FROM chain GROUP BY u)
+        |SELECT depth_to_root, COUNT(*) AS n_users
+        |FROM d GROUP BY depth_to_root ORDER BY depth_to_root""".stripMargin)
+  }
+
   /** sentences / str_to_map / length variants / space. */
   val fnString2: Q = (s, dir) => {
     Tables.t(s, dir, "documents").filter(col("doc_id") < 300)
@@ -119,6 +141,7 @@ object Extras2 {
     "subq_scalar" -> subqScalar,
     "subq_not_in" -> subqNotIn,
     "cte_chain" -> cteChain,
+    "cte_recursive" -> cteRecursive,
     "fn_string2" -> fnString2,
     "fn_math2" -> fnMath2
   )
@@ -159,6 +182,16 @@ object Extras2 {
          |SELECT n AS orders_bucket, COUNT(*) AS customers,
          |  ${oSum("total", 2)} AS bucket_total
          |FROM per_cust GROUP BY n ORDER BY n""".stripMargin,
+    // Identical recursion; DuckDB spells integer division `//`.
+    "cte_recursive" ->
+      """WITH RECURSIVE chain(u, a, depth) AS (
+        |  SELECT user_id, user_id, 0
+        |  FROM (SELECT DISTINCT user_id FROM events) t
+        |  UNION ALL
+        |  SELECT u, a // 2, depth + 1 FROM chain WHERE a > 0),
+        |d AS (SELECT u, MAX(depth) AS depth_to_root FROM chain GROUP BY u)
+        |SELECT depth_to_root, COUNT(*) AS n_users
+        |FROM d GROUP BY depth_to_root ORDER BY depth_to_root""".stripMargin,
     "fn_string2" ->
       """SELECT doc_id,
         |CAST(len(string_split(text, ' ')) AS INT) AS sent_words,

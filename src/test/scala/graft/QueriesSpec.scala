@@ -888,6 +888,17 @@ class QueriesSpec extends SparkSpec {
       s"shard skew: sizes ${sizes.toSeq.sorted}")
   }
 
+  test("cte_recursive: depth histogram covers every user exactly once") {
+    val rows = SparkEntry.queries("cte_recursive")(spark, sfDir).collect()
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    // every user lands in exactly one depth bucket
+    assert(rows.map(_.getLong(1)).sum == users.length)
+    // deepest chain = bit length of the largest id (halvings to zero)
+    val maxDepth = rows.map(_.getInt(0)).max
+    assert(maxDepth == 64 - java.lang.Long.numberOfLeadingZeros(users.max))
+  }
+
   test("repetition stats match a string-level reference") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
