@@ -375,10 +375,52 @@ object Sequences {
       .orderBy("day")
   }
 
+  /** Daily-volume periodicity scan — lag-k autocorrelation of the day
+    * count series for k = 1..7 (a weekly cycle peaks at lag 7; flat
+    * correlations mean arrival noise): `r_k = Σ d_t·d_{t+k} / Σ d_t²`
+    * over mean-centered deviations. Calendar lags (day + k, gap days
+    * drop the pair) — never positional lead/lag, which would silently
+    * misalign across missing days.
+    *
+    * Cross-engine determinism: deviations quantize to LONGS (1e3) before
+    * any product, so numerator and denominator are exact integer sums in
+    * both engines; one quantized division per lag. At corpus scale,
+    * normalize counts to fractions of the total first — the deviations
+    * here are fixture-count-sized, keeping d²·#days inside a long.
+    *
+    * Scale shape: one two-phase day count over events; everything after
+    * runs on the #days-sized frame (a 7-way broadcast lag expansion and
+    * one self-join on the day key). */
+  val seqPeriodicity: Q = (s, dir) => {
+    val DayUs = 86400L * 1000000L
+    val d = Tables.events(s, dir)
+      .select(expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("cnt"))
+    val dev = d.crossJoin(broadcast(
+        d.agg((sum("cnt").cast("double") / count(lit(1))).as("mean"))))
+      .select(col("day"),
+        floor((col("cnt") - col("mean")) * 1e3 + lit(0.5)).cast("long")
+          .as("dev"))
+    val ss = dev.agg(sum(col("dev") * col("dev")).as("ss"))
+    val lags = d.sparkSession.range(1, 8).toDF("lag")
+    dev.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("day") + col("lag")).as("day2"),
+        col("dev").as("dev_a"))
+      .join(dev.select(col("day").as("day2"), col("dev").as("dev_b")), "day2")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev_a") * col("dev_b")).as("num"))
+      .crossJoin(broadcast(ss))
+      .select(col("lag"), col("n_pairs"),
+        dround(col("num").cast("double") / col("ss"), 6).as("autocorr"))
+      .orderBy("lag")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_rfm" -> seqRfm,
     "seq_anomaly" -> seqAnomaly,
     "seq_changepoint" -> seqChangepoint,
+    "seq_periodicity" -> seqPeriodicity,
     "seq_matchpath" -> seqMatchpath,
     "seq_matchpath_counts" -> seqMatchpathCounts,
     "seq_sessionize" -> seqSessionize,
@@ -389,6 +431,25 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same quantized-deviation frame; calendar-lag self-join, exact
+    // integer numerator/denominator, one quantized division per lag.
+    "seq_periodicity" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+         |             CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM events GROUP BY day),
+         |m AS (SELECT CAST(SUM(cnt) AS DOUBLE)/COUNT(*) AS mean FROM d),
+         |v AS (SELECT day,
+         |        CAST(FLOOR((cnt - m.mean)*1000.0+0.5) AS BIGINT) AS dev
+         |      FROM d, m),
+         |ss AS (SELECT CAST(SUM(dev*dev) AS BIGINT) AS ss FROM v),
+         |l AS (SELECT unnest(range(1, 8)) AS lag),
+         |p AS (SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |        CAST(SUM(a.dev*b.dev) AS BIGINT) AS num
+         |      FROM l, v a, v b WHERE b.day = a.day + l.lag
+         |      GROUP BY l.lag)
+         |SELECT p.lag, p.n_pairs,
+         |  ${oRound("CAST(p.num AS DOUBLE)/ss.ss", 6)} AS autocorr
+         |FROM p, ss ORDER BY lag""".stripMargin,
     // Same integer day buckets; per-day deviation quantized to BIGINT
     // before the running sum (order-free), identical argmax ranking.
     "seq_changepoint" ->

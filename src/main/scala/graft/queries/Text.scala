@@ -1050,6 +1050,57 @@ object Text {
     hardNegativesOf(Tables.t(s, dir, "embeddings"), _ < 20)
       .orderBy("q_id", "rnk")
 
+  /** Matryoshka truncation audit (Kusupati et al. NeurIPS 2022): per
+    * query, recall@k of retrieval over the FIRST `truncDim` embedding
+    * dimensions against full-dimension retrieval — the measurement
+    * behind "can we serve the 16-dim prefix and cut vector bytes 4×?".
+    * MRL-trained embeddings hold recall near 1.0 under truncation;
+    * ordinary embeddings (this fixture's) degrade — the audit quantifies
+    * the cost BEFORE an index ships truncated.
+    *
+    * Scale shape: the cosine_topk broadcast-batch pairing computing both
+    * cosines in the ONE candidate pass (truncated norms are per-row
+    * projections); two q_id-partitioned top-k windows; the overlap join
+    * touches k·|queries| rows. Absent queries can't vanish: the recall
+    * frame left-joins from the query list (0 overlap is a row, not a
+    * gap). */
+  private[graft] def matryoshkaRecallOf(raw: DataFrame,
+      isQuery: Column => Column, truncDim: Int = 16, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(raw.sparkSession)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val emb = raw
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("vt", slice(col("v"), 1, truncDim))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrmt", sqrt(dot(col("vt"), col("vt"))))
+    val q = emb.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vt").as("qvt"),
+        col("nrm").as("qn"), col("nrmt").as("qnt"))
+    val sims = broadcast(q).join(emb.filter(!isQuery(col("vec_id"))))
+      .select(col("q_id"), col("vec_id"),
+        dround(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos_full"),
+        dround(dot(col("qvt"), col("vt")) / (col("qnt") * col("nrmt")), 6)
+          .as("cos_trunc"))
+    def topk(score: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col(score).desc, col("vec_id"))
+      sims.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val common = topk("cos_full").join(topk("cos_trunc"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+    q.select(col("q_id")).join(common, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        dround(coalesce(col("n_common"), lit(0L)).cast("double") / k, 6)
+          .as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
+  val llmMatryoshkaRecall: Q = (s, dir) =>
+    matryoshkaRecallOf(Tables.t(s, dir, "embeddings"), _ < 20)
+
   /** Embedding outlier audit — the curation stage that catches
     * mislabeled/noise vectors SemDeDup's similarity thresholds never
     * see (an outlier is far from EVERYTHING in its cell, not close to
@@ -4790,7 +4841,8 @@ object Text {
     "llm_ngram_novelty" -> llmNgramNovelty,
     "llm_knn_classify" -> llmKnnClassify,
     "llm_hard_negatives" -> llmHardNegatives,
-    "llm_split_leakage" -> llmSplitLeakage
+    "llm_split_leakage" -> llmSplitLeakage,
+    "llm_matryoshka_recall" -> llmMatryoshkaRecall
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5680,6 +5732,32 @@ object Text {
          |  ${oRound("p.pos_cos - n.neg_cos", 6)} AS margin
          |FROM pos p JOIN neg n USING (q_id)
          |ORDER BY p.q_id, n.rnk""".stripMargin,
+    // Matryoshka audit: both cosines from the one pairing (vt = the
+    // 16-dim prefix), two rankings, intersection counted per query with
+    // a left join so zero-overlap queries still carry a row.
+    "llm_matryoshka_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             (embedding::DOUBLE[])[1:16] AS vt FROM embeddings),
+         |sims AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id,
+         |    ${oRound("list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v)))", 6)} AS cos_full,
+         |    ${oRound("list_inner_product(q.vt, c.vt) / (sqrt(list_inner_product(q.vt, q.vt)) * sqrt(list_inner_product(c.vt, c.vt)))", 6)} AS cos_trunc
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20),
+         |tf AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_full DESC, vec_id) AS r FROM sims) t WHERE r <= 5),
+         |tt AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_trunc DESC, vec_id) AS r FROM sims) t WHERE r <= 5),
+         |c AS (SELECT tf.q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+         |      FROM tf JOIN tt ON tf.q_id = tt.q_id AND tf.vec_id = tt.vec_id
+         |      GROUP BY tf.q_id)
+         |SELECT q.vec_id AS q_id,
+         |  COALESCE(c.n_common, 0) AS n_common,
+         |  ${oRound("CAST(COALESCE(c.n_common, 0) AS DOUBLE) / 5", 6)}
+         |    AS recall_at_k
+         |FROM e q LEFT JOIN c ON c.q_id = q.vec_id
+         |WHERE q.vec_id < 20 ORDER BY q_id""".stripMargin,
     // MMR: pool + pairwise sims materialized once, then the greedy
     // selection unrolled step-by-step — each step's score is the same
     // 1e-9-quantized λ·rel − (1−λ)·max-sim arithmetic the Spark group

@@ -86,14 +86,47 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey", "o_totalprice")
   }
 
+  /** Time-INTERVAL RANGE frame (the typed boundary scanner over
+    * timestamps Hive's ValueBoundaryScanner special-cases): per event,
+    * the trailing 1-hour rolling sum/count of the same user's activity —
+    * the rate-limit / burst-detection window spelled in time units, which
+    * a numeric RANGE (win_agg_range) cannot express when event spacing
+    * is irregular. Frame bounds are exact µs interval arithmetic in both
+    * engines; the windowed sum uses the quantized-long idiom (engines
+    * disagree on windowed-float accumulation order). Per-user partitions
+    * — state per task is one user's rows, no global window. */
+  val winTimeRange: Q = (s, dir) => {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, event_id, unix_micros(ts) AS tsu,
+        |  CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) OVER wh AS DOUBLE)/100
+        |    AS roll_1h_sum,
+        |  COUNT(*) OVER wh AS roll_1h_n
+        |FROM events
+        |WINDOW wh AS (PARTITION BY user_id ORDER BY ts
+        |              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, tsu, event_id""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "win_ranking" -> winRanking,
+    "win_time_range" -> winTimeRange,
     "win_lead_lag" -> winLeadLag,
     "win_agg_rows" -> winAggRows,
     "win_agg_range" -> winAggRange
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Identical INTERVAL frame over the same naive-µs timestamps.
+    "win_time_range" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) OVER wh AS DOUBLE)/100
+        |  AS roll_1h_sum,
+        |COUNT(*) OVER wh AS roll_1h_n
+        |FROM events
+        |WINDOW wh AS (PARTITION BY user_id ORDER BY ts
+        |              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, tsu, event_id""".stripMargin,
     "win_ranking" ->
       s"""SELECT o_custkey, o_orderkey, o_orderpriority,
          |rank() OVER wt AS rnk,

@@ -888,6 +888,26 @@ class QueriesSpec extends SparkSpec {
       s"shard skew: sizes ${sizes.toSeq.sorted}")
   }
 
+  test("win_time_range: trailing 1h interval frame replays driver-side") {
+    val rows = SparkEntry.queries("win_time_range")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("roll_1h_sum"), r.getLong(4)))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1)
+    // RANGE … CURRENT ROW includes peers: every row of the user within
+    // [ts − 1h, ts], regardless of event_id order
+    val expected = ev.map { case (u, e, t, _) =>
+      val win = byUser(u).filter(x => x._3 >= t - 3600000000L && x._3 <= t)
+      val q = win.map(x => math.floor(x._4 * 100 + 0.5).toLong).sum
+      (u, e, t, q.toDouble / 100, win.length.toLong)
+    }.sortBy(x => (x._1, x._3, x._2))
+    assert(rows.toSeq == expected.toSeq)
+  }
+
   test("cte_recursive: depth histogram covers every user exactly once") {
     val rows = SparkEntry.queries("cte_recursive")(spark, sfDir).collect()
     val users = Tables.events(spark, sfDir)

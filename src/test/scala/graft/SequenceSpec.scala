@@ -209,6 +209,29 @@ class SequenceSpec extends SparkSpec {
     assert(rows.find(_.getBoolean(4)).get.getLong(0) == peak)
   }
 
+  test("seq_periodicity: calendar-lag autocorrelation replays exactly") {
+    val rows = SparkEntry.queries("seq_periodicity")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("autocorr")))
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(_.getLong(0))
+    val cnts = ev.groupBy(identity).map { case (d, xs) => (d, xs.length.toLong) }
+    val mean = cnts.values.sum.toDouble / cnts.size
+    val dev = cnts.map { case (d, c) =>
+      (d, math.floor((c - mean) * 1e3 + 0.5).toLong) }
+    val ss = dev.values.map(x => x * x).sum
+    val expected = (1L to 7L).flatMap { k =>
+      val pairs = dev.toSeq.flatMap { case (d, a) =>
+        dev.get(d + k).map(b => a * b) }
+      if (pairs.isEmpty) None
+      else Some((k, pairs.length.toLong,
+        math.floor(pairs.sum.toDouble / ss * 1e6 + 0.5) / 1e6))
+    }
+    assert(rows.toSeq == expected)
+    // lag-1 continuity: adjacent days correlate more than noise would
+    assert(rows.nonEmpty && rows.head._1 == 1L)
+  }
+
   test("seq_transitions: rows normalize and adjacency count is exact") {
     val rows = SparkEntry.queries("seq_transitions")(spark, sfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>

@@ -241,6 +241,29 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(byQ(1L).minBy(_.getInt(3)).getAs[Double]("margin") < 0.0)
   }
 
+  test("matryoshka recall: prefix-coded queries hold 1.0, tail-coded drop to 0") {
+    // 20-dim vectors, truncation keeps dims 1-16. Group A (ids 20-24):
+    // prefix dim0 — q0's full ranking survives truncation. Groups B/C
+    // share prefix dim2 and differ ONLY in tail dims: q1 (tail dim17)
+    // full-ranks B (ids 40-44, matching tail) over C (ids 30-34), but
+    // truncation collapses B and C into one tie broken by vec_id — the
+    // top-5 becomes C and recall drops to 0.
+    def vec(prefixAxis: Int, tailAxis: Int): Seq[Float] = {
+      val a = Array.fill(20)(0.0f)
+      a(prefixAxis) = 1.0f
+      if (tailAxis >= 0) a(tailAxis) = 1.0f
+      a.toSeq
+    }
+    val emb = (Seq((0L, vec(0, -1)), (1L, vec(2, 17))) ++
+      (20L to 24L).map(i => (i, vec(0, -1))) ++
+      (30L to 34L).map(i => (i, vec(2, 18))) ++
+      (40L to 44L).map(i => (i, vec(2, 17))))
+      .toDF("vec_id", "embedding")
+    val got = graft.queries.Text.matryoshkaRecallOf(emb, _ < 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("recall_at_k")).toMap
+    assert(got == Map(0L -> 1.0, 1L -> 0.0))
+  }
+
   test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
