@@ -607,6 +607,20 @@ object Pipeline {
     * memorization, not generalization. */
   def splitLeakage(docs: DataFrame): DataFrame = Text.splitLeakageOf(docs)
 
+  /** Matryoshka truncation audit: per-query recall@k of first-`truncDim`
+    * -dims retrieval against full-dimension retrieval — quantifies the
+    * quality cost of serving a truncated index before it ships. */
+  def matryoshkaRecall(embeddings: DataFrame, isQuery: Column => Column,
+      truncDim: Int = 16, k: Int = 5): DataFrame =
+    Text.matryoshkaRecallOf(embeddings, isQuery, truncDim, k)
+
+  /** Spearman rank agreement between the heuristic quality composite and
+    * the LM-frequency surprise over the corpus — one (n, Σd², ρ) row;
+    * ranks are doc_id-tie-broken total orders, bucket-decomposed (no
+    * global window). Near-zero ρ = the two selection signals are
+    * measuring different things. */
+  def scoreAgreement(docs: DataFrame): DataFrame = Text.scoreAgreementOf(docs)
+
   /** Greedy longest-match wordpiece token count for one word — the exact
     * matcher behind the `llm_tokenize` query (set-backed, JVM-side; use
     * inside typed maps over partition iterators). */

@@ -416,11 +416,43 @@ object Sequences {
       .orderBy("lag")
   }
 
+  /** Rolling engagement (DAU/WAU/stickiness — the product-health
+    * metric triple): per active day, the distinct users that day, the
+    * distinct users over the trailing 7 days, and their ratio. The
+    * trailing-window DISTINCT is the interesting shape: a naive
+    * per-day COUNT(DISTINCT) over a 7-day range frame re-scans each
+    * user row 7 times AND holds per-frame dedup state; instead each
+    * (user, day) activity row emits 7 forward "active-week" markers
+    * (day..day+6), one dedup on the marker key, one count — linear
+    * 7× expansion of the already-deduped activity frame, two-phase
+    * all the way, no windows.
+    *
+    * Scale shape: the activity frame dedups on its own key; markers
+    * shuffle on (user, wday); both counts are two-phase on day keys.
+    * Skew bounded by the busiest day's user count. */
+  val seqDauWau: Q = (s, dir) => {
+    val DayUs = 86400L * 1000000L
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        dround(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_rfm" -> seqRfm,
     "seq_anomaly" -> seqAnomaly,
     "seq_changepoint" -> seqChangepoint,
     "seq_periodicity" -> seqPeriodicity,
+    "seq_dau_wau" -> seqDauWau,
     "seq_matchpath" -> seqMatchpath,
     "seq_matchpath_counts" -> seqMatchpathCounts,
     "seq_sessionize" -> seqSessionize,
@@ -431,6 +463,22 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same forward-marker derivation (day + 0..6), independent DuckDB
+    // spelling via unnest(range()).
+    "seq_dau_wau" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |              epoch_us(ts) // 86400000000 AS day FROM events),
+         |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+         |        FROM ud GROUP BY day),
+         |m AS (SELECT DISTINCT user_id, wday FROM (
+         |        SELECT user_id, day + unnest(range(0, 7)) AS wday
+         |        FROM ud) t),
+         |wau AS (SELECT wday, CAST(COUNT(*) AS BIGINT) AS wau
+         |        FROM m GROUP BY wday)
+         |SELECT d.day, d.dau, w.wau,
+         |  ${oRound("CAST(d.dau AS DOUBLE) / w.wau", 6)} AS stickiness
+         |FROM dau d JOIN wau w ON w.wday = d.day
+         |ORDER BY d.day""".stripMargin,
     // Same quantized-deviation frame; calendar-lag self-join, exact
     // integer numerator/denominator, one quantized division per lag.
     "seq_periodicity" ->

@@ -1101,6 +1101,60 @@ object Text {
   val llmMatryoshkaRecall: Q = (s, dir) =>
     matryoshkaRecallOf(Tables.t(s, dir, "embeddings"), _ < 20)
 
+  /** Scale-safe exact global ranking of (doc_id, sq: quantized-long
+    * score) by (sq asc, doc_id asc): scores bucket by their high bits,
+    * each bucket ranks locally (bucket-partitioned window), and bucket
+    * offsets come from ONE running total over the bucket-count frame —
+    * bounded by the score RANGE (≤ range/2^shift rows), never the
+    * corpus (the tokenBudget posture; a bare global row_number would
+    * single-partition every doc at 100 TB). */
+  private def decomposedRank(df: DataFrame, shift: Int = 10): DataFrame = {
+    val b = df.withColumn("bk", expr(s"sq DIV ${1 << shift}"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("bk")
+    val offsets = b.groupBy("bk").agg(count(lit(1)).as("bn"))
+      .withColumn("off", sum(col("bn")).over(wb) - col("bn"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("bk").orderBy(col("sq"), col("doc_id"))
+    b.join(broadcast(offsets.select("bk", "off")), "bk")
+      .withColumn("rnk", col("off") + row_number().over(wd))
+      .select(col("doc_id"), col("rnk"))
+  }
+
+  /** Quality-signal agreement — Spearman rank correlation between the
+    * heuristic composite quality score and the LM-frequency surprise
+    * (the "do my two selection signals agree, or is one of them
+    * noise?" audit every multi-signal filtering pipeline owes itself;
+    * CCNet §5 correlates its perplexity buckets against downstream
+    * quality the same way): `ρ = 1 − 6·Σd²/(n(n²−1))` over ranks with
+    * a doc_id tie-break (a deterministic total order — not the
+    * tie-averaged textbook variant; documented, and identical in both
+    * engines). Ranks and Σd² are exact integers, so ρ is one quantized
+    * division — bit-exact.
+    *
+    * Scale shape: both signals are existing per-doc projections/aggs;
+    * ranking is the [[decomposedRank]] bucket decomposition (no global
+    * window); the final agg is one row. The oracle derives the SAME
+    * ranks with a plain global row_number — an independent derivation,
+    * so a decomposition bug cannot hide. */
+  private[graft] def scoreAgreementOf(docs: DataFrame): DataFrame = {
+    val q1 = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        floor(qualityCol(col("ws")) * 1e6 + lit(0.5)).cast("long").as("sq"))
+    val q2 = lmQualityOf(docs).select(col("doc_id"),
+      floor(col("avg_bits") * 1e6 + lit(0.5)).cast("long").as("sq"))
+    decomposedRank(q1).withColumnRenamed("rnk", "r1")
+      .join(decomposedRank(q2).withColumnRenamed("rnk", "r2"), "doc_id")
+      .select((col("r1") - col("r2")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        dround(lit(1.0) - (lit(6.0) * col("sum_d2")) /
+          (col("n") * (col("n") * col("n") - lit(1))), 6).as("rho"))
+  }
+
+  val llmScoreAgreement: Q = (s, dir) =>
+    scoreAgreementOf(Tables.t(s, dir, "documents"))
+
   /** Embedding outlier audit — the curation stage that catches
     * mislabeled/noise vectors SemDeDup's similarity thresholds never
     * see (an outlier is far from EVERYTHING in its cell, not close to
@@ -4842,7 +4896,8 @@ object Text {
     "llm_knn_classify" -> llmKnnClassify,
     "llm_hard_negatives" -> llmHardNegatives,
     "llm_split_leakage" -> llmSplitLeakage,
-    "llm_matryoshka_recall" -> llmMatryoshkaRecall
+    "llm_matryoshka_recall" -> llmMatryoshkaRecall,
+    "llm_score_agreement" -> llmScoreAgreement
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5758,6 +5813,28 @@ object Text {
          |    AS recall_at_k
          |FROM e q LEFT JOIN c ON c.q_id = q.vec_id
          |WHERE q.vec_id < 20 ORDER BY q_id""".stripMargin,
+    // Spearman agreement: same two signals (shared qualitySql /
+    // lmBitsCtes fragments), ranks via a PLAIN global row_number — the
+    // independent derivation of the engine's bucket-decomposed ranking.
+    "llm_score_agreement" ->
+      s"""WITH ${lmBitsCtes("ws0", "f0", "t0", "b0")},
+         |bb AS (SELECT doc_id,
+         |         CAST(FLOOR(($lmAvgBitsSql)*1000000.0+0.5) AS BIGINT) AS sq2
+         |       FROM b0 GROUP BY doc_id),
+         |qq AS (SELECT doc_id,
+         |         CAST(FLOOR((${qualitySql("text")})*1000000.0+0.5) AS BIGINT)
+         |           AS sq1
+         |       FROM documents),
+         |r1 AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY sq1, doc_id) AS r1 FROM qq),
+         |r2 AS (SELECT doc_id,
+         |         row_number() OVER (ORDER BY sq2, doc_id) AS r2 FROM bb),
+         |dd AS (SELECT r1.r1 - r2.r2 AS d FROM r1 JOIN r2 USING (doc_id))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(d*d) AS BIGINT) AS sum_d2,
+         |  ${oRound("1.0 - (6.0*SUM(d*d))/(COUNT(*)*(COUNT(*)*COUNT(*)-1))", 6)}
+         |    AS rho
+         |FROM dd""".stripMargin,
     // MMR: pool + pairwise sims materialized once, then the greedy
     // selection unrolled step-by-step — each step's score is the same
     // 1e-9-quantized λ·rel − (1−λ)·max-sim arithmetic the Spark group

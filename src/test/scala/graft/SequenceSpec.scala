@@ -232,6 +232,24 @@ class SequenceSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.head._1 == 1L)
   }
 
+  test("seq_dau_wau: trailing 7-day distinct counts replay driver-side") {
+    val rows = SparkEntry.queries("seq_dau_wau")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = ud.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(x => x._2 >= d - 6 && x._2 <= d)
+        .map(_._1).distinct.length.toLong
+      (d, dau, wau)
+    }
+    assert(rows.toSeq == expected.toSeq)
+    // stickiness bounds: dau <= wau always
+    assert(rows.forall(r => r._2 <= r._3))
+  }
+
   test("seq_transitions: rows normalize and adjacency count is exact") {
     val rows = SparkEntry.queries("seq_transitions")(spark, sfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>

@@ -264,6 +264,26 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(got == Map(0L -> 1.0, 1L -> 0.0))
   }
 
+  test("score agreement: tied signals give rho 1, reversed orders give -1") {
+    // identical docs: both signals tie everywhere, both rankings fall
+    // back to the doc_id tie-break -> d = 0 for every doc, rho = 1
+    val same = (1L to 4L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val r1 = graft.queries.Text.scoreAgreementOf(same).collect().head
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 0L)
+    assert(r1.getAs[Double]("rho") == 1.0)
+    // disjoint-vocab distinct words, every count 1 -> lm bits tie (rank
+    // = doc_id order) while quality's length term ranks by word count;
+    // doc_ids assigned longest-first make the orders exactly opposite
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val rev = Seq((1L, words("a", 30)), (2L, words("b", 20)),
+      (3L, words("c", 10))).toDF("doc_id", "text")
+    val r2 = graft.queries.Text.scoreAgreementOf(rev).collect().head
+    assert(r2.getLong(0) == 3L && r2.getLong(1) == 8L,
+      s"expected full reversal, got sum_d2=${r2.getLong(1)}")
+    assert(r2.getAs[Double]("rho") == -1.0)
+  }
+
   test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
