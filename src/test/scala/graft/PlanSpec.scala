@@ -458,6 +458,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("win_time_range: one user_id shuffle feeds the interval window") {
+    val df = SparkEntry.queries("win_time_range")(spark, sfDir)
+    df.collect()
+    val finalPlan = planString(df).split("== Initial Plan ==").head
+    val hashEx = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$finalPlan")
+    val windows = finalPlan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected 1 Window node:\n$finalPlan")
+  }
+
+  test("seq_dau_wau: trailing distinct is marker-based — no Window nodes") {
+    // the operator's whole point: a COUNT(DISTINCT) OVER a 7-day frame
+    // would hold per-frame dedup state; the marker derivation must plan
+    // as pure two-phase aggregates
+    val s = planString(SparkEntry.queries("seq_dau_wau")(spark, sfDir))
+    assert(!s.contains("Window ["), s"unexpected window in dau/wau plan:\n$s")
+  }
+
+  test("llm_score_agreement: global ranks are bucket-decomposed") {
+    // two row_number windows PARTITIONED by the score bucket (bk), two
+    // bounded unpartitioned running totals over the bucket frames — a
+    // plan whose row_number window lost its bk partitioning would
+    // single-partition the whole corpus
+    val df = SparkEntry.queries("llm_score_agreement")(spark, sfDir)
+    val s = planString(df)
+    val rnLines = s.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("Window [")).toSeq
+    assert(rnLines.size == 2, s"expected 2 row_number windows:\n$s")
+    rnLines.foreach(l => assert(l.contains("bk#"),
+      s"row_number window not partitioned by score bucket: $l"))
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
