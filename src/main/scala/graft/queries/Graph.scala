@@ -162,10 +162,60 @@ object Graph {
       .drop("jq")
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007 — the
+    * linear-time community-detection baseline): labels start as node
+    * ids; each round every node adopts the most frequent label among
+    * its neighbors, ties to the SMALLEST label (the paper breaks ties
+    * randomly — a pinned total order makes both engines replay the
+    * identical trajectory). 3 synchronous rounds over the undirected
+    * simple closure of the md5 link graph; isolated nodes keep their
+    * own label.
+    *
+    * Scale shape: each round is ONE neighbor join + a (node, label)
+    * two-phase count + a node-partitioned argmax window bounded by the
+    * node's distinct-neighbor-label count (≤ degree) — the Pregel
+    * dataflow. The label frame is referenced ONCE per round (the PCA
+    * plan-doubling lesson: nodes without edges rejoin only at the END
+    * via one left join), so the unrolled plan grows linearly. */
+  val labelprop: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val edges = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      // consumed once per round over a pure projection chain — the
+      // catalogued multi-consumer barrier (same rationale as linkpred)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("c").desc, col("lbl"))
+    var lab = ids.select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+    for (_ <- 1 to 3) {
+      lab = und.join(lab, "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(wBest)).filter(col("r") === 1)
+        .select(col("u").as("v"), col("lbl"))
+    }
+    ids.join(lab.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("community"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
-    "graph_linkpred" -> linkpred
+    "graph_linkpred" -> linkpred,
+    "graph_labelprop" -> labelprop
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -178,7 +228,41 @@ object Graph {
        |  ON c.doc_id = i.doc_id
        |  GROUP BY i.doc_id)""".stripMargin
 
+  private def lpRoundSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT u AS v, lbl FROM (
+       |    SELECT n.u, p.lbl, COUNT(*) AS c,
+       |      row_number() OVER (PARTITION BY n.u
+       |        ORDER BY COUNT(*) DESC, p.lbl) AS r
+       |    FROM und n JOIN $prev p ON p.v = n.v
+       |    GROUP BY n.u, p.lbl) t
+       |  WHERE r = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // Same simple undirected closure; 3 unrolled synchronous rounds,
+    // (count desc, label asc) argmax per node, isolated nodes rejoin
+    // with their own label at the end.
+    "graph_labelprop" -> {
+      val rounds = (1 to 3)
+        .map(k => lpRoundSql(s"l${k - 1}", s"l$k")).mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |und AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM ids),
+         |$rounds
+         |SELECT ids.doc_id, COALESCE(l3.lbl, ids.doc_id) AS community
+         |FROM ids LEFT JOIN l3 ON l3.v = ids.doc_id
+         |ORDER BY ids.doc_id""".stripMargin
+    },
     // Same oriented edge CTE; common neighbors via the middle-node
     // self-join; union size by inclusion-exclusion; quantized-long
     // top-20 ordering.

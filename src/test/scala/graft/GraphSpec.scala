@@ -72,6 +72,38 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum % 3 == 0)
   }
 
+  test("graph_labelprop replays 3 synchronous driver-side rounds") {
+    val got = SparkEntry.queries("graph_labelprop")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map { i =>
+        val dst = h(s"$src:$i") % n
+        (math.min(src.toLong, dst), math.max(src.toLong, dst))
+      }
+    }.filter(e => e._1 < e._2).toSet
+    val nbr = scala.collection.mutable.Map[Long, Seq[Long]]()
+      .withDefaultValue(Seq.empty)
+    edges.foreach { case (a, b) =>
+      nbr(a) = nbr(a) :+ b; nbr(b) = nbr(b) :+ a
+    }
+    var lab: Map[Long, Long] = (0L until n.toLong).map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = nbr.toMap.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      } ++ (0L until n.toLong).filterNot(nbr.contains).map(v => v -> v)
+    }
+    assert(got == lab)
+    // propagation actually merges communities: fewer labels than nodes
+    assert(got.values.toSet.size < n)
+  }
+
   test("graph_linkpred replays a driver-side common-neighbor scan") {
     val got = SparkEntry.queries("graph_linkpred")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
