@@ -169,8 +169,39 @@ object Events {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** The static dimension for the stream-static enrichment join — the
+    * lookup table every event pipeline carries (type → reporting
+    * category + score weight). Inline literals: a dimension is a
+    * broadcast-sized artifact at any event-stream scale, and the SAME
+    * rows are spelled as a VALUES clause in the oracle so the two
+    * cannot drift structurally. */
+  private[streaming] val typeDim: Seq[(String, String, Double)] = Seq(
+    ("view", "browse", 1.0), ("click", "browse", 2.0),
+    ("signup", "convert", 3.0), ("purchase", "convert", 5.0),
+    ("error", "ops", 0.0))
+
+  /** Stream-static enrichment join (the remaining Structured Streaming
+    * join surface beside stream-stream: fact stream ⋈ broadcast
+    * dimension, no state, no watermark needed on the static side):
+    * events enrich with category/weight, then the windowed weighted
+    * rollup. Batch form here; [[enrichStream]] runs the identical plan
+    * over `readStream` (StreamingSpec pins equality). */
+  val streamEnrich: Q = (s, dir) => {
+    import s.implicits._
+    val dim = typeDim.toDF("event_type", "category", "weight")
+    Tables.events(s, dir)
+      .join(broadcast(dim), "event_type")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("category"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("value") * col("weight"), 2).as("wsum"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("category"), col("cnt"), col("wsum"))
+      .orderBy("win_start", "category")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
+    "stream_enrich" -> streamEnrich,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_stateful_sessions" -> streamStatefulSessions,
     "stream_sliding" -> streamSliding,
@@ -205,6 +236,16 @@ object Events {
          |  CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
          |  ${oSum("value")} AS total_value
          |FROM ordered GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_enrich" -> {
+      val dimRows = typeDim
+        .map { case (t, c, w) => s"('$t', '$c', $w)" }.mkString(", ")
+      s"""WITH dim(event_type, category, weight) AS (VALUES $dimRows)
+         |SELECT time_bucket(INTERVAL '6 hours', CAST(e.ts AS TIMESTAMP))
+         |  AS win_start, d.category, COUNT(*) AS cnt,
+         |  ${oSum("e.value * d.weight", 2)} AS wsum
+         |FROM events e JOIN dim d USING (event_type)
+         |GROUP BY 1, 2 ORDER BY win_start, category""".stripMargin
+    },
     "stream_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
          |event_type, COUNT(*) AS cnt, ${oSum("value")} AS val_sum
@@ -361,5 +402,22 @@ object Events {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").cast("timestamp_ntz").as("win_start"),
         col("event_type"), col("cnt"))
+  }
+
+  /** Streaming twin of [[streamEnrich]]: the stream-static join — each
+    * micro-batch joins the broadcast dimension with NO state and no
+    * watermark requirement on the static side (the dimension is re-read
+    * per batch in real deployments; here it is a literal frame). */
+  def enrichStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = typeDim.toDF("event_type", "category", "weight")
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), "event_type")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("category"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("value") * col("weight"), 2).as("wsum"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("category"), col("cnt"), col("wsum"))
   }
 }

@@ -29,6 +29,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 
+  test("stream-static enrichment join: streaming result == batch result") {
+    val streamDir = Files.createTempDirectory("graft_enrich_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = graft.streaming.Events.enrichStream(spark, streamDir.toString)
+    val q = stream.writeStream
+      .format("memory").queryName("enrich_smoke")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+
+    val streamed = spark.table("enrich_smoke")
+      .orderBy("win_start", "category").collect()
+    val batch = graft.streaming.Events.streamEnrich(spark, sfDir).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+
   test("windowed top-k: streamed counts + consumer rank == batch result") {
     val streamDir = Files.createTempDirectory("graft_topk_stream")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
