@@ -1155,6 +1155,34 @@ object Text {
   val llmScoreAgreement: Q = (s, dir) =>
     scoreAgreementOf(Tables.t(s, dir, "documents"))
 
+  /** Blocklist-lexicon document filter (the UT1-blocklist stage of
+    * RefinedWeb/FineWeb-style pipelines — Penedo et al. 2023 §3.1 filter
+    * on banned-domain/term lexicons; distinct from [[gopherRulesOf]]'s
+    * statistical rules: this one is pure LIST MEMBERSHIP against a
+    * curated lexicon the caller owns): per-doc hit count and ratio, keep
+    * iff hits < 2 AND ratio ≤ 2% (the double gate: one incidental
+    * mention passes, concentration fails).
+    *
+    * Scale shape: shuffle-free per-row projection; the lexicon is a
+    * plan-time literal (a real lexicon is ~10⁴ terms — still literal /
+    * broadcast-sized at any corpus scale). The split-words alias is
+    * materialized once (non-cheap alias, CollapseProject keeps it). */
+  private[graft] val demoBlockTerms = Seq("slow", "crash", "breach")
+  private[graft] def blocklistOf(docs: DataFrame,
+      terms: Seq[String] = demoBlockTerms): DataFrame = {
+    val ratio = dround(col("n_hits").cast("double") / col("n_words"), 6)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+        size(filter(col("ws"), w => w.isin(terms: _*))).as("n_hits"))
+      .select(col("doc_id"), col("n_words"), col("n_hits"),
+        ratio.as("hit_ratio"),
+        (col("n_hits") < 2 && ratio <= lit(0.02)).as("keep"))
+  }
+
+  val llmBlocklistFilter: Q = (s, dir) =>
+    blocklistOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
+
   /** Embedding outlier audit — the curation stage that catches
     * mislabeled/noise vectors SemDeDup's similarity thresholds never
     * see (an outlier is far from EVERYTHING in its cell, not close to
@@ -4897,7 +4925,8 @@ object Text {
     "llm_hard_negatives" -> llmHardNegatives,
     "llm_split_leakage" -> llmSplitLeakage,
     "llm_matryoshka_recall" -> llmMatryoshkaRecall,
-    "llm_score_agreement" -> llmScoreAgreement
+    "llm_score_agreement" -> llmScoreAgreement,
+    "llm_blocklist_filter" -> llmBlocklistFilter
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5835,6 +5864,22 @@ object Text {
          |  ${oRound("1.0 - (6.0*SUM(d*d))/(COUNT(*)*(COUNT(*)*COUNT(*)-1))", 6)}
          |    AS rho
          |FROM dd""".stripMargin,
+    // Blocklist filter: same lexicon literal, list membership + the
+    // double keep gate on the quantized ratio.
+    "llm_blocklist_filter" -> {
+      val lex = demoBlockTerms.map("'" + _ + "'").mkString("[", ",", "]")
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |h AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+         |        CAST(len(list_filter(ws, w -> list_contains($lex, w)))
+         |          AS INT) AS n_hits
+         |      FROM b)
+         |SELECT doc_id, n_words, n_hits,
+         |  ${oRound("CAST(n_hits AS DOUBLE)/n_words", 6)} AS hit_ratio,
+         |  (n_hits < 2 AND ${oRound("CAST(n_hits AS DOUBLE)/n_words", 6)} <= 0.02)
+         |    AS keep
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
     // MMR: pool + pairwise sims materialized once, then the greedy
     // selection unrolled step-by-step — each step's score is the same
     // 1e-9-quantized λ·rel − (1−λ)·max-sim arithmetic the Spark group

@@ -39,6 +39,25 @@ object WritePaths {
       .orderBy("n_nationkey")
   }
 
+  /** XML round-trip (Spark 4's BUILT-IN xml source — the Hive XmlSerDe
+    * analogue, newly first-class in 4.x): write nation as `<nation>`
+    * row elements, read back with the rowTag schema inference. Numeric
+    * columns re-cast on read (XML carries no types); name column is
+    * plain uppercase text so whitespace-trim options cannot bite. */
+  val srcXmlRoundtrip: Q = (s, dir) => {
+    val out = tmp("nation_xml", dir)
+    Tables.t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .format("xml").save(out)
+    s.read.option("rowTag", "nation").format("xml").load(out)
+      .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
   /** JSON round-trip + from_json/to_json (DelimitedJSONSerDe shape). */
   val srcJsonRoundtrip: Q = (s, dir) => {
     val out = tmp("region_json", dir)
@@ -327,6 +346,7 @@ object WritePaths {
   val queries: Map[String, Q] = Map(
     "join_smb" -> joinSmb,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
+    "src_xml_roundtrip" -> srcXmlRoundtrip,
     "src_json_roundtrip" -> srcJsonRoundtrip,
     "src_regex_text" -> srcRegexText,
     "src_csv_malformed" -> srcCsvMalformed,
@@ -344,6 +364,10 @@ object WritePaths {
          |${oSum("l_extendedprice", 2)} AS price_sum
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_xml_roundtrip" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |CAST(n_regionkey AS INT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "src_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         |CAST(n_regionkey AS INT) AS n_regionkey

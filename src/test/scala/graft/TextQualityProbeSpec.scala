@@ -284,6 +284,19 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(r2.getAs[Double]("rho") == -1.0)
   }
 
+  test("blocklist filter: the double gate separates mention from concentration") {
+    val filler = (1 to 99).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"slow $filler"),      // 1 hit / 100 words = 1% -> keep
+      (2L, "slow day"),           // 1 hit / 2 words = 50% -> concentration fails
+      (3L, s"slow crash $filler"),// 2 hits -> count gate fails
+      (4L, filler))               // clean -> keep
+      .toDF("doc_id", "text")
+    val got = graft.queries.Text.blocklistOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
