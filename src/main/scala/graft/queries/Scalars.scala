@@ -166,6 +166,28 @@ object Scalars {
       .orderBy("p_partkey")
   }
 
+  /** Higher-order (lambda) array functions — Spark's functional SQL
+    * surface over collections (transform / filter / exists / forall /
+    * aggregate / index-aware transform / zip_with), distinct from
+    * [[fnCollection]]'s structural operators. Every lambda is
+    * codegen-friendly integer arithmetic; the DuckDB twins spell the
+    * same semantics via list_transform/list_filter/list_sum and
+    * explicit range-indexed folds (no index-aware lambda there). */
+  val fnLambda: Q = (s, dir) => {
+    val p = Tables.t(s, dir, "part").filter(col("p_partkey") < 300)
+    val nums = array(col("p_size"), col("p_size") + 10, lit(1))
+    p.select(col("p_partkey"),
+      concat_ws(",", transform(nums, x => x * 2)).as("transform_v"),
+      concat_ws(",", filter(nums, _ > 5)).as("filter_v"),
+      exists(nums, _ > 40).as("exists_v"),
+      forall(nums, _ > 0).as("forall_v"),
+      aggregate(nums, lit(0L), (a, x) => a + x).as("agg_v"),
+      concat_ws(",", transform(nums, (x, i) => x + i)).as("transformi_v"),
+      concat_ws(",", zip_with(nums, reverse(nums), (a, b) => a + b))
+        .as("zip_v"))
+      .orderBy("p_partkey")
+  }
+
   /** JSON family over events.props. */
   val fnJson: Q = (s, dir) => {
     val e = Tables.events(s, dir).filter(col("event_id") < 300)
@@ -310,6 +332,7 @@ object Scalars {
     "fn_datetime" -> fnDatetime,
     "fn_conditional" -> fnConditional,
     "fn_collection" -> fnCollection,
+    "fn_lambda" -> fnLambda,
     "fn_json" -> fnJson,
     "fn_url" -> fnUrl,
     "fn_hash" -> fnHash,
@@ -454,6 +477,20 @@ object Scalars {
         |p_brand || ',' || p_brand AS arep_v,
         |CASE WHEN p_brand = p_type THEN p_brand ELSE p_brand || ',' || p_type END AS adist_v
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+    "fn_lambda" ->
+      """SELECT p_partkey,
+        |array_to_string(list_transform(nums, x -> x*2), ',') AS transform_v,
+        |array_to_string(list_filter(nums, x -> x > 5), ',') AS filter_v,
+        |len(list_filter(nums, x -> x > 40)) > 0 AS exists_v,
+        |len(list_filter(nums, x -> NOT (x > 0))) = 0 AS forall_v,
+        |CAST(list_sum(nums) AS BIGINT) AS agg_v,
+        |array_to_string(list_transform(range(0, 3), i -> nums[i+1] + i), ',')
+        |  AS transformi_v,
+        |array_to_string(list_transform(range(1, 4), i -> nums[i] + nums[4-i]), ',')
+        |  AS zip_v
+        |FROM (SELECT p_partkey, [p_size, p_size+10, 1] AS nums
+        |      FROM part WHERE p_partkey < 300) t
+        |ORDER BY p_partkey""".stripMargin,
     "fn_json" ->
       """SELECT event_id,
         |json_extract_string(props, '$.k') AS gjo_v,

@@ -447,7 +447,41 @@ object Sequences {
       .orderBy("day")
   }
 
+  /** Per-user behavioral surprise under the corpus transition model —
+    * the per-entity anomaly score [[seqTransitions]]' matrix exists to
+    * power: each user's mean −log₂ P(next | prev) over their own
+    * adjacent event pairs. A user whose transitions are globally rare
+    * scores high (bot/abuse signature); template-following users score
+    * low. The log2 is the INTEGER bin-length idiom (bits =
+    * len(bin(tot)) − len(bin(cnt)) — libm-free, bit-exact in both
+    * engines; the lm_quality arithmetic applied to behavior).
+    *
+    * Scale shape: one lag window on the user_id shuffle (shared shape
+    * with seq_transitions), counts over the ≤ #types² transition frame,
+    * the bits table broadcast back onto the adjacency stream, one
+    * two-phase per-user agg. */
+  val seqUserSurprise: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val adj = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("prev"), col("event_type").as("next"))
+    val counts = adj.groupBy("prev", "next").agg(count(lit(1)).as("cnt"))
+      .withColumn("tot",
+        sum("cnt").over(Window.partitionBy("prev"))) // ≤ #types² frame
+    val bits = counts.select(col("prev"), col("next"),
+      (length(bin(col("tot"))) - length(bin(col("cnt")))).as("bits"))
+    adj.join(broadcast(bits), Seq("prev", "next"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_trans"),
+        dround(sum("bits").cast("double") / count(lit(1)), 6).as("avg_bits"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "seq_user_surprise" -> seqUserSurprise,
     "seq_rfm" -> seqRfm,
     "seq_anomaly" -> seqAnomaly,
     "seq_changepoint" -> seqChangepoint,
@@ -463,6 +497,28 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same lag adjacency and count frame as seq_transitions; the bits
+    // join replays the integer bin-length log2 per transition.
+    "seq_user_surprise" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |             epoch_us(ts) AS tsu FROM events),
+         |adj0 AS (SELECT user_id, event_type AS next,
+         |           lag(event_type) OVER (PARTITION BY user_id
+         |             ORDER BY tsu, event_id) AS prev
+         |         FROM e),
+         |adj AS (SELECT user_id, prev, next FROM adj0
+         |        WHERE prev IS NOT NULL),
+         |c AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM adj GROUP BY prev, next),
+         |t AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot
+         |      FROM c GROUP BY prev),
+         |bts AS (SELECT c.prev, c.next,
+         |          length(bin(t.tot)) - length(bin(c.cnt)) AS bits
+         |        FROM c JOIN t USING (prev))
+         |SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+         |  ${oRound("CAST(SUM(b.bits) AS DOUBLE)/COUNT(*)", 6)} AS avg_bits
+         |FROM adj a JOIN bts b ON b.prev = a.prev AND b.next = a.next
+         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     // Same forward-marker derivation (day + 0..6), independent DuckDB
     // spelling via unnest(range()).
     "seq_dau_wau" ->

@@ -250,6 +250,15 @@ class SequenceSpec extends SparkSpec {
     assert(rows.forall(r => r._2 <= r._3))
   }
 
+  test("seq_user_surprise: covers every transition once, bits non-negative") {
+    val rows = SparkEntry.queries("seq_user_surprise")(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == expected)
+    // bin-length bits are clamped ≥ 0 by construction (cnt ≤ tot)
+    assert(rows.forall(_.getAs[Double]("avg_bits") >= 0.0))
+  }
+
   test("seq_transitions: rows normalize and adjacency count is exact") {
     val rows = SparkEntry.queries("seq_transitions")(spark, sfDir).collect()
     rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
