@@ -1183,6 +1183,54 @@ object Text {
   val llmBlocklistFilter: Q = (s, dir) =>
     blocklistOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** T5-style span-corruption preprocessing (Raffel et al. JMLR 2020
+    * §3.1.4 — the pretraining objective's DATA-PREP step: replace
+    * masked spans with sentinels, emit the (input, target) pair): each
+    * token flags via a deterministic per-(doc, pos) md5 Bernoulli at
+    * `rate`%, consecutive flagged runs compact to ONE `<extra_id_k>`
+    * sentinel in the input, and the target lists each sentinel with its
+    * masked-out tokens. Bernoulli selection yields geometric run
+    * lengths (T5 samples span lengths explicitly; the FORMAT — sentinel
+    * compaction, paired target — is the load-bearing contract).
+    *
+    * Scale shape: posexplode + doc-partitioned windows (run starts via
+    * lag, run ids via running sum — one shuffle on doc_id, state
+    * bounded by the longest doc), then one ordered re-assembly per doc
+    * (array_sort over collected (pos, token) structs; nulls — the
+    * non-emitting positions — drop in array_join). No corpus-global
+    * ordering anywhere. */
+  private[graft] def spanCorruptOf(docs: DataFrame, rate: Int = 15): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("flag",
+        conv(substring(md5(concat_ws(":", col("doc_id"), col("pos"))), 1, 4),
+          16, 10).cast("int") % 100 < lit(rate))
+      .withColumn("is_start", col("flag") && !lag(col("flag"), 1, false).over(wd))
+      .withColumn("run_id", sum(col("is_start").cast("int")).over(wd))
+    val sentinel = concat(lit("<extra_id_"), col("run_id") - 1, lit(">"))
+    val tagged = toks.select(col("doc_id"), col("pos"), col("flag"),
+      when(!col("flag"), col("w"))
+        .when(col("is_start"), sentinel)
+        .otherwise(lit(null)).as("in_tok"),
+      when(col("flag") && col("is_start"), concat(sentinel, lit(" "), col("w")))
+        .when(col("flag"), col("w"))
+        .otherwise(lit(null)).as("tgt_tok"))
+    def assemble(tok: String) = array_join(
+      transform(array_sort(collect_list(struct(col("pos"), col(tok)))),
+        s => s.getField(tok)), " ")
+    tagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("flag").cast("long")).as("n_masked"),
+      assemble("in_tok").as("input"),
+      assemble("tgt_tok").as("target"))
+      .orderBy("doc_id")
+  }
+
+  val llmSpanCorrupt: Q = (s, dir) =>
+    spanCorruptOf(Tables.t(s, dir, "documents"))
+
   /** Embedding outlier audit — the curation stage that catches
     * mislabeled/noise vectors SemDeDup's similarity thresholds never
     * see (an outlier is far from EVERYTHING in its cell, not close to
@@ -4926,7 +4974,8 @@ object Text {
     "llm_split_leakage" -> llmSplitLeakage,
     "llm_matryoshka_recall" -> llmMatryoshkaRecall,
     "llm_score_agreement" -> llmScoreAgreement,
-    "llm_blocklist_filter" -> llmBlocklistFilter
+    "llm_blocklist_filter" -> llmBlocklistFilter,
+    "llm_span_corrupt" -> llmSpanCorrupt
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5864,6 +5913,39 @@ object Text {
          |  ${oRound("1.0 - (6.0*SUM(d*d))/(COUNT(*)*(COUNT(*)*COUNT(*)-1))", 6)}
          |    AS rho
          |FROM dd""".stripMargin,
+    // Span corruption: identical per-(doc,pos) md5 Bernoulli, run
+    // compaction via lag/run-sum windows, ordered string_agg re-assembly
+    // (COALESCE: an unmasked doc's target is '' in both engines).
+    "llm_span_corrupt" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |t AS (SELECT doc_id, i - 1 AS pos, ws[CAST(i AS INT)] AS w,
+         |        (('0x' || substr(md5(doc_id || ':' || (i - 1)), 1, 4))::INT
+         |          % 100) < 15 AS flag
+         |      FROM d, unnest(range(1, len(ws) + 1)) AS u(i)),
+         |r0 AS (SELECT doc_id, pos, w, flag,
+         |        (flag AND NOT COALESCE(lag(flag) OVER wd, FALSE)) AS is_start
+         |      FROM t WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+         |r AS (SELECT doc_id, pos, w, flag, is_start,
+         |        SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS run_id
+         |      FROM r0),
+         |g AS (SELECT doc_id, pos, flag,
+         |        CASE WHEN NOT flag THEN w
+         |             WHEN is_start THEN '<extra_id_' || (run_id - 1) || '>'
+         |             ELSE NULL END AS in_tok,
+         |        CASE WHEN flag AND is_start
+         |               THEN '<extra_id_' || (run_id - 1) || '> ' || w
+         |             WHEN flag THEN w
+         |             ELSE NULL END AS tgt_tok
+         |      FROM r)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  COALESCE(string_agg(in_tok, ' ' ORDER BY pos), '') AS input,
+         |  COALESCE(string_agg(tgt_tok, ' ' ORDER BY pos), '') AS target
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Blocklist filter: same lexicon literal, list membership + the
     // double keep gate on the quantized ratio.
     "llm_blocklist_filter" -> {

@@ -297,6 +297,29 @@ class TextQualityProbeSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("span corruption: substituting targets back reconstructs the original") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") < 50)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.queries.Text.spanCorruptOf(docs).collect()
+    assert(rows.length == texts.size)
+    assert(rows.exists(_.getLong(2) > 0), "no masking happened at 15%")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val input = r.getAs[String]("input")
+      val target = r.getAs[String]("target")
+      val spans = target.split("(?=<extra_id_)").filter(_.nonEmpty).map { p =>
+        val toks = p.trim.split(" ")
+        toks.head -> toks.tail.mkString(" ")
+      }.toMap
+      val rebuilt = input.split(" ")
+        .map(t => if (t.startsWith("<extra_id_")) spans(t) else t)
+        .filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id failed reconstruction")
+    }
+  }
+
   test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
