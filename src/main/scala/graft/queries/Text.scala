@@ -1231,6 +1231,44 @@ object Text {
   val llmSpanCorrupt: Q = (s, dir) =>
     spanCorruptOf(Tables.t(s, dir, "documents"))
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2207.14255 —
+    * the FIM data-prep behind code-model infilling: cut each doc into
+    * (prefix, middle, suffix) at two deterministic points and emit the
+    * PSM reordering `<PRE> p <SUF> s <MID> m`, so the causal LM learns
+    * to infill conditioned on both sides). Cut points are md5-derived
+    * per doc — reproducible across runs/engines/partitionings; docs
+    * under 3 words pass through unsplit (is_split = false).
+    *
+    * Scale shape: pure shuffle-free per-row array arithmetic (split +
+    * two integer cuts + three slices) — the cheapest possible plan; at
+    * 100 TB this runs at scan speed. */
+  private[graft] def fimOf(docs: DataFrame): DataFrame = {
+    def h(tag: String) =
+      conv(substring(md5(concat_ws(":", col("doc_id"), lit(tag))), 1, 8),
+        16, 10).cast("long")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .withColumn("p1", when(col("n") >= 3, lit(1) + h("a") % (col("n") - 2)))
+      .withColumn("p2", when(col("n") >= 3,
+        col("p1") + 1 + h("b") % (col("n") - 1 - col("p1"))))
+      .select(col("doc_id"), col("n").as("n_words"),
+        coalesce(col("p1"), lit(0L)).cast("long").as("p1"),
+        coalesce(col("p2"), lit(0L)).cast("long").as("p2"),
+        (col("n") >= 3).as("is_split"),
+        when(col("n") >= 3, concat(
+          lit("<PRE> "), array_join(slice(col("ws"), lit(1), col("p1").cast("int")), " "),
+          lit(" <SUF> "), array_join(slice(col("ws"), (col("p2") + 1).cast("int"),
+            (col("n") - col("p2")).cast("int")), " "),
+          lit(" <MID> "), array_join(slice(col("ws"), (col("p1") + 1).cast("int"),
+            (col("p2") - col("p1")).cast("int")), " ")))
+          .otherwise(array_join(col("ws"), " ")).as("psm"))
+      .orderBy("doc_id")
+  }
+
+  val llmFim: Q = (s, dir) =>
+    fimOf(Tables.t(s, dir, "documents"))
+
   /** Embedding outlier audit — the curation stage that catches
     * mislabeled/noise vectors SemDeDup's similarity thresholds never
     * see (an outlier is far from EVERYTHING in its cell, not close to
@@ -4975,7 +5013,8 @@ object Text {
     "llm_matryoshka_recall" -> llmMatryoshkaRecall,
     "llm_score_agreement" -> llmScoreAgreement,
     "llm_blocklist_filter" -> llmBlocklistFilter,
-    "llm_span_corrupt" -> llmSpanCorrupt
+    "llm_span_corrupt" -> llmSpanCorrupt,
+    "llm_fim" -> llmFim
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5913,6 +5952,30 @@ object Text {
          |  ${oRound("1.0 - (6.0*SUM(d*d))/(COUNT(*)*(COUNT(*)*COUNT(*)-1))", 6)}
          |    AS rho
          |FROM dd""".stripMargin,
+    // FIM: identical md5 cut points, 1-based inclusive list slices.
+    "llm_fim" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |             len(string_split(text, ' ')) AS n FROM documents),
+         |c AS (SELECT doc_id, ws, n,
+         |        CASE WHEN n >= 3 THEN 1 +
+         |          (('0x' || substr(md5(doc_id || ':a'), 1, 8))::BIGINT % (n - 2))
+         |        END AS p1
+         |      FROM d),
+         |c2 AS (SELECT doc_id, ws, n, p1,
+         |        CASE WHEN n >= 3 THEN p1 + 1 +
+         |          (('0x' || substr(md5(doc_id || ':b'), 1, 8))::BIGINT
+         |            % (n - 1 - p1))
+         |        END AS p2
+         |      FROM c)
+         |SELECT doc_id, CAST(n AS INT) AS n_words,
+         |  COALESCE(p1, 0) AS p1, COALESCE(p2, 0) AS p2,
+         |  n >= 3 AS is_split,
+         |  CASE WHEN n >= 3 THEN
+         |    '<PRE> ' || array_to_string(ws[1:CAST(p1 AS INT)], ' ') ||
+         |    ' <SUF> ' || array_to_string(ws[CAST(p2 + 1 AS INT):CAST(n AS INT)], ' ') ||
+         |    ' <MID> ' || array_to_string(ws[CAST(p1 + 1 AS INT):CAST(p2 AS INT)], ' ')
+         |  ELSE array_to_string(ws, ' ') END AS psm
+         |FROM c2 ORDER BY doc_id""".stripMargin,
     // Span corruption: identical per-(doc,pos) md5 Bernoulli, run
     // compaction via lag/run-sum windows, ordered string_agg re-assembly
     // (COALESCE: an unmasked doc's target is '' in both engines).

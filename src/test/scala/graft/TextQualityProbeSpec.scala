@@ -320,6 +320,29 @@ class TextQualityProbeSpec extends SparkSpec {
     }
   }
 
+  test("fim: PSM segments reorder back to the original text") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y"), (3L, "one two three"))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.Text.fimOf(docs).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // 2-word doc passes through unsplit
+    assert(!byId(2L).getAs[Boolean]("is_split"))
+    assert(byId(2L).getAs[String]("psm") == "x y")
+    Seq(1L, 3L).foreach { id =>
+      val r = byId(id)
+      assert(r.getAs[Boolean]("is_split"))
+      val psm = r.getAs[String]("psm")
+      val pre = psm.substring(psm.indexOf("<PRE> ") + 6, psm.indexOf(" <SUF>"))
+      val suf = psm.substring(psm.indexOf("<SUF> ") + 6, psm.indexOf(" <MID>"))
+      val mid = psm.substring(psm.indexOf("<MID> ") + 6)
+      val original = docs.collect().find(_.getLong(0) == id).get.getString(1)
+      assert(s"$pre $mid $suf" == original, s"doc $id: $psm")
+      // cut points honor 1 <= p1 < p2 <= n-1
+      val (p1, p2, n) = (r.getLong(2), r.getLong(3), r.getInt(1).toLong)
+      assert(p1 >= 1 && p1 < p2 && p2 <= n - 1)
+    }
+  }
+
   test("lexical diversity: hand-computed TTR/hapax/Yule's K") {
     val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = graft.queries.Text.lexicalDiversityOf(docs).collect().head
