@@ -621,6 +621,23 @@ object Pipeline {
     * measuring different things. */
   def scoreAgreement(docs: DataFrame): DataFrame = Text.scoreAgreementOf(docs)
 
+  /** T5-style span corruption: (input with `<extra_id_k>` sentinels,
+    * paired target) per doc, deterministic md5 Bernoulli masking at
+    * `rate`% with run compaction. Substituting targets back into the
+    * input reproduces the original text (test-pinned). */
+  def spanCorrupt(docs: DataFrame, rate: Int = 15): DataFrame =
+    Text.spanCorruptOf(docs, rate)
+
+  /** Fill-in-the-middle PSM transformation with deterministic cut
+    * points; docs under 3 words pass through unsplit. */
+  def fim(docs: DataFrame): DataFrame = Text.fimOf(docs)
+
+  /** Blocklist-lexicon filter: per-doc hit count/ratio against a
+    * caller-owned term list, keep = mention-not-concentration. */
+  def blocklistFilter(docs: DataFrame,
+      terms: Seq[String] = Text.demoBlockTerms): DataFrame =
+    Text.blocklistOf(docs, terms)
+
   /** Greedy longest-match wordpiece token count for one word — the exact
     * matcher behind the `llm_tokenize` query (set-backed, JVM-side; use
     * inside typed maps over partition iterators). */

@@ -200,6 +200,19 @@ object Aggregates {
 
   /** sum-empty-is-zero (GenericUDAFSumEmptyIsZero): groups whose filtered
     * sum has no rows yield 0, not NULL. */
+  /** Boolean/conditional aggregate family (count_if, bool_and/bool_or —
+    * the ANSI every/any surface): all deterministic regardless of
+    * aggregation order, two-phase by construction. */
+  val aggBoolean: Q = (s, dir) => {
+    Tables.t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        count_if(col("o_orderstatus") === "P").as("n_pending"))
+      .orderBy("o_orderpriority")
+  }
+
   val aggSumEmptyZero: Q = (s, dir) => {
     Tables.t(s, dir, "orders")
       .groupBy("o_orderpriority")
@@ -271,10 +284,19 @@ object Aggregates {
     "agg_percentile_approx" -> aggPercentileApprox,
     "agg_histogram" -> aggHistogram,
     "agg_approx_ndv" -> aggApproxNdv,
-    "agg_sum_empty_zero" -> aggSumEmptyZero
+    "agg_sum_empty_zero" -> aggSumEmptyZero,
+    "agg_boolean" -> aggBoolean
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_boolean" ->
+      """SELECT o_orderpriority,
+        |CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |bool_and(o_totalprice > 1000) AS all_over_1k,
+        |bool_or(o_orderstatus = 'F') AS any_f,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // mode() is tie-unspecified in both engines — replay the explicit
     // count + deterministic rank definition instead.
     "agg_mode" ->

@@ -480,7 +480,35 @@ object Sequences {
       .orderBy("user_id")
   }
 
+  /** Activity concentration (Gini coefficient over per-user event
+    * counts — the "do 1% of users generate 90% of traffic?" audit
+    * behind rate-limit budgeting and skew planning; a high Gini also
+    * predicts hot-key trouble for every user-partitioned operator in
+    * this module): `G = 2·Σ rᵢxᵢ/(n·Σx) − (n+1)/n` over counts ranked
+    * ascending with a user_id tie-break (a pinned total order — the
+    * tie-averaged textbook variant is engine-unstable).
+    *
+    * Scale shape: per-user counts on the user_id shuffle; the global
+    * rank is [[Text.decomposedRank]]'s bucket decomposition (local
+    * windows + one bounded bucket-offset frame — never a corpus-wide
+    * window); Σrx and Σx are exact long sums, G one quantized
+    * expression. The oracle ranks with a plain row_number — the
+    * independent derivation. */
+  val seqGini: Q = (s, dir) => {
+    val cnts = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val ranked = Text.decomposedRank(
+        cnts.select(col("user_id").as("doc_id"), col("cnt").as("sq")), 4)
+      .join(cnts.select(col("user_id").as("doc_id"), col("cnt")), "doc_id")
+    ranked.agg(count(lit(1)).as("n"), sum("cnt").as("t"),
+        sum(col("rnk") * col("cnt")).as("s"))
+      .select(col("n").as("n_users"), col("t").as("total_events"),
+        dround(lit(2.0) * col("s") / (col("n") * col("t"))
+          - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "seq_gini" -> seqGini,
     "seq_user_surprise" -> seqUserSurprise,
     "seq_rfm" -> seqRfm,
     "seq_anomaly" -> seqAnomaly,
@@ -497,6 +525,18 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same pinned (cnt, user_id) ranking via a PLAIN global row_number —
+    // the independent derivation of the engine's bucket decomposition.
+    "seq_gini" ->
+      s"""WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM events GROUP BY user_id),
+         |r AS (SELECT cnt,
+         |        row_number() OVER (ORDER BY cnt, user_id) AS rnk FROM c)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cnt) AS BIGINT) AS total_events,
+         |  ${oRound("2.0*SUM(rnk*cnt)/(COUNT(*)*SUM(cnt)) - CAST(COUNT(*)+1 AS DOUBLE)/COUNT(*)", 6)}
+         |    AS gini
+         |FROM r""".stripMargin,
     // Same lag adjacency and count frame as seq_transitions; the bits
     // join replays the integer bin-length log2 per transition.
     "seq_user_surprise" ->

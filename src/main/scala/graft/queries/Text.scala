@@ -1108,7 +1108,7 @@ object Text {
     * bounded by the score RANGE (≤ range/2^shift rows), never the
     * corpus (the tokenBudget posture; a bare global row_number would
     * single-partition every doc at 100 TB). */
-  private def decomposedRank(df: DataFrame, shift: Int = 10): DataFrame = {
+  private[graft] def decomposedRank(df: DataFrame, shift: Int = 10): DataFrame = {
     val b = df.withColumn("bk", expr(s"sq DIV ${1 << shift}"))
     val wb = org.apache.spark.sql.expressions.Window.orderBy("bk")
     val offsets = b.groupBy("bk").agg(count(lit(1)).as("bn"))
