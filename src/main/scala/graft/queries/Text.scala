@@ -1010,9 +1010,10 @@ object Text {
     *
     * Scale shape: the query side is a training batch (broadcast-sized
     * by construction); the candidate corpus streams ONCE through the
-    * broadcast join; per-query top-k via q_id-partitioned windows over
-    * label-filtered frames — never a global sort, skew bounded by the
-    * per-query candidate count. At 100 TB the brute-force pairing swaps
+    * broadcast join, and ONE (q_id, same-label?) -partitioned window
+    * ranks positives and negatives from that single pass — never a
+    * global sort, skew bounded by the per-query candidate count, no
+    * label-filtered re-scan. At 100 TB the brute-force pairing swaps
     * for the ANN shortlist (`llm_ann_ivf_trained` / `pqSearch`) with
     * identical downstream mining; the oracle pins this exact variant.
     * Cosines are the [[llmCosineTopk]] dround(6) values, so DuckDB
@@ -1031,13 +1032,17 @@ object Text {
     val sims = broadcast(q).join(emb.filter(!isQuery(col("vec_id"))))
       .select(col("q_id"), col("q_lab"), col("vec_id"), col("label"),
         dround(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
-    val byCos = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    val pos = sims.filter(col("label") === col("q_lab"))
-      .withColumn("r", row_number().over(byCos)).filter(col("r") === 1)
+    // ONE pass over the pairing: ranking within (q_id, same-label?)
+    // partitions gives the positive rank and the negative rank from a
+    // single window — no label-filtered second scan of the candidates
+    val bySide = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id", "is_same").orderBy(col("cos").desc, col("vec_id"))
+    val ranked = sims
+      .withColumn("is_same", col("label") === col("q_lab"))
+      .withColumn("rnk", row_number().over(bySide))
+    val pos = ranked.filter(col("is_same") && col("rnk") === 1)
       .select(col("q_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
-    val neg = sims.filter(col("label") =!= col("q_lab"))
-      .withColumn("rnk", row_number().over(byCos)).filter(col("rnk") <= negK)
+    val neg = ranked.filter(!col("is_same") && col("rnk") <= negK)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neg_id"),
         col("cos").as("neg_cos"))
     pos.join(neg, "q_id")
@@ -1059,11 +1064,12 @@ object Text {
     * the cost BEFORE an index ships truncated.
     *
     * Scale shape: the cosine_topk broadcast-batch pairing computing both
-    * cosines in the ONE candidate pass (truncated norms are per-row
-    * projections); two q_id-partitioned top-k windows; the overlap join
-    * touches k·|queries| rows. Absent queries can't vanish: the recall
-    * frame left-joins from the query list (0 overlap is a row, not a
-    * gap). */
+    * cosines in ONE candidate pass (truncated norms are per-row
+    * projections); both ranks annotate that same pass — two Window
+    * nodes sharing one q_id exchange — and the overlap is a per-row
+    * flag conjunction + a groupBy on the same partitioning (no second
+    * candidate pass, no self-join). Absent queries can't vanish: the
+    * recall frame left-joins from the query list. */
   private[graft] def matryoshkaRecallOf(raw: DataFrame,
       isQuery: Column => Column, truncDim: Int = 16, k: Int = 5): DataFrame = {
     graft.functions.VectorExpressions.register(raw.sparkSession)
@@ -1082,14 +1088,18 @@ object Text {
           .as("cos_full"),
         dround(dot(col("qvt"), col("vt")) / (col("qnt") * col("nrmt")), 6)
           .as("cos_trunc"))
-    def topk(score: String) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col(score).desc, col("vec_id"))
-      sims.withColumn("r", row_number().over(w)).filter(col("r") <= k)
-        .select(col("q_id"), col("vec_id"))
-    }
-    val common = topk("cos_full").join(topk("cos_trunc"), Seq("q_id", "vec_id"))
-      .groupBy("q_id").agg(count(lit(1)).as("n_common"))
+    // both ranks annotate ONE pass over the pairing (two Window nodes
+    // sharing the q_id exchange), and the overlap is a per-row flag
+    // conjunction + groupBy on the same partitioning — no second
+    // candidate pass, no self-join
+    def byDesc(score: String) = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col(score).desc, col("vec_id"))
+    val common = sims
+      .withColumn("in_full", row_number().over(byDesc("cos_full")) <= k)
+      .withColumn("in_trunc", row_number().over(byDesc("cos_trunc")) <= k)
+      .groupBy("q_id")
+      .agg(sum(when(col("in_full") && col("in_trunc"), 1L).otherwise(0L))
+        .as("n_common"))
     q.select(col("q_id")).join(common, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
