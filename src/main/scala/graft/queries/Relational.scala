@@ -222,6 +222,48 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** As-of join WITH a match tolerance (pandas `merge_asof(tolerance=)`,
+    * kdb `wj` — the variant [[joinAsof]] does not cover), instantiated
+    * as LAST-TOUCH ATTRIBUTION: each purchase matches the latest click
+    * by the same user at-or-before it, but a click older than the
+    * 1-hour lookback is REJECTED — a stale touchpoint is a correctness
+    * bug, not a match. Same union-sweep shape as joinAsof — one shuffle
+    * on the user key, the carried click time makes the tolerance a
+    * per-row subtraction (never a range join). The oracle derives the
+    * match independently via a naive latest-click-per-purchase ≤-join +
+    * argmax — a sweep bug cannot hide. */
+  val joinAsofTol: Q = (s, dir) => {
+    val TolUs = 3600L * 1000000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    // `sid` is each row's OWN event id — the unique third sort key that
+    // makes same-microsecond click runs deterministic (last = max id)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), col("t"), lit(1).as("is_c"),
+        col("event_id").as("click_id"), col("event_id").as("sid"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("t"), lit(0).as("is_c"),
+        lit(null).cast("long").as("click_id"), col("event_id").as("sid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("t"), col("is_c").desc, col("sid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    clicks.unionByName(purchases)
+      .select(col("*"),
+        last(when(col("is_c") === 1, col("click_id")), ignoreNulls = true)
+          .over(w).as("lc"),
+        last(when(col("is_c") === 1, col("t")), ignoreNulls = true)
+          .over(w).as("lt"))
+      .filter(col("is_c") === 0)
+      .select(col("k").as("user_id"), col("sid").as("event_id"),
+        col("t").as("tsu"),
+        when(col("t") - col("lt") <= TolUs, col("lc")).as("click_id"),
+        (col("lt").isNotNull && col("t") - col("lt") <= TolUs)
+          .as("in_window"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** SCD2 point-in-time join — the warehouse temporal-join pattern
     * [[joinAsof]] does NOT cover: the dimension is a slowly-changing
     * type-2 table (validity intervals, open-ended current row) and each
@@ -408,6 +450,7 @@ object Relational {
     "join_theta" -> joinTheta,
     "join_broadcast" -> joinBroadcast,
     "join_asof" -> joinAsof,
+    "join_asof_tol" -> joinAsofTol,
     "join_scd2" -> joinScd2,
     "join_range_bin" -> joinRangeBin,
     "setop_union_all" -> setopUnionAll,
@@ -490,6 +533,30 @@ object Relational {
          |COUNT(*) AS line_cnt
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Tolerance as-of / last-touch attribution: independent naive
+    // derivation — latest click per purchase via a <= join + argmax,
+    // then the lookback gate.
+    "join_asof_tol" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) AS t FROM events),
+        |c AS (SELECT user_id, event_id, t FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, t FROM e
+        |      WHERE event_type = 'purchase'),
+        |cand AS (SELECT p.user_id, p.event_id, p.t,
+        |           c.event_id AS click_id, c.t AS ct,
+        |           row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |             ORDER BY c.t DESC, c.event_id DESC) AS r
+        |         FROM p JOIN c ON c.user_id = p.user_id AND c.t <= p.t),
+        |best AS (SELECT user_id, event_id, click_id, ct
+        |         FROM cand WHERE r = 1)
+        |SELECT p.user_id, p.event_id, p.t AS tsu,
+        |  CASE WHEN b.ct IS NOT NULL AND p.t - b.ct <= 3600000000
+        |    THEN b.click_id END AS click_id,
+        |  COALESCE(b.ct IS NOT NULL AND p.t - b.ct <= 3600000000, FALSE)
+        |    AS in_window
+        |FROM p LEFT JOIN best b USING (user_id, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "join_asof" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
