@@ -188,6 +188,26 @@ object Scalars {
       .orderBy("p_partkey")
   }
 
+  /** VARIANT semi-structured type (NEW in Spark 4 — the open-format
+    * answer to schemaless JSON columns: parse once into a binary
+    * variant, extract typed paths without re-parsing): parse_json /
+    * variant_get (typed) / try_variant_get (missing path → null, never
+    * an error) / schema_of_variant / is_variant_null. Outputs are
+    * extracted scalars, so the result parquet stays plain-typed. DuckDB
+    * replays via its JSON extraction (the semantics, not the storage,
+    * are the contract). */
+  val fnVariant: Q = (s, dir) => {
+    Tables.events(s, dir).filter(col("event_id") < 300)
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k_long"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'long')")
+          .as("miss_v"),
+        expr("schema_of_variant(parse_json(props))").as("schema_v"),
+        expr("is_variant_null(parse_json('null'))").as("vnull_v"))
+      .orderBy("event_id")
+  }
+
   /** JSON family over events.props. */
   val fnJson: Q = (s, dir) => {
     val e = Tables.events(s, dir).filter(col("event_id") < 300)
@@ -333,6 +353,7 @@ object Scalars {
     "fn_conditional" -> fnConditional,
     "fn_collection" -> fnCollection,
     "fn_lambda" -> fnLambda,
+    "fn_variant" -> fnVariant,
     "fn_json" -> fnJson,
     "fn_url" -> fnUrl,
     "fn_hash" -> fnHash,
@@ -477,6 +498,14 @@ object Scalars {
         |p_brand || ',' || p_brand AS arep_v,
         |CASE WHEN p_brand = p_type THEN p_brand ELSE p_brand || ',' || p_type END AS adist_v
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_id,
+        |CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+        |CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS k_str,
+        |CAST(NULL AS BIGINT) AS miss_v,
+        |'OBJECT<k: BIGINT>' AS schema_v,
+        |TRUE AS vnull_v
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
     "fn_lambda" ->
       """SELECT p_partkey,
         |array_to_string(list_transform(nums, x -> x*2), ',') AS transform_v,
