@@ -188,6 +188,27 @@ object Scalars {
       .orderBy("p_partkey")
   }
 
+  /** try_* error-safe family (the ANSI-mode escape hatches — under
+    * Spark 4's ANSI-on default, a bad cast or a division by zero THROWS
+    * unless the try_ variant turns it into a null; every robust
+    * ingestion pipeline uses these at the raw edge): try_cast,
+    * try_divide, try_add (overflow-safe), try_to_number,
+    * try_element_at. DuckDB twins via TRY_CAST and null-guarded CASE
+    * arithmetic. */
+  val fnTry: Q = (s, dir) => {
+    val p = Tables.t(s, dir, "part").filter(col("p_partkey") < 300)
+    p.select(col("p_partkey"),
+      expr("try_cast(p_name AS INT)").as("badcast_v"),
+      expr("try_cast(p_size AS STRING)").as("okcast_v"),
+      expr("try_divide(p_retailprice, p_size % 3)").as("div_v"),
+      expr("try_add(9223372036854775807L, p_size)").as("ovf_v"),
+      expr("try_add(p_partkey, p_size)").as("add_v"),
+      expr("CAST(try_to_number(CAST(p_size AS STRING), '999') AS BIGINT)")
+        .as("tonum_v"),
+      expr("try_element_at(array(p_brand, p_type), 5)").as("elem_v"))
+      .orderBy("p_partkey")
+  }
+
   /** VARIANT semi-structured type (NEW in Spark 4 — the open-format
     * answer to schemaless JSON columns: parse once into a binary
     * variant, extract typed paths without re-parsing): parse_json /
@@ -354,6 +375,7 @@ object Scalars {
     "fn_collection" -> fnCollection,
     "fn_lambda" -> fnLambda,
     "fn_variant" -> fnVariant,
+    "fn_try" -> fnTry,
     "fn_json" -> fnJson,
     "fn_url" -> fnUrl,
     "fn_hash" -> fnHash,
@@ -497,6 +519,17 @@ object Scalars {
         |CAST(p_size AS INT) AS sfield_v,
         |p_brand || ',' || p_brand AS arep_v,
         |CASE WHEN p_brand = p_type THEN p_brand ELSE p_brand || ',' || p_type END AS adist_v
+        |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
+    "fn_try" ->
+      """SELECT p_partkey,
+        |TRY_CAST(p_name AS INT) AS badcast_v,
+        |CAST(p_size AS VARCHAR) AS okcast_v,
+        |CASE WHEN p_size % 3 = 0 THEN NULL
+        |     ELSE p_retailprice / (p_size % 3) END AS div_v,
+        |CAST(NULL AS BIGINT) AS ovf_v,
+        |p_partkey + p_size AS add_v,
+        |CAST(p_size AS BIGINT) AS tonum_v,
+        |CAST(NULL AS VARCHAR) AS elem_v
         |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin,
     "fn_variant" ->
       """SELECT event_id,
