@@ -200,6 +200,25 @@ object Aggregates {
 
   /** sum-empty-is-zero (GenericUDAFSumEmptyIsZero): groups whose filtered
     * sum has no rows yield 0, not NULL. */
+  /** listagg / string_agg WITHIN GROUP (NEW in Spark 4 — the ANSI
+    * ordered string aggregation that previously needed the
+    * sort_array(collect_list) idiom): explicit WITHIN GROUP ordering
+    * makes the concatenation deterministic — listagg without one is
+    * arrival-ordered and would fail the DuckDB hash gate (and the
+    * DeterminismSpec partition flip). */
+  val aggListagg: Q = (s, dir) => {
+    Tables.t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  listagg(DISTINCT o_orderstatus, ',')
+        |    WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+        |  listagg(CAST(o_orderkey AS STRING), '|')
+        |    WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)
+        |    FILTER (WHERE o_totalprice > 550000) AS top_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Boolean/conditional aggregate family (count_if, bool_and/bool_or —
     * the ANSI every/any surface): all deterministic regardless of
     * aggregation order, two-phase by construction. */
@@ -285,10 +304,20 @@ object Aggregates {
     "agg_histogram" -> aggHistogram,
     "agg_approx_ndv" -> aggApproxNdv,
     "agg_sum_empty_zero" -> aggSumEmptyZero,
-    "agg_boolean" -> aggBoolean
+    "agg_boolean" -> aggBoolean,
+    "agg_listagg" -> aggListagg
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_listagg" ->
+      """SELECT o_orderpriority,
+        |string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |  AS statuses,
+        |string_agg(CAST(o_orderkey AS VARCHAR), '|'
+        |    ORDER BY o_totalprice DESC, o_orderkey)
+        |  FILTER (WHERE o_totalprice > 550000) AS top_keys
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_boolean" ->
       """SELECT o_orderpriority,
         |CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
