@@ -1279,6 +1279,40 @@ object Text {
   val llmFim: Q = (s, dir) =>
     fimOf(Tables.t(s, dir, "documents"))
 
+  /** IVF quantizer cell-balance audit — the index-health number every
+    * production ANN deployment watches (FAISS's imbalance_factor): cell
+    * sizes under the SHARED fixed-k assignment, summarized as max/mean.
+    * Imbalance ≈ 1 = uniform routing; ≫ 1 = a hot cell that serializes
+    * every probe landing in it (the ANN twin of the skewed-join
+    * problem) — the signal to retrain the quantizer (llm_ann_ivf_trained)
+    * or cap the cell (the llm_lsh_capped discipline).
+    *
+    * Scale shape: the one broadcast-centroid assignment pass the IVF
+    * family already pays, a cell-keyed two-phase count, ONE summary
+    * row. Exact integer counts; the ratio is one quantized division. */
+  private[graft] def ivfBalanceOf(raw: DataFrame, k: Int = ivfK): DataFrame = {
+    graft.functions.VectorExpressions.register(raw.sparkSession)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val emb = raw
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val sizes = emb.join(broadcast(ivfSeeds(emb, k)))
+      .select(col("vec_id"),
+        cellKey(dot(col("v"), col("cv")) / (col("nrm") * col("cn")),
+          col("r")).as("ck"),
+        col("c_id"))
+      .groupBy("vec_id").agg(max_by(col("c_id"), col("ck")).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    sizes.agg(count(lit(1)).as("n_cells"), sum("n").as("n_vecs"),
+        max("n").as("max_cell"), min("n").as("min_cell"))
+      .select(col("n_cells"), col("n_vecs"), col("max_cell"), col("min_cell"),
+        dround((col("max_cell") * col("n_cells")) / col("n_vecs").cast("double"),
+          6).as("imbalance"))
+  }
+
+  val llmIvfBalance: Q = (s, dir) =>
+    ivfBalanceOf(Tables.t(s, dir, "embeddings"))
+
   /** Embedding outlier audit — the curation stage that catches
     * mislabeled/noise vectors SemDeDup's similarity thresholds never
     * see (an outlier is far from EVERYTHING in its cell, not close to
@@ -5024,7 +5058,8 @@ object Text {
     "llm_score_agreement" -> llmScoreAgreement,
     "llm_blocklist_filter" -> llmBlocklistFilter,
     "llm_span_corrupt" -> llmSpanCorrupt,
-    "llm_fim" -> llmFim
+    "llm_fim" -> llmFim,
+    "llm_ivf_balance" -> llmIvfBalance
   )
 
   // ---------------------------------------------------------------- oracle
@@ -5962,6 +5997,20 @@ object Text {
          |  ${oRound("1.0 - (6.0*SUM(d*d))/(COUNT(*)*(COUNT(*)*COUNT(*)-1))", 6)}
          |    AS rho
          |FROM dd""".stripMargin,
+    // IVF balance: the shared centroid/assignment fragments, one
+    // summary row over the cell-size frame.
+    "llm_ivf_balance" ->
+      s"""WITH $embCentsCtes,
+         |cells AS (
+         |  SELECT vec_id, arg_max(c_id, CAST(FLOOR(list_inner_product(v, cv)/(nrm*cn)*1000000000.0 + 0.5) AS BIGINT) * 65536 + r) AS cell
+         |  FROM n, cents GROUP BY vec_id),
+         |sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+         |          FROM cells GROUP BY cell)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |  MAX(n) AS max_cell, MIN(n) AS min_cell,
+         |  ${oRound("CAST(MAX(n)*COUNT(*) AS DOUBLE)/SUM(n)", 6)} AS imbalance
+         |FROM sizes""".stripMargin,
     // FIM: identical md5 cut points, 1-based inclusive list slices.
     "llm_fim" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
