@@ -211,11 +211,64 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Bounded k-core peeling (Seidman 1983, k = 4; the density filter
+    * behind community pre-processing and graph sparsification — a node
+    * survives iff it keeps ≥ k neighbors among survivors): 4 synchronous
+    * peel rounds over the shared undirected simple closure (k = 4 sits at the
+    * fixture's ~p20 degree, so the peel genuinely cascades). Bounded
+    * rounds, not a fixpoint loop: BOTH engines run exactly 4 rounds, so
+    * results match even on graphs where peeling hasn't converged (at
+    * 100 TB the round count is the job-count budget a scheduler wants
+    * fixed anyway; d rounds peel any graph of degeneracy-ordering depth
+    * d). Output = survivors with their within-core degree.
+    *
+    * Scale shape: each round is two semi-shaped joins of the edge list
+    * against the alive set + one two-phase degree count; the alive frame
+    * is CHECKPOINTED per round (the dedup_cc lineage rule — it is
+    * referenced twice per round, u-side and v-side, and nested plans
+    * would grow 2^rounds). */
+  val kcore: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val edges = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var alive = und.select(col("u")).distinct()
+    for (_ <- 1 to 4) {
+      alive = ckpt(und
+        .join(alive.withColumnRenamed("u", "v"), "v")
+        .join(alive, "u")
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 4).select("u"))
+    }
+    und
+      .join(alive.withColumnRenamed("u", "v"), "v")
+      .join(alive, "u")
+      .groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("doc_id"), col("core_deg"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "graph_linkpred" -> linkpred,
-    "graph_labelprop" -> labelprop
+    "graph_labelprop" -> labelprop,
+    "graph_kcore" -> kcore
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -238,7 +291,38 @@ object Graph {
        |    GROUP BY n.u, p.lbl) t
        |  WHERE r = 1)""".stripMargin
 
+  private def kcoreRoundSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT u FROM (
+       |    SELECT n.u, COUNT(*) AS c
+       |    FROM und n JOIN $prev x ON x.u = n.u JOIN $prev y ON y.u = n.v
+       |    GROUP BY n.u) t
+       |  WHERE c >= 4)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // Same closure; 4 unrolled peel rounds, survivors' within-core
+    // degree.
+    "graph_kcore" -> {
+      val rounds = (1 to 4)
+        .map(k => kcoreRoundSql(s"a${k - 1}", s"a$k")).mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |und AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |a0 AS (SELECT DISTINCT u FROM und),
+         |$rounds
+         |SELECT n.u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM und n JOIN a4 x ON x.u = n.u JOIN a4 y ON y.u = n.v
+         |GROUP BY n.u ORDER BY doc_id""".stripMargin
+    },
     // Same simple undirected closure; 3 unrolled synchronous rounds,
     // (count desc, label asc) argmax per node, isolated nodes rejoin
     // with their own label at the end.

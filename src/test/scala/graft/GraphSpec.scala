@@ -104,6 +104,34 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.size < n)
   }
 
+  test("graph_kcore replays 4 driver-side peel rounds") {
+    val got = SparkEntry.queries("graph_kcore")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map { i =>
+        val dst = h(s"$src:$i") % n
+        (math.min(src.toLong, dst), math.max(src.toLong, dst))
+      }
+    }.filter(e => e._1 < e._2).toSet
+    def neighbors(alive: Set[Long]): Map[Long, Int] =
+      edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .filter { case (u, v) => alive(u) && alive(v) }
+        .groupBy(_._1).map { case (u, xs) => u -> xs.size }
+    var alive = edges.flatMap(e => Seq(e._1, e._2))
+    for (_ <- 1 to 4)
+      alive = neighbors(alive).filter(_._2 >= 4).keySet
+    val expected = neighbors(alive).map { case (u, d) => u -> d.toLong }
+    assert(got == expected)
+    // the peel genuinely removed something at k = 4
+    assert(expected.size < n)
+  }
+
   test("graph_linkpred replays a driver-side common-neighbor scan") {
     val got = SparkEntry.queries("graph_linkpred")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
