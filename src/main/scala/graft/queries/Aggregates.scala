@@ -200,6 +200,20 @@ object Aggregates {
 
   /** sum-empty-is-zero (GenericUDAFSumEmptyIsZero): groups whose filtered
     * sum has no rows yield 0, not NULL. */
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor — the mask-merging
+    * family behind permission-flag rollups and feature-bit audits):
+    * order-insensitive by construction (bitwise ops are associative and
+    * commutative), so two-phase merging is trivially deterministic. */
+  val aggBits: Q = (s, dir) => {
+    Tables.t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("bit_and(l_linenumber)").as("band_v"),
+        expr("bit_or(l_linenumber)").as("bor_v"),
+        expr("bit_xor(l_linenumber)").as("bxor_v"),
+        expr("bit_or(l_suppkey % 64)").as("bor_mask"))
+      .orderBy("l_returnflag")
+  }
+
   /** listagg / string_agg WITHIN GROUP (NEW in Spark 4 — the ANSI
     * ordered string aggregation that previously needed the
     * sort_array(collect_list) idiom): explicit WITHIN GROUP ordering
@@ -305,10 +319,19 @@ object Aggregates {
     "agg_approx_ndv" -> aggApproxNdv,
     "agg_sum_empty_zero" -> aggSumEmptyZero,
     "agg_boolean" -> aggBoolean,
-    "agg_listagg" -> aggListagg
+    "agg_listagg" -> aggListagg,
+    "agg_bits" -> aggBits
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_bits" ->
+      """SELECT l_returnflag,
+        |CAST(bit_and(l_linenumber) AS BIGINT) AS band_v,
+        |CAST(bit_or(l_linenumber) AS BIGINT) AS bor_v,
+        |CAST(bit_xor(l_linenumber) AS BIGINT) AS bxor_v,
+        |CAST(bit_or(l_suppkey % 64) AS BIGINT) AS bor_mask
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_listagg" ->
       """SELECT o_orderpriority,
         |string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
