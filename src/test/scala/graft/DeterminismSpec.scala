@@ -25,6 +25,35 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("sampled queries are AQE-toggle invariant") {
+    // AQE re-plans at runtime (coalesced partitions, demoted/promoted
+    // joins, skew splits); with it OFF the static plan executes as
+    // written. Results must be identical either way — an operator whose
+    // output depends on the adaptive re-plan (a rank over an
+    // arrival-ordered frame, a cache keyed on a plan shape) fails here.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sample = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      val h = md.digest(n.getBytes("UTF-8"))
+      ((h(0) & 0xff) % 8) == 1
+    }
+    assert(sample.size >= 15, s"sample unexpectedly small: ${sample.size}")
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    try {
+      sample.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+        val a = fn(spark, sfDir).collect().map(_.toString)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val b = fn(spark, sfDir).collect().map(_.toString)
+        if (!a.sameElements(b))
+          failures += s"$name (${a.length} vs ${b.length} rows)"
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    assert(failures.isEmpty,
+      s"AQE-sensitive queries: ${failures.mkString(", ")}")
+  }
+
   test("sampled queries are partition-count invariant") {
     val sample = stableSample(SparkEntry.queries.keys.toSeq)
     assert(sample.size >= 30, s"sample unexpectedly small: ${sample.size}")
