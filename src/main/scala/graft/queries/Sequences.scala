@@ -507,7 +507,44 @@ object Sequences {
           - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
   }
 
+  /** Arrival burstiness per event type — the coefficient of variation
+    * of inter-arrival gaps (CV = 1 ⇒ Poisson arrivals; CV ≫ 1 ⇒ bursty
+    * — the signature that breaks rate-limit sizing and makes
+    * watermark-lateness budgets wrong): gaps measured WITHIN each
+    * (user, type) stream — per-user windows, never a per-type global
+    * ordering (5 type partitions holding every event each would be the
+    * skew anti-pattern at 100 TB) — then one moments agg per type.
+    *
+    * Cross-engine determinism: gaps quantize to integer SECONDS before
+    * the moment sums (µs² products would overflow a long at realistic
+    * gap sizes), the seq_anomaly exact-moments shape; CV is one
+    * quantized expression with the greatest(·,0) −ε guard. */
+  val seqBurstiness: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("tsu", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("gap_us", col("tsu") - lag("tsu", 1).over(w))
+      // integer division (the seq_concurrency lesson: `/` is a double
+      // divide in Spark and could misbucket vs DuckDB's `//`)
+      .withColumn("gap_s", expr("gap_us DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sg"),
+        sum(col("gap_s") * col("gap_s")).as("qg"))
+      .withColumn("mean_s", col("sg").cast("double") / col("n_gaps"))
+      .withColumn("cv", dround(
+        sqrt(greatest(col("qg").cast("double") / col("n_gaps")
+          - col("mean_s") * col("mean_s"), lit(0.0))) / col("mean_s"), 6))
+      .select(col("event_type"), col("n_gaps"),
+        dround(col("mean_s"), 6).as("mean_gap_s"), col("cv"),
+        (col("cv") > 1.0).as("bursty"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "seq_burstiness" -> seqBurstiness,
     "seq_gini" -> seqGini,
     "seq_user_surprise" -> seqUserSurprise,
     "seq_rfm" -> seqRfm,
@@ -525,6 +562,27 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same (user, type) lag gaps in integer seconds; exact moments,
+    // identical IEEE cv chain.
+    "seq_burstiness" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |             epoch_us(ts) AS tsu FROM events),
+         |g0 AS (SELECT event_type,
+         |         (tsu - lag(tsu) OVER (PARTITION BY user_id, event_type
+         |            ORDER BY tsu, event_id)) // 1000000 AS gap_s
+         |       FROM e),
+         |g AS (SELECT event_type, gap_s FROM g0 WHERE gap_s IS NOT NULL),
+         |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |        CAST(SUM(gap_s) AS BIGINT) AS sg,
+         |        CAST(SUM(gap_s*gap_s) AS BIGINT) AS qg
+         |      FROM g GROUP BY event_type),
+         |z AS (SELECT event_type, n_gaps, sg, qg,
+         |        CAST(sg AS DOUBLE)/n_gaps AS mean_s FROM m)
+         |SELECT event_type, n_gaps,
+         |  ${oRound("mean_s", 6)} AS mean_gap_s,
+         |  ${oRound("sqrt(greatest(CAST(qg AS DOUBLE)/n_gaps - mean_s*mean_s, 0.0))/mean_s", 6)} AS cv,
+         |  (${oRound("sqrt(greatest(CAST(qg AS DOUBLE)/n_gaps - mean_s*mean_s, 0.0))/mean_s", 6)} > 1.0) AS bursty
+         |FROM z ORDER BY event_type""".stripMargin,
     // Same pinned (cnt, user_id) ranking via a PLAIN global row_number —
     // the independent derivation of the engine's bucket decomposition.
     "seq_gini" ->
