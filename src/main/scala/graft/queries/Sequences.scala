@@ -491,9 +491,13 @@ object Sequences {
     * Scale shape: per-user counts on the user_id shuffle; the global
     * rank is [[Text.decomposedRank]]'s bucket decomposition (local
     * windows + one bounded bucket-offset frame — never a corpus-wide
-    * window); Σrx and Σx are exact long sums, G one quantized
-    * expression. The oracle ranks with a plain row_number — the
-    * independent derivation. */
+    * window); Σx is an exact long sum, Σrx accumulates in decimal(38,0)
+    * (rnk·cnt alone can exceed int64 once n_users passes ~10⁹ — ANSI-on
+    * Spark would throw on the long product while the DuckDB oracle sums
+    * in hugeint; decimal keeps both engines exact to the same integer
+    * before the one double division), G one quantized expression. The
+    * oracle ranks with a plain row_number — the independent
+    * derivation. */
   val seqGini: Q = (s, dir) => {
     val cnts = Tables.events(s, dir)
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
@@ -501,9 +505,10 @@ object Sequences {
         cnts.select(col("user_id").as("doc_id"), col("cnt").as("sq")), 4)
       .join(cnts.select(col("user_id").as("doc_id"), col("cnt")), "doc_id")
     ranked.agg(count(lit(1)).as("n"), sum("cnt").as("t"),
-        sum(col("rnk") * col("cnt")).as("s"))
+        sum((col("rnk").cast("decimal(38,0)") * col("cnt"))).as("s"))
       .select(col("n").as("n_users"), col("t").as("total_events"),
-        dround(lit(2.0) * col("s") / (col("n") * col("t"))
+        dround(lit(2.0) * col("s").cast("double")
+          / (col("n").cast("double") * col("t").cast("double"))
           - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
   }
 

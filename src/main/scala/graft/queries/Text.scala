@@ -108,11 +108,26 @@ object Text {
     * shuffle-free (the r3 shape exploded to word rows and paid a full
     * shuffle+sort through WindowExec plus a collect_set aggregation —
     * measurably the suite's hottest path on slow-shuffle-disk hosts). */
-  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
+    signaturesFromHashed(hashedWordsOf(docs))
+
+  /** The (doc_id, word-hash array) frame every shingle/gram consumer
+    * derives from — ONE md5-per-word pass over the corpus. Operators that
+    * need BOTH the minhash signatures and a gram set (the LSH-candidate →
+    * bigram-verify composition) persist THIS frame once instead of
+    * re-running the md5 pass per feature family (r15's ngram_jaccard paid
+    * it twice — two scans, two persists of duplicate work). */
+  private[graft] def hashedWordsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), wordHashCol.as("hs"))
+
+  /** [[signaturesOf]] from a pre-built [[hashedWordsOf]] frame: shingle
+    * ids and all 12 minhash values are per-row array arithmetic above
+    * `hs` — no rescan, no re-hash. */
+  private[graft] def signaturesFromHashed(hashed: DataFrame): DataFrame = {
     val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("sh"), sid => (lit(a) * sid + lit(b)) % lit(P))).as(s"mh$i")
     }
-    docs.select(col("doc_id"), wordHashCol.as("hs"))
+    hashed
       .filter(size(col("hs")) >= 3)
       .select(col("doc_id"), shingleSetCol.as("sh"))
       .select(col("doc_id") +: col("sh") +: mhCols: _*)
@@ -544,15 +559,21 @@ object Text {
     * sizes — shuffling only (doc, gram-id) long pairs for the
     * intersection, never bigram strings. */
   private[graft] def ngramJaccardOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val hashed = hashedWordsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count() // eager for the same cache-race reason as llmMinhashLsh
+    ngramJaccardFromHashed(hashed, pairs)
+  }
+
+  /** [[ngramJaccardOf]] from a pre-built (and caller-persisted)
+    * [[hashedWordsOf]] frame — the gram set is pure array arithmetic
+    * above the cached `hs` column, so no second corpus scan and no
+    * second md5 pass (and no second persist: each consumer re-derives
+    * the cheap bigram projection from the shared cache). */
+  private[graft] def ngramJaccardFromHashed(hashed: DataFrame, pairs: DataFrame): DataFrame = {
     val gramSet = when(size(col("hs")) >= 2, hashGramCol(2))
       .otherwise(array().cast("array<long>"))
-    // Materialize-once: the per-doc gram sets feed the size lookup and both
-    // sides of the intersection join (8-byte ids — cheap to cache).
-    val g = docs
-      .select(col("doc_id"), wordHashCol.as("hs"))
-      .select(col("doc_id"), gramSet.as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    g.count() // eager for the same cache-race reason as llmMinhashLsh
+    val g = hashed.select(col("doc_id"), gramSet.as("g"))
     val sizes = g.select(col("doc_id"), size(col("g")).as("n"))
     val p = pairs.select(col("doc_a"), col("doc_b"))
     val ex = g.select(col("doc_id"), explode(col("g")).as("g"))
@@ -576,10 +597,26 @@ object Text {
           .as("bigram_jac"))
   }
 
-  val llmNgramJaccard: Q = (s, dir) => {
-    val d = Tables.t(s, dir, "documents")
-    ngramJaccardOf(d, minhashCandidatePairs(d)).orderBy("doc_a", "doc_b")
+  /** LSH-candidate → exact-bigram-verify composition over one shared
+    * [[hashedWordsOf]] persist: the md5-per-word pass runs ONCE and feeds
+    * both the minhash-signature side (candidates) and the bigram side
+    * (verification). The signature frame additionally persists because
+    * the bucket self-join consumes it three times (capBuckets' hot-count
+    * aggregation + both join sides) and the 12 minhash transforms are
+    * the costliest projection above `hs`. */
+  private[graft] def verifiedBigramPairsOf(docs: DataFrame): DataFrame = {
+    val hashed = hashedWordsOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count() // eager: one md5 pass before the concurrent consumers
+    val sets = signaturesFromHashed(hashed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
+    ngramJaccardFromHashed(hashed, minhashCandidates(sets))
   }
+
+  val llmNgramJaccard: Q = (s, dir) =>
+    verifiedBigramPairsOf(Tables.t(s, dir, "documents"))
+      .orderBy("doc_a", "doc_b")
 
   /** Train/val split-leakage audit — the self-contamination check
     * `llm_contamination` (corpus vs EXTERNAL eval set) cannot do: when
@@ -602,7 +639,7 @@ object Text {
       conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("int") % 100
     val splitOf = (c: Column) =>
       when(bucketOf(c) < 95, "train").otherwise("val")
-    ngramJaccardOf(docs, minhashCandidatePairs(docs))
+    verifiedBigramPairsOf(docs)
       .select(col("bigram_jac"),
         array_join(array_sort(array(splitOf(col("doc_a")),
           splitOf(col("doc_b")))), "-").as("cat"))
