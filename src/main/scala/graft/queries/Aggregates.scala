@@ -156,45 +156,74 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
-  /** percentile_approx (GenericUDAFPercentileApprox) — sketch-based, no
-    * cross-engine oracle (algorithms differ) ⇒ rows-only; exactness is
-    * covered by aggPercentile above. */
+  /** percentile_approx (GenericUDAFPercentileApprox) — sketch-based, so
+    * the approximate VALUES are engine-specific and cannot hash-match a
+    * DuckDB replay. The registered output is SELF-GATING instead: the
+    * exact percentiles (oracle-recomputable, same pairing as
+    * [[aggPercentile]]) plus booleans asserting the sketch landed inside
+    * its error envelope — rank error ≤ n/accuracy means ≤ ±1 quantity
+    * unit at accuracy 1000 on the integer-valued 1..50 quantity domain,
+    * and ≤ 1% relative on the price median at accuracy 10000 (orders of
+    * magnitude of headroom over the observed drift). The oracle pins the
+    * gates TRUE, so a sketch drifting out of envelope is a hash
+    * MISMATCH, not an unchecked shrug. Both sketches are deterministic
+    * for fixed data — the gate cannot flake. */
   val aggPercentileApprox: Q = (s, dir) => {
-    // scalar output columns only (the multi-quantile array is unpacked):
-    // the driver's comparator sorts every column, which an array breaks
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_med"),
-        expr("percentile_approx(l_quantity, array(0.25, 0.75), 1000)").as("iqr"))
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("am"),
+        expr("percentile_approx(l_quantity, array(0.25, 0.75), 1000)").as("iqr"),
+        expr("percentile(l_extendedprice, 0.5)").as("em"),
+        expr("percentile(l_quantity, 0.25)").as("eq25"),
+        expr("percentile(l_quantity, 0.75)").as("eq75"))
       .select(col("l_returnflag"),
-        col("approx_med"),
-        element_at(col("iqr"), 1).as("approx_q25"),
-        element_at(col("iqr"), 2).as("approx_q75"))
+        dround(col("em"), 6).as("exact_med_price"),
+        dround(col("eq25"), 6).as("exact_q25"),
+        dround(col("eq75"), 6).as("exact_q75"),
+        (abs(col("am") - col("em")) / col("em") <= 0.01).as("med_ok"),
+        (abs(element_at(col("iqr"), 1) - col("eq25")) <= 1.0).as("q25_ok"),
+        (abs(element_at(col("iqr"), 2) - col("eq75")) <= 1.0).as("q75_ok"))
       .orderBy("l_returnflag")
   }
 
-  /** histogram_numeric (GenericUDAFHistogramNumeric) — native in Spark,
-    * sketch-based ⇒ rows-only. */
+  /** histogram_numeric (GenericUDAFHistogramNumeric) — the centroid
+    * PLACEMENT is sketch-specific, but the sketch owes hard invariants
+    * the oracle CAN enforce: exactly 5 bins (quantity has 50 distinct
+    * values ≥ 5 at every SF), bin masses summing exactly to the group
+    * row count (each point contributes weight 1; the merge preserves
+    * mass), centroids sorted ascending and inside [min, max]. Output is
+    * those invariants — count and mass oracle-recomputed exactly, order
+    * and range pinned TRUE — so a broken histogram merge hash-fails. */
   val aggHistogram: Q = (s, dir) => {
-    // bins exploded to (group, bin_idx, x, y) rows — scalar columns only,
-    // same driver-comparator constraint as aggPercentileApprox
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("histogram_numeric(l_quantity, 5)").as("hist"))
-      .select(col("l_returnflag"), posexplode(col("hist")).as(Seq("bin_idx", "bin")))
-      .select(col("l_returnflag"), col("bin_idx"),
-        col("bin.x").as("x"), col("bin.y").as("y"))
-      .orderBy("l_returnflag", "bin_idx")
+      .agg(expr("histogram_numeric(l_quantity, 5)").as("hist"),
+        min("l_quantity").as("qmin"), max("l_quantity").as("qmax"))
+      .select(col("l_returnflag"),
+        size(col("hist")).cast("long").as("n_bins"),
+        round(aggregate(col("hist"), lit(0.0), (a, b) => a + b.getField("y")))
+          .cast("long").as("total_y"),
+        (transform(col("hist"), b => b.getField("x")) ===
+          array_sort(transform(col("hist"), b => b.getField("x")))).as("x_sorted"),
+        forall(transform(col("hist"), b => b.getField("x")),
+          x => x >= col("qmin") && x <= col("qmax")).as("x_in_range"))
+      .orderBy("l_returnflag")
   }
 
   /** approx_count_distinct (HLL++, ≈ Hive compute_stats FM-sketch NDV) —
-    * rows-only (sketch), paired with the exact NDV for eyeballing. */
+    * SELF-GATING like [[aggPercentileApprox]]: the exact NDV (oracle-
+    * recomputable) plus a boolean asserting the sketch landed within 5%
+    * relative error (sketch built at rsd 0.02, so 2.5σ of headroom; the
+    * HLL++ estimate is deterministic for fixed data). */
   val aggApproxNdv: Q = (s, dir) => {
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("andv_part"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("andv"),
         countDistinct(col("l_partkey")).as("ndv_part"))
+      .select(col("l_returnflag"), col("ndv_part"),
+        (abs(col("andv").cast("double") - col("ndv_part")) / col("ndv_part")
+          <= 0.05).as("andv_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -324,6 +353,30 @@ object Aggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The three sketch aggregates are SELF-GATING (see their scaladocs):
+    // the oracle recomputes the exact side and pins the in-envelope
+    // booleans TRUE, so sketch drift becomes a hash mismatch.
+    "agg_approx_ndv" ->
+      """SELECT l_returnflag,
+        |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_part,
+        |TRUE AS andv_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile_approx" ->
+      s"""SELECT l_returnflag,
+         |${oRound("quantile_cont(l_extendedprice, 0.5)", 6)} AS exact_med_price,
+         |${oRound("quantile_cont(l_quantity, 0.25)", 6)} AS exact_q25,
+         |${oRound("quantile_cont(l_quantity, 0.75)", 6)} AS exact_q75,
+         |TRUE AS med_ok, TRUE AS q25_ok, TRUE AS q75_ok
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+    "agg_histogram" ->
+      """SELECT l_returnflag,
+        |CAST(5 AS BIGINT) AS n_bins,
+        |CAST(COUNT(*) AS BIGINT) AS total_y,
+        |TRUE AS x_sorted, TRUE AS x_in_range
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_bits" ->
       """SELECT l_returnflag,
         |CAST(bit_and(l_linenumber) AS BIGINT) AS band_v,

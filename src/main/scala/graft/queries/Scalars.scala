@@ -263,7 +263,12 @@ object Scalars {
       .orderBy("c_custkey")
   }
 
-  /** Hash/crypto without a DuckDB twin — rows-only + ScalaTest coverage. */
+  /** Hash functions with NO DuckDB 1.0.0 twin (sha1/crc32 absent from its
+    * registry; murmur3/xxhash64 are Spark-specific algorithms; soundex
+    * absent) — rows-only at the driver gate, with exact known-answer
+    * values pinned in FunctionsSpec so the implementations are still
+    * value-checked, just not by the oracle replay. The members DuckDB CAN
+    * express moved to [[fnHashB64Fmt]] (oracle-checked). */
   val fnHashExtra: Q = (s, dir) => {
     val c = Tables.t(s, dir, "customer").filter(col("c_custkey") < 300)
     c.select(col("c_custkey"),
@@ -271,8 +276,21 @@ object Scalars {
       crc32(col("c_name")).as("crc32_v"),
       hash(col("c_name"), col("c_custkey")).as("murmur_v"),
       xxhash64(col("c_name")).as("xx64_v"),
+      soundex(col("c_name")).as("sdx_v"))
+      .orderBy("c_custkey")
+  }
+
+  /** The DuckDB-expressible members formerly folded into fn_hash_extra,
+    * split out so they ride the full oracle hash gate: base64
+    * encode/decode round-trip and format_number's grouped rendering
+    * (DuckDB emulates it with fmt-grouping on the integer part + a
+    * lpad'ed 2-digit fraction, sign handled separately so (-1, 0)
+    * values keep their minus). */
+  val fnHashB64Fmt: Q = (s, dir) => {
+    val c = Tables.t(s, dir, "customer").filter(col("c_custkey") < 300)
+    c.select(col("c_custkey"),
+      base64(col("c_name").cast("binary")).as("b64_v"),
       base64(unbase64(base64(col("c_name").cast("binary")))).as("b64_rt"),
-      soundex(col("c_name")).as("sdx_v"),
       format_number(col("c_acctbal"), 2).as("fmtnum_v"))
       .orderBy("c_custkey")
   }
@@ -380,6 +398,7 @@ object Scalars {
     "fn_url" -> fnUrl,
     "fn_hash" -> fnHash,
     "fn_hash_extra" -> fnHashExtra,
+    "fn_hash_b64fmt" -> fnHashB64Fmt,
     "fn_mask" -> fnMask,
     "fn_xpath" -> fnXpath,
     "fn_cast" -> fnCast,
@@ -577,6 +596,20 @@ object Scalars {
         |md5(c_name) AS md5_v,
         |sha256(c_name) AS sha256_v,
         |CAST(128 AS INT) AS sha512_len
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
+    // format_number emulation: fmt thousands-grouping is integer-only in
+    // DuckDB 1.0.0, so group the truncated |integer| part, append the
+    // 2-digit fraction (double→BIGINT cast rounds to nearest, matching
+    // HALF_UP on the fixtures' 2-decimal values), and prepend the sign
+    // separately so values in (-1, 0) keep their minus.
+    "fn_hash_b64fmt" ->
+      """SELECT c_custkey,
+        |base64(CAST(c_name AS BLOB)) AS b64_v,
+        |base64(CAST(c_name AS BLOB)) AS b64_rt,
+        |CASE WHEN c_acctbal < 0 THEN '-' ELSE '' END ||
+        |  format('{:,}', CAST(trunc(abs(c_acctbal)) AS BIGINT)) || '.' ||
+        |  lpad(CAST(CAST(abs(c_acctbal) * 100 AS BIGINT) % 100 AS VARCHAR),
+        |       2, '0') AS fmtnum_v
         |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
     "fn_mask" ->
       s"""SELECT c_custkey,

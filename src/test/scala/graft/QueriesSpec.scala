@@ -777,66 +777,57 @@ class QueriesSpec extends SparkSpec {
   // of passing rows-only. Both sketches are deterministic for a fixed
   // input (no RNG), so the bounds cannot flake.
 
-  test("percentile_approx stays within its rank-error bound of exact") {
-    // GuavaQuantile guarantee: rank error <= n/accuracy. With n ~= 6k at
-    // sf0.001 and accuracy 10000/1000 the bound is <1 and ~6 rows; a 5%
-    // rank window (exact percentile at p +- 0.05) is far looser than the
-    // guarantee yet tight enough to catch an accuracy-parameter typo.
+  test("percentile_approx self-gates inside its rank-error envelope") {
+    // The registered output now carries the gate booleans the oracle pins
+    // TRUE (r16); here additionally re-derive the exact side so a bug
+    // that broke BOTH the gate and the exact column together still fails.
     val approx = SparkEntry.queries("agg_percentile_approx")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
-    val li = Tables.t(spark, sfDir, "lineitem")
-    val windows = li.groupBy("l_returnflag").agg(
-      expr("percentile(l_extendedprice, 0.45)").as("med_lo"),
-      expr("percentile(l_extendedprice, 0.55)").as("med_hi"),
-      expr("percentile(l_quantity, 0.20)").as("q25_lo"),
-      expr("percentile(l_quantity, 0.30)").as("q25_hi"),
-      expr("percentile(l_quantity, 0.70)").as("q75_lo"),
-      expr("percentile(l_quantity, 0.80)").as("q75_hi"))
+    val exact = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.5)").as("em"),
+        expr("percentile(l_quantity, 0.25)").as("eq25"),
+        expr("percentile(l_quantity, 0.75)").as("eq75"))
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(approx.nonEmpty && approx.keySet == windows.keySet)
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
     approx.foreach { case (flag, a) =>
-      val w = windows(flag)
-      def in(v: Double, lo: String, hi: String): Boolean =
-        v >= w.getAs[Double](lo) && v <= w.getAs[Double](hi)
-      assert(in(a.getAs[Double]("approx_med"), "med_lo", "med_hi"),
-        s"$flag approx_med outside 45th-55th percentile window")
-      assert(in(a.getAs[Double]("approx_q25"), "q25_lo", "q25_hi"),
-        s"$flag approx_q25 outside 20th-30th percentile window")
-      assert(in(a.getAs[Double]("approx_q75"), "q75_lo", "q75_hi"),
-        s"$flag approx_q75 outside 70th-80th percentile window")
+      Seq("med_ok", "q25_ok", "q75_ok").foreach(c =>
+        assert(a.getAs[Boolean](c), s"$flag $c gate is false"))
+      val e = exact(flag)
+      assert(math.abs(a.getAs[Double]("exact_med_price") - e.getAs[Double]("em")) < 1e-5)
+      assert(math.abs(a.getAs[Double]("exact_q25") - e.getAs[Double]("eq25")) < 1e-5)
+      assert(math.abs(a.getAs[Double]("exact_q75") - e.getAs[Double]("eq75")) < 1e-5)
     }
   }
 
-  test("approx_count_distinct stays within HLL++ error of exact NDV") {
-    // default rsd = 0.05 (1 sigma); 3 sigma = 15% is the hard ceiling.
-    // The result is deterministic per dataset, so asserting the ceiling
-    // catches an rsd/config regression without any flake risk.
+  test("approx_count_distinct self-gates within 5% of exact NDV") {
+    // Sketch at rsd 0.02, gate at 5% (2.5 sigma); deterministic per
+    // dataset, so no flake risk. The exact column is re-derived so a
+    // joint gate+exact regression still fails.
     val rows = SparkEntry.queries("agg_approx_ndv")(spark, sfDir).collect()
+    val exact = Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("ndv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("andv_part").toDouble
-      val exact = r.getAs[Long]("ndv_part").toDouble
-      val relErr = math.abs(approx - exact) / exact
-      assert(relErr <= 0.15,
-        s"${r.getString(0)}: HLL++ NDV off by ${(relErr * 100).round}% (> 3 sigma)")
+      assert(r.getAs[Boolean]("andv_ok"), s"${r.getString(0)}: NDV gate false")
+      assert(r.getAs[Long]("ndv_part") == exact(r.getString(0)))
     }
   }
 
-  test("histogram_numeric bins partition the rows and are x-sorted") {
+  test("histogram_numeric invariants: 5 bins, mass conserved, x-sorted in range") {
     val hist = SparkEntry.queries("agg_histogram")(spark, sfDir).collect()
     val counts = Tables.t(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val perFlag = hist.groupBy(_.getString(0))
-    assert(perFlag.keySet == counts.keySet)
-    perFlag.foreach { case (flag, bins) =>
-      // bin heights sum to the group's row count (mass is conserved)
-      val mass = bins.map(_.getAs[Double]("y")).sum
-      assert(math.abs(mass - counts(flag)) < 1e-6,
-        s"$flag histogram mass $mass != ${counts(flag)}")
-      // centroids ascend with bin_idx
-      val xs = bins.sortBy(_.getAs[Int]("bin_idx")).map(_.getAs[Double]("x"))
-      assert(xs.sameElements(xs.sorted), s"$flag centroids not sorted")
+    assert(hist.map(_.getString(0)).toSet == counts.keySet)
+    hist.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getAs[Long]("n_bins") == 5L, s"$flag bin count")
+      assert(r.getAs[Long]("total_y") == counts(flag),
+        s"$flag histogram mass ${r.getAs[Long]("total_y")} != ${counts(flag)}")
+      assert(r.getAs[Boolean]("x_sorted"), s"$flag centroids not sorted")
+      assert(r.getAs[Boolean]("x_in_range"), s"$flag centroids out of range")
     }
   }
 
