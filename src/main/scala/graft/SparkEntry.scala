@@ -30,6 +30,13 @@ object SparkEntry {
     graft.queries.Sequences.queries ++
     graft.queries.Graph.queries
 
+  /** SQL-string entry surface (SURVEY.md §3.1): runnable Spark SQL text
+    * per query name, executed over the fixture views via
+    * `graft.queries.SqlSurface.run` — the HiveQL-string lifecycle stage
+    * the reference drives through its Driver. `SqlSurfaceSpec` asserts
+    * every entry returns rows identical to the registered builder. */
+  def sqlQueries: Map[String, String] = graft.queries.SqlSurface.sql
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
