@@ -8,21 +8,29 @@ package graft
   * under a DIFFERENT partition count, which the single-config test
   * suite and Verify runs never exercise).
   *
-  * A stable ~quarter sample of the registry (md5 of the name — the
-  * catalogued deterministic-sampling idiom) runs once at the session's
-  * 32 shuffle partitions and once at 7 (prime, so hash co-location
-  * patterns genuinely change; AQE coalescing stays on, as in
-  * production), comparing full row renderings. The conf flip uses the
-  * session's mutable RuntimeConfig and always restores.
+  * Coverage (r16, verdict item 7): the registry is split into two
+  * stable md5-halves — the EVEN half runs under the partition-count
+  * guard (32 vs 7 shuffle partitions; 7 is prime so hash co-location
+  * genuinely changes; AQE coalescing stays on, as in production), the
+  * ODD half under the AQE-toggle guard — so each guard covers half the
+  * registry and their union covers ALL of it; every registered query is
+  * under at least one determinism guard. The conf flips use the
+  * session's mutable RuntimeConfig and always restore.
   */
 class DeterminismSpec extends SparkSpec {
 
-  private def stableSample(names: Seq[String]): Seq[String] = {
+  /** Stable md5-keyed half of the registry: parity 0 or 1. */
+  private def stableHalf(names: Seq[String], parity: Int): Seq[String] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     names.sorted.filter { n =>
       val h = md.digest(n.getBytes("UTF-8"))
-      ((h(0) & 0xff) % 4) == 0
+      ((h(0) & 0xff) % 2) == parity
     }
+  }
+
+  test("the two guard halves cover the whole registry") {
+    val all = SparkEntry.queries.keys.toSeq
+    assert((stableHalf(all, 0) ++ stableHalf(all, 1)).toSet == all.toSet)
   }
 
   test("sampled queries are AQE-toggle invariant") {
@@ -31,12 +39,8 @@ class DeterminismSpec extends SparkSpec {
     // written. Results must be identical either way — an operator whose
     // output depends on the adaptive re-plan (a rank over an
     // arrival-ordered frame, a cache keyed on a plan shape) fails here.
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val sample = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
-      val h = md.digest(n.getBytes("UTF-8"))
-      ((h(0) & 0xff) % 8) == 1
-    }
-    assert(sample.size >= 15, s"sample unexpectedly small: ${sample.size}")
+    val sample = stableHalf(SparkEntry.queries.keys.toSeq, 1)
+    assert(sample.size >= 90, s"sample unexpectedly small: ${sample.size}")
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
     val failures = scala.collection.mutable.ListBuffer[String]()
     try {
@@ -55,8 +59,8 @@ class DeterminismSpec extends SparkSpec {
   }
 
   test("sampled queries are partition-count invariant") {
-    val sample = stableSample(SparkEntry.queries.keys.toSeq)
-    assert(sample.size >= 30, s"sample unexpectedly small: ${sample.size}")
+    val sample = stableHalf(SparkEntry.queries.keys.toSeq, 0)
+    assert(sample.size >= 90, s"sample unexpectedly small: ${sample.size}")
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
     val failures = scala.collection.mutable.ListBuffer[String]()
     try {
