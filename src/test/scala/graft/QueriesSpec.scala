@@ -800,8 +800,8 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("approx_count_distinct self-gates within 5% of exact NDV") {
-    // Sketch at rsd 0.02, gate at 5% (2.5 sigma); deterministic per
+  test("approx_count_distinct self-gates within 10% of exact NDV") {
+    // Default-rsd sketch, gate at 10% (2 sigma); deterministic per
     // dataset, so no flake risk. The exact column is re-derived so a
     // joint gate+exact regression still fails.
     val rows = SparkEntry.queries("agg_approx_ndv")(spark, sfDir).collect()
