@@ -34,8 +34,21 @@ object Bench {
     "fn_ngrams",          // typed Aggregator (ObjectAggregationIterator)
     "join_smb",           // pre-build: bucketed saveAsTable sides
     "llm_dedup_incremental") // pre-build: corpus-state parquet
+  /** 1-minute load average at call time — the self-adjudication signal
+    * the r16 verdict asked for: a driver-box reading taken at load 6+ on
+    * a 32-core box carries its own weather evidence in the artifact,
+    * where the r15/r16 `join_salted`-style spikes each cost a round of
+    * human micro-run forensics. Non-Linux / unreadable → -1 (the JSON
+    * stays parseable; the field just reads "unknown"). */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadAtLaunch = loadAvg1m()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,7 +122,7 @@ object Bench {
     // Full per-query detail for humans — prefix-tagged so the driver's
     // JSON scan can never pick it up in place of the contract line.
     println("BENCH-FULL " + fullDetail(results))
-    println(jsonLine(results, sfDir))
+    println(jsonLine(results, sfDir, loadAtLaunch, loadAvg1m()))
     spark.stop()
     if (results.exists(_._2.isEmpty)) sys.exit(1)
   }
@@ -175,8 +188,20 @@ object Bench {
     * another round of forensics. Failed queries report the same
     * 3-element shape filled with -1 (and a "failed" list) rather than
     * a wall time, so a broken query can't read as fast and consumers
-    * never type-branch on entry shape. */
-  def jsonLine(results: Seq[(String, Seq[Double])], sfDir: String): String = {
+    * never type-branch on entry shape.
+    *
+    * Self-adjudication fields (r17, verdict item 5): "load" = 1-minute
+    * load averages [launch, finish] (-1 = unreadable), and "wide" = the
+    * registered queries whose max/min repeat ratio exceeded 2.5× — the
+    * empirical weather signature (r11–r16: spreads of 2–3× on identical
+    * code were always box interference, tight spreads around a high
+    * median were always real) — capped at 6 names so a stormy run can't
+    * push the line past the driver's 2000-char tail capture. A future
+    * `join_salted`-style spike now carries its own adjudication: in
+    * "wide" + elevated load ⇒ weather; tight spread at quiet load ⇒
+    * hunt a plan defect. */
+  def jsonLine(results: Seq[(String, Seq[Double])], sfDir: String,
+               loadLaunch: Double = -1.0, loadFinish: Double = -1.0): String = {
     val byName = results.toMap
     val qs = headline.flatMap(k => byName.get(k).map(ts =>
         "\"" + k + "\":" + (if (ts.isEmpty) failedSpread else spread(ts))))
@@ -187,7 +212,13 @@ object Bench {
     val failed = (failedNames.take(15).map("\"" + _ + "\"") ++
       (if (failedNames.size > 15) Seq("\"(+" + (failedNames.size - 15) + " more)\"") else Nil))
       .mkString("[", ",", "]")
+    val wideNames = results.collect {
+      case (k, ts) if ts.nonEmpty && ts.min > 0 && ts.max / ts.min > 2.5 => k }
+    val wide = (wideNames.take(6).map("\"" + _ + "\"") ++
+      (if (wideNames.size > 6) Seq("\"(+" + (wideNames.size - 6) + " more)\"") else Nil))
+      .mkString("[", ",", "]")
+    val load = s"[${num(loadLaunch)},${num(loadFinish)}]"
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failed,"wide":$wide,"load":$load,"sf":"$sfDir"}"""
   }
 }

@@ -16,6 +16,10 @@ package graft
   * registry and their union covers ALL of it; every registered query is
   * under at least one determinism guard. The conf flips use the
   * session's mutable RuntimeConfig and always restore.
+  *
+  * r17: an md5-keyed ~1/8 slice of each half additionally runs under
+  * the OTHER half's guard (see [[overlapSlice]]), so both axes get
+  * exercised on a stable cross-section of the registry.
   */
 class DeterminismSpec extends SparkSpec {
 
@@ -25,6 +29,19 @@ class DeterminismSpec extends SparkSpec {
     names.sorted.filter { n =>
       val h = md.digest(n.getBytes("UTF-8"))
       ((h(0) & 0xff) % 2) == parity
+    }
+  }
+
+  /** Cross-guard overlap (r17, ADVICE): an ~1/8 md5-keyed slice of the
+    * OTHER half, so a stable sample of the registry runs under BOTH
+    * guards — catching config-specific nondeterminism on the axis a
+    * query's home half never exercises (keyed on byte 1 so the slice is
+    * independent of the byte-0 half split). */
+  private def overlapSlice(names: Seq[String]): Seq[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    names.filter { n =>
+      val h = md.digest(n.getBytes("UTF-8"))
+      ((h(1) & 0xff) % 8) == 0
     }
   }
 
@@ -39,7 +56,8 @@ class DeterminismSpec extends SparkSpec {
     // written. Results must be identical either way — an operator whose
     // output depends on the adaptive re-plan (a rank over an
     // arrival-ordered frame, a cache keyed on a plan shape) fails here.
-    val sample = stableHalf(SparkEntry.queries.keys.toSeq, 1)
+    val all = SparkEntry.queries.keys.toSeq
+    val sample = stableHalf(all, 1) ++ overlapSlice(stableHalf(all, 0))
     assert(sample.size >= 90, s"sample unexpectedly small: ${sample.size}")
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
     val failures = scala.collection.mutable.ListBuffer[String]()
@@ -59,7 +77,8 @@ class DeterminismSpec extends SparkSpec {
   }
 
   test("sampled queries are partition-count invariant") {
-    val sample = stableHalf(SparkEntry.queries.keys.toSeq, 0)
+    val all = SparkEntry.queries.keys.toSeq
+    val sample = stableHalf(all, 0) ++ overlapSlice(stableHalf(all, 1))
     assert(sample.size >= 90, s"sample unexpectedly small: ${sample.size}")
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
     val failures = scala.collection.mutable.ListBuffer[String]()

@@ -1,30 +1,40 @@
 package graft
 
-/** Empirical scale-curve guard for the dedup heavy tail: time the REAL
-  * registered queries at sf0.01 (500 docs) and sf0.1 (5,000 docs) and
-  * assert the growth over the 10× corpus step stays far below quadratic.
+/** Empirical scale-curve guard for the dedup + ANN heavy tail: time the
+  * REAL registered queries at sf0.01 (500 docs / 2k embeddings) and
+  * sf0.1 (5,000 docs / 20k embeddings) and assert the growth over the
+  * 10× corpus step stays far below quadratic.
   *
   * The 100 TB posture of these operators is argued from plan shape
   * (banded buckets + hot-bucket caps bound candidate pairs linearly in
-  * corpus size; star-contraction CC is O(log d) rounds of linear joins)
+  * corpus size; star-contraction CC is O(log d) rounds of linear joins;
+  * IVF routes each query to nprobe cells rather than the full corpus)
   * and verified for CORRECTNESS across scales by the driver gate — this
   * spec adds the measured time-vs-rows curve so a regression to an
   * accidentally quadratic shape (a dropped cap, a candidate self-join
-  * losing its bucket key) fails CI with a timing signature, not just in
-  * the next round's bench forensics.
+  * losing its bucket key, a lost nprobe bound) fails CI with a timing
+  * signature, not just in the next round's bench forensics.
   *
   * Threshold: quadratic growth on 10× rows is 100×; the r16 measured
   * medians are 1.1–1.2× (fixed per-job overhead dominates at toy scale,
   * the r10 finding). α < 1.5 (ratio < 31.6×) rejects quadratic with a
-  * ~26× noise margin over the measured point — this box's scheduling
-  * weather is ±2–3× on sub-second queries, nowhere near the gap.
+  * ~26× noise margin over the measured point.
+  *
+  * Robustness (r17, ADVICE): each side uses the MIN of 3 timed repeats,
+  * not the median — a GC pause or co-tenant stall inflates individual
+  * readings only, so min discards stalls on BOTH sides (a stalled
+  * lo-scale median would mask a real hi-scale regression; a stalled
+  * hi-scale median would false-alarm). Constrained boxes can skip the
+  * whole probe with SPARK_GRAFT_SKIP_SCALE_PROBE=1, mirroring the
+  * PERF.md bench protocol's quiet-window requirement.
   */
 class ScaleCurveProbeSpec extends SparkSpec {
   private val loDir = "/root/testdata/sf0.01"
   private val hiDir = "/root/testdata/sf0.1"
   private val subQuadraticCeiling = 31.6 // 10^1.5 on a 10x corpus step
+  private val skip = sys.env.get("SPARK_GRAFT_SKIP_SCALE_PROBE").contains("1")
 
-  private def medianTime(name: String, dir: String): Double = {
+  private def minTime(name: String, dir: String): Double = {
     val q = SparkEntry.queries(name)
     def once(): Double = {
       spark.catalog.clearCache() // each repeat re-pays its own persists
@@ -33,20 +43,26 @@ class ScaleCurveProbeSpec extends SparkSpec {
       (System.nanoTime() - t0) / 1e9
     }
     once() // warm: JIT + codegen cache, outside the measurement
-    val ts = (1 to 3).map(_ => once()).sorted
-    ts(1)
+    (1 to 3).map(_ => once()).min
   }
 
-  Seq("llm_dedup_cc", "llm_semdedup_cc", "llm_ngram_jaccard").foreach { name =>
+  // Dedup trio (r16) + ANN family and cluster sampling (r17, verdict
+  // item 4): the IVF/PQ paths have recall gates in AnnScaleProbeSpec but
+  // had no timing-curve guard — a lost nprobe bound or hot-cell cap
+  // surfaces here first.
+  Seq("llm_dedup_cc", "llm_semdedup_cc", "llm_ngram_jaccard",
+      "llm_ann_ivf", "llm_ann_pq", "llm_ann_ivfpq",
+      "llm_cluster_sample").foreach { name =>
     test(s"$name grows sub-quadratically over the 10x corpus step") {
-      val lo = medianTime(name, loDir)
-      val hi = medianTime(name, hiDir)
+      assume(!skip, "SPARK_GRAFT_SKIP_SCALE_PROBE=1")
+      val lo = minTime(name, loDir)
+      val hi = minTime(name, hiDir)
       val ratio = hi / lo
       val alpha = math.log10(ratio) / 1.0 // 10x rows => log10(n ratio) = 1
       info(f"$name: sf0.01 $lo%.2fs -> sf0.1 $hi%.2fs, ratio $ratio%.2fx, alpha $alpha%.2f")
       assert(ratio < subQuadraticCeiling,
         f"$name grew $ratio%.1fx on a 10x corpus (alpha $alpha%.2f >= 1.5) — " +
-          "check the hot-bucket caps / bucket-join keys")
+          "check the hot-bucket caps / bucket-join keys / nprobe bounds")
     }
   }
 }

@@ -18,20 +18,29 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("bench JSON line is parseable, locale-stable, headline-only") {
     // headline entries carry [median, min, max] over the repeats; the
-    // total sums medians; non-headline queries fold into the total only
+    // total sums medians; non-headline queries fold into the total only.
+    // "load" = [launch, finish] 1-min load averages; "wide" = queries
+    // whose max/min repeat ratio > 2.5 (the weather flag) — both default
+    // to the unknown/-1 form when the caller has no readings.
     val line = Bench.jsonLine(
       Seq("q1_pricing_summary" -> Seq(1.23456, 1.0, 1.5),
-        "not_a_headline" -> Seq(0.0004)), "/data/sf0.1")
+        "not_a_headline" -> Seq(0.0004)), "/data/sf0.1", 0.05, 1.2)
     assert(line ==
-      """{"metric":"total","value":1.235,"unit":"sec","n":2,"queries":{"q1_pricing_summary":[1.235,1.000,1.500]},"failed":[],"sf":"/data/sf0.1"}""")
+      """{"metric":"total","value":1.235,"unit":"sec","n":2,"queries":{"q1_pricing_summary":[1.235,1.000,1.500]},"failed":[],"wide":[],"load":[0.050,1.200],"sf":"/data/sf0.1"}""")
     val empty = Bench.jsonLine(Nil, "/x")
-    assert(empty == """{"metric":"total","value":0.000,"unit":"sec","n":0,"queries":{},"failed":[],"sf":"/x"}""")
+    assert(empty == """{"metric":"total","value":0.000,"unit":"sec","n":0,"queries":{},"failed":[],"wide":[],"load":[-1.000,-1.000],"sf":"/x"}""")
     // a failed query (empty repeat vector) is excluded from the total,
     // keeps the uniform 3-element shape (all -1), and is named in "failed"
     val withFail = Bench.jsonLine(
       Seq("ok" -> Seq(2.0), "join_smb" -> Seq.empty), "/x")
     assert(withFail ==
-      """{"metric":"total","value":2.000,"unit":"sec","n":2,"queries":{"join_smb":[-1,-1,-1]},"failed":["join_smb"],"sf":"/x"}""")
+      """{"metric":"total","value":2.000,"unit":"sec","n":2,"queries":{"join_smb":[-1,-1,-1]},"failed":["join_smb"],"wide":[],"load":[-1.000,-1.000],"sf":"/x"}""")
+    // the weather flag: a 3.8x max/min spread lands in "wide" (even for a
+    // non-headline query — the flag adjudicates the whole registry), a
+    // tight spread does not; a -1 failure sentinel never divides by zero
+    val withWide = Bench.jsonLine(
+      Seq("join_salted" -> Seq(3.05, 1.0, 3.83), "ok" -> Seq(1.0, 0.9, 1.1)), "/x")
+    assert(withWide.contains(""""wide":["join_salted"]"""), withWide)
   }
 
   test("contract line from the FULL registry stays under the tail window") {
@@ -43,12 +52,15 @@ class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
     // strict-JSON check with an independent parser
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     assert((parsed \ "metric") == org.json4s.JString("total"))
-    // Healthy case: every headline query carries a 3-element spread —
-    // the longest line the contract can emit. Must clear the driver's
-    // 2000-char tail capture with sbt's "[success]" epilogue to spare.
+    // Worst healthy case: every headline query carries a 3-element
+    // spread AND every registered query trips the 2.5x weather flag
+    // (wide list hits its 6-name cap + overflow marker) AND both load
+    // readings are present — the longest line the contract can emit.
+    // Must clear the driver's 2000-char tail capture with sbt's
+    // "[success]" epilogue to spare.
     val healthy = SparkEntry.queries.keys.toSeq.sorted
-      .map(_ -> Seq(88.888, 88.888, 88.888))
-    val spreadLine = Bench.jsonLine(healthy, "/root/testdata/sf0.1")
+      .map(_ -> Seq(88.888, 8.888, 88.888))
+    val spreadLine = Bench.jsonLine(healthy, "/root/testdata/sf0.1", 31.99, 31.99)
     assert(spreadLine.length < 1900,
       s"bench spread line too long for driver tail: ${spreadLine.length}")
     assert((org.json4s.jackson.JsonMethods.parse(spreadLine) \ "metric")

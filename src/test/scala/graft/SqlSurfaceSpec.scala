@@ -1,5 +1,8 @@
 package graft
 
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
 /** Round-trip gate for the SQL-string entry surface: every
   * `SparkEntry.sqlQueries` text, run through spark.sql over the fixture
   * views, must return EXACTLY the rows of the registered builder (same
@@ -10,11 +13,23 @@ package graft
   * through its Driver; the builders alone exercise only the DataFrame
   * API. A surface entry that drifts from its builder (alias, quantizer,
   * filter constant) fails here, not in a downstream round.
+  *
+  * Execution shape (r17, verdict item 6): the per-name round-trips run
+  * CONCURRENTLY on a fixed 4-thread pool inside one test — Spark's
+  * scheduler interleaves the jobs (the same concurrency a multi-user
+  * HiveServer2 would drive), cutting the suite's wall-clock to ~1/4 of
+  * the r16 sequential per-test spelling while asserting the identical
+  * per-name property; failures list every divergent name with its first
+  * row diff. The per-name clearCache is gone with the sequential
+  * harness: a cached frame plan-matching between a builder and its SQL
+  * twin can only REUSE identical rows (determinism under partitioning
+  * is separately guarded by DeterminismSpec), so cache warmth cannot
+  * mask a real text/builder divergence.
   */
 class SqlSurfaceSpec extends SparkSpec {
 
-  test("SQL surface is large enough to count as an entry point (>= 40)") {
-    assert(SparkEntry.sqlQueries.size >= 40,
+  test("SQL surface is large enough to count as an entry point (>= 150)") {
+    assert(SparkEntry.sqlQueries.size >= 150,
       s"only ${SparkEntry.sqlQueries.size} SQL-surface queries")
   }
 
@@ -23,19 +38,48 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(unknown.isEmpty, s"surface names with no builder: $unknown")
   }
 
-  SparkEntry.sqlQueries.keys.toSeq.sorted.foreach { name =>
-    test(s"sql surface round-trip: $name") {
-      // clearCache: builders with persist barriers must not leave frames
-      // that would plan-match into the SQL run (and vice versa)
-      spark.catalog.clearCache()
-      val viaSql = graft.queries.SqlSurface.run(spark, sfDir, name)
-        .collect().toSeq.map(_.toString)
-      val viaApi = SparkEntry.queries(name)(spark, sfDir)
-        .collect().toSeq.map(_.toString)
-      assert(viaSql == viaApi,
-        s"$name: SQL surface and builder disagree " +
-          s"(${viaSql.size} vs ${viaApi.size} rows; first diff: " +
-          s"${viaSql.zip(viaApi).find(p => p._1 != p._2)})")
+  test("every registered query is in the surface or justified-excluded") {
+    val surface = SparkEntry.sqlQueries.keySet
+    val excluded = graft.queries.SqlSurface.excluded
+    val uncovered = SparkEntry.queries.keySet -- surface -- excluded.keySet
+    assert(uncovered.isEmpty,
+      s"registered queries neither in the SQL surface nor in the " +
+        s"justified-exclusion list: ${uncovered.toSeq.sorted.mkString(", ")}")
+    val stale = excluded.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"exclusions naming no registered query: $stale")
+    val both = excluded.keySet & surface
+    assert(both.isEmpty, s"names both excluded and in the surface: $both")
+  }
+
+  test("sql surface round-trip: every entry matches its builder") {
+    val names = SparkEntry.sqlQueries.keys.toSeq.sorted
+    spark.catalog.clearCache()
+    graft.Tables.registerAll(spark, sfDir)
+    graft.queries.SqlSurface.registerCompat(spark)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = names.map { name =>
+        Future {
+          val viaSql = spark.sql(SparkEntry.sqlQueries(name))
+            .collect().toSeq.map(_.toString)
+          val viaApi = SparkEntry.queries(name)(spark, sfDir)
+            .collect().toSeq.map(_.toString)
+          if (viaSql == viaApi) None
+          else Some(s"$name (${viaSql.size} vs ${viaApi.size} rows; " +
+            s"first diff: ${viaSql.zipAll(viaApi, "<none>", "<none>")
+              .find(p => p._1 != p._2)})")
+        }.recover { case e: Throwable =>
+          Some(s"$name threw: ${e.getMessage.linesIterator.next().take(160)}")
+        }
+      }
+      val failures =
+        Await.result(Future.sequence(futures), 30.minutes).flatten
+      assert(failures.isEmpty,
+        s"${failures.size} SQL-surface divergences:\n  " +
+          failures.mkString("\n  "))
+    } finally {
+      pool.shutdown()
       spark.catalog.clearCache()
     }
   }
