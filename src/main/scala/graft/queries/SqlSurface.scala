@@ -350,6 +350,343 @@ object SqlSurface {
         |FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)
         |ORDER BY o_orderkey""".stripMargin)
 
+  /** r17 second hand-spelling batch: former justified-exclusions whose
+    * BUILDERS are plain Spark expression chains — the exclusion reason
+    * was always a defect of the mechanically-translated ORACLE text
+    * (dialect-only syntax, double-path quantizer divergence), never of
+    * the operation, so a hand spelling that mirrors the builder
+    * expression-for-expression passes the exact-row gate. Each text is
+    * the builder's own logic re-spelled in SQL; the gate keeps them from
+    * drifting. */
+  private val handBatch2: Map[String, String] = Map(
+    // builder: Scalars.fnVariant — Spark 4 VARIANT family verbatim
+    "fn_variant" ->
+      """SELECT event_id,
+        |variant_get(parse_json(props), '$.k', 'long') AS k_long,
+        |variant_get(parse_json(props), '$.k', 'string') AS k_str,
+        |try_variant_get(parse_json(props), '$.missing', 'long') AS miss_v,
+        |schema_of_variant(parse_json(props)) AS schema_v,
+        |is_variant_null(parse_json('null')) AS vnull_v
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin,
+    // builder: Extras2.fnString2 — sentences/str_to_map/space/length trio
+    "fn_string2" ->
+      """SELECT doc_id,
+        |size(flatten(sentences(text))) AS sent_words,
+        |element_at(element_at(sentences(text), 1), 1) AS first_word,
+        |str_to_map(concat('id:', doc_id, ',lang:', lang), ',', ':')['lang'] AS s2m_lang,
+        |size(str_to_map(concat('id:', doc_id, ',lang:', lang), ',', ':')) AS s2m_size,
+        |concat('x', space(3), 'y') AS space_v,
+        |char_length(lang) AS clen_v,
+        |octet_length(lang) AS olen_v,
+        |bit_length(lang) AS blen_v
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    // builder: Text.llmTextNormalize — unicode_normalize comes from the
+    // compat registration (the same JDK Normalizer expression)
+    "llm_text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(
+        |    unicode_normalize(text, 'NFC'),
+        |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ''),
+        |    '[ \\t\\r\\n]+', ' ')) AS norm FROM documents)
+        |SELECT doc_id, length(text) AS raw_len, length(norm) AS norm_len,
+        |  norm != text AS changed, md5(norm) AS h
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // builder: Text.llmPiiScrub — Java-regex spellings of the planted
+    // PII patterns (the oracle's RE2 forms are what diverged)
+    "llm_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com',
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))
+        |      ELSE '' END,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN concat(' host 10.0.', CAST(doc_id % 256 AS STRING), '.1')
+        |      ELSE '' END) AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_count(planted, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') AS n_emails,
+        |  regexp_count(planted, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}') AS n_phones,
+        |  regexp_count(planted, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b') AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(planted,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]'),
+        |    '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]'),
+        |    '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]')) AS scrub_hash
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // builder: Text.llmFingerprint — rolling-hash fold as a SQL lambda
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+        |aggregate(transform(split(text, ' '),
+        |    w -> CAST(length(w) AS BIGINT) * 256 + ascii(substring(w, 1, 1))),
+        |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // builder: Text.gopherRulesOf (paper defaults minWords=50, minStops=2)
+    "llm_gopher_rules" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  split(text, ' ') AS ws, split(text, '\\n') AS ls FROM documents),
+        |r AS (SELECT doc_id,
+        |  size(ws) AS n_words,
+        |  CAST(FLOOR(CAST(aggregate(transform(ws, w -> length(w)), 0, (a, b) -> a + b) AS DOUBLE) / size(ws) * 1000000 + 0.5) AS DOUBLE)/1000000 AS mean_word_len,
+        |  CAST(FLOOR(CAST(regexp_count(text, '#|\\.\\.\\.') AS DOUBLE) / size(ws) * 1000000 + 0.5) AS DOUBLE)/1000000 AS symbol_ratio,
+        |  CAST(FLOOR(CAST(size(filter(ls, l -> substring(l, 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / size(ls) * 1000000 + 0.5) AS DOUBLE)/1000000 AS bullet_ratio,
+        |  CAST(FLOOR(CAST(size(filter(ls, l -> endswith(l, '...'))) AS DOUBLE) / size(ls) * 1000000 + 0.5) AS DOUBLE)/1000000 AS ellipsis_ratio,
+        |  CAST(FLOOR(CAST(size(filter(ws, w -> w rlike '[a-zA-Z]')) AS DOUBLE) / size(ws) * 1000000 + 0.5) AS DOUBLE)/1000000 AS alpha_word_ratio,
+        |  size(array_intersect(transform(ws, w -> lower(w)),
+        |    array('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS stop_words
+        |  FROM b)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_word_ratio, stop_words,
+        |  n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+        |    AND mean_word_len <= 10.0 AND symbol_ratio <= 0.1
+        |    AND bullet_ratio <= 0.1 AND ellipsis_ratio <= 0.3
+        |    AND alpha_word_ratio >= 0.8 AND stop_words >= 2 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // builder: Text.llmMediaManifest — frame-sampling manifest; the
+    // oracle reconstructs byte 0 by string indexing, the builder (and
+    // this spelling) read it with ascii(substring(...))
+    "llm_media_manifest" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(length(CAST(text AS BINARY)) AS INT) AS n,
+         |  CASE WHEN length(text) > 0 THEN ascii(substring(text, 1, 1)) ELSE 0 END AS b0
+         |  FROM documents),
+         |m AS (SELECT doc_id, n,
+         |  CAST(64 + n % 640 AS INT) AS src_w,
+         |  CAST(64 + (b0 * 3) % 480 AS INT) AS src_h,
+         |  CAST(1 + n % 30 AS INT) AS frames FROM d),
+         |m2 AS (SELECT *, least(frames, 4) AS k,
+         |  224.0 / CAST(greatest(src_w, src_h) AS DOUBLE) AS scale FROM m),
+         |m3 AS (SELECT *,
+         |  CAST(floor(src_w * scale + 0.5) AS INT) AS out_w,
+         |  CAST(floor(src_h * scale + 0.5) AS INT) AS out_h FROM m2)
+         |SELECT doc_id, j, frame_idx, frame_idx * 40 AS ts_ms,
+         |  CAST(frame_idx AS BIGINT) * CAST(floor(n / frames) AS BIGINT) AS byte_off,
+         |  src_w, src_h, out_w, out_h, ${oRound("scale", 6)} AS scale
+         |FROM m3
+         |LATERAL VIEW posexplode(transform(sequence(0, k - 1),
+         |  j -> CAST(floor(j * frames / k) AS INT))) p AS j, frame_idx
+         |ORDER BY doc_id, j""".stripMargin,
+    // builder: Text.chunkRows → llmChunkSplit (50-word windows, stride 40)
+    "llm_chunk_split" ->
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, chunk_idx, chunk FROM w
+        |  LATERAL VIEW posexplode(transform(
+        |    sequence(0, greatest(1, CAST(ceil((size(ws) - 50) / 40.0) + 1 AS INT)) - 1),
+        |    i -> array_join(slice(ws, i * 40 + 1, 50), ' '))) p AS chunk_idx, chunk)
+        |SELECT doc_id, chunk_idx, size(split(chunk, ' ')) AS n_tokens, chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // builder: Text.llmPackSequences — running-sum window over the same
+    // chunk rows, 2048-token bins
+    "llm_pack_sequences" ->
+      """WITH w AS (SELECT doc_id, lang, split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, lang, chunk_idx, size(split(chunk, ' ')) AS n_tokens
+        |  FROM w
+        |  LATERAL VIEW posexplode(transform(
+        |    sequence(0, greatest(1, CAST(ceil((size(ws) - 50) / 40.0) + 1 AS INT)) - 1),
+        |    i -> array_join(slice(ws, i * 40 + 1, 50), ' '))) p AS chunk_idx, chunk),
+        |s AS (SELECT lang, doc_id, chunk_idx, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_idx) AS cum
+        |  FROM c)
+        |SELECT lang, doc_id, chunk_idx, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048) AS INT) AS bin,
+        |  CAST((cum - n_tokens) % 2048 AS INT) AS bin_offset
+        |FROM s ORDER BY lang, doc_id, chunk_idx""".stripMargin,
+    // builder: Text.fimOf — PSM fill-in-the-middle cuts
+    "llm_fim" ->
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, size(ws) AS n FROM w),
+        |c1 AS (SELECT *, CASE WHEN n >= 3 THEN 1 +
+        |    CAST(conv(substring(md5(concat_ws(':', doc_id, 'a')), 1, 8), 16, 10) AS BIGINT) % (n - 2)
+        |  END AS p1 FROM n),
+        |c2 AS (SELECT *, CASE WHEN n >= 3 THEN p1 + 1 +
+        |    CAST(conv(substring(md5(concat_ws(':', doc_id, 'b')), 1, 8), 16, 10) AS BIGINT) % (n - 1 - p1)
+        |  END AS p2 FROM c1)
+        |SELECT doc_id, n AS n_words,
+        |  CAST(coalesce(p1, 0) AS BIGINT) AS p1,
+        |  CAST(coalesce(p2, 0) AS BIGINT) AS p2,
+        |  n >= 3 AS is_split,
+        |  CASE WHEN n >= 3 THEN concat(
+        |    '<PRE> ', array_join(slice(ws, 1, CAST(p1 AS INT)), ' '),
+        |    ' <SUF> ', array_join(slice(ws, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT)), ' '),
+        |    ' <MID> ', array_join(slice(ws, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)), ' '))
+        |  ELSE array_join(ws, ' ') END AS psm
+        |FROM c2 ORDER BY doc_id""".stripMargin,
+    // builder: Text.llmDomainMix — epoch explosion + md5 shard keys
+    "llm_domain_mix" ->
+      """WITH keyed AS (SELECT doc_id, lang, epoch,
+        |  md5(concat_ws('_', doc_id, epoch)) AS k
+        |  FROM documents
+        |  LATERAL VIEW explode(sequence(0,
+        |    (CASE WHEN lang = 'en' THEN 1 WHEN lang = 'zh' THEN 2 ELSE 3 END) - 1)) e AS epoch),
+        |s AS (SELECT doc_id, lang, CAST(epoch AS INT) AS epoch, k,
+        |  CAST(CAST(conv(substring(k, 1, 4), 16, 10) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM keyed)
+        |SELECT doc_id, lang, epoch, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id, epoch) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    // builder: Sequences.seqDauWau — forward-marker WAU derivation
+    "seq_dau_wau" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |  unix_micros(ts) DIV 86400000000 AS day FROM events),
+         |dau AS (SELECT day, count(1) AS dau FROM ud GROUP BY day),
+         |m AS (SELECT DISTINCT user_id, wday FROM ud
+         |  LATERAL VIEW explode(sequence(day, day + 6)) t AS wday),
+         |wau AS (SELECT wday, count(1) AS wau FROM m GROUP BY wday)
+         |SELECT d.day, d.dau, w.wau,
+         |  ${oRound("CAST(d.dau AS DOUBLE) / w.wau", 6)} AS stickiness
+         |FROM dau d JOIN wau w ON w.wday = d.day
+         |ORDER BY d.day""".stripMargin,
+    // builder: Relational.joinAsof — union + IGNORE NULLS carry-forward
+    // window (ASOF JOIN syntax itself is not in Spark SQL; this is the
+    // reference semantics as its SQL-expressible window composition)
+    "join_asof" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate,
+        |  max(o_orderkey) AS o_orderkey,
+        |  max_by(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        |tagged AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP_NTZ) AS t,
+        |    1 AS is_o, o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS event_id
+        |  FROM ord
+        |  UNION ALL
+        |  SELECT user_id AS k, CAST(ts AS TIMESTAMP_NTZ) AS t,
+        |    0 AS is_o, CAST(NULL AS BIGINT) AS o_orderkey,
+        |    CAST(NULL AS DOUBLE) AS o_totalprice, event_id
+        |  FROM events),
+        |marked AS (SELECT *,
+        |  last(CASE WHEN is_o = 1 THEN o_orderkey END) IGNORE NULLS
+        |    OVER (PARTITION BY k ORDER BY t, is_o DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_okey,
+        |  last(CASE WHEN is_o = 1 THEN o_totalprice END) IGNORE NULLS
+        |    OVER (PARTITION BY k ORDER BY t, is_o DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_total
+        |  FROM tagged)
+        |SELECT k AS user_id, event_id, t AS ts,
+        |  last_okey AS o_orderkey, last_total AS o_totalprice
+        |FROM marked WHERE is_o = 0 ORDER BY user_id, event_id""".stripMargin,
+    // builder: Graph.triangles — the oracle's lateral-unnest vertex
+    // explosion re-spelled as LATERAL VIEW; edges/dst derivation matches
+    // the translated graph_pagerank idiom
+    // builder: Text.llmMultimodal — binary payload + typed metadata
+    // struct (the decode STAGE stays builder-only: typed mapPartitions)
+    "llm_multimodal" ->
+      """WITH d AS (SELECT doc_id, CAST(text AS BINARY) AS payload,
+        |  struct(lang AS lang, source AS source, n_chars AS n_chars) AS meta
+        |  FROM documents)
+        |SELECT doc_id, octet_length(payload) AS payload_bytes,
+        |  hex(substring(payload, 1, 4)) AS magic,
+        |  meta.lang AS lang, meta.n_chars AS n_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // builder: Text.spanCorruptOf (rate=15) — T5 span corruption with
+    // sentinel run-ids from the two-window flag/run derivation
+    "llm_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, pos, w FROM documents
+        |    LATERAL VIEW posexplode(split(text, ' ')) p AS pos, w),
+        |f AS (SELECT doc_id, pos, w,
+        |  CAST(conv(substring(md5(concat_ws(':', doc_id, pos)), 1, 4), 16, 10) AS INT) % 100 < 15 AS flag
+        |  FROM t),
+        |s AS (SELECT *, flag AND NOT lag(flag, 1, false)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS is_start FROM f),
+        |r AS (SELECT *, sum(CAST(is_start AS INT))
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM s),
+        |g AS (SELECT doc_id, pos, flag,
+        |  CASE WHEN NOT flag THEN w
+        |       WHEN is_start THEN concat('<extra_id_', run_id - 1, '>') END AS in_tok,
+        |  CASE WHEN flag AND is_start
+        |         THEN concat(concat('<extra_id_', run_id - 1, '>'), ' ', w)
+        |       WHEN flag THEN w END AS tgt_tok
+        |  FROM r)
+        |SELECT doc_id, count(1) AS n_tokens,
+        |  sum(CAST(flag AS BIGINT)) AS n_masked,
+        |  array_join(transform(array_sort(collect_list(struct(pos, in_tok))),
+        |    x -> x.in_tok), ' ') AS input,
+        |  array_join(transform(array_sort(collect_list(struct(pos, tgt_tok))),
+        |    x -> x.tgt_tok), ' ') AS target
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // builder: Sequences.seqMatchpathCounts — per-user match totals via
+    // the same greedy 'cv+p' regex over the ordered symbol string
+    "seq_matchpath_counts" ->
+      """WITH seq AS (SELECT user_id,
+        |    listagg(substr(event_type, 1, 1), '')
+        |      WITHIN GROUP (ORDER BY ts, event_id) AS sym
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, regexp_extract_all(sym, 'cv+p', 0) AS ms FROM seq)
+        |SELECT user_id, CAST(size(ms) AS BIGINT) AS n_matches,
+        |  CAST(aggregate(transform(ms, x -> length(x)), 0, (a, b) -> a + b) AS BIGINT) AS n_steps_total
+        |FROM m WHERE size(ms) > 0 ORDER BY user_id""".stripMargin,
+    // builder: Text.winnowOf (w=4; B1/B2/B3 mod-P gram arithmetic)
+    "llm_winnow" ->
+      """WITH b AS (SELECT doc_id, split(text, ' ') AS wsx FROM documents),
+        |f AS (SELECT doc_id, wsx FROM b WHERE size(wsx) >= 6),
+        |h AS (SELECT doc_id, transform(wsx,
+        |    w -> CAST(conv(substring(md5(w), 1, 7), 16, 10) AS BIGINT)) AS hs FROM f),
+        |g AS (SELECT doc_id, transform(sequence(0, size(hs) - 3),
+        |    i -> (element_at(hs, i + 1) * 1000003 + element_at(hs, i + 2) * 1000033
+        |          + element_at(hs, i + 3) * 1000211) % 2147483647) AS g FROM h),
+        |fp AS (SELECT doc_id, array_distinct(transform(sequence(0, size(g) - 4),
+        |    i -> array_min(slice(g, i + 1, 4)))) AS fps FROM g)
+        |SELECT doc_id, CAST(size(fps) AS INT) AS n_fp,
+        |  aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x) AS fp_sum,
+        |  array_min(fps) AS fp_min, array_max(fps) AS fp_max
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    // builder: Text.dupChunksOf (20-word windows; flag form)
+    "llm_dup_chunks" ->
+      s"""WITH b AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, array_distinct(transform(
+         |    transform(sequence(0, CAST(floor((size(ws) - 1) / 20) AS INT)),
+         |      i -> array_join(slice(ws, i * 20 + 1, 20), ' ')),
+         |    x -> md5(x))) AS ch FROM b),
+         |bc AS (SELECT h, count(1) AS n_docs
+         |  FROM (SELECT explode(ch) AS h FROM c) x GROUP BY h),
+         |e AS (SELECT doc_id, size(ch) AS n_chunks, h FROM c
+         |  LATERAL VIEW explode(ch) t AS h),
+         |a AS (SELECT doc_id, n_chunks,
+         |    sum(CASE WHEN n_docs > 1 THEN CAST(1 AS BIGINT)
+         |             ELSE CAST(0 AS BIGINT) END) AS n_dup_chunks
+         |  FROM e JOIN bc USING (h) GROUP BY doc_id, n_chunks)
+         |SELECT doc_id, n_chunks, n_dup_chunks,
+         |  ${oRound("n_dup_chunks * 1.0 / n_chunks", 6)} AS dup_chunk_frac,
+         |  n_dup_chunks * 1.0 / n_chunks > 0.3 AS dup_heavy
+         |FROM a ORDER BY doc_id""".stripMargin,
+    // builder: Text.chunkScrubOf (removal form: strip cross-doc chunks,
+    // reassemble survivors in position order)
+    "llm_chunk_scrub" ->
+      """WITH b AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, transform(sequence(0, CAST(floor((size(ws) - 1) / 20) AS INT)),
+        |    i -> array_join(slice(ws, i * 20 + 1, 20), ' ')) AS ch FROM b),
+        |o AS (SELECT doc_id, idx, chunk, md5(chunk) AS h FROM c
+        |  LATERAL VIEW posexplode(ch) p AS idx, chunk),
+        |d AS (SELECT h, count(1) AS n_docs
+        |  FROM (SELECT DISTINCT doc_id, h FROM o) x GROUP BY h)
+        |SELECT doc_id, count(1) AS n_chunks,
+        |  sum(CASE WHEN n_docs = 1 THEN CAST(1 AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END) AS n_kept,
+        |  md5(array_join(transform(array_sort(collect_list(
+        |    CASE WHEN n_docs = 1 THEN struct(idx, chunk) END)),
+        |    x -> x.chunk), ' ')) AS clean_hash
+        |FROM o JOIN d USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // builder: Graph.triangles — the oracle's lateral-unnest vertex
+    // explosion re-spelled as LATERAL VIEW; edges/dst derivation matches
+    // the translated graph_pagerank idiom
+    "graph_triangles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+        |raw AS (
+        |  SELECT ids.doc_id AS src,
+        |    CAST(conv(substr(md5(ids.doc_id || ':' || t.i), 1, 8), 16, 10) AS BIGINT)
+        |      % (SELECT n FROM nn) AS dst
+        |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+        |edges AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+        |tris AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM tris LATERAL VIEW explode(array(a, b, c)) u AS v
+        |GROUP BY v ORDER BY doc_id""".stripMargin)
+
   /** Queries whose surface text is [[duckToSpark]] applied to the oracle
     * string — mechanically translated, gate-verified (every name here is
     * pinned to exact builder rows by `SqlSurfaceSpec`; candidates were
@@ -364,7 +701,7 @@ object SqlSurface {
     "llm_blocklist_filter", "llm_bm25_topk", "llm_bpe_merges",
     "llm_cosine_topk", "llm_embed_clip", "llm_embed_outliers",
     "llm_embed_quantize", "llm_hard_negatives", "llm_ivf_balance",
-    "llm_knn_classify", "llm_knn_graph", "llm_pca_project",
+    "llm_knn_classify", "llm_knn_graph",
     "llm_ccnet_buckets", "llm_cdc_chunks", "llm_char_entropy",
     "llm_charngram_langid", "llm_contamination", "llm_contamination_fuzzy",
     "llm_corpus_pipeline", "llm_corpus_select", "llm_dedup_incremental",
@@ -386,7 +723,8 @@ object SqlSurface {
   lazy val sql: Map[String, String] = {
     val oracle = graft.SparkEntry.oracleSql
     fromOracle.map(n => n -> oracle(n)).toMap ++
-      translated.map(n => n -> duckToSpark(oracle(n))).toMap ++ custom
+      translated.map(n => n -> duckToSpark(oracle(n))).toMap ++
+      custom ++ handBatch2
   }
 
   /** Mechanical oracle-dialect → Spark SQL rewrite for the handful of
@@ -618,6 +956,7 @@ object SqlSurface {
       "mv_rebuild" -> "materialized-view build/use/rebuild lifecycle; reconstruction oracle")
     val iterative = Seq(
       "llm_bpe_train" -> "iterative merge-training loop; the unrolled oracle text blows Spark's analyzer iteration cap",
+      "llm_pca_project" -> "unrolled power-iteration CTE chain re-expands per reference under Spark CTE inlining (~60 s of planning per run, measured; the builder iterates driver-side over the bounded dxd covariance artifact — the documented scale path)",
       "llm_bpe_encode" -> "applies the trained merge table iteratively; same unrolled-text analyzer cap",
       "llm_dedup_cc" -> "connected components — oracle uses WITH RECURSIVE … UNION (distinct), which Spark 4 recursive CTEs don't support (UNION ALL only)",
       "llm_semdedup_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
@@ -631,34 +970,14 @@ object SqlSurface {
       "llm_embed_neardup" -> "LSH bucket pipeline over sign-bit INT arrays (as llm_ann_lsh)",
       "llm_semdedup" -> "within-cell pair pipeline whose oracle reuses the llm_ann_lsh sign-bit dialect",
       "llm_matryoshka_recall" -> "nested prefix-slice-of-slice syntax (v[1:16] inside lambdas) beyond the mechanical rewrite",
-      "llm_mmr_rerank" -> "oracle uses QUALIFY, which Spark SQL does not support",
+      "llm_mmr_rerank" -> "the greedy MMR selection loop is a typed flatMapGroups (imperative per-group state) — not single-statement SQL; the oracle replays it with QUALIFY recursion",
       "llm_minhash_calibration" -> "gate-divergent: double rendering of the probability curve differs at the last digit")
     val gateDivergent = Seq(
       "llm_collocations" -> "gate-divergent: PMI quantizer boundary (1e-6) flips on Spark's double path",
       "llm_lm_kn" -> "gate-divergent: Kneser-Ney backoff quantizer boundary flips on Spark's double path",
-      "llm_gopher_rules" -> "gate-divergent: the dialect's ends_with over a list has no Spark twin; one rule column differs",
-      "llm_corpus_pipeline_v2" -> "gate-divergent: multi-stage hex-cast variant filters every row under the rewrite",
-      "llm_domain_mix" -> "hex-string cast buried in a nested expression the 0x-idiom rewrite doesn't reach",
-      "llm_text_normalize" -> "gate-divergent: DuckDB's nfc_normalize disagrees with JDK Normalizer on the planted denormalized forms",
-      "fn_string2" -> "gate-divergent: one split_part corner differs between the engines",
-      "llm_pii_scrub" -> "oracle regex patterns are RE2 ('+[0-9]' literal plus); Java regex rejects them")
+      "llm_corpus_pipeline_v2" -> "gate-divergent: multi-stage hex-cast variant filters every row under the rewrite")
     val syntax = Seq(
-      "join_asof" -> "ASOF JOIN syntax — not in Spark SQL; the builder expresses it as the window composition (join_asof_tol's oracle spelling IS in the surface)",
-      "graph_triangles" -> "oracle relies on DuckDB lateral column-alias scoping Spark's analyzer rejects",
-      "llm_fim" -> "DuckDB positional-join/ntile split syntax beyond the mechanical rewrite",
-      "llm_chunk_split" -> "DuckDB table-function alias syntax beyond the mechanical rewrite",
-      "llm_pack_sequences" -> "DuckDB table-function alias syntax beyond the mechanical rewrite",
-      "llm_chunk_scrub" -> "rewritten text trips Spark's variant-access parse of the chunk map; builder is the surface",
-      "llm_dup_chunks" -> "same variant-access parse issue as llm_chunk_scrub",
-      "llm_winnow" -> "same variant-access parse issue as llm_chunk_scrub",
-      "llm_fingerprint" -> "list_reduce applied to a lambda variable — the no-init fold rewrite can't type it",
-      "llm_media_manifest" -> "oracle indexes STRINGS with [] (char extraction) — indistinguishable textually from list indexing",
-      "llm_multimodal" -> "binary-payload op; oracle reconstructs via string indexing (as llm_media_manifest)",
-      "llm_multimodal_decode" -> "binary-payload decode op; same string-indexing reconstruction",
-      "seq_dau_wau" -> "generator nested inside an arithmetic expression (day + unnest(range)) — Spark requires generators at the top level",
-      "seq_matchpath_counts" -> "in-aggregate ORDER BY inside list() with an expression head the listagg rewrite doesn't cover",
-      "llm_span_corrupt" -> "correlated alias scoping inside the corruption CTE chain Spark's analyzer rejects",
-      "fn_variant" -> "DuckDB json_extract returns quoted JSON fragments; Spark's get_json_object unquotes — same data, different rendering",
+      "llm_multimodal_decode" -> "the decode stage is a typed mapPartitions over binary payloads (PNG/JPEG header parse in JVM code) — no SQL surface exists by design",
       "fn_hash_extra" -> "no oracle exists (sha1/crc32/murmur3/xxhash64/soundex absent from the oracle engine); exact values pinned in FunctionsSpec")
     (srcSink ++ streams ++ lifecycle ++ iterative ++ vectorDialect ++
       gateDivergent ++ syntax).toMap

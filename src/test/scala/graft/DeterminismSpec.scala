@@ -23,6 +23,32 @@ package graft
   */
 class DeterminismSpec extends SparkSpec {
 
+  /** Run every named query under the CURRENT session conf and collect
+    * its rows, fanned out on a fixed 4-thread pool (r17, verdict item
+    * 6): the conf is constant for the whole phase, so concurrent
+    * execution is safe — Spark's scheduler interleaves the jobs — and
+    * the two-phase shape (all-baseline, flip once, all-flipped) replaces
+    * the r16 per-query conf toggling, whose serialized collect pairs
+    * dominated the suite's wall-clock. */
+  private def collectAll(names: Seq[String]): Map[String, Array[String]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = names.map { name =>
+        Future(name -> SparkEntry.queries(name)(spark, sfDir)
+          .collect().map(_.toString))
+      }
+      Await.result(Future.sequence(fs), 20.minutes).toMap
+    } finally pool.shutdown()
+  }
+
+  private def diffPhases(names: Seq[String], a: Map[String, Array[String]],
+                         b: Map[String, Array[String]]): Seq[String] =
+    names.filterNot(n => a(n).sameElements(b(n)))
+      .map(n => s"$n (${a(n).length} vs ${b(n).length} rows)")
+
   /** Stable md5-keyed half of the registry: parity 0 or 1. */
   private def stableHalf(names: Seq[String], parity: Int): Seq[String] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -60,18 +86,12 @@ class DeterminismSpec extends SparkSpec {
     val sample = stableHalf(all, 1) ++ overlapSlice(stableHalf(all, 0))
     assert(sample.size >= 90, s"sample unexpectedly small: ${sample.size}")
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
-    val failures = scala.collection.mutable.ListBuffer[String]()
-    try {
-      sample.foreach { name =>
-        val fn = SparkEntry.queries(name)
-        spark.conf.set("spark.sql.adaptive.enabled", prior)
-        val a = fn(spark, sfDir).collect().map(_.toString)
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val b = fn(spark, sfDir).collect().map(_.toString)
-        if (!a.sameElements(b))
-          failures += s"$name (${a.length} vs ${b.length} rows)"
-      }
+    val baseline = collectAll(sample)
+    val flipped = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      collectAll(sample)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+    val failures = diffPhases(sample, baseline, flipped)
     assert(failures.isEmpty,
       s"AQE-sensitive queries: ${failures.mkString(", ")}")
   }
@@ -81,18 +101,12 @@ class DeterminismSpec extends SparkSpec {
     val sample = stableHalf(all, 0) ++ overlapSlice(stableHalf(all, 1))
     assert(sample.size >= 90, s"sample unexpectedly small: ${sample.size}")
     val prior = spark.conf.get("spark.sql.shuffle.partitions")
-    val failures = scala.collection.mutable.ListBuffer[String]()
-    try {
-      sample.foreach { name =>
-        val fn = SparkEntry.queries(name)
-        spark.conf.set("spark.sql.shuffle.partitions", prior)
-        val a = fn(spark, sfDir).collect().map(_.toString)
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
-        val b = fn(spark, sfDir).collect().map(_.toString)
-        if (!a.sameElements(b))
-          failures += s"$name (${a.length} vs ${b.length} rows)"
-      }
+    val baseline = collectAll(sample)
+    val flipped = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      collectAll(sample)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    val failures = diffPhases(sample, baseline, flipped)
     assert(failures.isEmpty,
       s"partition-count-sensitive queries: ${failures.mkString(", ")}")
   }
