@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.Extras2.queries ++
     graft.queries.Maintenance.queries ++
     graft.queries.Sequences.queries ++
-    graft.queries.Graph.queries
+    graft.queries.Graph.queries ++
+    graft.queries.HiveCompat.queries
 
   /** SQL-string entry surface (SURVEY.md §3.1): runnable Spark SQL text
     * per query name, executed over the fixture views via
@@ -52,5 +53,6 @@ object SparkEntry {
     graft.queries.Extras2.oracleSql ++
     graft.queries.Maintenance.oracleSql ++
     graft.queries.Sequences.oracleSql ++
-    graft.queries.Graph.oracleSql
+    graft.queries.Graph.oracleSql ++
+    graft.queries.HiveCompat.oracleSql
 }

@@ -48,7 +48,7 @@ object SqlSurface {
     "join_anti", "join_asof_tol", "join_broadcast", "join_cross",
     "join_full", "join_left",
     "join_multiway", "join_range_bin", "join_right", "join_salted",
-    "join_scd2", "join_semi", "join_smb", "join_theta",
+    "join_scd2", "join_semi", "join_smb", "join_theta", "join_uniquejoin",
     "llm_dedup_rows", "llm_dedup_weights", "local_values",
     "q1_pricing_summary", "q5_local_supplier",
     "seq_funnel", "seq_matchpath", "seq_sessionize", "seq_transitions",
@@ -64,6 +64,22 @@ object SqlSurface {
     * same quantization) so the round-trip spec can require exact row
     * equality. */
   private val custom: Map[String, String] = Map(
+    // r17: the §2.4 EWAH index UDAF family as SQL text — runs the actual
+    // registered ewah_bitmap/and/or/empty functions (registerCompat), not
+    // the oracle's COUNT DISTINCT reconstruction, mirroring the builder
+    // expression for expression.
+    "agg_ewah_bitmap" ->
+      """SELECT ewah_cardinality(bm_u) AS urgent_card,
+        |  ewah_cardinality(bm_h) AS high_card,
+        |  ewah_cardinality(ewah_bitmap_and(bm_u, bm_h)) AS and_card,
+        |  ewah_cardinality(ewah_bitmap_or(bm_u, bm_h)) AS or_card,
+        |  ewah_bitmap_empty(ewah_bitmap_and(bm_u, bm_h)) AS and_empty
+        |FROM (SELECT
+        |  ewah_bitmap(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(o_custkey AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS bm_u,
+        |  ewah_bitmap(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN CAST(o_custkey AS BIGINT) ELSE CAST(-1 AS BIGINT) END) AS bm_h
+        |FROM orders) t""".stripMargin,
     // r17 (ADVICE): these two previously rode their ORACLE strings, which
     // hardcode the gate values (TRUE AS andv_ok, CAST(5 AS BIGINT) AS
     // n_bins) — the surface never actually ran the sketch. These custom
@@ -924,6 +940,7 @@ object SqlSurface {
     spark.udf.register("context_ngrams_topk",
       udaf(new graft.functions.ContextNGramsAgg(Seq("data"), 10),
         ExpressionEncoder[Seq[String]]()))
+    graft.functions.EwahBitmap.register(spark)
   }
 
   /** Registered queries deliberately NOT in the SQL surface, each with
@@ -977,6 +994,7 @@ object SqlSurface {
       "llm_lm_kn" -> "gate-divergent: Kneser-Ney backoff quantizer boundary flips on Spark's double path",
       "llm_corpus_pipeline_v2" -> "gate-divergent: multi-stage hex-cast variant filters every row under the rewrite")
     val syntax = Seq(
+      "fn_block_offset" -> "the _metadata hidden column attaches to the file-source relation and does not resolve through a temp VIEW (pinned in HiveCompatSpec); the reader API is the entry",
       "llm_multimodal_decode" -> "the decode stage is a typed mapPartitions over binary payloads (PNG/JPEG header parse in JVM code) — no SQL surface exists by design",
       "fn_hash_extra" -> "no oracle exists (sha1/crc32/murmur3/xxhash64/soundex absent from the oracle engine); exact values pinned in FunctionsSpec")
     (srcSink ++ streams ++ lifecycle ++ iterative ++ vectorDialect ++

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.EwahBitmap
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-17 closers (the last three document-only
+  * SURVEY §2 rows): the EWAH codec itself, the bitmap UDAF family against
+  * a direct COUNT DISTINCT recomputation, UNIQUEJOIN…PRESERVE's key-set
+  * law, and the BLOCK__OFFSET virtual-column invariants. */
+class HiveCompatSpec extends SparkSpec {
+
+  test("EWAH codec round-trips runs, literals, and mixed patterns") {
+    val cases = Seq(
+      Array.emptyLongArray,
+      Array(0L, 0L, 0L),                       // all-zero run (drops)
+      Array(-1L, -1L, -1L),                    // all-ones run
+      Array(0x5aL),                            // single literal
+      Array(0L, 0L, 0x123456789abcdefL, -1L, -1L, 7L, 0L, 9L),
+      Array.fill(1000)(0L) ++ Array(1L) ++ Array.fill(1000)(-1L))
+    cases.foreach { ws =>
+      val rt = EwahBitmap.decompress(EwahBitmap.compress(ws))
+      // round-trip up to trailing zero words (canonical form drops them)
+      val expect = ws.reverse.dropWhile(_ == 0L).reverse
+      assert(rt.sameElements(expect), s"roundtrip failed for ${ws.toSeq.take(8)}")
+      assert(EwahBitmap.cardinality(EwahBitmap.compress(ws)) ==
+        ws.map(java.lang.Long.bitCount(_).toLong).sum)
+    }
+  }
+
+  test("EWAH compresses runs instead of storing them") {
+    val sparse = Array.fill(10000)(0L) ++ Array(42L)
+    val c = EwahBitmap.compress(sparse)
+    assert(c.length < 64, s"run not compressed: ${c.length} bytes for 10001 words")
+  }
+
+  test("EWAH and/or/empty match set semantics") {
+    def bm(pos: Long*): Array[Byte] = {
+      val agg = new EwahBitmap.EwahBitmapAgg
+      EwahBitmap.compress(pos.foldLeft(agg.zero)(agg.reduce))
+    }
+    val a = bm(1L, 64L, 200L, 1000L)
+    val b = bm(64L, 1000L, 5000L)
+    assert(EwahBitmap.cardinality(EwahBitmap.bitmapAnd(a, b)) == 2L)
+    assert(EwahBitmap.cardinality(EwahBitmap.bitmapOr(a, b)) == 5L)
+    assert(!EwahBitmap.isEmpty(a))
+    assert(EwahBitmap.isEmpty(EwahBitmap.bitmapAnd(a, bm(3L))))
+    // merge across "partitions" equals the single-buffer build
+    val agg = new EwahBitmap.EwahBitmapAgg
+    val left = Seq(1L, 64L).foldLeft(agg.zero)(agg.reduce)
+    val right = Seq(200L, 1000L).foldLeft(agg.zero)(agg.reduce)
+    assert(EwahBitmap.compress(agg.merge(left, right)).sameElements(a))
+  }
+
+  test("agg_ewah_bitmap cardinalities equal direct distinct counts") {
+    val row = SparkEntry.queries("agg_ewah_bitmap")(spark, sfDir).collect().head
+    val o = Tables.t(spark, sfDir, "orders")
+    def ndv(p: String): Long =
+      o.filter(col("o_orderpriority") === p)
+        .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val u = ndv("1-URGENT"); val h = ndv("2-HIGH")
+    assert(row.getAs[Long]("urgent_card") == u)
+    assert(row.getAs[Long]("high_card") == h)
+    val andC = row.getAs[Long]("and_card"); val orC = row.getAs[Long]("or_card")
+    assert(orC == u + h - andC, "inclusion-exclusion violated")
+    assert(row.getAs[Boolean]("and_empty") == (andC == 0L))
+  }
+
+  test("join_uniquejoin keys = union of PRESERVE'd tables' keys") {
+    val res = SparkEntry.queries("join_uniquejoin")(spark, sfDir).collect()
+    val keys = res.map(_.getAs[Int]("nationkey")).toSet
+    val aKeys = Tables.t(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 9000).select(col("c_nationkey").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val bKeys = Tables.t(spark, sfDir, "supplier")
+      .filter(col("s_acctbal") > 3000).select(col("s_nationkey").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(keys == (aKeys ++ bKeys))
+    // non-PRESERVE'd table fills nulls outside its keyset, never adds keys
+    val named = res.filter(_.getAs[String]("n_name") != null)
+      .map(_.getAs[Int]("nationkey")).toSet
+    val regionKeys = Tables.t(spark, sfDir, "nation")
+      .filter(col("n_regionkey") <= 1).select(col("n_nationkey").cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    assert(named == keys.intersect(regionKeys))
+  }
+
+  test("fn_block_offset invariants hold and row count is exact") {
+    val row = SparkEntry.queries("fn_block_offset")(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_rows") == Tables.t(spark, sfDir, "lineitem").count())
+    assert(row.getAs[Long]("n_blocks") == 1L)
+    assert(row.getAs[Long]("min_block_offset") == 0L)
+    assert(row.getAs[Boolean]("offsets_in_file"))
+  }
+
+  test("fn_block_offset SQL-surface exclusion rationale still holds") {
+    // `_metadata` is a file-source hidden column; Spark does not expose it
+    // through a temp VIEW node, which is why fn_block_offset sits on the
+    // SqlSurface.excluded list (the reader API is the entry). If a future
+    // Spark version resolves it here, promote the query to the surface.
+    Tables.registerAll(spark, sfDir)
+    val resolved =
+      try {
+        spark.sql(
+          "SELECT COUNT(DISTINCT _metadata.file_block_start) FROM lineitem")
+          .collect(); true
+      } catch { case _: org.apache.spark.sql.AnalysisException => false }
+    assert(!resolved,
+      "_metadata now resolves through views — move fn_block_offset into the SQL surface")
+  }
+}
