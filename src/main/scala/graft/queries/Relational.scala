@@ -321,13 +321,25 @@ object Relational {
       .filter(col("o_totalprice") > 450000)
       .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("d0"))
       .withColumn("bin", explode(expr("transform(sequence(0, 6), i -> date_add(d0, i))")))
-    val all = Tables.t(s, dir, "orders")
-      .select(to_date(col("o_orderdate")).as("d2"), col("o_totalprice"))
-      .withColumn("bin", col("d2"))
-    big.join(all, "bin")
-      .filter(col("d2") >= col("d0") && col("d2") < date_add(col("d0"), 7))
+    // r17: per-BIN partial aggregation before the join. The final agg is
+    // decomposable over bins and the 7-day range aligns exactly to day
+    // bins, so the probe side collapses from every (anchor, order) pair
+    // (~|filtered|x62 rows at sf0.1) to one partial row per day — the
+    // join output shrinks 62x and the partials table is #days rows
+    // (time-span-bounded, NOT data-scale-bounded), broadcastable at any
+    // corpus size. At 100 TB this is the difference between shuffling
+    // the fact table and shuffling a calendar. For ranges that do NOT
+    // align to bin boundaries, pre-agg the interior bins and keep the
+    // row-level range verify only on the two edge bins.
+    val dayAgg = Tables.t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("bin"))
+      .agg(count(lit(1)).as("day_cnt"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5))).as("day_q"))
+    big.join(broadcast(dayAgg), "bin")
+      .filter(col("bin") >= col("d0") && col("bin") < date_add(col("d0"), 7))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("follow_cnt"), dsum(col("o_totalprice"), 2).as("follow_total"))
+      .agg(sum(col("day_cnt")).as("follow_cnt"),
+        (sum(col("day_q")).cast("double") / 100).as("follow_total"))
       .orderBy("o_orderpriority")
   }
 
