@@ -33,7 +33,7 @@ class DeterminismSpec extends SparkSpec {
   private def collectAll(names: Seq[String]): Map[String, Array[String]] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val fs = names.map { name =>

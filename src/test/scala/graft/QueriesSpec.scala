@@ -8,11 +8,23 @@ class QueriesSpec extends SparkSpec {
 
   test("every registered query executes at sf0.001") {
     val emptyOk = Set("llm_minhash_lsh") // no near-dups guaranteed at tiny sf
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
-      assert(n >= 0, s"$name failed")
-      if (!emptyOk(name)) assert(n > 0, s"$name returned no rows")
-    }
+    // Fan the sweep out on a fixed pool (the SqlSurfaceSpec/DeterminismSpec
+    // shape): builders only submit Spark jobs against the shared session,
+    // so concurrent execution is safe and the scheduler interleaves them.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future(name -> fn(spark, sfDir).count())
+      }
+      val counts = Await.result(Future.sequence(fs), 20.minutes)
+      val empty = counts.collect {
+        case (name, n) if n == 0 && !emptyOk(name) => name
+      }
+      assert(empty.isEmpty, s"queries returned no rows: ${empty.sorted}")
+    } finally pool.shutdown()
   }
 
   test("every oracleSql key has a matching query") {

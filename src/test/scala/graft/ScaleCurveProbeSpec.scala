@@ -50,9 +50,13 @@ class ScaleCurveProbeSpec extends SparkSpec {
   // item 4): the IVF/PQ paths have recall gates in AnnScaleProbeSpec but
   // had no timing-curve guard — a lost nprobe bound or hot-cell cap
   // surfaces here first.
+  // join_range_bin (r17): the per-bin pre-aggregation rewrite bounds the
+  // join output at |filtered| x 7 partial rows — a lost pre-agg (row-level
+  // join again) multiplies hi-scale cost by the per-day row count and
+  // trips this curve first.
   Seq("llm_dedup_cc", "llm_semdedup_cc", "llm_ngram_jaccard",
       "llm_ann_ivf", "llm_ann_pq", "llm_ann_ivfpq",
-      "llm_cluster_sample").foreach { name =>
+      "llm_cluster_sample", "join_range_bin").foreach { name =>
     test(s"$name grows sub-quadratically over the 10x corpus step") {
       assume(!skip, "SPARK_GRAFT_SKIP_SCALE_PROBE=1")
       val lo = minTime(name, loDir)

@@ -71,7 +71,12 @@ class BenchFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // 12 executor threads so the fan-out suites (QueriesSpec sweep,
+      // SqlSurfaceSpec round-trips, DeterminismSpec phases) overlap
+      // whole 4-partition jobs instead of serializing on 4 threads;
+      // shuffle.partitions stays 4 so per-query plan shapes and the
+      // partition-count determinism guards are unchanged.
+      .master("local[12]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")

@@ -15,7 +15,7 @@ import scala.concurrent.duration._
   * filter constant) fails here, not in a downstream round.
   *
   * Execution shape (r17, verdict item 6): the per-name round-trips run
-  * CONCURRENTLY on a fixed 8-thread pool inside one test — Spark's
+  * CONCURRENTLY on a fixed 12-thread pool inside one test — Spark's
   * scheduler interleaves the jobs (the same concurrency a multi-user
   * HiveServer2 would drive), cutting the suite's wall-clock to ~1/4 of
   * the r16 sequential per-test spelling while asserting the identical
@@ -68,7 +68,7 @@ class SqlSurfaceSpec extends SparkSpec {
     spark.catalog.clearCache()
     graft.Tables.registerAll(spark, sfDir)
     graft.queries.SqlSurface.registerCompat(spark)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val timings = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
