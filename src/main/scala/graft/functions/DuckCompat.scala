@@ -40,6 +40,7 @@ object DuckCompat {
     // string_split(s, sep) — the oracle texts use literal separators for
     // which Spark's regex split is identical (gate-verified per text)
     "string_split" -> builtin("split"),
+    "starts_with" -> builtin("startswith"),
     "list_distinct" -> builtin("array_distinct"),
     "array_to_string" -> builtin("array_join"),
     "json_extract_string" -> builtin("get_json_object"),

@@ -728,6 +728,7 @@ object SqlSurface {
     "llm_quality_classifier", "llm_quality_score", "llm_readability",
     "llm_repetition", "llm_rrf_fusion", "llm_score_agreement",
     "llm_shuffle_order", "llm_simhash", "llm_simhash_neardup",
+    "llm_url_dedup",
     "llm_source_cap", "llm_source_stats", "llm_span_dedup",
     "llm_split_assign", "llm_split_leakage", "llm_stratified_sample",
     "llm_textrank", "llm_tfidf_top", "llm_token_budget", "llm_tokenize",

@@ -169,6 +169,71 @@ object Text {
       .orderBy("keeper")
   }
 
+  /** Deterministic messy-URL synthesis from doc_id (the fixture has no
+    * URL column; variation — scheme/host case, default port, trailing
+    * slash, tracking params, param order, fragments — is derived from
+    * doc_id arithmetic so both engines build the identical corpus).
+    * Canonical identity depends only on (doc_id%25, doc_id%3, doc_id%2),
+    * i.e. 75 canonical keys over the corpus → real dup groups. */
+  private def syntheticUrlSql(cast: String): String =
+    s"""CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+       |CASE WHEN doc_id % 3 = 0 THEN 'CDN.Site.COM' ELSE 'cdn.site.com' END ||
+       |CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+       |'/articles/p' || CAST(doc_id % 25 AS $cast) ||
+       |CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+       |CASE WHEN doc_id % 3 = 0
+       |     THEN '?utm_source=feed&ref=' || CAST(doc_id % 2 AS $cast)
+       |     WHEN doc_id % 3 = 1
+       |     THEN '?ref=' || CAST(doc_id % 2 AS $cast) || '&utm_campaign=x'
+       |     ELSE '' END ||
+       |CASE WHEN doc_id % 7 = 0 THEN '#sec' || CAST(doc_id % 5 AS $cast)
+       |     ELSE '' END""".stripMargin.replace("\n", " ")
+
+  /** URL canonicalization: strip fragment, lowercase scheme://host, drop
+    * default ports, drop trailing slashes, strip tracking params (the
+    * utm_ prefix, gclid, fbclid), sort the surviving query params. The
+    * standard pre-content URL-dedup normalizer (Penedo et al. 2023,
+    * RefinedWeb §3.1 — URL-level dedup runs before any content pass
+    * because it needs no text: a pure projection at any corpus scale). */
+  private[graft] def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val head = regexp_extract(noFrag, "^[^:]+://[^/?#]*", 0)
+    val tail = noFrag.substr(length(head) + 1, length(noFrag))
+    val canonHead = regexp_replace(lower(head), ":(80|443)$", "")
+    val canonPath = regexp_replace(regexp_extract(tail, "^[^?]*", 0), "/+$", "")
+    val query = regexp_extract(tail, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_") &&
+        !p.startsWith("gclid=") && !p.startsWith("fbclid=")))
+    val qc = array_join(params, "&")
+    concat(canonHead, canonPath,
+      when(qc =!= "", concat(lit("?"), qc)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup core: canonicalize, then per canonical key keep the
+    * best-quality doc (max n_chars, doc_id tiebreak). ONE shuffle on the
+    * canonical key — the window and the groupBy share its partitioning
+    * (subset rule), the same shape as [[llmDedupRows]]. */
+  def urlDedupOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_url")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("canonical_url", canonicalUrl(col("url")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("dup_cnt"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keeper_id"),
+        max(col("n_chars")).as("best_chars"))
+      .orderBy("canonical_url")
+  }
+
+  /** URL canonicalization + keep-best dedup over the synthetic messy
+    * URLs (RefinedWeb-style URL dedup — the stage that runs BEFORE
+    * content hashing/minhashing because it needs no document text). */
+  val llmUrlDedup: Q = (s, dir) =>
+    urlDedupOf(Tables.t(s, dir, "documents")
+      .withColumn("url", expr(syntheticUrlSql("STRING"))))
+
   /** Dedup with real duplicates: lineitem's (orderkey, linenumber) is
     * non-unique in the fixtures — keep row_number()=1 per key under a
     * total order (the hash-partitioned, fully distributed dedup shape). */
@@ -5004,6 +5069,7 @@ object Text {
 
   val queries: Map[String, Q] = Map(
     "llm_exact_dedup" -> llmExactDedup,
+    "llm_url_dedup" -> llmUrlDedup,
     "llm_dedup_rows" -> llmDedupRows,
     "llm_minhash_lsh" -> llmMinhashLsh,
     "llm_lsh_capped" -> llmLshCapped,
@@ -5612,6 +5678,46 @@ object Text {
       """SELECT h AS content_hash, min(doc_id) AS keeper, COUNT(*) AS copies
         |FROM (SELECT doc_id, sha256(text) AS h FROM documents) t
         |GROUP BY h ORDER BY keeper""".stripMargin,
+    "llm_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars, ${syntheticUrlSql("VARCHAR")} AS url
+         |  FROM documents),
+         |s1 AS (
+         |  SELECT doc_id, n_chars, regexp_replace(url, '#.*$$', '') AS nf
+         |  FROM u),
+         |s2 AS (
+         |  SELECT doc_id, n_chars, nf,
+         |    regexp_extract(nf, '^[^:]+://[^/?#]*', 0) AS head
+         |  FROM s1),
+         |s3 AS (
+         |  SELECT doc_id, n_chars,
+         |    regexp_replace(lower(head), ':(80|443)$$', '') AS canon_head,
+         |    substr(nf, length(head) + 1) AS tail
+         |  FROM s2),
+         |s4 AS (
+         |  SELECT doc_id, n_chars, canon_head,
+         |    regexp_replace(regexp_extract(tail, '^[^?]*', 0), '/+$$', '')
+         |      AS canon_path,
+         |    array_to_string(list_sort(list_filter(
+         |      string_split(regexp_extract(tail, '[?](.*)$$', 1), '&'),
+         |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+         |        AND NOT starts_with(p, 'gclid=')
+         |        AND NOT starts_with(p, 'fbclid='))), '&') AS qc
+         |  FROM s3),
+         |c AS (
+         |  SELECT doc_id, n_chars,
+         |    canon_head || canon_path ||
+         |      CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canonical_url
+         |  FROM s4),
+         |r AS (
+         |  SELECT canonical_url, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY canonical_url
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM c)
+         |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS dup_cnt,
+         |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+         |  MAX(n_chars) AS best_chars
+         |FROM r GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "llm_dedup_rows" ->
       s"""WITH ranked AS (
          |  SELECT l_returnflag, l_quantity,
