@@ -51,6 +51,42 @@ class HiveCompatSpec extends SparkSpec {
     assert(EwahBitmap.compress(agg.merge(left, right)).sameElements(a))
   }
 
+  test("EWAH properties hold on random bitmaps (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // positions up to 4096 with runs OF BOTH polarities likely: mix a
+    // dense block (forces -1L fill words) with sparse positions
+    val genPositions: Gen[List[Long]] = for {
+      sparse <- Gen.listOf(Gen.choose(0L, 4095L))
+      blockStart <- Gen.choose(0L, 3800L)
+      blockLen <- Gen.choose(0L, 280L)
+    } yield sparse ++ (blockStart until blockStart + blockLen).toList
+    val prop = Prop.forAll(genPositions, genPositions) { (as, bs) =>
+      val agg = new EwahBitmap.EwahBitmapAgg
+      def bm(ps: List[Long]) =
+        EwahBitmap.compress(ps.foldLeft(agg.zero)(agg.reduce))
+      val (a, b) = (bm(as), bm(bs))
+      val (sa, sb) = (as.toSet, bs.toSet)
+      // roundtrip: decompress(compress) is identity up to trailing zeros
+      val rt = EwahBitmap.compress(EwahBitmap.decompress(a))
+      rt.sameElements(a) &&
+        EwahBitmap.cardinality(a) == sa.size.toLong &&
+        EwahBitmap.cardinality(EwahBitmap.bitmapAnd(a, b)) == sa.intersect(sb).size.toLong &&
+        EwahBitmap.cardinality(EwahBitmap.bitmapOr(a, b)) == sa.union(sb).size.toLong &&
+        EwahBitmap.isEmpty(a) == sa.isEmpty &&
+        // commutativity on the compressed form
+        EwahBitmap.bitmapOr(a, b).sameElements(EwahBitmap.bitmapOr(b, a)) &&
+        EwahBitmap.bitmapAnd(a, b).sameElements(EwahBitmap.bitmapAnd(b, a)) &&
+        // partition-split merge equals the single-buffer build
+        EwahBitmap.compress(agg.merge(
+          as.take(as.size / 2).foldLeft(agg.zero)(agg.reduce),
+          as.drop(as.size / 2).foldLeft(agg.zero)(agg.reduce)))
+          .sameElements(a)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("agg_ewah_bitmap cardinalities equal direct distinct counts") {
     val row = SparkEntry.queries("agg_ewah_bitmap")(spark, sfDir).collect().head
     val o = Tables.t(spark, sfDir, "orders")
