@@ -125,6 +125,36 @@ object SqlSurface {
             " - CAST(COUNT(*)+1 AS DOUBLE)/COUNT(*)", 6)}
          |    AS gini
          |FROM r""".stripMargin,
+    // r17: builder-mirroring spelling for a former gate-divergent
+    // exclusion — the TRANSLATED oracle text's double path drifted at
+    // the 1e-6 quantizer boundary, but spelling the BUILDER's exact
+    // arithmetic (same parenthesization, same quantization) reproduces
+    // its doubles bit-for-bit.
+    "llm_collocations" ->
+      s"""WITH wsx AS (
+         |  SELECT split(text, ' ') AS ws FROM documents
+         |  WHERE size(split(text, ' ')) >= 2),
+         |pairs AS (
+         |  SELECT p.a AS a, p.b AS b FROM wsx
+         |  LATERAL VIEW explode(transform(sequence(1, size(ws) - 1),
+         |    i -> named_struct('a', element_at(ws, i),
+         |                      'b', element_at(ws, i + 1)))) t AS p),
+         |cw AS (SELECT w, COUNT(*) AS c
+         |       FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+         |       GROUP BY w),
+         |twx AS (SELECT SUM(c) AS tw FROM cw),
+         |cb AS (SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b),
+         |tbx AS (SELECT SUM(cab) AS tb FROM cb)
+         |SELECT a, b, cab, ca, cbn,
+         |  ${oRound("((cab * 1.0D * tw / tb) * (tw * 1.0D / ca)) / cbn", 6)}
+         |    AS ratio
+         |FROM cb
+         |JOIN (SELECT w AS a, c AS ca FROM cw) USING (a)
+         |JOIN (SELECT w AS b, c AS cbn FROM cw) USING (b)
+         |CROSS JOIN twx CROSS JOIN tbx
+         |WHERE cab >= 3
+         |ORDER BY ratio DESC, a, b
+         |LIMIT 20""".stripMargin,
     "agg_percentile" ->
       s"""SELECT l_returnflag,
          |${oRound("percentile(l_quantity, 0.25)", 6)} AS q25,
@@ -736,12 +766,39 @@ object SqlSurface {
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
     "seq_periodicity", "seq_retention", "seq_rfm")
 
+  /** r17: translated texts whose ONLY builder divergence was Spark
+    * parsing bare numeric literals as DECIMAL where the builder used
+    * lit(double) — `12.0` is DECIMAL(3,1) to Spark's SQL parser, and a
+    * decimal-path division rounds differently in the 6th decimal than
+    * the builder's double path. The D suffix pins the literal to
+    * DOUBLE, making the text's arithmetic bit-identical. */
+  private lazy val translatedPatched: Map[String, String] = Map(
+    "llm_minhash_calibration" ->
+      duckToSpark(graft.SparkEntry.oracleSql("llm_minhash_calibration"))
+        .replace(" / 12.0 ", " / 12.0D ")
+        .replace(" * 1.0 / ", " * 1.0D / "),
+    // Here the decimal path actually bites on BIGINT columns:
+    // `c - 0.75` is BIGINT − DECIMAL(3,2) → DECIMAL in Spark, where the
+    // builder computed long − double → double.
+    "llm_lm_kn" ->
+      duckToSpark(graft.SparkEntry.oracleSql("llm_lm_kn"))
+        .replace("greatest(b.c - 0.75, 0.0)", "greatest(b.c - 0.75D, 0.0D)")
+        .replace("+ 0.75 * ctx.n1f", "+ 0.75D * ctx.n1f")
+        .replace("cont.n1b * 1.0 / tot.bt", "cont.n1b * 1.0D / tot.bt"),
+    // Spark's SQL string parser consumes backslash escapes, so the
+    // oracle's '#|\.\.\.' symbol regex reaches RE2 as '#|...' (any three
+    // chars) and the gopher gate drops EVERY row; the character-class
+    // spelling is parser-neutral.
+    "llm_corpus_pipeline_v2" ->
+      duckToSpark(graft.SparkEntry.oracleSql("llm_corpus_pipeline_v2"))
+        .replace("'#|\\.\\.\\.'", "'#|[.][.][.]'"))
+
   /** name → runnable Spark SQL text. */
   lazy val sql: Map[String, String] = {
     val oracle = graft.SparkEntry.oracleSql
     fromOracle.map(n => n -> oracle(n)).toMap ++
       translated.map(n => n -> duckToSpark(oracle(n))).toMap ++
-      custom ++ handBatch2
+      custom ++ handBatch2 ++ translatedPatched
   }
 
   /** Mechanical oracle-dialect → Spark SQL rewrite for the handful of
@@ -988,18 +1045,20 @@ object SqlSurface {
       "llm_embed_neardup" -> "LSH bucket pipeline over sign-bit INT arrays (as llm_ann_lsh)",
       "llm_semdedup" -> "within-cell pair pipeline whose oracle reuses the llm_ann_lsh sign-bit dialect",
       "llm_matryoshka_recall" -> "nested prefix-slice-of-slice syntax (v[1:16] inside lambdas) beyond the mechanical rewrite",
-      "llm_mmr_rerank" -> "the greedy MMR selection loop is a typed flatMapGroups (imperative per-group state) — not single-statement SQL; the oracle replays it with QUALIFY recursion",
-      "llm_minhash_calibration" -> "gate-divergent: double rendering of the probability curve differs at the last digit")
-    val gateDivergent = Seq(
-      "llm_collocations" -> "gate-divergent: PMI quantizer boundary (1e-6) flips on Spark's double path",
-      "llm_lm_kn" -> "gate-divergent: Kneser-Ney backoff quantizer boundary flips on Spark's double path",
-      "llm_corpus_pipeline_v2" -> "gate-divergent: multi-stage hex-cast variant filters every row under the rewrite")
+      "llm_mmr_rerank" -> "the greedy MMR selection loop is a typed flatMapGroups (imperative per-group state) — not single-statement SQL; the oracle replays it with QUALIFY recursion")
+    // r17: the former gate-divergent category is EMPTY — all three
+    // members (llm_collocations, llm_lm_kn, llm_corpus_pipeline_v2,
+    // plus llm_minhash_calibration from vector-dialect) moved into the
+    // surface once their divergence was traced to Spark's SQL parser
+    // reading bare numeric literals as DECIMAL (D-suffix fix) and
+    // consuming backslash escapes in string literals (character-class
+    // regex fix) — see `custom` / `translatedPatched`.
     val syntax = Seq(
       "fn_block_offset" -> "the _metadata hidden column attaches to the file-source relation and does not resolve through a temp VIEW (pinned in HiveCompatSpec); the reader API is the entry",
       "llm_multimodal_decode" -> "the decode stage is a typed mapPartitions over binary payloads (PNG/JPEG header parse in JVM code) — no SQL surface exists by design",
       "fn_hash_extra" -> "no oracle exists (sha1/crc32/murmur3/xxhash64/soundex absent from the oracle engine); exact values pinned in FunctionsSpec")
     (srcSink ++ streams ++ lifecycle ++ iterative ++ vectorDialect ++
-      gateDivergent ++ syntax).toMap
+      syntax).toMap
   }
 
   /** Execute one surface query: register the fixture views and the
