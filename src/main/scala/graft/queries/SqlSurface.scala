@@ -63,6 +63,38 @@ object SqlSurface {
     * Each mirrors its builder expression-for-expression (same aliases,
     * same quantization) so the round-trip spec can require exact row
     * equality. */
+  /** Shared WITH-chain for the hyperplane-LSH candidate pairs
+    * ([[graft.queries.Text]] `lshCandidatePairs`): plane literals from
+    * the same `(pi*73856093 + d*19349663) % 2000 / 1000 - 1` formula,
+    * 4 tables x 8 planes -> bucket array, hot-bucket cap 1000, bucket
+    * self-join, quantized cosine > 0.3. */
+  private lazy val lshPairsSqlText: String = {
+    def plane(pi: Int): String =
+      (0 until 64).map { d =>
+        val v = ((pi.toLong * 73856093 + d.toLong * 19349663) % 2000).toDouble / 1000.0 - 1.0
+        s"${v}D"
+      }.mkString("array(", ", ", ")")
+    def sig(t: Int): String =
+      (0 until 8).map { p =>
+        s"CASE WHEN list_inner_product(v, ${plane(t * 8 + p)}) > 0 THEN ${1 << p} ELSE 0 END"
+      }.mkString("(", " + ", s" + ${t * 256})")
+    s"""WITH e AS (SELECT vec_id,
+       |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |sg AS (SELECT vec_id, v, nrm,
+       |  array(${(0 until 4).map(sig).mkString(", ")}) AS buckets FROM n),
+       |bk AS (SELECT vec_id, v, nrm, bucket FROM sg
+       |  LATERAL VIEW explode(buckets) t AS bucket),
+       |hot AS (SELECT bucket FROM bk GROUP BY bucket HAVING COUNT(*) > 1000),
+       |capped AS (SELECT bk.* FROM bk LEFT ANTI JOIN hot ON bk.bucket = hot.bucket),
+       |pairs0 AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(FLOOR(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+       |      * 1000000.0D + 0.5D) AS DOUBLE) / 1000000.0D AS cos
+       |  FROM capped a JOIN capped b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT * FROM pairs0 WHERE cos > 0.3D)""".stripMargin
+  }
+
   private val custom: Map[String, String] = Map(
     // r17: the §2.4 EWAH index UDAF family as SQL text — runs the actual
     // registered ewah_bitmap/and/or/empty functions (registerCompat), not
@@ -125,6 +157,173 @@ object SqlSurface {
             " - CAST(COUNT(*)+1 AS DOUBLE)/COUNT(*)", 6)}
          |    AS gini
          |FROM r""".stripMargin,
+    // r17: builder-mirroring spellings for the hyperplane-LSH family —
+    // the 32 plane vectors are generated into the text from the same
+    // formula the builder embeds via typedLit (D-suffixed so they stay
+    // doubles), list_inner_product resolves to the SAME native
+    // dot_product expression the builder calls, and the hot-bucket cap
+    // is the HAVING + LEFT ANTI JOIN spelling of capBuckets.
+    "llm_ann_lsh" ->
+      s"""$lshPairsSqlText
+         |SELECT id_a, id_b, cos FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "llm_embed_neardup" ->
+      s"""$lshPairsSqlText
+         |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
+         |FROM pairs GROUP BY id_b ORDER BY dup_id""".stripMargin,
+    // r17: builder-mirroring trained-IVF spelling — md5 seed sample,
+    // ONE Lloyd step (per-cell per-dim quantized-long means via
+    // sort_array(collect_list(named_struct))), then the IVF retrieve:
+    // packed-argmax cell assignment, single-pass hot-cell cap,
+    // nprobe=2 probe ranking, top-5 per query.
+    "llm_ann_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |seeds0 AS (SELECT vec_id, v, nrm FROM n
+         |  ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT 40),
+         |seeds1 AS (SELECT vec_id, v, nrm, row_number() OVER
+         |  (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS r FROM seeds0),
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn, r FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY v ORDER BY r) AS dup_rn
+         |   FROM seeds1) WHERE dup_rn = 1),
+         |lcx AS (SELECT /*+ BROADCAST(seeds) */ n.vec_id, seeds.c_id,
+         |    CAST(FLOOR(list_inner_product(n.v, seeds.cv) / (n.nrm * seeds.cn)
+         |      * 1000000000.0D + 0.5D) AS BIGINT) * 65536L + seeds.r AS ck
+         |  FROM n CROSS JOIN seeds),
+         |lcells AS (SELECT vec_id, max_by(c_id, ck) AS cell
+         |  FROM lcx GROUP BY vec_id),
+         |dims AS (SELECT c.cell, p.d, p.x FROM lcells c
+         |  JOIN n ON c.vec_id = n.vec_id
+         |  LATERAL VIEW posexplode(n.v) p AS d, x),
+         |sums AS (SELECT cell, d,
+         |    SUM(CAST(FLOOR(x * 1000000.0D + 0.5D) AS BIGINT)) AS qs,
+         |    COUNT(*) AS cnt
+         |  FROM dims GROUP BY cell, d),
+         |ref0 AS (SELECT cell, sort_array(collect_list(named_struct(
+         |    'd', d, 'm', (CAST(qs AS DOUBLE) / 1000000.0D) / cnt))) AS dm
+         |  FROM sums GROUP BY cell),
+         |ref1 AS (SELECT cell AS c_id, transform(dm, s -> s.m) AS cv
+         |  FROM ref0),
+         |cents AS (SELECT r1.c_id, r1.cv,
+         |    sqrt(list_inner_product(r1.cv, r1.cv)) AS cn, seeds.r
+         |  FROM ref1 r1 JOIN seeds ON r1.c_id = seeds.c_id),
+         |corpus AS (SELECT * FROM n WHERE NOT (vec_id < 20)),
+         |acx AS (SELECT /*+ BROADCAST(cents) */ corpus.vec_id, cents.c_id,
+         |    CAST(FLOOR(list_inner_product(corpus.v, cents.cv)
+         |      / (corpus.nrm * cents.cn)
+         |      * 1000000000.0D + 0.5D) AS BIGINT) * 65536L + cents.r AS ck
+         |  FROM corpus CROSS JOIN cents),
+         |acells AS (SELECT vec_id, max_by(c_id, ck) AS cell
+         |  FROM acx GROUP BY vec_id),
+         |assigned AS (SELECT vec_id, cell, v, nrm FROM (
+         |  SELECT a.vec_id, a.cell, corpus.v, corpus.nrm,
+         |    COUNT(*) OVER (PARTITION BY a.cell) AS cnt
+         |  FROM acells a JOIN corpus ON a.vec_id = corpus.vec_id)
+         |  WHERE cnt <= 1000),
+         |probes AS (SELECT q_id, qv, qn, cell FROM (
+         |  SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn,
+         |    cents.c_id AS cell,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(FLOOR(list_inner_product(q.v, cents.cv)
+         |        / (q.nrm * cents.cn)
+         |        * 1000000000.0D + 0.5D) AS BIGINT) * 65536L + cents.r
+         |      DESC) AS pr
+         |  FROM (SELECT * FROM n WHERE vec_id < 20) q CROSS JOIN cents)
+         |  WHERE pr <= 2),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |    ${oRound("list_inner_product(p.qv, a.v) / (p.qn * a.nrm)", 6)} AS cos
+         |  FROM probes p JOIN assigned a ON p.cell = a.cell)
+         |SELECT q_id, rnk, vec_id, cos FROM (
+         |  SELECT q_id, vec_id, cos, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // r17: builder-mirroring SemDeDup spelling — the md5-ordered
+    // fixed-k seed sample, the 1e-9-quantized packed argmax cell key
+    // (max_by stays a HashAggregate), the single-pass hot-cell window
+    // cap, and within-cell pairs only, exactly as the builder.
+    "llm_semdedup" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |seeds0 AS (SELECT vec_id, v, nrm FROM n
+         |  ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT 40),
+         |seeds1 AS (SELECT vec_id, v, nrm, row_number() OVER
+         |  (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS r FROM seeds0),
+         |seeds AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn, r FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY v ORDER BY r) AS dup_rn
+         |   FROM seeds1) WHERE dup_rn = 1),
+         |cellsx AS (SELECT /*+ BROADCAST(seeds) */ n.vec_id, seeds.c_id,
+         |    CAST(FLOOR(list_inner_product(n.v, seeds.cv) / (n.nrm * seeds.cn)
+         |      * 1000000000.0D + 0.5D) AS BIGINT) * 65536L + seeds.r AS ck
+         |  FROM n CROSS JOIN seeds),
+         |cells AS (SELECT vec_id, max_by(c_id, ck) AS cell
+         |  FROM cellsx GROUP BY vec_id),
+         |asg AS (SELECT c.vec_id, c.cell, n.v, n.nrm,
+         |    COUNT(*) OVER (PARTITION BY cell) AS cnt
+         |  FROM cells c JOIN n ON c.vec_id = n.vec_id),
+         |capped AS (SELECT vec_id, cell, v, nrm FROM asg WHERE cnt <= 1000),
+         |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${oRound("list_inner_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cos
+         |  FROM capped a JOIN capped b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |p AS (SELECT * FROM p0 WHERE cos > 0.3D)
+         |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
+         |FROM p GROUP BY id_b ORDER BY dup_id""".stripMargin,
+    // r17: builder-mirroring spelling — Spark's slice() IS the oracle's
+    // v[1:16] prefix slice; both ranks annotate one pass over the
+    // broadcast query x corpus pairing, exactly as the builder.
+    "llm_matryoshka_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |m AS (SELECT vec_id, v, slice(v, 1, 16) AS vt FROM e),
+         |n AS (SELECT vec_id, v, vt,
+         |  sqrt(list_inner_product(v, v)) AS nrm,
+         |  sqrt(list_inner_product(vt, vt)) AS nrmt FROM m),
+         |q AS (SELECT vec_id AS q_id, v AS qv, vt AS qvt, nrm AS qn,
+         |  nrmt AS qnt FROM n WHERE vec_id < 20),
+         |sims AS (SELECT /*+ BROADCAST(q) */ q.q_id, n.vec_id,
+         |    ${oRound("list_inner_product(qv, v) / (qn * nrm)", 6)} AS cos_full,
+         |    ${oRound("list_inner_product(qvt, vt) / (qnt * nrmt)", 6)} AS cos_trunc
+         |  FROM q CROSS JOIN n WHERE NOT (n.vec_id < 20)),
+         |r AS (SELECT q_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_full DESC, vec_id) <= 5 AS in_full,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_trunc DESC, vec_id) <= 5 AS in_trunc
+         |  FROM sims),
+         |common AS (SELECT q_id,
+         |    SUM(CASE WHEN in_full AND in_trunc THEN 1 ELSE 0 END) AS n_common
+         |  FROM r GROUP BY q_id)
+         |SELECT q.q_id, COALESCE(n_common, 0) AS n_common,
+         |  ${oRound("CAST(COALESCE(n_common, 0) AS DOUBLE) / 5", 6)} AS recall_at_k
+         |FROM q LEFT JOIN common ON q.q_id = common.q_id
+         |ORDER BY q_id""".stripMargin,
+    // r17: builder-mirroring spelling for a former vector-dialect
+    // exclusion — the JL ternary matrix (Achlioptas 2003) is generated
+    // into the text from the same rpEntry derivation the builder
+    // embeds via typedLit, so the 1024-literal plan constant is
+    // identical; all arithmetic is quantized-long, so the text is
+    // bit-exact against the builder.
+    "llm_random_proj" -> {
+      val matrix = Seq.tabulate(16) { j =>
+        Seq.tabulate(64)(i => s"${graft.queries.Text.rpEntry(i, j)}L")
+          .mkString("array(", ", ", ")")
+      }.mkString("array(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id,
+         |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT vec_id,
+         |  transform(v, x -> CAST(floor(x * 1000000.0D + 0.5D) AS BIGINT)) AS qx
+         |  FROM e),
+         |y AS (SELECT vec_id, j, yq FROM q
+         |  LATERAL VIEW posexplode(transform(sequence(0, 15), j ->
+         |    aggregate(zip_with(qx, element_at($matrix, j + 1),
+         |      (a, b) -> a * b), 0L, (acc, t) -> acc + t))) t AS j, yq)
+         |SELECT vec_id, j,
+         |  ${oRound(s"CAST(yq AS DOUBLE) / 1000000.0D * ${math.sqrt(3.0 / 16)}D", 6)}
+         |    AS y
+         |FROM y ORDER BY vec_id, j""".stripMargin
+    },
     // r17: builder-mirroring spelling for a former gate-divergent
     // exclusion — the TRANSLATED oracle text's double path drifted at
     // the 1e-6 quantizer boundary, but spelling the BUILDER's exact
@@ -1037,14 +1236,8 @@ object SqlSurface {
       "llm_semdedup_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
       "llm_cluster_sample" -> "same recursive-CTE UNION limitation as llm_dedup_cc")
     val vectorDialect = Seq(
-      "llm_ann_lsh" -> "hyperplane-LSH oracle dots sign-bit INT arrays, outside dot_product's double-array signature",
-      "llm_ann_ivf_trained" -> "Lloyd-refined IVF — oracle leans on in-aggregate ORDER BY list() DuckDB syntax",
       "llm_ann_pq" -> "PQ codebook training — in-aggregate ORDER BY list() plus packed-long arg_min dialect",
       "llm_ann_ivfpq" -> "IVF-PQ composition of the two above",
-      "llm_random_proj" -> "projection matrix built with in-aggregate ORDER BY list()",
-      "llm_embed_neardup" -> "LSH bucket pipeline over sign-bit INT arrays (as llm_ann_lsh)",
-      "llm_semdedup" -> "within-cell pair pipeline whose oracle reuses the llm_ann_lsh sign-bit dialect",
-      "llm_matryoshka_recall" -> "nested prefix-slice-of-slice syntax (v[1:16] inside lambdas) beyond the mechanical rewrite",
       "llm_mmr_rerank" -> "the greedy MMR selection loop is a typed flatMapGroups (imperative per-group state) — not single-statement SQL; the oracle replays it with QUALIFY recursion")
     // r17: the former gate-divergent category is EMPTY — all three
     // members (llm_collocations, llm_lm_kn, llm_corpus_pipeline_v2,
