@@ -95,6 +95,25 @@ object SqlSurface {
        |pairs AS (SELECT * FROM pairs0 WHERE cos > 0.3D)""".stripMargin
   }
 
+  /** Squared L2 over `n` dims as the builder's fold spelling
+    * (`pqDist2`): aggregate over per-dim squared differences, 0.0D
+    * seed, left-assoc adds — identical IEEE order. */
+  private def pqd2Sql(xs: String, cs: String, n: Int): String =
+    s"""aggregate(transform(sequence(1, $n),
+       |      j -> (element_at($xs, j) - element_at($cs, j))
+       |         * (element_at($xs, j) - element_at($cs, j))),
+       |      0.0D, (acc, t) -> acc + t)""".stripMargin
+
+  /** The builder's packed (1e-9-quantized dist, rank) argmin key. */
+  private def pqKeySql(xs: String, cs: String, r: String): String =
+    s"CAST(FLOOR(${pqd2Sql(xs, cs, 8)} * 1000000000.0D + 0.5D) AS BIGINT) * 256L + $r"
+
+  /** (id, m, xs) subvector CTE body over a (id, v) source — the
+    * builder's pqSubvectors (M = 8 subspaces of 8 dims). */
+  private def pqSubvSql(src: String, id: String): String =
+    s"""SELECT $id, m, slice(v, m * 8 + 1, 8) AS xs FROM $src
+       |  LATERAL VIEW explode(sequence(0, 7)) t AS m""".stripMargin
+
   private val custom: Map[String, String] = Map(
     // r17: the §2.4 EWAH index UDAF family as SQL text — runs the actual
     // registered ewah_bitmap/and/or/empty functions (registerCompat), not
@@ -170,6 +189,170 @@ object SqlSurface {
       s"""$lshPairsSqlText
          |SELECT id_b AS dup_id, MIN(id_a) AS keeper_id, MAX(cos) AS best_cos
          |FROM pairs GROUP BY id_b ORDER BY dup_id""".stripMargin,
+    // r17: builder-mirroring IVF-PQ spelling — the two index families
+    // composed as the builder does: coarse IVF cells (k=40 md5 seeds,
+    // packed argmax, hot-cell cap), RESIDUAL vectors against the
+    // assigned centroid, a residual PQ codebook (32 md5 seeds + one
+    // Lloyd step on the 512-vector training sample), probed-cells-only
+    // ADC with per-(query, cell) residual distance tables (nprobe=4),
+    // and the exact-L2 refine over the 8*topK shortlist.
+    "llm_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |seeds0 AS (SELECT vec_id, v, nrm FROM n
+         |  ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT 40),
+         |seeds1 AS (SELECT vec_id, v, nrm, row_number() OVER
+         |  (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS r FROM seeds0),
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn, r FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY v ORDER BY r) AS dup_rn
+         |   FROM seeds1) WHERE dup_rn = 1),
+         |corpus AS (SELECT * FROM n WHERE NOT (vec_id < 20)),
+         |qry AS (SELECT * FROM n WHERE vec_id < 20),
+         |acx AS (SELECT /*+ BROADCAST(cents) */ corpus.vec_id, cents.c_id,
+         |    CAST(FLOOR(list_inner_product(corpus.v, cents.cv)
+         |      / (corpus.nrm * cents.cn)
+         |      * 1000000000.0D + 0.5D) AS BIGINT) * 65536L + cents.r AS ck
+         |  FROM corpus CROSS JOIN cents),
+         |acells AS (SELECT vec_id, max_by(c_id, ck) AS cell
+         |  FROM acx GROUP BY vec_id),
+         |assigned AS (SELECT vec_id, cell, v, nrm FROM (
+         |  SELECT a.vec_id, a.cell, corpus.v, corpus.nrm,
+         |    COUNT(*) OVER (PARTITION BY a.cell) AS cnt
+         |  FROM acells a JOIN corpus ON a.vec_id = corpus.vec_id)
+         |  WHERE cnt <= 1000),
+         |resid AS (SELECT /*+ BROADCAST(cents) */ a.vec_id, a.cell,
+         |    zip_with(a.v, cents.cv, (x, c) -> x - c) AS rv
+         |  FROM assigned a JOIN cents ON a.cell = cents.c_id),
+         |pseeds AS (SELECT vec_id, v, row_number() OVER
+         |    (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS r
+         |  FROM (SELECT vec_id, rv AS v FROM resid
+         |        ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT 32)),
+         |seedcb AS (SELECT m, r, xs AS cs FROM
+         |  (${pqSubvSql("(SELECT r, v FROM pseeds)", "r")})),
+         |ctrain AS (${pqSubvSql(
+             "(SELECT vec_id, rv AS v FROM resid ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT 512)",
+             "vec_id")}),
+         |tasn AS (SELECT /*+ BROADCAST(seedcb) */ t.vec_id, t.m,
+         |    min_by(s.r, ${pqKeySql("t.xs", "s.cs", "s.r")}) AS r
+         |  FROM ctrain t JOIN seedcb s ON t.m = s.m GROUP BY t.vec_id, t.m),
+         |tjoin AS (SELECT a.m, a.r, c.xs FROM tasn a
+         |  JOIN ctrain c ON a.vec_id = c.vec_id AND a.m = c.m),
+         |tsums AS (SELECT m, r, d,
+         |    SUM(CAST(FLOOR(x * 1000000.0D + 0.5D) AS BIGINT)) AS qsum,
+         |    COUNT(*) AS cnt
+         |  FROM tjoin LATERAL VIEW posexplode(xs) p AS d, x
+         |  GROUP BY m, r, d),
+         |cb AS (SELECT m, r, transform(sort_array(collect_list(
+         |    named_struct('d', d, 'mv', (CAST(qsum AS DOUBLE) / 1000000.0D) / cnt))),
+         |    s -> s.mv) AS cs
+         |  FROM tsums GROUP BY m, r),
+         |rsub AS (${pqSubvSql("(SELECT vec_id, rv AS v FROM resid)", "vec_id")}),
+         |codes AS (SELECT cd.vec_id, cd.m, cd.r, rc.cell FROM
+         |  (SELECT /*+ BROADCAST(cb) */ c.vec_id, c.m,
+         |     min_by(b.r, ${pqKeySql("c.xs", "b.cs", "b.r")}) AS r
+         |   FROM rsub c JOIN cb b ON c.m = b.m GROUP BY c.vec_id, c.m) cd
+         |  JOIN (SELECT vec_id, cell FROM resid) rc ON cd.vec_id = rc.vec_id),
+         |probes AS (SELECT q_id, qv, cell FROM (
+         |  SELECT q.vec_id AS q_id, q.v AS qv, cents.c_id AS cell,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      CAST(FLOOR(list_inner_product(q.v, cents.cv)
+         |        / (q.nrm * cents.cn)
+         |        * 1000000000.0D + 0.5D) AS BIGINT) * 65536L + cents.r
+         |      DESC) AS pr
+         |  FROM qry q CROSS JOIN cents)
+         |  WHERE pr <= 4),
+         |qresid AS (SELECT /*+ BROADCAST(cents) */ p.q_id, p.cell,
+         |    zip_with(p.qv, cents.cv, (x, c) -> x - c) AS v
+         |  FROM probes p JOIN cents ON p.cell = cents.c_id),
+         |qsubx AS (SELECT q_id, cell, m, slice(v, m * 8 + 1, 8) AS xs
+         |  FROM qresid LATERAL VIEW explode(sequence(0, 7)) t AS m),
+         |dtable AS (SELECT /*+ BROADCAST(cb) */ q.q_id, q.cell, q.m, b.r,
+         |    CAST(FLOOR(${pqd2Sql("q.xs", "b.cs", 8)}
+         |      * 1000000000.0D + 0.5D) AS BIGINT) AS dq
+         |  FROM qsubx q JOIN cb b ON q.m = b.m),
+         |adc AS (SELECT /*+ BROADCAST(dtable) */ d.q_id, c.vec_id,
+         |    SUM(d.dq) AS qsum
+         |  FROM codes c JOIN dtable d
+         |    ON c.cell = d.cell AND c.m = d.m AND c.r = d.r
+         |  GROUP BY d.q_id, c.vec_id),
+         |short AS (SELECT q_id, vec_id, qsum FROM
+         |  (SELECT q_id, vec_id, qsum, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY qsum ASC, vec_id ASC) AS rnk
+         |   FROM adc) WHERE rnk <= 40),
+         |ref AS (SELECT s.q_id, s.vec_id, s.qsum,
+         |    CAST(FLOOR(${pqd2Sql("c.v", "q.v", 64)}
+         |      * 1000000000.0D + 0.5D) AS BIGINT) AS dqe
+         |  FROM short s JOIN corpus c ON s.vec_id = c.vec_id
+         |  JOIN qry q ON s.q_id = q.vec_id)
+         |SELECT q_id, rnk, vec_id,
+         |  ${oRound("CAST(qsum AS DOUBLE) / 1000000000.0D", 6)} AS adist
+         |FROM (SELECT q_id, vec_id, qsum, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY dqe ASC, vec_id ASC) AS rnk
+         |  FROM ref)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // r17: builder-mirroring PQ spelling — md5 seed codebook (Ks=32),
+    // one Lloyd step on the fixed 16*Ks training sample, per-(vector,
+    // subspace) argmin encoding with the packed quantized key, the
+    // broadcast ADC distance table, and the FAISS-style exact-L2
+    // refine over the 4*topK shortlist. adist stays the ADC distance;
+    // the refine corrects the RANK, exactly as the builder.
+    "llm_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |corpus AS (SELECT * FROM e WHERE NOT (vec_id < 20)),
+         |qs AS (SELECT * FROM e WHERE vec_id < 20),
+         |seeds AS (SELECT vec_id, v, row_number() OVER
+         |    (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) AS r
+         |  FROM (SELECT * FROM corpus
+         |        ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT 32)),
+         |seedcb AS (SELECT m, r, xs AS cs FROM
+         |  (${pqSubvSql("(SELECT r, v FROM seeds)", "r")})),
+         |ctrain AS (${pqSubvSql(
+             "(SELECT vec_id, v FROM corpus ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT 512)",
+             "vec_id")}),
+         |tasn AS (SELECT /*+ BROADCAST(seedcb) */ t.vec_id, t.m,
+         |    min_by(s.r, ${pqKeySql("t.xs", "s.cs", "s.r")}) AS r
+         |  FROM ctrain t JOIN seedcb s ON t.m = s.m GROUP BY t.vec_id, t.m),
+         |tjoin AS (SELECT a.m, a.r, c.xs FROM tasn a
+         |  JOIN ctrain c ON a.vec_id = c.vec_id AND a.m = c.m),
+         |tsums AS (SELECT m, r, d,
+         |    SUM(CAST(FLOOR(x * 1000000.0D + 0.5D) AS BIGINT)) AS qsum,
+         |    COUNT(*) AS cnt
+         |  FROM tjoin LATERAL VIEW posexplode(xs) p AS d, x
+         |  GROUP BY m, r, d),
+         |cb AS (SELECT m, r, transform(sort_array(collect_list(
+         |    named_struct('d', d, 'mv', (CAST(qsum AS DOUBLE) / 1000000.0D) / cnt))),
+         |    s -> s.mv) AS cs
+         |  FROM tsums GROUP BY m, r),
+         |csub AS (${pqSubvSql("corpus", "vec_id")}),
+         |codes AS (SELECT /*+ BROADCAST(cb) */ c.vec_id, c.m,
+         |    min_by(b.r, ${pqKeySql("c.xs", "b.cs", "b.r")}) AS r
+         |  FROM csub c JOIN cb b ON c.m = b.m GROUP BY c.vec_id, c.m),
+         |qsub AS (${pqSubvSql("(SELECT vec_id AS q_id, v FROM qs)", "q_id")}),
+         |dtable AS (SELECT /*+ BROADCAST(cb) */ q.q_id, q.m, b.r,
+         |    CAST(FLOOR(${pqd2Sql("q.xs", "b.cs", 8)}
+         |      * 1000000000.0D + 0.5D) AS BIGINT) AS dq
+         |  FROM qsub q JOIN cb b ON q.m = b.m),
+         |adc AS (SELECT /*+ BROADCAST(dtable) */ d.q_id, c.vec_id,
+         |    SUM(d.dq) AS qsum
+         |  FROM codes c JOIN dtable d ON c.m = d.m AND c.r = d.r
+         |  GROUP BY d.q_id, c.vec_id),
+         |adcr AS (SELECT q_id, vec_id, qsum, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY qsum ASC, vec_id ASC) AS rnk
+         |  FROM adc),
+         |short AS (SELECT q_id, vec_id, qsum FROM adcr WHERE rnk <= 20),
+         |ref AS (SELECT s.q_id, s.vec_id, s.qsum,
+         |    CAST(FLOOR(${pqd2Sql("c.v", "q.v", 64)}
+         |      * 1000000000.0D + 0.5D) AS BIGINT) AS dqe
+         |  FROM short s JOIN corpus c ON s.vec_id = c.vec_id
+         |  JOIN qs q ON s.q_id = q.vec_id)
+         |SELECT q_id, rnk, vec_id,
+         |  ${oRound("CAST(qsum AS DOUBLE) / 1000000000.0D", 6)} AS adist
+         |FROM (SELECT q_id, vec_id, qsum, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY dqe ASC, vec_id ASC) AS rnk
+         |  FROM ref)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // r17: builder-mirroring trained-IVF spelling — md5 seed sample,
     // ONE Lloyd step (per-cell per-dim quantized-long means via
     // sort_array(collect_list(named_struct))), then the IVF retrieve:
@@ -1236,8 +1419,6 @@ object SqlSurface {
       "llm_semdedup_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
       "llm_cluster_sample" -> "same recursive-CTE UNION limitation as llm_dedup_cc")
     val vectorDialect = Seq(
-      "llm_ann_pq" -> "PQ codebook training — in-aggregate ORDER BY list() plus packed-long arg_min dialect",
-      "llm_ann_ivfpq" -> "IVF-PQ composition of the two above",
       "llm_mmr_rerank" -> "the greedy MMR selection loop is a typed flatMapGroups (imperative per-group state) — not single-statement SQL; the oracle replays it with QUALIFY recursion")
     // r17: the former gate-divergent category is EMPTY — all three
     // members (llm_collocations, llm_lm_kn, llm_corpus_pipeline_v2,
