@@ -287,6 +287,15 @@ object Pipeline {
     * lang, source, size_bucket, group_n). */
   def kAnon(docs: DataFrame, k: Int = 5): DataFrame = Text.kAnonOf(docs, k)
 
+  /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
+    * (strip fragments/default ports/trailing slashes/tracking params,
+    * sort survivors), then per canonical key keep the best-quality doc
+    * (max `n_chars`, `doc_id` tiebreak). Input needs (doc_id, n_chars,
+    * url); returns (canonical_url, dup_cnt, keeper_id, best_chars).
+    * A pure projection plus ONE shuffle on the canonical key — the
+    * pre-content dedup stage, runnable before any text is fetched. */
+  def urlDedup(docs: DataFrame): DataFrame = Text.urlDedupOf(docs)
+
   /** MMR diversity reranking (Carbonell & Goldstein 1998) of a cosine
     * retrieval pool: greedy λ·rel − (1−λ)·max-sim-to-selected picks,
     * sequential per query but parallel across queries
