@@ -1154,26 +1154,38 @@ object SqlSurface {
     * decimal-path division rounds differently in the 6th decimal than
     * the builder's double path. The D suffix pins the literal to
     * DOUBLE, making the text's arithmetic bit-identical. */
+  /** `replace` that REFUSES to no-op: an oracle-text edit that removes
+    * the patch target would otherwise ship the unpatched (gate-divergent
+    * or row-dropping) text and only fail a round later in the
+    * SqlSurfaceSpec diff — fail at map construction instead. */
+  private def patch(text: String, from: String, to: String): String = {
+    require(text.contains(from),
+      s"translatedPatched target no longer present: `$from`")
+    text.replace(from, to)
+  }
+
   private lazy val translatedPatched: Map[String, String] = Map(
-    "llm_minhash_calibration" ->
-      duckToSpark(graft.SparkEntry.oracleSql("llm_minhash_calibration"))
-        .replace(" / 12.0 ", " / 12.0D ")
-        .replace(" * 1.0 / ", " * 1.0D / "),
+    "llm_minhash_calibration" -> {
+      val t = duckToSpark(graft.SparkEntry.oracleSql("llm_minhash_calibration"))
+      patch(patch(t, " / 12.0 ", " / 12.0D "), " * 1.0 / ", " * 1.0D / ")
+    },
     // Here the decimal path actually bites on BIGINT columns:
     // `c - 0.75` is BIGINT − DECIMAL(3,2) → DECIMAL in Spark, where the
     // builder computed long − double → double.
-    "llm_lm_kn" ->
-      duckToSpark(graft.SparkEntry.oracleSql("llm_lm_kn"))
-        .replace("greatest(b.c - 0.75, 0.0)", "greatest(b.c - 0.75D, 0.0D)")
-        .replace("+ 0.75 * ctx.n1f", "+ 0.75D * ctx.n1f")
-        .replace("cont.n1b * 1.0 / tot.bt", "cont.n1b * 1.0D / tot.bt"),
+    "llm_lm_kn" -> {
+      val t = duckToSpark(graft.SparkEntry.oracleSql("llm_lm_kn"))
+      patch(patch(patch(t,
+        "greatest(b.c - 0.75, 0.0)", "greatest(b.c - 0.75D, 0.0D)"),
+        "+ 0.75 * ctx.n1f", "+ 0.75D * ctx.n1f"),
+        "cont.n1b * 1.0 / tot.bt", "cont.n1b * 1.0D / tot.bt")
+    },
     // Spark's SQL string parser consumes backslash escapes, so the
     // oracle's '#|\.\.\.' symbol regex reaches RE2 as '#|...' (any three
     // chars) and the gopher gate drops EVERY row; the character-class
     // spelling is parser-neutral.
     "llm_corpus_pipeline_v2" ->
-      duckToSpark(graft.SparkEntry.oracleSql("llm_corpus_pipeline_v2"))
-        .replace("'#|\\.\\.\\.'", "'#|[.][.][.]'"))
+      patch(duckToSpark(graft.SparkEntry.oracleSql("llm_corpus_pipeline_v2")),
+        "'#|\\.\\.\\.'", "'#|[.][.][.]'"))
 
   /** name → runnable Spark SQL text. */
   lazy val sql: Map[String, String] = {
