@@ -296,6 +296,16 @@ object Pipeline {
     * pre-content dedup stage, runnable before any text is fetched. */
   def urlDedup(docs: DataFrame): DataFrame = Text.urlDedupOf(docs)
 
+  /** Exact duplicated-substring detection (Lee et al., ACL 2022) via
+    * bounded prefix doubling over word-level suffix equivalence
+    * classes: per doc, the deepest tested prefix depth (1/2/4/8/16
+    * words) at which any position's prefix repeats corpus-wide, plus
+    * duplicated-position counts at depths 8 and 16 — collision-free
+    * (class ids are representative positions, not hashes). Input needs
+    * (doc_id, text); returns (doc_id, n_pos, max_dup_depth, n_dup8,
+    * n_dup16). log₂(depth) equi-shuffle rounds, no global sort. */
+  def suffixDup(docs: DataFrame): DataFrame = Text.suffixDupOf(docs)
+
   /** MMR diversity reranking (Carbonell & Goldstein 1998) of a cosine
     * retrieval pool: greedy λ·rel − (1−λ)·max-sim-to-selected picks,
     * sequential per query but parallel across queries

@@ -4786,6 +4786,88 @@ object Text {
     winnowOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
       .orderBy("doc_id")
 
+  /** Exact duplicated-substring detection over word-level suffix
+    * equivalence classes — training-data hygiene the way Lee et al.
+    * (ACL 2022, arXiv:2107.06499) use corpus suffix arrays to find
+    * verbatim repeated spans. The hashed-chunk family ([[spanDedupOf]],
+    * [[llmDupChunks]]) sees duplication only at FIXED aligned chunk
+    * boundaries and only modulo hash collisions; suffix classes see it
+    * at EVERY word position, collision-free: two positions share a
+    * depth-d class iff their d-word prefixes are literally equal.
+    *
+    * Shape: a SINGLE pass over per-doc word arrays — `split(text)` IS
+    * the positional array, so no token explode, no position join, no
+    * re-docking groupBy ever runs. Every (position, depth) pair emits
+    * its literal d-word slice (space-joined — words come from a
+    * split-on-space, so the separator can never occur inside a word and
+    * key equality is exactly d-gram equality, no hash anywhere) as the
+    * grouping key; positions with p+d-1 > doc_len emit nothing (their
+    * d-gram doesn't exist), and keys never cross document boundaries by
+    * construction.
+    *
+    * 100 TB design: NO global sort, NO zipWithIndex, NO one-partition
+    * window, NO iterative rounds — the whole operator is THREE
+    * shuffles: the two-phase (d, key, doc) count, a PARTITIONED window
+    * over (d, key) for the class total (no join-back), and the per-doc
+    * rollup. Shuffle width is bounded by the depth cap (≤ 16 words —
+    * Lee et al. cut at 50 BPE tokens; the fixture-scale policy bound is
+    * 16). Two classical alternatives were measured (7-repeat sf0.1
+    * micros) and rejected for the capped-depth contract: O(log d)
+    * PREFIX DOUBLING (Manber & Myers 1993 / Larsson & Sadakane 1999) —
+    * log-many barriered shuffle rounds each needing a persist+count,
+    * 15.7 s for identical rows — and min-position ALPHABET COMPRESSION
+    * before slicing (the SA rank-reduction step: vocab groupBy + token
+    * join + per-doc re-collect buys 8-byte ids over word text), whose
+    * three extra token-stream shuffles measured within box-weather
+    * noise of this shape (2.8–4.4 s band across load windows) — not
+    * worth the moving parts at gram widths this bounded, though it IS
+    * the right trade when tokens are long (URLs) or depth is unbounded,
+    * where doubling also becomes the right tool. Notes kept so later
+    * rounds don't re-try them. */
+  private val sfxDepths = Seq(1, 2, 4, 8, 16)
+
+  private[graft] def suffixDupOf(docs: DataFrame): DataFrame = {
+    // every (depth, position) emits its literal d-word slice as the key
+    val keyed = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        explode(array(sfxDepths.map(lit): _*)).as("d"))
+      .select(col("doc_id"), col("d"),
+        explode(when(size(col("ws")) >= col("d"),
+            transform(sequence(lit(1), size(col("ws")) - col("d") + 1),
+              p => array_join(slice(col("ws"), p, col("d")), " ")))
+          .otherwise(array())).as("key"))
+    // A position is duplicated at depth d iff its key occurs >= 2 times
+    // corpus-wide: two-phase (d, key, doc) count, then duplicated keys
+    // join back as an equi-join on (d, key) — NOT a window partitioned
+    // on (d, key): a hot gram ("the" at d=1) puts its whole corpus-wide
+    // doc set in ONE WindowExec partition with no remedy, while the
+    // equi-join's hot partitions AQE skew-splits. The pre-agg feeds both
+    // the dup-key rollup and the join's left side; its subtree ends in
+    // an exchange, so AQE stage reuse dedups it (no persist — the r15
+    // BM25 rule: never cache a multi-consumed subtree that ends in an
+    // exchange).
+    val perDocClass = keyed.groupBy("d", "key", "doc_id")
+      .agg(count(lit(1)).as("c"))
+    val dupKeys = perDocClass.groupBy("d", "key")
+      .agg(sum(col("c")).as("n")).filter(col("n") >= 2).select("d", "key")
+    val agg = perDocClass.join(dupKeys, Seq("d", "key"))
+      .groupBy("doc_id").agg(
+        max(col("d")).as("max_dup_depth"),
+        sum(when(col("d") === 8, col("c")).otherwise(0L)).as("n_dup8"),
+        sum(when(col("d") === 16, col("c")).otherwise(0L)).as("n_dup16"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_pos"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"),
+        coalesce(col("max_dup_depth"), lit(0)).cast("int").as("max_dup_depth"),
+        coalesce(col("n_dup8"), lit(0L)).as("n_dup8"),
+        coalesce(col("n_dup16"), lit(0L)).as("n_dup16"))
+      .orderBy("doc_id")
+  }
+
+  val llmSuffixDedup: Q = (s, dir) =>
+    suffixDupOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   /** BPE merge-candidate counting (Sennrich/Haddow/Birch, ACL 2016 §3.2 —
     * the first merge iteration a byte-pair-encoding tokenizer trainer
     * runs): corpus word frequencies, then adjacent character-pair counts
@@ -5133,6 +5215,7 @@ object Text {
     "llm_repetition" -> llmRepetition,
     "llm_dup_chunks" -> llmDupChunks,
     "llm_span_dedup" -> llmSpanDedup,
+    "llm_suffix_dedup" -> llmSuffixDedup,
     "llm_chunk_scrub" -> llmChunkScrub,
     "llm_source_stats" -> llmSourceStats,
     "llm_corpus_pipeline" -> llmCorpusPipeline,
@@ -6361,6 +6444,31 @@ object Text {
          |  CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS removed,
          |  COALESCE(string_agg(chunk, ' ' ORDER BY j) FILTER (WHERE keep), '') AS clean_text
          |FROM kp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Oracle recomputes the suffix-class semantics directly: a position
+    // is duplicated at depth d iff its d-word gram (list_slice, 1-based
+    // inclusive) occurs >= 2 times corpus-wide. range(1, len-d+2) is
+    // empty when len < d, so short docs drop out of deep depths on both
+    // engines. The Spark side derives the same equality classes by
+    // prefix doubling — equality of class reps == equality of grams.
+    "llm_suffix_dedup" ->
+      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ds(d) AS (VALUES (1), (2), (4), (8), (16)),
+         |ag AS (SELECT doc_id, d,
+         |    array_to_string(list_slice(ws, p, p + d - 1), ' ') AS g
+         |  FROM (SELECT doc_id, ws, d, unnest(range(1, len(ws) - d + 2)) AS p
+         |        FROM wt, ds WHERE len(ws) >= d) t),
+         |dup AS (SELECT d, g FROM ag GROUP BY d, g HAVING COUNT(*) >= 2),
+         |dp AS (SELECT a.doc_id, a.d FROM ag a
+         |  JOIN dup u ON u.d = a.d AND u.g = a.g),
+         |agg AS (SELECT doc_id, MAX(d) AS max_dup_depth,
+         |    SUM(CASE WHEN d = 8 THEN 1 ELSE 0 END) AS n_dup8,
+         |    SUM(CASE WHEN d = 16 THEN 1 ELSE 0 END) AS n_dup16
+         |  FROM dp GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_pos,
+         |  CAST(COALESCE(max_dup_depth, 0) AS INTEGER) AS max_dup_depth,
+         |  CAST(COALESCE(n_dup8, 0) AS BIGINT) AS n_dup8,
+         |  CAST(COALESCE(n_dup16, 0) AS BIGINT) AS n_dup16
+         |FROM wt w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "llm_lm_trigram" ->
       s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |tp AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3

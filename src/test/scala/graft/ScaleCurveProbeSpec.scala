@@ -54,9 +54,14 @@ class ScaleCurveProbeSpec extends SparkSpec {
   // join output at |filtered| x 7 partial rows — a lost pre-agg (row-level
   // join again) multiplies hi-scale cost by the per-day row count and
   // trips this curve first.
+  // llm_suffix_dedup (r17): the prefix-doubling rounds are each one
+  // equi-shuffle over the token stream — a regression that loses the
+  // (doc_id, pos) join key (e.g. a cross-doc pairing) turns a round
+  // quadratic and trips this curve first.
   Seq("llm_dedup_cc", "llm_semdedup_cc", "llm_ngram_jaccard",
       "llm_ann_ivf", "llm_ann_pq", "llm_ann_ivfpq",
-      "llm_cluster_sample", "join_range_bin").foreach { name =>
+      "llm_cluster_sample", "join_range_bin",
+      "llm_suffix_dedup").foreach { name =>
     test(s"$name grows sub-quadratically over the 10x corpus step") {
       assume(!skip, "SPARK_GRAFT_SKIP_SCALE_PROBE=1")
       val lo = minTime(name, loDir)

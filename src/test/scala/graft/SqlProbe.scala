@@ -25,7 +25,14 @@ object SqlProbe {
     Tables.registerAll(spark, sfDir)
     graft.queries.SqlSurface.registerCompat(spark)
     val already = graft.queries.SqlSurface.sql.keySet
-    val names = SparkEntry.oracleSql.keys.toSeq.sorted.filterNot(already)
+    // SPARK_GRAFT_ONLY: probe just these names, INCLUDING ones already
+    // in the surface (local iteration on a single entry's translation —
+    // the full-registry sweep stays the no-env default).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = only match {
+      case Some(sel) => SparkEntry.oracleSql.keys.toSeq.sorted.filter(sel)
+      case None => SparkEntry.oracleSql.keys.toSeq.sorted.filterNot(already)
+    }
     var ok = List.empty[String]
     names.foreach { name =>
       def attempt(tag: String, text: String): Boolean =

@@ -1,0 +1,86 @@
+package graft
+
+import graft.queries.Text
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for exact duplicated-substring detection via bounded
+  * prefix doubling (`llm_suffix_dedup`): hand-built corpora where the
+  * duplicated spans are known by construction (cross-doc shared span,
+  * within-doc repetition, unique doc), plus a full brute-force gram
+  * re-derivation over the sf0.001 fixture — suffix-class equality at
+  * depth d must coincide exactly with literal d-gram equality. */
+class SuffixDupSpec extends SparkSpec {
+
+  private def run(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Text.suffixDupOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toMap
+  }
+
+  test("cross-doc 8-word shared span: depth 8, one dup-8 position each") {
+    val res = run(Seq(
+      1L -> "a b c d e f g h x1 x2",
+      2L -> "z1 a b c d e f g h z2",
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+    // docs 1+2 share exactly "a b c d e f g h": depth-8 dup at one
+    // position each, no 16-gram exists in 10-word docs
+    assert(res(1L) == ((10L, 8, 1L, 0L)))
+    assert(res(2L) == ((10L, 8, 1L, 0L)))
+    // doc 3 is all-unique words: nothing duplicates at any depth
+    assert(res(3L) == ((10L, 0, 0L, 0L)))
+  }
+
+  test("within-doc repetition duplicates without a second document") {
+    // 10x the same word: every 8-gram (positions 1..3) is identical
+    val res = run(Seq(7L -> Seq.fill(10)("r").mkString(" ")))
+    assert(res(7L) == ((10L, 8, 3L, 0L)))
+  }
+
+  test("16-word verbatim copy reaches depth 16") {
+    val span = (1 to 16).map(i => s"w$i").mkString(" ")
+    val res = run(Seq(
+      1L -> s"$span tail1 tail2",
+      2L -> s"head1 $span"))
+    assert(res(1L)._2 == 16 && res(1L)._4 == 1L)
+    assert(res(2L)._2 == 16 && res(2L)._4 == 1L)
+  }
+
+  test("suffixes never cross document boundaries") {
+    // concatenating doc 1's tail with doc 2's head would form a
+    // duplicated 2-gram ("x y") if positions crossed the boundary
+    val res = run(Seq(
+      1L -> "a1 a2 a3 x",
+      2L -> "y b1 b2 b3",
+      3L -> "c1 x y c2"))
+    // "x" and "y" each appear twice -> depth 1; the 2-gram "x y"
+    // exists only inside doc 3, so no depth-2 duplication anywhere
+    assert(res.values.forall(_._2 <= 1))
+  }
+
+  test("fixture result == brute-force gram recount (sf0.001, all depths)") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val depths = Seq(1, 2, 4, 8, 16)
+    // corpus-wide gram counts per depth, literally
+    val counts: Map[Int, Map[Seq[String], Int]] = depths.map { d =>
+      d -> docs.flatMap { case (_, t) =>
+        t.split(" ").toSeq.sliding(d).filter(_.size == d)
+      }.groupBy(identity).map { case (g, o) => (g: Seq[String]) -> o.length }
+    }.toMap
+    val want = docs.map { case (id, t) =>
+      val ws = t.split(" ").toSeq
+      val dupAt = depths.filter(d =>
+        ws.sliding(d).filter(_.size == d).exists(g => counts(d)(g) >= 2))
+      def nDup(d: Int): Long =
+        ws.sliding(d).filter(_.size == d).count(g => counts(d)(g) >= 2).toLong
+      id -> ((ws.size.toLong, if (dupAt.isEmpty) 0 else dupAt.max,
+        nDup(8), nDup(16)))
+    }.toMap
+    val got = run(docs.toSeq)
+    assert(got == want)
+  }
+}
