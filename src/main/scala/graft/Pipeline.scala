@@ -306,6 +306,16 @@ object Pipeline {
     * n_dup16). log₂(depth) equi-shuffle rounds, no global sort. */
   def suffixDup(docs: DataFrame): DataFrame = Text.suffixDupOf(docs)
 
+  /** The dedup action on the [[suffixDup]] signal (Lee et al. §4):
+    * cut every non-first occurrence of a duplicated `spanW`-word span
+    * (first = min packed (doc_id, pos) key) and reassemble surviving
+    * words; overlapping removable spans union through the covered set.
+    * Input needs (doc_id, text); returns (doc_id, n_words, n_removed,
+    * clean_text). One gram pass + two-phase gram stats + skew-safe
+    * equi-join + bounded per-doc covered set. */
+  def suffixScrub(docs: DataFrame, spanW: Int = 8): DataFrame =
+    Text.suffixScrubOf(docs, spanW)
+
   /** MMR diversity reranking (Carbonell & Goldstein 1998) of a cosine
     * retrieval pool: greedy λ·rel − (1−λ)·max-sim-to-selected picks,
     * sequential per query but parallel across queries

@@ -1143,7 +1143,7 @@ object SqlSurface {
     "llm_url_dedup",
     "llm_source_cap", "llm_source_stats", "llm_span_dedup",
     "llm_split_assign", "llm_split_leakage", "llm_stratified_sample",
-    "llm_suffix_dedup",
+    "llm_suffix_dedup", "llm_suffix_scrub",
     "llm_textrank", "llm_tfidf_top", "llm_token_budget", "llm_tokenize",
     "llm_tokenizer_fertility", "llm_vocab_coverage", "seq_anomaly",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",

@@ -4868,6 +4868,57 @@ object Text {
   val llmSuffixDedup: Q = (s, dir) =>
     suffixDupOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
+  /** The dedup ACTION on [[suffixDupOf]]'s signal: remove every
+    * NON-FIRST occurrence of a duplicated `spanW`-word span and
+    * reconstruct the surviving text — Lee et al. (ACL 2022,
+    * arXiv:2107.06499) §4's exact-substring removal policy (cut the
+    * repeated span, keep one global occurrence), at EVERY word position
+    * where [[spanDedupOf]] only cuts at aligned chunk boundaries. A
+    * word survives unless it is covered by some removable span start;
+    * overlapping removable spans union naturally through the covered
+    * set, so a long verbatim block collapses to exactly its first
+    * occurrence plus at most spanW-1 boundary words.
+    *
+    * Scale shape: one gram pass (per-row slice arithmetic, no token
+    * explode), a two-phase (cnt, min-position-key) groupBy over grams,
+    * the removable join on the gram key (hot boilerplate grams are
+    * AQE-skew-splittable), a bounded per-doc covered-set collect
+    * (≤ doc_len ints), and a per-row array rebuild — no global sort,
+    * no driver state. First-occurrence choice is the deterministic min
+    * packed (doc_id, pos) key, same tiebreak as [[spanDedupOf]]. */
+  private[graft] def suffixScrubOf(docs: DataFrame, spanW: Int = 8): DataFrame = {
+    val wsDocs = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val grams = wsDocs
+      .filter(size(col("ws")) >= spanW)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("ws")) - spanW + 1),
+          p => array_join(slice(col("ws"), p, lit(spanW)), " ")))
+        .as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        (col("doc_id") * lit(1000000L) + col("p0") + 1).as("pk"), col("g"))
+    val stats = grams.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min(col("pk")).as("firstpk"))
+    val removable = grams.join(stats, "g")
+      .filter(col("cnt") >= 2 && col("pk") =!= col("firstpk"))
+      .select(col("doc_id"), col("p"))
+    val covered = removable
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + spanW - 1)).as("q"))
+      .groupBy("doc_id").agg(collect_set(col("q")).as("cov"))
+    wsDocs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        array_join(transform(
+          filter(sequence(lit(1), size(col("ws"))),
+            i => col("cov").isNull || !array_contains(col("cov"), i)),
+          i => element_at(col("ws"), i.cast("int"))), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val llmSuffixScrub: Q = (s, dir) =>
+    suffixScrubOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   /** BPE merge-candidate counting (Sennrich/Haddow/Birch, ACL 2016 §3.2 —
     * the first merge iteration a byte-pair-encoding tokenizer trainer
     * runs): corpus word frequencies, then adjacent character-pair counts
@@ -5216,6 +5267,7 @@ object Text {
     "llm_dup_chunks" -> llmDupChunks,
     "llm_span_dedup" -> llmSpanDedup,
     "llm_suffix_dedup" -> llmSuffixDedup,
+    "llm_suffix_scrub" -> llmSuffixScrub,
     "llm_chunk_scrub" -> llmChunkScrub,
     "llm_source_stats" -> llmSourceStats,
     "llm_corpus_pipeline" -> llmCorpusPipeline,
@@ -6469,6 +6521,36 @@ object Text {
          |  CAST(COALESCE(n_dup8, 0) AS BIGINT) AS n_dup8,
          |  CAST(COALESCE(n_dup16, 0) AS BIGINT) AS n_dup16
          |FROM wt w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Span-removal action: non-first occurrences of duplicated 8-word
+    // spans are cut; a word survives unless covered by some removable
+    // span start. range(p, p+8) is half-open = offsets p..p+7; kept
+    // words reassemble ORDER BY position. First occurrence = min
+    // packed (doc_id, pos) key, the spanDedup tiebreak.
+    "llm_suffix_scrub" ->
+      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (SELECT doc_id, p,
+         |    doc_id * 1000000 + p AS pk,
+         |    array_to_string(list_slice(ws, p, p + 7), ' ') AS gm
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 8 + 2)) AS p
+         |        FROM wt WHERE len(ws) >= 8) t),
+         |st AS (SELECT gm, COUNT(*) AS cnt, MIN(pk) AS firstpk
+         |  FROM g GROUP BY 1),
+         |rm AS (SELECT g.doc_id, g.p FROM g JOIN st USING (gm)
+         |  WHERE st.cnt >= 2 AND g.pk <> st.firstpk),
+         |cov AS (SELECT DISTINCT doc_id, q
+         |  FROM (SELECT doc_id, unnest(range(p, p + 8)) AS q FROM rm) c),
+         |px AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM wt),
+         |kept AS (SELECT px.doc_id, px.i, px.ws[px.i] AS word
+         |  FROM px
+         |  LEFT JOIN cov ON cov.doc_id = px.doc_id AND cov.q = px.i
+         |  WHERE cov.q IS NULL),
+         |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(word, ' ' ORDER BY i) AS txt
+         |  FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(len(ws) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(ka.txt, '') AS clean_text
+         |FROM wt w LEFT JOIN ka USING (doc_id) ORDER BY w.doc_id""".stripMargin,
     "llm_lm_trigram" ->
       s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |tp AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3

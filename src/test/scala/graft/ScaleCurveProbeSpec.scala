@@ -61,7 +61,7 @@ class ScaleCurveProbeSpec extends SparkSpec {
   Seq("llm_dedup_cc", "llm_semdedup_cc", "llm_ngram_jaccard",
       "llm_ann_ivf", "llm_ann_pq", "llm_ann_ivfpq",
       "llm_cluster_sample", "join_range_bin",
-      "llm_suffix_dedup").foreach { name =>
+      "llm_suffix_dedup", "llm_suffix_scrub").foreach { name =>
     test(s"$name grows sub-quadratically over the 10x corpus step") {
       assume(!skip, "SPARK_GRAFT_SKIP_SCALE_PROBE=1")
       val lo = minTime(name, loDir)

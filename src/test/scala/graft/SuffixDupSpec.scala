@@ -60,6 +60,64 @@ class SuffixDupSpec extends SparkSpec {
     assert(res.values.forall(_._2 <= 1))
   }
 
+  private def runScrub(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Text.suffixScrubOf(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+  }
+
+  test("scrub cuts the later occurrence of a shared 8-word span, keeps the first") {
+    val res = runScrub(Seq(
+      1L -> "a b c d e f g h x1 x2",
+      2L -> "z1 a b c d e f g h z2"))
+    // doc 1 holds the global-first occurrence (min packed key) — untouched
+    assert(res(1L) == ((10L, 0L, "a b c d e f g h x1 x2")))
+    // doc 2's occurrence starts at position 2: words 2..9 cut
+    assert(res(2L) == ((10L, 8L, "z1 z2")))
+  }
+
+  test("scrub unions overlapping removable spans to first-occurrence-plus-boundary") {
+    // 10x the same word: removable starts 2,3 cover positions 2..10 —
+    // only the global-first span's start position survives
+    val res = runScrub(Seq(7L -> Seq.fill(10)("r").mkString(" ")))
+    assert(res(7L) == ((10L, 9L, "r")))
+  }
+
+  test("scrub leaves short and unique docs intact") {
+    val res = runScrub(Seq(
+      1L -> "s1 s2 s3",                          // < 8 words: no grams
+      2L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))   // unique: no dups
+    assert(res(1L) == ((3L, 0L, "s1 s2 s3")))
+    assert(res(2L) == ((10L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+  }
+
+  test("scrub fixture result == brute-force recount (sf0.001)") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      (1 to ws.length - 7).map(p =>
+        (ws.slice(p - 1, p + 7).mkString(" "), id, p, id * 1000000L + p))
+    }
+    val byGram = grams.groupBy(_._1)
+    val removable = grams.filter { case (g, _, _, pk) =>
+      val o = byGram(g); o.length >= 2 && pk != o.map(_._4).min
+    }
+    val coveredByDoc = removable.groupBy(_._2).map { case (id, o) =>
+      id -> o.flatMap { case (_, _, p, _) => p until p + 8 }.toSet
+    }
+    val want = docs.map { case (id, t) =>
+      val ws = t.split(" ")
+      val cov = coveredByDoc.getOrElse(id, Set.empty[Int])
+      val kept = (1 to ws.length).filterNot(cov).map(i => ws(i - 1))
+      id -> ((ws.length.toLong, cov.size.toLong, kept.mkString(" ")))
+    }.toMap
+    assert(runScrub(docs.toSeq) == want)
+  }
+
   test("fixture result == brute-force gram recount (sf0.001, all depths)") {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id").cast("long"), col("text"))
