@@ -4896,6 +4896,18 @@ object Text {
         .as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("p"),
         (col("doc_id") * lit(1000000L) + col("p0") + 1).as("pk"), col("g"))
+      // Persist barrier over the gram projection: both the stats agg and
+      // the removable-join probe side consume it, and the two subtrees
+      // are NOT canonically identical up to an exchange (probe side has
+      // no pre-join exchange under broadcast; under SMJ the stats side
+      // inserts a partial agg first), so AQE stage reuse can never dedup
+      // the slice-and-join string materialization — without the barrier
+      // the gram pass runs twice. A/B (7-repeat sf0.1 micros, 2 runs
+      // each): persisted [0.971, 0.888, —] / [1.181, 1.100, —] vs
+      // recompute [1.884, 1.724, —] / [1.764, …]. Eager count() per the
+      // multi-consumer race rule.
+      .persist()
+    grams.count()
     val stats = grams.groupBy("g")
       .agg(count(lit(1)).as("cnt"), min(col("pk")).as("firstpk"))
     val removable = grams.join(stats, "g")
