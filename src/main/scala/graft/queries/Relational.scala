@@ -343,6 +343,39 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Blocked fuzzy entity-matching join (record linkage): find pairs of
+    * DISTINCT entity names that refer to the same thing modulo small
+    * edits — the Fellegi–Sunter blocking shape every metadata-merge /
+    * catalog-dedup pipeline runs. Three scale moves, in order:
+    * (1) canonicalize FIRST — a two-phase groupBy collapses the corpus
+    * of rows to its distinct entity strings with support counts, so the
+    * expensive comparison runs over entities, never rows (100 TB of
+    * parts is still ≤ |name vocabulary| comparison inputs);
+    * (2) BLOCK — candidates must share a cheap deterministic key (the
+    * head noun here), turning the quadratic all-pairs into per-block
+    * pairs, hot blocks AQE-skew-splittable on the equi-join key;
+    * (3) score only within blocks — `levenshtein` ≤ 4, i.e. the
+    * adjective differs by at most a short edit ("red bolt" ~ "tan
+    * bolt"), with the a < b half-matrix filter built into the join so
+    * each undirected pair emits once. Output: the match pairs with
+    * their edit distance and combined row support. */
+  val joinFuzzyBlock: Q = (s, dir) => {
+    val nm = Tables.t(s, dir, "part")
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+    val a = nm.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_a"))
+    val b = nm.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 4)
+      .select(col("blk"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("int").as("lev"),
+        (col("n_a") + col("n_b")).cast("long").as("support"))
+      .orderBy("name_a", "name_b")
+  }
+
   // -------------------------------------------------------------- set ops
 
   val setopUnionAll: Q = (s, dir) => {
@@ -465,6 +498,7 @@ object Relational {
     "join_asof_tol" -> joinAsofTol,
     "join_scd2" -> joinScd2,
     "join_range_bin" -> joinRangeBin,
+    "join_fuzzy_block" -> joinFuzzyBlock,
     "setop_union_all" -> setopUnionAll,
     "setop_union_distinct" -> setopUnionDistinct,
     "setop_intersect" -> setopIntersect,
@@ -615,6 +649,16 @@ object Relational {
          | AND o2.o_orderdate < o1.o_orderdate + INTERVAL 7 DAY
          |WHERE o1.o_totalprice > 450000
          |GROUP BY o1.o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_fuzzy_block" ->
+      """WITH nm AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+        |              CAST(COUNT(*) AS BIGINT) AS n_parts
+        |            FROM part GROUP BY 1, 2)
+        |SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+        |  CAST(a.n_parts + b.n_parts AS BIGINT) AS support
+        |FROM nm a JOIN nm b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
     "setop_union_all" ->
       """SELECT * FROM (
         |SELECT c_custkey AS key, 'customer' AS src FROM customer

@@ -46,7 +46,7 @@ object SqlSurface {
     "fn_xpath",
     "gen_inline", "gen_stack",
     "join_anti", "join_asof_tol", "join_broadcast", "join_cross",
-    "join_full", "join_left",
+    "join_full", "join_fuzzy_block", "join_left",
     "join_multiway", "join_range_bin", "join_right", "join_salted",
     "join_scd2", "join_semi", "join_smb", "join_theta", "join_uniquejoin",
     "llm_dedup_rows", "llm_dedup_weights", "local_values",

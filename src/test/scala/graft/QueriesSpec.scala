@@ -1000,6 +1000,41 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("join_fuzzy_block matches a brute-force all-pairs reference") {
+    // Brute force over the tiny sf0.001 name vocabulary: every unordered
+    // pair of distinct names, no blocking — so the test also proves the
+    // block key LOSES no pair the threshold would admit (a cross-block
+    // pair with lev <= 4 would appear here and not in the query).
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val support = Tables.t(spark, sfDir, "part").groupBy("p_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val names = support.keySet.toSeq.sorted
+    val want = (for {
+      a <- names; b <- names if a < b
+      if a.split(" ")(1) == b.split(" ")(1) && lev(a, b) <= 4
+    } yield (a, b) -> (lev(a, b), support(a) + support(b))).toMap
+    val got = SparkEntry.queries("join_fuzzy_block")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> (r.getInt(3), r.getLong(4)))
+      .toMap
+    assert(got == want)
+    // cross-block near-misses exist in the vocabulary (the threshold is
+    // not vacuously tight): some pair within lev 4 differs in its noun
+    val crossBlock = for {
+      a <- names; b <- names if a < b
+      if a.split(" ")(1) != b.split(" ")(1) && lev(a, b) <= 4
+    } yield (a, b)
+    assert(crossBlock.nonEmpty,
+      "fixture has no cross-block near pair; blocking untested")
+  }
+
   test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
     val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
     assert(rows.length == 64)
