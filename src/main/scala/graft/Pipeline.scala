@@ -281,6 +281,14 @@ object Pipeline {
   def stratifiedSample(docs: DataFrame, frac: Double = 0.2): DataFrame =
     Text.stratifiedSampleOf(docs, frac)
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * top-k by the deterministic key ln(u)/w with md5-derived u — the
+    * quality-∝ corpus-subset draw. Input needs (doc_id, n_chars);
+    * returns the k selected (doc_id, w, es_key). Per-row arithmetic
+    * into a bounded top-k heap merge — scan speed at any scale. */
+  def weightedSample(docs: DataFrame, k: Int = 200): DataFrame =
+    Text.weightedSampleOf(docs, k)
+
   /** k-anonymity suppression over the (lang, source, size-bucket)
     * quasi-identifier triple: rows whose QI group holds fewer than k
     * docs get their QIs masked to '*' before release. Returns (doc_id,

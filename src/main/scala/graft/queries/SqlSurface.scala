@@ -1145,7 +1145,8 @@ object SqlSurface {
     "llm_split_assign", "llm_split_leakage", "llm_stratified_sample",
     "llm_suffix_dedup", "llm_suffix_scrub",
     "llm_textrank", "llm_tfidf_top", "llm_token_budget", "llm_tokenize",
-    "llm_tokenizer_fertility", "llm_vocab_coverage", "seq_anomaly",
+    "llm_tokenizer_fertility", "llm_vocab_coverage", "llm_weighted_sample",
+    "seq_anomaly",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
     "seq_periodicity", "seq_retention", "seq_rfm")
 

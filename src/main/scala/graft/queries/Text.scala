@@ -3282,6 +3282,42 @@ object Text {
   val llmStratifiedSample: Q = (s, dir) =>
     stratifiedSampleOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    * (IPL 2006)'s A-ES one-pass reduction: give each row the key
+    * u^(1/w) for u ~ U(0,1) and keep the top k; the selection is
+    * distributed exactly as sequential weighted draws without
+    * replacement. This is the quality-weighted corpus-subset draw
+    * curation actually runs (sample 100k docs ∝ quality score) that
+    * neither [[stratifiedSampleOf]] (per-stratum quotas, unweighted)
+    * nor `sort_hashsample` (uniform threshold) expresses.
+    *
+    * Determinism: u derives from the md5 hex-cast idiom (12 hex digits
+    * + 0.5, over 16^12 — bit-identical in both engines), and ln(u)/w
+    * replaces u^(1/w) (same argmax order, no pow-precision hazard;
+    * ln agrees cross-engine at the proven dround 9-decimal grain —
+    * `fn_math`). Ordering and membership both use the ROUNDED key with
+    * a doc_id tiebreak, so the k-boundary can never split on an
+    * engine's last ulp.
+    *
+    * Scale shape: pure per-row arithmetic (weight = doc length) into a
+    * top-k — TakeOrderedAndProject's per-partition heaps and one
+    * bounded merge; no shuffle of the corpus, no window, runs at scan
+    * speed at any size. */
+  private[graft] def weightedSampleOf(docs: DataFrame, k: Int = 200): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("double") + 0.5) / lit(281474976710656.0))
+      .select(col("doc_id"), col("w"),
+        dround(org.apache.spark.sql.functions.log(col("u"))
+          / col("w").cast("double"), 9).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+
+  val llmWeightedSample: Q = (s, dir) =>
+    weightedSampleOf(Tables.t(s, dir, "documents"))
+
   /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
     * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
     * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
@@ -5254,6 +5290,7 @@ object Text {
     "llm_bm25_topk" -> llmBm25Topk,
     "llm_rrf_fusion" -> llmRrfFusion,
     "llm_stratified_sample" -> llmStratifiedSample,
+    "llm_weighted_sample" -> llmWeightedSample,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -6874,6 +6911,17 @@ object Text {
         |FROM r JOIN c USING (lang)
         |WHERE r.rn <= CEIL(c.n_lang * 0.2)
         |ORDER BY r.doc_id""".stripMargin,
+    // Efraimidis–Spirakis A-ES: u from the 12-hex md5 cast (+0.5 over
+    // 16^12), key = ln(u)/w; ORDER/LIMIT on the ROUNDED key + doc_id so
+    // the k-boundary can never split on an engine's last ulp.
+    "llm_weighted_sample" ->
+      s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |  ${oRound(
+             "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT" +
+             " + 0.5) / 281474976710656.0) / CAST(n_chars AS DOUBLE)", 9)}
+         |    AS es_key
+         |FROM documents
+         |ORDER BY es_key DESC, doc_id LIMIT 200""".stripMargin,
     // PMI association ratio, un-logged (monotone, libm-free), with the
     // division interleaved into the products exactly as the Spark side
     // parenthesizes it; cab >= 3 hapax guard; DuckDB range(1, len) is

@@ -1035,6 +1035,31 @@ class QueriesSpec extends SparkSpec {
       "fixture has no cross-block near pair; blocking untested")
   }
 
+  test("llm_weighted_sample matches a driver-side A-ES recompute and skews heavy") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / math.pow(16, 12)
+      BigDecimal(math.log(u) / w).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = docs.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(200)
+    val got = SparkEntry.queries("llm_weighted_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    // the weighting has teeth: the selected docs' mean length exceeds
+    // the corpus mean (u^(1/w) favors large w)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val selMean = got.map(_._2).sum.toDouble / got.length
+    assert(selMean > corpusMean,
+      s"selection not weight-skewed: $selMean <= $corpusMean")
+  }
+
   test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
     val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
     assert(rows.length == 64)
