@@ -391,6 +391,21 @@ object Events {
         col("event_type"), col("cnt"), col("val_sum"))
   }
 
+  /** Streaming twin of [[streamDedupFirst]]'s dedup DECISION via the
+    * dedicated state-TTL'd operator: `dropDuplicatesWithinWatermark`
+    * keeps one row per (user_id, event_type) and — unlike plain
+    * streaming `dropDuplicates`, whose key state grows forever — drops
+    * a key's state once the watermark passes its last-seen event time,
+    * so unbounded streams run in bounded state (the 100 TB/∞-stream
+    * requirement). Which physical row survives is arrival-order
+    * dependent by contract, so the twin projects the KEY — the dedup
+    * decision itself — which must match the batch distinct exactly. */
+  def dedupWithinWatermarkStream(spark: SparkSession, eventsDir: String): DataFrame =
+    eventsStream(spark, eventsDir)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Streaming twin of [[streamTopkTypes]]'s STATEFUL stage: the
     * watermark-bounded 6-hour windowed counts. The per-window rank is a
     * consumer-side step over the tiny per-window frame (StreamingSpec

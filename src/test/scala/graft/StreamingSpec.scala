@@ -166,6 +166,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch == direct)
   }
 
+  test("dropDuplicatesWithinWatermark twin: surviving keys == batch distinct") {
+    val streamDir = Files.createTempDirectory("graft_ddww_stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = graft.streaming.Events
+      .dedupWithinWatermarkStream(spark, streamDir.toString)
+      .writeStream.format("memory").queryName("ddww_smoke")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    // exactly one survivor per key, and the key set is the batch
+    // distinct — the dedup decision matches even though WHICH row
+    // survives is arrival-order dependent by the operator's contract
+    val streamed = spark.table("ddww_smoke")
+      .orderBy("user_id", "event_type").collect().map(_.toString)
+    val batch = graft.streaming.Events.streamDedupFirst(spark, sfDir)
+      .select("user_id", "event_type").collect().map(_.toString)
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
   test("transformWithState twin: session stats match the batch result") {
     val streamDir = Files.createTempDirectory("graft_tws_stream")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
