@@ -263,12 +263,64 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Bounded-hop multi-source BFS (the Pregel/GraphX reference
+    * traversal — reachability and hop distance, the graph question the
+    * rank/degree/community family doesn't answer): hop distance from
+    * the seed set {doc_id < 3} over the shared undirected simple
+    * closure, capped at 4 hops. Bounded rounds, not a fixpoint loop —
+    * both engines run exactly 4 relaxations, so results match even
+    * where the frontier hasn't died out (the kcore round-budget
+    * argument: at 100 TB the hop cap IS the job-count budget, and
+    * diameter-d reachability completes in d rounds).
+    *
+    * Scale shape: each round is ONE edge⋈dist equi-join + a two-phase
+    * min-groupBy (frontier expansion then relax — hot high-degree
+    * nodes absorbed by the partial min). The dist frame is referenced
+    * twice per round (carry + expand), so it is CHECKPOINTED per round
+    * (the dedup_cc/kcore lineage rule — nested plans would double per
+    * hop). Unreached nodes surface as dist = -1 via one final left
+    * join, never a driver-side set. */
+  val bfs: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val edges = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var dist = ids.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("u"), lit(0).as("d"))
+    for (_ <- 1 to 4) {
+      dist = ckpt(dist
+        .unionAll(und.join(dist, "u").select(col("v").as("u"),
+          (col("d") + 1).as("d")))
+        .groupBy("u").agg(min(col("d")).as("d")))
+    }
+    ids.join(dist.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("d"), lit(-1)).cast("int").as("dist"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "graph_linkpred" -> linkpred,
     "graph_labelprop" -> labelprop,
-    "graph_kcore" -> kcore
+    "graph_kcore" -> kcore,
+    "graph_bfs" -> bfs
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -291,6 +343,15 @@ object Graph {
        |    GROUP BY n.u, p.lbl) t
        |  WHERE r = 1)""".stripMargin
 
+  private def bfsRoundSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT u, MIN(d) AS d FROM (
+       |    SELECT u, d FROM $prev
+       |    UNION ALL
+       |    SELECT und.v AS u, p.d + 1 AS d
+       |    FROM und JOIN $prev p ON p.u = und.u) t
+       |  GROUP BY u)""".stripMargin
+
   private def kcoreRoundSql(prev: String, cur: String): String =
     s"""$cur AS MATERIALIZED (
        |  SELECT u FROM (
@@ -302,6 +363,30 @@ object Graph {
   val oracleSql: Map[String, String] = Map(
     // Same closure; 4 unrolled peel rounds, survivors' within-core
     // degree.
+    // Same undirected closure; 4 unrolled BFS relaxations from the
+    // {doc_id < 3} seed set, each MATERIALIZED (the PCA CTE-inlining
+    // lesson: dK is referenced twice in round K+1); unreached = -1.
+    "graph_bfs" -> {
+      val rounds = (1 to 4)
+        .map(k => bfsRoundSql(s"d${k - 1}", s"d$k")).mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |und AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |d0 AS (SELECT doc_id AS u, 0 AS d FROM ids WHERE doc_id < 3),
+         |$rounds
+         |SELECT ids.doc_id, CAST(COALESCE(d4.d, -1) AS INT) AS dist
+         |FROM ids LEFT JOIN d4 ON d4.u = ids.doc_id
+         |ORDER BY ids.doc_id""".stripMargin
+    },
     "graph_kcore" -> {
       val rounds = (1 to 4)
         .map(k => kcoreRoundSql(s"a${k - 1}", s"a$k")).mkString(",\n")

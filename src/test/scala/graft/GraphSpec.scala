@@ -132,6 +132,48 @@ class GraphSpec extends SparkSpec {
     assert(expected.size < n)
   }
 
+  test("graph_bfs replays a driver-side 4-hop multi-source BFS") {
+    val got = SparkEntry.queries("graph_bfs")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = got.size
+    assert(n == 500)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val nbr = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    (0 until n).foreach { src =>
+      (1 to 3).foreach { i =>
+        val dst = h(s"$src:$i") % n
+        if (src.toLong != dst) {
+          nbr(src.toLong) = nbr(src.toLong) + dst
+          nbr(dst) = nbr(dst) + src.toLong
+        }
+      }
+    }
+    var dist = Map(0L -> 0, 1L -> 0, 2L -> 0)
+    for (_ <- 1 to 4) {
+      val expanded = dist.toSeq.flatMap { case (u, d) =>
+        nbr(u).toSeq.map(_ -> (d + 1)) :+ (u -> d)
+      }
+      dist = expanded.groupBy(_._1).map { case (u, ds) =>
+        u -> ds.map(_._2).min
+      }
+    }
+    val want = (0 until n).map(i => i.toLong ->
+      dist.getOrElse(i.toLong, -1)).toMap
+    assert(got == want)
+    // structure sanity: seeds at 0; every positive dist has a neighbor
+    // one hop closer; some node is genuinely unreached or at depth > 1
+    assert(Seq(0L, 1L, 2L).forall(got(_) == 0))
+    got.foreach { case (u, d) =>
+      if (d > 0) assert(nbr(u).exists(v => got(v) == d - 1), s"node $u")
+    }
+    assert(got.values.exists(d => d == -1 || d >= 2))
+  }
+
   test("graph_linkpred replays a driver-side common-neighbor scan") {
     val got = SparkEntry.queries("graph_linkpred")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
