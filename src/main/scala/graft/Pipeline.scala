@@ -281,6 +281,14 @@ object Pipeline {
   def stratifiedSample(docs: DataFrame, frac: Double = 0.2): DataFrame =
     Text.stratifiedSampleOf(docs, frac)
 
+  /** Population Stability Index drift monitor between the doc_id % 7
+    * candidate slice and the rest: 100-char length bins (capped at 9),
+    * ε-floored shares, per-bin PSI terms — sum the `psi_term`
+    * column and alert above ~0.25. Input needs (doc_id, n_chars);
+    * returns the 10-bin (bin, c_ref, c_cand, p_ref, p_cand, psi_term)
+    * frame. One two-phase count over the corpus. */
+  def driftPsi(docs: DataFrame): DataFrame = Text.driftPsiOf(docs)
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * top-k by the deterministic key ln(u)/w with md5-derived u — the
     * quality-∝ corpus-subset draw. Input needs (doc_id, n_chars);

@@ -3318,6 +3318,58 @@ object Text {
   val llmWeightedSample: Q = (s, dir) =>
     weightedSampleOf(Tables.t(s, dir, "documents"))
 
+  /** Distribution-drift monitor — the Population Stability Index over a
+    * binned document feature between a REFERENCE slice and a CANDIDATE
+    * slice (the standard model-ops drift gate, PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ);
+    * > 0.25 conventionally triggers investigation). The pipeline use:
+    * a new crawl snapshot, vendor delivery, or train/val split whose
+    * length/quality profile silently shifted will light up here before
+    * it shifts model metrics. Slices reuse the [[llmLmTrigram]] split
+    * convention (doc_id % 7: held-out vs train); feature = 100-char
+    * length bins capped at 9.
+    *
+    * Determinism/scale: one two-phase (bin × slice) count over the
+    * corpus — the only corpus-sized pass; the 10-bin universe comes
+    * from a literal sequence (empty bins stay defined). Shares use the
+    * standard PSI ε-floor in its continuous form
+    * p = (c/N)·(1 − B·ε) + ε (ε = 1e-4): ln never sees 0, shares still
+    * sum to 1, and — unlike (c+0.5)/(N+B/2) Laplace smoothing, whose
+    * floor depends on N — a bin empty in BOTH slices gets exactly ε on
+    * both sides and contributes exactly 0, so unequal slice sizes
+    * cannot manufacture drift. Per-bin terms are dround-9 (ln agrees
+    * cross-engine at that grain — `fn_math`). Output: 10 bins with
+    * both shares and the PSI contribution; the total is a sum the
+    * consumer (or an alert rule) takes over the B-row frame. */
+  private[graft] def driftPsiOf(docs: DataFrame): DataFrame = {
+    val sliced = docs.select(
+      least(lit(9), floor(col("n_chars") / lit(100)).cast("int")).as("bin"),
+      (pmod(col("doc_id"), lit(7)) === 0).as("cand"))
+    val counts = sliced.groupBy("bin")
+      .agg(sum(when(col("cand"), 0L).otherwise(1L)).as("c_ref"),
+        sum(when(col("cand"), 1L).otherwise(0L)).as("c_cand"))
+    val bins = docs.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(9))).as("bin"))
+    val totals = counts.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cand")).as("n_cand"))
+    bins.join(counts, Seq("bin"), "left")
+      .select(col("bin").cast("int").as("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cand"), lit(0L)).as("c_cand"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("c_ref"), col("c_cand"),
+        dround(col("c_ref") / col("n_ref").cast("double") * lit(0.999)
+          + lit(0.0001), 9).as("p_ref"),
+        dround(col("c_cand") / col("n_cand").cast("double") * lit(0.999)
+          + lit(0.0001), 9).as("p_cand"))
+      .withColumn("psi_term", dround(
+        (col("p_ref") - col("p_cand")) *
+          org.apache.spark.sql.functions.log(col("p_ref") / col("p_cand")), 9))
+      .orderBy("bin")
+  }
+
+  val llmDriftPsi: Q = (s, dir) =>
+    driftPsiOf(Tables.t(s, dir, "documents").select("doc_id", "n_chars"))
+
   /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
     * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
     * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
@@ -5291,6 +5343,7 @@ object Text {
     "llm_rrf_fusion" -> llmRrfFusion,
     "llm_stratified_sample" -> llmStratifiedSample,
     "llm_weighted_sample" -> llmWeightedSample,
+    "llm_drift_psi" -> llmDriftPsi,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -6911,6 +6964,33 @@ object Text {
         |FROM r JOIN c USING (lang)
         |WHERE r.rn <= CEIL(c.n_lang * 0.2)
         |ORDER BY r.doc_id""".stripMargin,
+    // PSI drift: (bin × slice) counts, ε-floored shares (p·0.999 +
+    // 1e-4 — N-independent, so both-empty bins contribute exactly 0)
+    // over the literal 10-bin universe; ROUNDED shares feed the ln so
+    // the term arithmetic matches the builder's dround-then-divide.
+    "llm_drift_psi" ->
+      s"""WITH s AS (SELECT LEAST(9, CAST(FLOOR(n_chars / 100) AS INT)) AS bin,
+         |             (doc_id % 7 = 0) AS cand FROM documents),
+         |c AS (SELECT bin,
+         |        CAST(SUM(CASE WHEN cand THEN 0 ELSE 1 END) AS BIGINT) AS c_ref,
+         |        CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS c_cand
+         |      FROM s GROUP BY bin),
+         |t AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         |        CAST(SUM(c_cand) AS BIGINT) AS n_cand FROM c),
+         |b AS (SELECT unnest(range(10)) AS bin),
+         |sh AS (SELECT CAST(b.bin AS INT) AS bin,
+         |        COALESCE(c.c_ref, 0) AS c_ref,
+         |        COALESCE(c.c_cand, 0) AS c_cand,
+         |        ${oRound("COALESCE(c.c_ref, 0) / CAST(t.n_ref AS DOUBLE)" +
+             " * 0.999 + 0.0001", 9)}
+         |          AS p_ref,
+         |        ${oRound("COALESCE(c.c_cand, 0) / CAST(t.n_cand AS DOUBLE)" +
+             " * 0.999 + 0.0001", 9)}
+         |          AS p_cand
+         |       FROM b LEFT JOIN c ON c.bin = b.bin CROSS JOIN t)
+         |SELECT bin, c_ref, c_cand, p_ref, p_cand,
+         |  ${oRound("(p_ref - p_cand) * ln(p_ref / p_cand)", 9)} AS psi_term
+         |FROM sh ORDER BY bin""".stripMargin,
     // Efraimidis–Spirakis A-ES: u from the 12-hex md5 cast (+0.5 over
     // 16^12), key = ln(u)/w; ORDER/LIMIT on the ROUNDED key + doc_id so
     // the k-boundary can never split on an engine's last ulp.

@@ -1060,6 +1060,28 @@ class QueriesSpec extends SparkSpec {
       s"selection not weight-skewed: $selMean <= $corpusMean")
   }
 
+  test("llm_drift_psi: shares sum to ~1, identical slices score ~0, planted shift fires") {
+    val rows = SparkEntry.queries("llm_drift_psi")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val (pr, pc) = (rows.map(_.getDouble(3)).sum, rows.map(_.getDouble(4)).sum)
+    assert(math.abs(pr - 1.0) < 1e-6 && math.abs(pc - 1.0) < 1e-6)
+    // counts conserve the corpus
+    val n = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == n)
+    import spark.implicits._
+    // identical distributions → PSI ≈ 0 (only smoothing-count noise)
+    val same = (0L until 700L).map(i => (i, 100L + (i % 5) * 100))
+      .toDF("doc_id", "n_chars")
+    val psiSame = graft.queries.Text.driftPsiOf(same).collect().map(_.getDouble(5)).sum
+    assert(math.abs(psiSame) < 1e-4, s"identical slices scored $psiSame")
+    // planted shift: candidate slice (id % 7 == 0) all short, rest all
+    // long → PSI far above the 0.25 alert line
+    val shifted = (0L until 700L).map(i =>
+      (i, if (i % 7 == 0) 50L else 500L)).toDF("doc_id", "n_chars")
+    val psiShift = graft.queries.Text.driftPsiOf(shifted).collect().map(_.getDouble(5)).sum
+    assert(psiShift > 0.25, s"planted shift scored only $psiShift")
+  }
+
   test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
     val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
     assert(rows.length == 64)
