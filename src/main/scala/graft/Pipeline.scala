@@ -289,6 +289,14 @@ object Pipeline {
     * frame. One two-phase count over the corpus. */
   def driftPsi(docs: DataFrame): DataFrame = Text.driftPsiOf(docs)
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the same
+    * slices — [[driftPsi]]'s binless companion: the sup-norm CDF
+    * distance with the feature value attaining it. Corpus-sized work is
+    * one two-phase count; the cumulative window runs over the bounded
+    * distinct-value frame. Returns one row (ks_d, at_x, n_ref,
+    * n_cand). */
+  def driftKs(docs: DataFrame): DataFrame = Text.driftKsOf(docs)
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * top-k by the deterministic key ln(u)/w with md5-derived u — the
     * quality-∝ corpus-subset draw. Input needs (doc_id, n_chars);

@@ -1134,7 +1134,7 @@ object SqlSurface {
     "llm_ccnet_buckets", "llm_cdc_chunks", "llm_char_entropy",
     "llm_charngram_langid", "llm_contamination", "llm_contamination_fuzzy",
     "llm_corpus_pipeline", "llm_corpus_select", "llm_dedup_incremental",
-    "llm_drift_psi",
+    "llm_drift_ks", "llm_drift_psi",
     "llm_dsir_select", "llm_html_extract", "llm_k_anon", "llm_lang_id",
     "llm_lexical_diversity", "llm_lm_bigram", "llm_lm_quality",
     "llm_lm_trigram", "llm_lsh_capped", "llm_minhash_lsh",

@@ -3370,6 +3370,52 @@ object Text {
   val llmDriftPsi: Q = (s, dir) =>
     driftPsiOf(Tables.t(s, dir, "documents").select("doc_id", "n_chars"))
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the same slices —
+    * [[driftPsiOf]]'s binless companion (PSI needs a binning choice and
+    * saturates on within-bin shifts; KS is the sup-norm CDF distance
+    * D = max_x |F_ref(x) − F_cand(x)|, sensitive to ANY location/shape
+    * shift at the feature's native resolution). Reported with the
+    * feature value attaining it (min-x tiebreak) — where the
+    * distributions diverge most, the first thing an investigation
+    * wants.
+    *
+    * Scale shape: the corpus-sized work is ONE two-phase (value ×
+    * slice) count; the cumulative window then runs over the DISTINCT-
+    * VALUE frame, whose size is bounded by the feature's domain (doc
+    * lengths, quality grades), not the corpus — the same bounded-frame
+    * argument as the per-cell threshold joins. The single-partition
+    * window is over that bounded frame only; nothing corpus-sized ever
+    * sees a global sort. D is a ratio of exact long counts, quantized
+    * at dround-9 before the argmax so both engines pick the identical
+    * attaining x. */
+  private[graft] def driftKsOf(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("n_chars").cast("long").as("x"),
+        (pmod(col("doc_id"), lit(7)) === 0).as("cand"))
+      .groupBy("x")
+      .agg(sum(when(col("cand"), 0L).otherwise(1L)).as("c_ref"),
+        sum(when(col("cand"), 1L).otherwise(0L)).as("c_cand"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("x")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = per.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cand")).as("n_cand"))
+    per
+      .select(col("x"), sum(col("c_ref")).over(w).as("cum_ref"),
+        sum(col("c_cand")).over(w).as("cum_cand"))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("n_ref"), col("n_cand"),
+        dround(abs(col("cum_ref") / col("n_ref").cast("double")
+          - col("cum_cand") / col("n_cand").cast("double")), 9).as("d"))
+      .orderBy(col("d").desc, col("x"))
+      .limit(1)
+      .select(col("d").as("ks_d"), col("x").as("at_x"),
+        col("n_ref"), col("n_cand"))
+  }
+
+  val llmDriftKs: Q = (s, dir) =>
+    driftKsOf(Tables.t(s, dir, "documents").select("doc_id", "n_chars"))
+
   /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
     * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
     * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
@@ -5344,6 +5390,7 @@ object Text {
     "llm_stratified_sample" -> llmStratifiedSample,
     "llm_weighted_sample" -> llmWeightedSample,
     "llm_drift_psi" -> llmDriftPsi,
+    "llm_drift_ks" -> llmDriftKs,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -6991,6 +7038,27 @@ object Text {
          |SELECT bin, c_ref, c_cand, p_ref, p_cand,
          |  ${oRound("(p_ref - p_cand) * ln(p_ref / p_cand)", 9)} AS psi_term
          |FROM sh ORDER BY bin""".stripMargin,
+    // Two-sample KS: cumulative window over the DISTINCT-value frame
+    // (grouped first, so RANGE-vs-ROWS default frames agree), D from
+    // exact long counts quantized before the (D desc, x) argmax.
+    "llm_drift_ks" ->
+      s"""WITH s AS (SELECT CAST(n_chars AS BIGINT) AS x,
+         |             (doc_id % 7 = 0) AS cand FROM documents),
+         |c AS (SELECT x,
+         |        CAST(SUM(CASE WHEN cand THEN 0 ELSE 1 END) AS BIGINT) AS c_ref,
+         |        CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS c_cand
+         |      FROM s GROUP BY x),
+         |t AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+         |        CAST(SUM(c_cand) AS BIGINT) AS n_cand FROM c),
+         |cum AS (SELECT x,
+         |          SUM(c_ref) OVER (ORDER BY x) AS cum_ref,
+         |          SUM(c_cand) OVER (ORDER BY x) AS cum_cand FROM c)
+         |SELECT
+         |  ${oRound("ABS(cum_ref / CAST(t.n_ref AS DOUBLE)" +
+             " - cum_cand / CAST(t.n_cand AS DOUBLE))", 9)} AS ks_d,
+         |  x AS at_x, t.n_ref, t.n_cand
+         |FROM cum CROSS JOIN t
+         |ORDER BY ks_d DESC, at_x LIMIT 1""".stripMargin,
     // Efraimidis–Spirakis A-ES: u from the 12-hex md5 cast (+0.5 over
     // 16^12), key = ln(u)/w; ORDER/LIMIT on the ROUNDED key + doc_id so
     // the k-boundary can never split on an engine's last ulp.

@@ -1082,6 +1082,31 @@ class QueriesSpec extends SparkSpec {
     assert(psiShift > 0.25, s"planted shift scored only $psiShift")
   }
 
+  test("llm_drift_ks matches a driver-side CDF scan; planted shift saturates") {
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ref = docs.filter(_._1 % 7 != 0).map(_._2)
+    val cand = docs.filter(_._1 % 7 == 0).map(_._2)
+    val xs = docs.map(_._2).distinct.sorted
+    val best = xs.map { x =>
+      val d = BigDecimal(math.abs(
+        ref.count(_ <= x).toDouble / ref.length
+          - cand.count(_ <= x).toDouble / cand.length))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (d, x)
+    }.maxBy { case (d, x) => (d, -x) }
+    val row = SparkEntry.queries("llm_drift_ks")(spark, sfDir).collect().head
+    assert((row.getDouble(0), row.getLong(1)) == best)
+    assert(row.getLong(2) == ref.length && row.getLong(3) == cand.length)
+    import spark.implicits._
+    // disjoint supports → D = 1 at the planted boundary
+    val split = (0L until 700L).map(i =>
+      (i, if (i % 7 == 0) 10L else 1000L)).toDF("doc_id", "n_chars")
+    val r2 = graft.queries.Text.driftKsOf(split).collect().head
+    assert(r2.getDouble(0) == 1.0 && r2.getLong(1) == 10L)
+  }
+
   test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
     val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
     assert(rows.length == 64)
