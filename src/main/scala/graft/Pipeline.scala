@@ -297,6 +297,12 @@ object Pipeline {
     * n_cand). */
   def driftKs(docs: DataFrame): DataFrame = Text.driftKsOf(docs)
 
+  /** Corpus snapshot diff: added/removed/changed/unchanged counts by
+    * content hash across two derived snapshots — one co-partitioned
+    * full-outer join on the doc key, so downstream stages recompute
+    * only the delta. Input needs (doc_id, text). */
+  def corpusDiff(docs: DataFrame): DataFrame = Text.corpusDiffOf(docs)
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * top-k by the deterministic key ln(u)/w with md5-derived u — the
     * quality-∝ corpus-subset draw. Input needs (doc_id, n_chars);

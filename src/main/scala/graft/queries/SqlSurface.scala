@@ -1132,6 +1132,7 @@ object SqlSurface {
     "llm_embed_quantize", "llm_hard_negatives", "llm_ivf_balance",
     "llm_knn_classify", "llm_knn_graph",
     "llm_ccnet_buckets", "llm_cdc_chunks", "llm_char_entropy",
+    "llm_corpus_diff",
     "llm_charngram_langid", "llm_contamination", "llm_contamination_fuzzy",
     "llm_corpus_pipeline", "llm_corpus_select", "llm_dedup_incremental",
     "llm_drift_ks", "llm_drift_psi",

@@ -3416,6 +3416,48 @@ object Text {
   val llmDriftKs: Q = (s, dir) =>
     driftKsOf(Tables.t(s, dir, "documents").select("doc_id", "n_chars"))
 
+  /** Corpus snapshot diff — the incremental-processing primitive for a
+    * periodically re-crawled / re-delivered corpus: classify every doc
+    * across two snapshots as added / removed / changed / unchanged by
+    * content hash, so downstream stages (dedup state, embeddings,
+    * quality scores) recompute ONLY the delta instead of the corpus
+    * (the batch analogue of [[Pipeline.incrementalDedupStream]]'s
+    * state discipline, and what drives a MERGE like `merge_upsert`).
+    *
+    * Scale shape: one full-outer equi-join on the doc key — both sides
+    * hash-partition on doc_id, co-located shuffle, no skew (keys
+    * unique per side) — comparing sha2-256 content hashes; per-row
+    * CASE classification; the summary rollup is a 4-row two-phase agg.
+    * At 100 TB the diff costs one co-partitioned join, and everything
+    * downstream scales with |delta| — the entire point.
+    *
+    * Snapshots are derived deterministically from the fixture: v1 =
+    * doc_id % 5 ≠ 4 (the docs that existed last crawl), v2 = doc_id
+    * % 5 ≠ 2 (this crawl), and v2's text is "re-extracted" with a
+    * trailing marker token for doc_id % 11 = 0 — so all four classes
+    * are genuinely populated. */
+  private[graft] def corpusDiffOf(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h1"))
+    val v2 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 2)
+      .select(col("doc_id"),
+        sha2(when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")), 256)
+          .as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("status")
+  }
+
+  val llmCorpusDiff: Q = (s, dir) =>
+    corpusDiffOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
     * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
     * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
@@ -5391,6 +5433,7 @@ object Text {
     "llm_weighted_sample" -> llmWeightedSample,
     "llm_drift_psi" -> llmDriftPsi,
     "llm_drift_ks" -> llmDriftKs,
+    "llm_corpus_diff" -> llmCorpusDiff,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -7038,6 +7081,24 @@ object Text {
          |SELECT bin, c_ref, c_cand, p_ref, p_cand,
          |  ${oRound("(p_ref - p_cand) * ln(p_ref / p_cand)", 9)} AS psi_term
          |FROM sh ORDER BY bin""".stripMargin,
+    // Snapshot diff: full-outer join of the two derived snapshots on
+    // doc_id, sha256 content compare, per-status rollup.
+    "llm_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, sha256(text) AS h1
+        |            FROM documents WHERE doc_id % 5 <> 4),
+        |v2 AS (SELECT doc_id,
+        |         sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |                ELSE text END) AS h2
+        |       FROM documents WHERE doc_id % 5 <> 2),
+        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |        CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |             WHEN v2.doc_id IS NULL THEN 'removed'
+        |             WHEN h1 = h2 THEN 'unchanged'
+        |             ELSE 'changed' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     // Two-sample KS: cumulative window over the DISTINCT-value frame
     // (grouped first, so RANGE-vs-ROWS default frames agree), D from
     // exact long counts quantized before the (D desc, x) argmax.

@@ -1107,6 +1107,28 @@ class QueriesSpec extends SparkSpec {
     assert(r2.getDouble(0) == 1.0 && r2.getLong(1) == 10L)
   }
 
+  test("llm_corpus_diff classes partition the union and match the residue rules") {
+    val n = Tables.t(spark, sfDir, "documents").count()
+    val rows = SparkEntry.queries("llm_corpus_diff")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // snapshots: v1 = id%5!=4, v2 = id%5!=2; v2 text differs at id%11==0
+    val ids = (0L until n).toSeq
+    def want(status: String) = ids.count { i =>
+      val (in1, in2, edited) = (i % 5 != 4, i % 5 != 2, i % 11 == 0)
+      status match {
+        case "added" => !in1 && in2
+        case "removed" => in1 && !in2
+        case "changed" => in1 && in2 && edited
+        case "unchanged" => in1 && in2 && !edited
+      }
+    }.toLong
+    Seq("added", "removed", "changed", "unchanged").foreach { st =>
+      assert(rows(st) == want(st), s"$st: ${rows.get(st)} vs ${want(st)}")
+    }
+    // the union of both snapshots is fully classified
+    assert(rows.values.sum == ids.count(i => i % 5 != 4 || i % 5 != 2))
+  }
+
   test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
     val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
     assert(rows.length == 64)
