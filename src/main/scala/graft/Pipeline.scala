@@ -303,6 +303,14 @@ object Pipeline {
     * only the delta. Input needs (doc_id, text). */
   def corpusDiff(docs: DataFrame): DataFrame = Text.corpusDiffOf(docs)
 
+  /** Per-source quality-score calibration (batch-effect correction):
+    * per doc, the raw quantized score plus its in-source percent rank
+    * (uniform [0,1] per source — what a per-source quota cuts at) and
+    * in-source z-score (shape-preserving). Input needs (doc_id,
+    * source, text). Per-source window + broadcast moment frame. */
+  def qualityCalibrate(docs: DataFrame): DataFrame =
+    Text.qualityCalibrateOf(docs)
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * top-k by the deterministic key ln(u)/w with md5-derived u — the
     * quality-∝ corpus-subset draw. Input needs (doc_id, n_chars);

@@ -1140,7 +1140,8 @@ object SqlSurface {
     "llm_lexical_diversity", "llm_lm_bigram", "llm_lm_quality",
     "llm_lm_trigram", "llm_lsh_capped", "llm_minhash_lsh",
     "llm_mix_weights", "llm_ngram_jaccard", "llm_ngram_novelty",
-    "llm_quality_classifier", "llm_quality_score", "llm_readability",
+    "llm_quality_calibrate", "llm_quality_classifier", "llm_quality_score",
+    "llm_readability",
     "llm_repetition", "llm_rrf_fusion", "llm_score_agreement",
     "llm_shuffle_order", "llm_simhash", "llm_simhash_neardup",
     "llm_url_dedup",

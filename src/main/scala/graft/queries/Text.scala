@@ -3458,6 +3458,59 @@ object Text {
   val llmCorpusDiff: Q = (s, dir) =>
     corpusDiffOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
+  /** Per-source score calibration — batch-effect correction before
+    * cross-source curation: a threshold on a RAW quality score silently
+    * encodes each source's score distribution (a boilerplate-heavy
+    * source scores low across the board; filtering at global 0.7 keeps
+    * none of its best docs), so mixing/filtering stages want scores
+    * made comparable WITHIN source first. Two standard normalizations,
+    * emitted side by side per doc: the in-source percent rank (rank
+    * normalization — uniform [0,1] per source, the quantile a
+    * per-source quota would cut at) and the in-source z-score (moment
+    * normalization — preserves shape, exposes outliers).
+    *
+    * Determinism/scale: the raw score is the proven [[qualityExpr]] /
+    * qualitySql pair quantized to 1e-6 longs; per-source moments are
+    * exact sums of those longs with the Σq² accumulated in
+    * decimal(38,0) (the seq_gini overflow rule — int64 dies at ~9M
+    * docs/source); the rank runs in a per-source window ordered by
+    * (qi, doc_id) — unique keys, so rank == row_number in both engines
+    * — bounded by the largest source (the CCNet-bucketing bound, never
+    * global); the #sources-row moment frame rides a broadcast join.
+    * Zero-variance sources pin z to 0 (the CASE both engines share). */
+  private[graft] def qualityCalibrateOf(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), size(col("ws")).as("n_words"),
+        size(filter(col("ws"), w => w.isin(stopEn: _*))).as("stop_hits"))
+      .select(col("doc_id"), col("source"),
+        floor(qualityExpr(col("n_words"), col("stop_hits")) * 1e6 + lit(0.5))
+          .cast("long").as("qi"))
+    val stats = scored.groupBy("source").agg(
+      count(lit(1)).as("ns"), sum(col("qi")).as("s1"),
+      sum((col("qi") * col("qi")).cast("decimal(38,0)")).as("s2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("qi", "doc_id")
+    scored.join(broadcast(stats), "source")
+      .withColumn("rnk", rank().over(w))
+      .withColumn("mu", col("s1").cast("double") / 1e6 / col("ns"))
+      .withColumn("sd", sqrt(greatest(
+        col("s2").cast("double") / 1e12 / col("ns") - col("mu") * col("mu"),
+        lit(0.0))))
+      .select(col("doc_id"), col("source"),
+        dround(col("qi").cast("double") / 1e6, 6).as("quality"),
+        dround((col("rnk") - 1).cast("double") /
+          greatest(col("ns") - 1, lit(1L)).cast("double"), 6).as("pct_src"),
+        when(col("sd") > 0,
+          dround((col("qi").cast("double") / 1e6 - col("mu")) / col("sd"), 6))
+          .otherwise(lit(0.0)).as("z_src"))
+      .orderBy("doc_id")
+  }
+
+  val llmQualityCalibrate: Q = (s, dir) =>
+    qualityCalibrateOf(Tables.t(s, dir, "documents")
+      .select("doc_id", "source", "text"))
+
   /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
     * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
     * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
@@ -5434,6 +5487,7 @@ object Text {
     "llm_drift_psi" -> llmDriftPsi,
     "llm_drift_ks" -> llmDriftKs,
     "llm_corpus_diff" -> llmCorpusDiff,
+    "llm_quality_calibrate" -> llmQualityCalibrate,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -7081,6 +7135,34 @@ object Text {
          |SELECT bin, c_ref, c_cand, p_ref, p_cand,
          |  ${oRound("(p_ref - p_cand) * ln(p_ref / p_cand)", 9)} AS psi_term
          |FROM sh ORDER BY bin""".stripMargin,
+    // Per-source calibration: quantized-long quality, exact per-source
+    // moments (Σq² in hugeint ≡ the builder's decimal(38,0)), unique
+    // (qi, doc_id) rank == row_number, zero-variance CASE.
+    "llm_quality_calibrate" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |    CAST(FLOOR((${qualitySql("text")}) * 1000000.0 + 0.5) AS BIGINT)
+         |      AS qi
+         |  FROM documents),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+         |    CAST(SUM(qi) AS BIGINT) AS s1, SUM(qi * qi) AS s2
+         |  FROM sc GROUP BY source),
+         |r AS (SELECT doc_id, source, qi,
+         |    rank() OVER (PARTITION BY source ORDER BY qi, doc_id) AS rnk
+         |  FROM sc),
+         |j AS (SELECT r.doc_id, r.source, r.qi, r.rnk, st.ns,
+         |    CAST(st.s1 AS DOUBLE) / 1000000.0 / st.ns AS mu,
+         |    sqrt(GREATEST(CAST(st.s2 AS DOUBLE) / 1000000000000.0 / st.ns
+         |      - (CAST(st.s1 AS DOUBLE) / 1000000.0 / st.ns)
+         |        * (CAST(st.s1 AS DOUBLE) / 1000000.0 / st.ns), 0.0)) AS sd
+         |  FROM r JOIN st USING (source))
+         |SELECT doc_id, source,
+         |  ${oRound("CAST(qi AS DOUBLE) / 1000000.0", 6)} AS quality,
+         |  ${oRound("CAST(rnk - 1 AS DOUBLE) / CAST(GREATEST(ns - 1, 1) AS DOUBLE)", 6)}
+         |    AS pct_src,
+         |  CASE WHEN sd > 0
+         |    THEN ${oRound("(CAST(qi AS DOUBLE) / 1000000.0 - mu) / sd", 6)}
+         |    ELSE 0.0 END AS z_src
+         |FROM j ORDER BY doc_id""".stripMargin,
     // Snapshot diff: full-outer join of the two derived snapshots on
     // doc_id, sha256 content compare, per-status rollup.
     "llm_corpus_diff" ->

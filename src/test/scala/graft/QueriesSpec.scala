@@ -1129,6 +1129,33 @@ class QueriesSpec extends SparkSpec {
     assert(rows.values.sum == ids.count(i => i % 5 != 4 || i % 5 != 2))
   }
 
+  test("llm_quality_calibrate: per-source rank spans [0,1], z matches a driver recompute") {
+    val rows = SparkEntry.queries("llm_quality_calibrate")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.size > 1, "fixture has one source; calibration untested")
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    bySrc.foreach { case (src, docs) =>
+      // rank normalization spans exactly [0, 1] within every source
+      assert(docs.map(_._4).min == 0.0 && docs.map(_._4).max == 1.0, src)
+      // z-score matches a driver-side quantized-moment recompute
+      val qis = docs.map(d => math.floor(d._3 * 1e6 + 0.5).toLong)
+      val mu = qis.sum.toDouble / 1e6 / qis.length
+      val sd = math.sqrt(math.max(
+        qis.map(q => BigInt(q) * BigInt(q)).sum.toDouble / 1e12 / qis.length
+          - mu * mu, 0.0))
+      docs.foreach { d =>
+        val want = if (sd > 0) q6((d._3 - mu) / sd) else 0.0
+        assert(d._5 == want, s"$src doc ${d._1}: ${d._5} vs $want")
+      }
+      // higher quality never ranks below lower quality within a source
+      val sorted = docs.sortBy(d => (d._3, d._1)).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b }, src)
+    }
+  }
+
   test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
     val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
     assert(rows.length == 64)
