@@ -311,6 +311,14 @@ object Pipeline {
   def qualityCalibrate(docs: DataFrame): DataFrame =
     Text.qualityCalibrateOf(docs)
 
+  /** Zipf rank-frequency fit over the top-V vocabulary: least-squares
+    * (exponent, intercept, R²) of ln(freq) on ln(rank) — natural text
+    * fits exponent ≈ 1 with high R²; template floods and synthetic
+    * spam bend it. One wordcount + a V-row regression. Input needs a
+    * text column. */
+  def zipfFit(docs: DataFrame, topV: Int = 1000): DataFrame =
+    Text.zipfFitOf(docs, topV)
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * top-k by the deterministic key ln(u)/w with md5-derived u — the
     * quality-∝ corpus-subset draw. Input needs (doc_id, n_chars);

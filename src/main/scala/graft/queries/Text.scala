@@ -3511,6 +3511,53 @@ object Text {
     qualityCalibrateOf(Tables.t(s, dir, "documents")
       .select("doc_id", "source", "text"))
 
+  /** Zipf rank-frequency fit (Zipf 1949; the corpus-linguistics
+    * diagnostic tokenizer and dedup work lean on): least-squares slope
+    * of ln(freq) on ln(rank) over the top-V vocabulary — a healthy
+    * natural corpus fits exponent ≈ 1 with high R²; template/boiler-
+    * plate floods and synthetic spam bend the curve (flat head or
+    * collapsed tail), so the (exponent, r2) pair is a cheap whole-
+    * corpus hygiene gate beside the per-doc quality family.
+    *
+    * Determinism/scale: the corpus-sized work is the standard
+    * two-phase wordcount; the top-V cut is ORDER/LIMIT
+    * (TakeOrderedAndProject heaps — never a global sort), and the
+    * rank window runs over the V-row frame only (bounded by
+    * construction). Regression sums quantize each per-row ln-product
+    * to 1e-9 longs before the exact long sum ([[dsum]]), so float
+    * summation order cannot drift between engines; the closed-form
+    * slope/intercept/R² arithmetic then runs on identical doubles. */
+  private[graft] def zipfFitOf(docs: DataFrame, topV: Int = 1000): DataFrame = {
+    val ln = (c: Column) => org.apache.spark.sql.functions.log(c)
+    val top = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topV)
+    val wR = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    val pts = top.withColumn("r", row_number().over(wR))
+      .select(ln(col("r").cast("double")).as("x"),
+        ln(col("c").cast("double")).as("y"))
+    pts
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x"), 9).as("sx"), dsum(col("y"), 9).as("sy"),
+        dsum(col("x") * col("x"), 9).as("sxx"),
+        dsum(col("x") * col("y"), 9).as("sxy"),
+        dsum(col("y") * col("y"), 9).as("syy"))
+      .withColumn("b", (col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").cast("long").as("n_fit"),
+        dround(-col("b"), 6).as("zipf_exponent"),
+        dround((col("sy") - col("b") * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        dround((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  val llmZipfFit: Q = (s, dir) =>
+    zipfFitOf(Tables.t(s, dir, "documents").select("text"))
+
   /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
     * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
     * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
@@ -5488,6 +5535,7 @@ object Text {
     "llm_drift_ks" -> llmDriftKs,
     "llm_corpus_diff" -> llmCorpusDiff,
     "llm_quality_calibrate" -> llmQualityCalibrate,
+    "llm_zipf_fit" -> llmZipfFit,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -7135,6 +7183,30 @@ object Text {
          |SELECT bin, c_ref, c_cand, p_ref, p_cand,
          |  ${oRound("(p_ref - p_cand) * ln(p_ref / p_cand)", 9)} AS psi_term
          |FROM sh ORDER BY bin""".stripMargin,
+    // Zipf fit: two-phase wordcount, top-V ORDER/LIMIT, rank window
+    // over the V-row frame, quantized regression sums, closed-form
+    // slope/intercept/R² on identical doubles.
+    "llm_zipf_fit" ->
+      s"""WITH tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  GROUP BY w ORDER BY c DESC, w LIMIT 1000),
+         |pts AS (SELECT
+         |    ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+         |    ln(CAST(c AS DOUBLE)) AS y
+         |  FROM tc),
+         |sm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${oSum("x", 9)} AS sx, ${oSum("y", 9)} AS sy,
+         |    ${oSum("x*x", 9)} AS sxx, ${oSum("x*y", 9)} AS sxy,
+         |    ${oSum("y*y", 9)} AS syy
+         |  FROM pts),
+         |bb AS (SELECT n, sx, sy, sxx, sxy, syy,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM sm)
+         |SELECT CAST(n AS BIGINT) AS n_fit,
+         |  ${oRound("-b", 6)} AS zipf_exponent,
+         |  ${oRound("(sy - b * sx) / n", 6)} AS intercept,
+         |  ${oRound("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
+             " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+         |FROM bb""".stripMargin,
     // Per-source calibration: quantized-long quality, exact per-source
     // moments (Σq² in hugeint ≡ the builder's decimal(38,0)), unique
     // (qi, doc_id) rank == row_number, zero-variance CASE.

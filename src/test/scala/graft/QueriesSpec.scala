@@ -1156,6 +1156,48 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("llm_zipf_fit matches a driver recompute; a planted power law fits cleanly") {
+    def q9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fit(pts: Seq[(Double, Double)]): (Double, Double) = {
+      val n = pts.length.toDouble
+      // mirror dsum: quantize each term to 1e-9, exact sum
+      def qs(f: ((Double, Double)) => Double) =
+        pts.map(p => math.floor(f(p) * 1e9 + 0.5).toLong).sum / 1e9
+      val (sx, sy) = (qs(_._1), qs(_._2))
+      val (sxx, sxy, syy) =
+        (qs(p => p._1 * p._1), qs(p => p._1 * p._2), qs(p => p._2 * p._2))
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val r2 = math.pow(n * sxy - sx * sy, 2) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      (q6(-b), q6(r2))
+    }
+    // fixture recompute: exact tuple match incl. the quantization grain
+    val words = Tables.t(spark, sfDir, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+    val ranked = words.groupBy(identity).map { case (w, o) => (w, o.length) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(1000)
+    val pts = ranked.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val (wantExp, wantR2) = fit(pts)
+    val row = SparkEntry.queries("llm_zipf_fit")(spark, sfDir).collect().head
+    assert(row.getLong(0) == ranked.length)
+    assert(row.getDouble(1) == wantExp && row.getDouble(3) == wantR2)
+    // planted exact power law c_r = floor(1e6 / r): exponent ~ 1, r2 ~ 1
+    import spark.implicits._
+    val zipfDocs = (1 to 200).flatMap(r =>
+      Seq.fill(1000000 / r)(s"w$r")).grouped(5000)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val p = graft.queries.Text.zipfFitOf(zipfDocs).collect().head
+    assert(math.abs(p.getDouble(1) - 1.0) < 0.01, s"exp ${p.getDouble(1)}")
+    assert(p.getDouble(3) > 0.999, s"r2 ${p.getDouble(3)}")
+    // the synthetic fixture vocabulary is deliberately NON-Zipfian —
+    // the gate reads it as such (low exponent, low r2)
+    assert(row.getDouble(1) < 0.5 && row.getDouble(3) < 0.5)
+  }
+
   test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
     val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
     assert(rows.length == 64)
