@@ -490,6 +490,42 @@ class PlanSpec extends SparkSpec {
       s"row_number window not partitioned by score bucket: $l"))
   }
 
+  test("join_fuzzy_block canonicalizes before it compares (agg below the join)") {
+    // the scale contract: the levenshtein self-join runs over the
+    // DISTINCT-name frame, so a HashAggregate must sit BELOW the join
+    // on both sides — a plan comparing raw part rows would put the
+    // (corpus x corpus-in-block) work back
+    val df = SparkEntry.queries("join_fuzzy_block")(spark, sfDir)
+    df.collect()
+    val s = planString(df)
+    val joinAt = s.linesIterator.indexWhere(l =>
+      l.contains("Join") && !l.contains("BroadcastExchange"))
+    val aggBelow = s.linesIterator.drop(joinAt + 1)
+      .exists(_.contains("HashAggregate"))
+    assert(joinAt >= 0 && aggBelow,
+      s"no aggregate below the fuzzy join:\n$s")
+  }
+
+  test("llm_weighted_sample plans a bounded top-k, never a global sort") {
+    val df = SparkEntry.queries("llm_weighted_sample")(spark, sfDir)
+    assert(planString(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("drift windows run over aggregated frames, not the corpus") {
+    // llm_drift_ks's cumulative window and llm_zipf_fit's rank window
+    // are single-partition BY DESIGN — legal only because their input
+    // is the grouped distinct-value / top-V frame. A lost groupBy
+    // (window directly over the scan) is the scale bug this pins.
+    Seq("llm_drift_ks", "llm_zipf_fit").foreach { name =>
+      val s = planString(SparkEntry.queries(name)(spark, sfDir))
+      val lines = s.linesIterator.toSeq
+      val winAt = lines.indexWhere(l => l.contains("Window ["))
+      val aggBelow = lines.drop(winAt + 1).exists(_.contains("HashAggregate"))
+      assert(winAt >= 0 && aggBelow,
+        s"$name: window not over an aggregated frame:\n$s")
+    }
+  }
+
   test("no registered query plans an accidental cartesian product") {
     // join_cross IS a cartesian product by design (guarded dims-only).
     val intentional = Set("join_cross")
