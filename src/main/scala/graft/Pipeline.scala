@@ -319,6 +319,22 @@ object Pipeline {
   def zipfFit(docs: DataFrame, topV: Int = 1000): DataFrame =
     Text.zipfFitOf(docs, topV)
 
+  /** Heaps'-law vocabulary-growth fit — the companion gate to
+    * [[zipfFit]]: least-squares β of ln(vocab) on ln(tokens) at nCkpt
+    * integer-exact corpus prefixes. Natural text fits β ≈ 0.4–0.8 at
+    * high R²; β near 0 = closed template vocabulary, near 1 = token
+    * soup. Input needs (doc_id, text); wordcount-shaped shuffles plus
+    * an nCkpt-row regression frame. */
+  def heapsLaw(docs: DataFrame, nCkpt: Int = 16): DataFrame =
+    Text.heapsLawOf(docs, nCkpt)
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023): water-fill a
+    * token budget across languages under a per-language epoch cap —
+    * closed-form threshold on the k-language frame, no iteration.
+    * Input needs (lang, text); returns per-language allocation,
+    * epochs, and the capped flag. */
+  def unimax(docs: DataFrame): DataFrame = Text.unimaxOf(docs)
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * top-k by the deterministic key ln(u)/w with md5-derived u — the
     * quality-∝ corpus-subset draw. Input needs (doc_id, n_chars);

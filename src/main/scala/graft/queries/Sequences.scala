@@ -548,7 +548,70 @@ object Sequences {
       .orderBy("event_type")
   }
 
+  /** Kaplan–Meier survival + Nelson–Aalen cumulative hazard for
+    * time-to-conversion (Kaplan & Meier 1958; Aalen 1978) — the
+    * attribution-window statistic product analytics runs daily: per
+    * user, hours from first event to first `purchase`, observed inside
+    * a 48-hour horizon; a user whose first purchase falls outside it
+    * (or never happens) is RIGHT-CENSORED at the horizon — their true
+    * conversion time is only known to exceed 48 h, so dropping them
+    * would bias survival down and counting them as converted would
+    * bias it up; handling that is the whole point of KM.
+    * S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ): dᵢ conversions at hour tᵢ, nᵢ
+    * at-risk (observed time ≥ tᵢ, censored included until the horizon
+    * — the deaths-before-censorings tie convention).
+    *
+    * Scale/determinism: corpus-sized work is ONE per-user min/
+    * min-conditional agg; everything after runs on the hour frame,
+    * bounded by the horizon (49 rows) at ANY user count. The at-risk
+    * suffix sum, the hazard cumulation, and the log-survival
+    * cumulation are windows over that bounded frame; log terms
+    * quantize to 1e-9 longs before the exact long cumsum (the
+    * [[graft.queries.dsum]] rule) so float order cannot drift, and a
+    * d = n terminal row (survival exactly 0) short-circuits BEFORE
+    * ln(0) — both engines would otherwise cast ±∞ differently. */
+  val seqSurvival: Q = (s, dir) => {
+    val HourUs = 3600L * 1000000L
+    val horizon = 48L
+    val per = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(min(col("tsu")).as("f"),
+        min(when(col("event_type") === "purchase", col("tsu"))).as("p"))
+    val byDur = per
+      .withColumn("pd", expr(s"(p - f) DIV $HourUs"))
+      .withColumn("cen", col("pd").isNull || col("pd") >= horizon)
+      .withColumn("dur", when(col("cen"), lit(horizon)).otherwise(col("pd")))
+      .groupBy("dur")
+      .agg(sum(when(!col("cen"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("cen"), 1L).otherwise(0L)).as("c"))
+    val wSfx = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n", sum(col("d") + col("c")).over(wSfx))
+      .withColumn("term", when(col("d") > 0 && col("d") < col("n"),
+        log(lit(1.0) - col("d").cast("double") / col("n").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("ql", sum(floor(col("term") * 1e9 + lit(0.5))
+        .cast("long")).over(wCum))
+      .withColumn("hz", max(when(col("d") === col("n"), 1).otherwise(0))
+        .over(wCum))
+      .withColumn("qh", sum(floor(col("d").cast("double")
+        / col("n").cast("double") * 1e9 + lit(0.5)).cast("long")).over(wCum))
+      .select(col("dur").as("dur_hours"), col("n").as("n_risk"),
+        col("d").as("d_converted"), col("c").as("c_censored"),
+        when(col("hz") === 1, lit(0.0))
+          .otherwise(dround(exp(col("ql").cast("double") / 1e9), 6))
+          .as("km_survival"),
+        dround(col("qh").cast("double") / 1e9, 6).as("na_cum_hazard"))
+      .orderBy("dur_hours")
+  }
+
   val queries: Map[String, Q] = Map(
+    "seq_survival" -> seqSurvival,
     "seq_burstiness" -> seqBurstiness,
     "seq_gini" -> seqGini,
     "seq_user_surprise" -> seqUserSurprise,
@@ -567,6 +630,53 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // KM/NA: one per-user min/max agg, then suffix/cumulative windows
+    // over the bounded lifetime-day frame; 1e-9-quantized log/hazard
+    // cumsums, d = n short-circuited before ln(0).
+    "seq_survival" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type
+         |  FROM events),
+         |per AS (SELECT user_id, MIN(tsu) AS f,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN tsu END) AS p
+         |  FROM e GROUP BY user_id),
+         |u0 AS (SELECT (p - f) // 3600000000 AS pd FROM per),
+         |u AS (SELECT pd IS NULL OR pd >= 48 AS cen,
+         |    CASE WHEN pd IS NULL OR pd >= 48 THEN 48 ELSE pd END AS dur
+         |  FROM u0),
+         |dd AS (SELECT dur,
+         |    CAST(SUM(CASE WHEN NOT cen THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |    CAST(SUM(CASE WHEN cen THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM u GROUP BY dur),
+         |r AS (SELECT dur, d, c,
+         |    CAST(SUM(d + c) OVER (ORDER BY dur
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         |      AS n
+         |  FROM dd),
+         |t AS (SELECT r.*,
+         |    CASE WHEN d > 0 AND d < n
+         |      THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+         |      ELSE 0.0 END AS term,
+         |    CASE WHEN d = n THEN 1 ELSE 0 END AS z
+         |  FROM r),
+         |cum AS (SELECT t.*,
+         |    CAST(SUM(CAST(FLOOR(term * 1000000000.0 + 0.5) AS BIGINT))
+         |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |        CURRENT ROW) AS BIGINT) AS ql,
+         |    MAX(z) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS hz,
+         |    CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * 1000000000.0 + 0.5) AS BIGINT))
+         |      OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |        CURRENT ROW) AS BIGINT) AS qh
+         |  FROM t)
+         |SELECT dur AS dur_hours, n AS n_risk, d AS d_converted,
+         |  c AS c_censored,
+         |  CASE WHEN hz = 1 THEN 0.0
+         |    ELSE ${oRound("exp(CAST(ql AS DOUBLE) / 1000000000.0)", 6)}
+         |    END AS km_survival,
+         |  ${oRound("CAST(qh AS DOUBLE) / 1000000000.0", 6)}
+         |    AS na_cum_hazard
+         |FROM cum ORDER BY dur_hours""".stripMargin,
     // Same (user, type) lag gaps in integer seconds; exact moments,
     // identical IEEE cv chain.
     "seq_burstiness" ->

@@ -3558,6 +3558,130 @@ object Text {
   val llmZipfFit: Q = (s, dir) =>
     zipfFitOf(Tables.t(s, dir, "documents").select("text"))
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978) — the companion
+    * diagnostic to [[zipfFitOf]]: V(N) ≈ K·N^β, the sub-linear growth
+    * of distinct vocabulary V with corpus tokens N. A healthy natural
+    * corpus fits β ≈ 0.4–0.8 with high R²; β near 0 flags a closed
+    * template vocabulary (boilerplate floods), β near 1 flags
+    * near-random token soup — either way the corpus needs a look
+    * before tokenizer training trusts it.
+    *
+    * Measured at `nCkpt` corpus prefixes in doc_id order. The bucket of
+    * a doc is integer-exact ceil-division ⌈nCkpt·(doc_id+1)/M⌉ (M =
+    * max doc_id + 1), so both engines bucket identically with no float
+    * boundary risk. V at a checkpoint counts words whose FIRST carrier
+    * doc falls at or before it — a word→min(doc_id) agg, the same
+    * wordcount shuffle shape as [[zipfFitOf]]; N is the doc-level
+    * token sum per bucket. Cumulation and the ln-ln least-squares fit
+    * run over the nCkpt-row frame only (bounded by construction), with
+    * regression sums quantized to 1e-9 longs ([[dsum]]) so float
+    * summation order cannot drift between engines. */
+  private[graft] def heapsLawOf(docs: DataFrame, nCkpt: Int = 16): DataFrame = {
+    val ln = (c: Column) => org.apache.spark.sql.functions.log(c)
+    val m = docs.agg((max(col("doc_id")) + 1).as("m"))
+    val docTok = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .crossJoin(broadcast(m))
+      .withColumn("bkt", expr(s"CAST(((doc_id + 1) * $nCkpt + m - 1) DIV m AS INT)"))
+      .groupBy("bkt").agg(sum(col("nt")).as("toks"))
+    val newWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(m))
+      .withColumn("bkt", expr(s"CAST(((fd + 1) * $nCkpt + m - 1) DIV m AS INT)"))
+      .groupBy("bkt").agg(count(lit(1)).as("nw"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pts = docTok.join(newWords, Seq("bkt"), "left")
+      .withColumn("n_cum", sum(col("toks")).over(wC))
+      .withColumn("v_cum", sum(coalesce(col("nw"), lit(0L))).over(wC))
+      .select(ln(col("n_cum").cast("double")).as("x"),
+        ln(col("v_cum").cast("double")).as("y"),
+        col("n_cum"), col("v_cum"))
+    pts
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x"), 9).as("sx"), dsum(col("y"), 9).as("sy"),
+        dsum(col("x") * col("x"), 9).as("sxx"),
+        dsum(col("x") * col("y"), 9).as("sxy"),
+        dsum(col("y") * col("y"), 9).as("syy"),
+        max(col("n_cum")).as("tokens_total"),
+        max(col("v_cum")).as("vocab_total"))
+      .withColumn("b", (col("n") * col("sxy") - col("sx") * col("sy"))
+        / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").cast("long").as("n_fit"),
+        dround(col("b"), 6).as("heaps_beta"),
+        dround((col("sy") - col("b") * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        dround((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy"))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
+        col("tokens_total"), col("vocab_total"))
+  }
+
+  val llmHeapsLaw: Q = (s, dir) =>
+    heapsLawOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023): distribute a
+    * token budget B across languages by water-filling under a per-
+    * language epoch cap — every language gets the uniform threshold τ
+    * unless its cap (epochCap × its tokens) is below τ, in which case
+    * it is fully capped; τ solves Σ min(cap_i, τ) = B. Fairer than the
+    * temperature mixing of [[mixWeightsOf]] for low-resource languages
+    * (no head language starves the tail, no tail language over-epochs).
+    *
+    * Closed form, no iteration: sort languages by cap ascending; at
+    * rank j the candidate τ_j = (B − Σ_{i<j} cap_i)/(k−j+1), and the
+    * active segment is the FIRST j with τ_j ≤ cap_j (all earlier
+    * languages capped, the rest share τ_{j*}).
+    *
+    * Determinism/scale: the corpus-sized work is one two-phase
+    * token-count agg on lang; caps, prefix sums and B are exact longs
+    * (budget 1.5×total as total·3 DIV 2, epoch cap ×2 integer), τ is a
+    * ratio of exact longs evaluated identically in both engines; the
+    * sort/rank/prefix windows run over the k-language frame only
+    * (bounded by language inventory, ~10² at any corpus size). */
+  private[graft] def unimaxOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * 2)
+    val tot = per.agg(sum(col("n_tokens")).as("tot"),
+      sum(col("cap")).as("totcap"), count(lit(1)).as("k"))
+    val wR = Window.orderBy(col("cap"), col("lang"))
+    val wAll = Window.orderBy(col("cap"), col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", least(col("totcap"), expr("(tot * 3) DIV 2")))
+      .withColumn("j", row_number().over(wR))
+      .withColumn("pfx", sum(col("cap")).over(
+        wR.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("tau_j",
+        (col("budget") - coalesce(col("pfx"), lit(0L))).cast("double")
+          / (col("k") - col("j") + 1).cast("double"))
+      .withColumn("jstar", min(when(col("tau_j") <= col("cap").cast("double"),
+        col("j"))).over(wAll))
+      .withColumn("tau", max(when(col("j") === col("jstar"), col("tau_j")))
+        .over(wAll))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("cap")
+          .as("cap_tokens"),
+        (col("jstar").isNotNull && col("j") < col("jstar")).as("capped"),
+        dround(when(col("jstar").isNotNull && col("j") < col("jstar"),
+          col("cap").cast("double")).otherwise(
+          coalesce(col("tau"), col("cap").cast("double"))), 4)
+          .as("alloc_tokens"),
+        dround(when(col("jstar").isNotNull && col("j") < col("jstar"),
+          col("cap").cast("double")).otherwise(
+          coalesce(col("tau"), col("cap").cast("double")))
+          / col("n_tokens").cast("double"), 6).as("epochs_alloc"))
+      .orderBy("lang")
+  }
+
+  val llmUnimax: Q = (s, dir) =>
+    unimaxOf(Tables.t(s, dir, "documents").select("lang", "text"))
+
   /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
     * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
     * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
@@ -5536,6 +5660,8 @@ object Text {
     "llm_corpus_diff" -> llmCorpusDiff,
     "llm_quality_calibrate" -> llmQualityCalibrate,
     "llm_zipf_fit" -> llmZipfFit,
+    "llm_heaps_law" -> llmHeapsLaw,
+    "llm_unimax" -> llmUnimax,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -7207,6 +7333,87 @@ object Text {
          |  ${oRound("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
              " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
          |FROM bb""".stripMargin,
+    // Heaps fit: integer-exact ceil-division checkpoint buckets,
+    // word→min(doc) first-occurrence agg, cumulation + quantized
+    // regression over the 16-row checkpoint frame only.
+    "llm_heaps_law" ->
+      s"""WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+         |dt AS (SELECT CAST(((doc_id + 1) * 16 + m - 1) // m AS INT) AS bkt,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         |  FROM documents, m),
+         |tk AS (SELECT bkt, CAST(SUM(nt) AS BIGINT) AS toks
+         |  FROM dt GROUP BY bkt),
+         |fw AS (SELECT w, MIN(doc_id) AS fd
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t
+         |  GROUP BY w),
+         |nw AS (SELECT CAST(((fd + 1) * 16 + m - 1) // m AS INT) AS bkt,
+         |    CAST(COUNT(*) AS BIGINT) AS nw
+         |  FROM fw, m GROUP BY 1),
+         |cum AS (SELECT tk.bkt,
+         |    CAST(SUM(tk.toks) OVER (ORDER BY tk.bkt
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS n_cum,
+         |    CAST(SUM(COALESCE(nw.nw, 0)) OVER (ORDER BY tk.bkt
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS v_cum
+         |  FROM tk LEFT JOIN nw ON nw.bkt = tk.bkt),
+         |pts AS (SELECT ln(CAST(n_cum AS DOUBLE)) AS x,
+         |    ln(CAST(v_cum AS DOUBLE)) AS y, n_cum, v_cum FROM cum),
+         |sm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${oSum("x", 9)} AS sx, ${oSum("y", 9)} AS sy,
+         |    ${oSum("x*x", 9)} AS sxx, ${oSum("x*y", 9)} AS sxy,
+         |    ${oSum("y*y", 9)} AS syy,
+         |    CAST(MAX(n_cum) AS BIGINT) AS tokens_total,
+         |    CAST(MAX(v_cum) AS BIGINT) AS vocab_total
+         |  FROM pts),
+         |bb AS (SELECT sm.*,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM sm)
+         |SELECT CAST(n AS BIGINT) AS n_fit,
+         |  ${oRound("b", 6)} AS heaps_beta,
+         |  ${oRound("(sy - b * sx) / n", 6)} AS intercept,
+         |  ${oRound("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
+             " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2,
+         |  tokens_total, vocab_total
+         |FROM bb""".stripMargin,
+    // UniMax water-filling: exact-long caps/prefix sums/budget, τ as a
+    // ratio of exact longs, rank/threshold windows over the k-language
+    // frame only.
+    "llm_unimax" ->
+      s"""WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |c AS (SELECT lang, n_docs, n_tokens, n_tokens * 2 AS cap FROM per),
+         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+         |    CAST(SUM(cap) AS BIGINT) AS totcap,
+         |    CAST(COUNT(*) AS BIGINT) AS k FROM c),
+         |r AS (SELECT c.lang, c.n_docs, c.n_tokens, c.cap, t.k,
+         |    LEAST(t.totcap, (t.tot * 3) // 2) AS budget,
+         |    row_number() OVER (ORDER BY c.cap, c.lang) AS j,
+         |    COALESCE(CAST(SUM(c.cap) OVER (ORDER BY c.cap, c.lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS pfx
+         |  FROM c, t),
+         |s AS (SELECT r.*,
+         |    CAST(budget - pfx AS DOUBLE) / CAST(k - j + 1 AS DOUBLE) AS tau_j
+         |  FROM r),
+         |g AS (SELECT s.*,
+         |    MIN(CASE WHEN tau_j <= CAST(cap AS DOUBLE) THEN j END) OVER ()
+         |      AS jstar
+         |  FROM s),
+         |h AS (SELECT g.*,
+         |    MAX(CASE WHEN j = jstar THEN tau_j END) OVER () AS tau FROM g)
+         |SELECT lang, n_docs, n_tokens, cap AS cap_tokens,
+         |  (jstar IS NOT NULL AND j < jstar) AS capped,
+         |  ${oRound("CASE WHEN jstar IS NOT NULL AND j < jstar" +
+             " THEN CAST(cap AS DOUBLE)" +
+             " ELSE COALESCE(tau, CAST(cap AS DOUBLE)) END", 4)}
+         |    AS alloc_tokens,
+         |  ${oRound("(CASE WHEN jstar IS NOT NULL AND j < jstar" +
+             " THEN CAST(cap AS DOUBLE)" +
+             " ELSE COALESCE(tau, CAST(cap AS DOUBLE)) END)" +
+             " / CAST(n_tokens AS DOUBLE)", 6)} AS epochs_alloc
+         |FROM h ORDER BY lang""".stripMargin,
     // Per-source calibration: quantized-long quality, exact per-source
     // moments (Σq² in hugeint ≡ the builder's decimal(38,0)), unique
     // (qi, doc_id) rank == row_number, zero-variance CASE.

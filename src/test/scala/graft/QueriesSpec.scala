@@ -1198,6 +1198,77 @@ class QueriesSpec extends SparkSpec {
     assert(row.getDouble(1) < 0.5 && row.getDouble(3) < 0.5)
   }
 
+  test("llm_heaps_law matches a driver recompute; a planted growth law fits") {
+    val row = SparkEntry.queries("llm_heaps_law")(spark, sfDir).collect().head
+    // fixture recompute at the same integer-exact checkpoint buckets
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val m = docs.map(_._1).max + 1
+    def bkt(d: Long): Int = (((d + 1) * 16 + m - 1) / m).toInt
+    val toks = docs.groupBy(d => bkt(d._1)).view
+      .mapValues(_.map(_._2.length.toLong).sum).toMap
+    val firstDoc = docs.flatMap { case (d, ws) => ws.map(_ -> d) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val nw = firstDoc.values.groupBy(bkt).view.mapValues(_.size.toLong).toMap
+    val bkts = toks.keys.toSeq.sorted
+    val pts = bkts.scanLeft((0L, 0L)) { case ((nC, vC), b) =>
+      (nC + toks(b), vC + nw.getOrElse(b, 0L)) }.drop(1)
+      .map { case (nC, vC) => (math.log(nC.toDouble), math.log(vC.toDouble)) }
+    def qs(f: ((Double, Double)) => Double) =
+      pts.map(p => math.floor(f(p) * 1e9 + 0.5).toLong).sum / 1e9
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = pts.length.toDouble
+    val (sx, sy) = (qs(_._1), qs(_._2))
+    val (sxx, sxy) = (qs(p => p._1 * p._1), qs(p => p._1 * p._2))
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getLong(0) == pts.length)
+    assert(row.getDouble(1) == q6(b))
+    assert(row.getLong(4) == toks.values.sum) // tokens_total
+    assert(row.getLong(5) == firstDoc.size) // vocab_total
+    // planted V(N) = ceil(N^0.6): token i is word ceil(i^0.6), so the
+    // fit must recover beta ~ 0.6 with near-perfect R^2
+    import spark.implicits._
+    val planted = (1 to 50000)
+      .map(i => s"w${math.ceil(math.pow(i, 0.6)).toLong}")
+      .grouped(500).zipWithIndex
+      .map { case (ws, d) => (d.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val p = graft.queries.Text.heapsLawOf(planted).collect().head
+    assert(math.abs(p.getDouble(1) - 0.6) < 0.03, s"beta ${p.getDouble(1)}")
+    assert(p.getDouble(3) > 0.999, s"r2 ${p.getDouble(3)}")
+    // the synthetic fixture vocabulary is closed (~31 words) — the gate
+    // reads it as a template flood: beta pinned to the floor
+    assert(row.getDouble(1) < 0.05)
+  }
+
+  test("llm_unimax: water-filling conserves the budget and honors caps") {
+    val rows = SparkEntry.queries("llm_unimax")(spark, sfDir).collect()
+    val perLang = Tables.t(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1).split(" ").length.toLong).sum).toMap
+    assert(rows.map(_.getString(0)).toSet == perLang.keySet)
+    val tot = perLang.values.sum
+    val budget = math.min(2 * tot, tot * 3 / 2).toDouble
+    rows.foreach { r =>
+      val (lang, nTok, cap) = (r.getString(0), r.getLong(2), r.getLong(3))
+      assert(nTok == perLang(lang) && cap == 2 * nTok)
+      val alloc = r.getDouble(5)
+      assert(alloc <= cap + 1e-4, s"$lang alloc $alloc > cap $cap")
+      if (r.getBoolean(4)) assert(alloc == cap.toDouble, s"$lang capped")
+      assert(math.abs(r.getDouble(6) - alloc / nTok) < 1e-4)
+    }
+    // water-filling exactness: total allocation hits the budget (each
+    // alloc carries at most the 1e-4 dround grain)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - budget)
+      < 1e-3 * rows.length, s"sum ${rows.map(_.getDouble(5)).sum} vs $budget")
+    // uncapped languages all share one threshold
+    val taus = rows.filter(!_.getBoolean(4)).map(_.getDouble(5)).distinct
+    assert(taus.length <= 1)
+  }
+
   test("llm_embed_clip: per-dim winsor bounds hold their tail contracts") {
     val rows = SparkEntry.queries("llm_embed_clip")(spark, sfDir).collect()
     assert(rows.length == 64)

@@ -58,10 +58,15 @@ class ScaleCurveProbeSpec extends SparkSpec {
   // equi-shuffle over the token stream — a regression that loses the
   // (doc_id, pos) join key (e.g. a cross-doc pairing) turns a round
   // quadratic and trips this curve first.
+  // llm_heaps_law (r17): the first-occurrence agg is wordcount-shaped
+  // and every window runs over the fixed 16-checkpoint frame — a lost
+  // checkpoint bucketing (window straight over the word stream) would
+  // single-partition the corpus and trip this curve first.
   Seq("llm_dedup_cc", "llm_semdedup_cc", "llm_ngram_jaccard",
       "llm_ann_ivf", "llm_ann_pq", "llm_ann_ivfpq",
       "llm_cluster_sample", "join_range_bin",
-      "llm_suffix_dedup", "llm_suffix_scrub").foreach { name =>
+      "llm_suffix_dedup", "llm_suffix_scrub",
+      "llm_heaps_law").foreach { name =>
     test(s"$name grows sub-quadratically over the 10x corpus step") {
       assume(!skip, "SPARK_GRAFT_SKIP_SCALE_PROBE=1")
       val lo = minTime(name, loDir)

@@ -270,4 +270,46 @@ class SequenceSpec extends SparkSpec {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(rows.map(_.getLong(2)).sum == expected)
   }
+
+  test("seq_survival: KM curve matches a driver replay and holds its laws") {
+    val rows = SparkEntry.queries("seq_survival")(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    // driver replay: per-user first event / first purchase, 48h horizon
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val f = es.map(_._2).min
+      val p = es.filter(_._3 == "purchase").map(_._2).minOption
+      val pd = p.map(t => (t - f) / 3600000000L)
+      pd.filter(_ < 48).map(d => (d, false)).getOrElse((48L, true))
+    }.toSeq
+    val byDur = perUser.groupBy(_._1).view.mapValues { us =>
+      (us.count(!_._2).toLong, us.count(_._2).toLong) }.toMap
+    val durs = byDur.keys.toSeq.sorted
+    assert(rows.map(_.getLong(0)).toSeq == durs)
+    // at-risk is the suffix population; survival replays the quantized
+    // log-product; hazard the quantized d/n cumsum
+    var (ql, qh) = (0L, 0L)
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    durs.zip(rows).foreach { case (t, r) =>
+      val (d, c) = byDur(t)
+      val n = durs.filter(_ >= t).map(u => byDur(u)._1 + byDur(u)._2).sum
+      assert(r.getLong(1) == n && r.getLong(2) == d && r.getLong(3) == c)
+      if (d > 0 && d < n)
+        ql += math.floor(math.log(1.0 - d.toDouble / n) * 1e9 + 0.5).toLong
+      qh += math.floor(d.toDouble / n * 1e9 + 0.5).toLong
+      assert(r.getDouble(4) == q6(math.exp(ql / 1e9)), s"S($t)")
+      assert(r.getDouble(5) == q6(qh / 1e9), s"H($t)")
+    }
+    // KM laws: survival non-increasing from 1-step, hazard non-decreasing
+    val surv = rows.map(_.getDouble(4))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 })
+    val haz = rows.map(_.getDouble(5))
+    assert(haz.zip(haz.tail).forall { case (a, b) => b >= a - 1e-12 })
+    // both arms of censoring are exercised on the fixture
+    assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(3)).sum > 0)
+  }
 }
