@@ -72,6 +72,71 @@ object Graph {
     ranks.orderBy("doc_id")
   }
 
+  /** 3-iteration HITS hubs & authorities (Kleinberg JACM 1999) over the
+    * same md5-derived directed doc graph — the OTHER classic link
+    * fixed-point beside [[pagerank]]: a_k(v) = Σ_{u→v} h_{k-1}(u),
+    * h_k(u) = Σ_{u→v} a_k(v), reported L2-normalized.
+    *
+    * Two deliberate shape choices, both scale-driven:
+    *  - NO intermediate normalization: per-iteration renorm references
+    *    each frame twice (value + norm agg) and doubles the logical
+    *    plan per step — the catalogued PCA in-plan-iteration pathology.
+    *    Unnormalized values stay bounded by (out-degree)^(2k) = 3^6 at
+    *    k = 3, so doubles are nowhere near trouble and each step
+    *    references its predecessor ONCE (linear plan, the pagerank
+    *    loop shape).
+    *  - Final L2 norms quantize at grain 1e-2 (not the usual 1e-6):
+    *    the per-row quantized long is a²·10², so the exact long sum
+    *    holds past 10⁹ nodes at these degree bounds where grain 1e-6
+    *    would overflow at ~10⁷; the norm is ~√(Σ≈n·10⁵), where 1e-2
+    *    absolute is ~1e-14 relative — far inside the 1e-9 output
+    *    rounding. Per-iteration group sums stay at grain 1e-6: a
+    *    group's sum is bounded by degree·3^6, never corpus-sized.
+    *
+    * Scale shape: each half-step is one equi-join of the static edge
+    * list with the current score vector plus one two-phase groupBy —
+    * O(|E|/cores) per round, nothing driver-side; the final norm frame
+    * is one broadcast row. */
+  val hits: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val base = ids.crossJoin(broadcast(nDf))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = base
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager: 6 consumers below race the cache otherwise
+    var hub = base.select(col("doc_id"), lit(1.0).as("h"))
+    var auth: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 3) {
+      auth = base.join(
+        edges.join(hub.select(col("doc_id").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(dsum(col("h"), 6).as("sa")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("sa"), lit(0.0)).as("a"))
+      hub = base.join(
+        edges.join(auth.select(col("doc_id").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(dsum(col("a"), 6).as("sh")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("sh"), lit(0.0)).as("h"))
+    }
+    val joined = auth.join(hub, "doc_id")
+    val norms = joined.agg(
+      sqrt(dsum(col("a") * col("a"), 2)).as("na"),
+      sqrt(dsum(col("h") * col("h"), 2)).as("nh"))
+    joined.crossJoin(broadcast(norms))
+      .select(col("doc_id"),
+        dround(col("a") / col("na"), 9).as("authority"),
+        dround(col("h") / col("nh"), 9).as("hub"))
+      .orderBy("doc_id")
+  }
+
   /** Per-node triangle counts over the undirected closure of the same
     * md5 link graph — the standard compact-forward/ordered-join
     * algorithm (Schank & Wagner 2005; the MapReduce formulation in Suri
@@ -315,6 +380,7 @@ object Graph {
   }
 
   val queries: Map[String, Q] = Map(
+    "graph_hits" -> hits,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "graph_linkpred" -> linkpred,
@@ -322,6 +388,22 @@ object Graph {
     "graph_kcore" -> kcore,
     "graph_bfs" -> bfs
   )
+
+  private def hitsAuthSql(prevH: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT i.doc_id, COALESCE(s.sa, 0.0) AS a
+       |  FROM ids i LEFT JOIN (
+       |    SELECT e.dst AS doc_id, ${oSum("h.h", 6)} AS sa
+       |    FROM edges e JOIN $prevH h ON h.doc_id = e.src
+       |    GROUP BY e.dst) s ON s.doc_id = i.doc_id)""".stripMargin
+
+  private def hitsHubSql(prevA: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT i.doc_id, COALESCE(s.sh, 0.0) AS h
+       |  FROM ids i LEFT JOIN (
+       |    SELECT e.src AS doc_id, ${oSum("a.a", 6)} AS sh
+       |    FROM edges e JOIN $prevA a ON a.doc_id = e.dst
+       |    GROUP BY e.src) s ON s.doc_id = i.doc_id)""".stripMargin
 
   private def iterSql(prev: String, cur: String): String =
     s"""$cur AS MATERIALIZED (
@@ -487,6 +569,30 @@ object Graph {
          |SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM tris, unnest([a, b, c]) AS u(v)
          |GROUP BY v ORDER BY doc_id""".stripMargin,
+    // HITS: same edge CTE, 3 unrolled auth/hub half-step pairs (each
+    // MATERIALIZED — every frame is referenced by the next half-step AND
+    // the final join), grain-2 norm sums, grain-9 normalized output.
+    "graph_hits" -> {
+      val steps = (1 to 3).flatMap(k => Seq(
+        hitsAuthSql(s"h${k - 1}", s"a$k"),
+        hitsHubSql(s"a$k", s"h$k"))).mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |edges AS MATERIALIZED (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |h0 AS (SELECT doc_id, 1.0 AS h FROM ids),
+         |$steps,
+         |j AS MATERIALIZED (SELECT a3.doc_id, a3.a, h3.h
+         |  FROM a3 JOIN h3 USING (doc_id)),
+         |nrm AS (SELECT sqrt(${oSum("a*a", 2)}) AS na,
+         |    sqrt(${oSum("h*h", 2)}) AS nh FROM j)
+         |SELECT doc_id, ${oRound("a/na", 9)} AS authority,
+         |  ${oRound("h/nh", 9)} AS hub
+         |FROM j, nrm ORDER BY doc_id""".stripMargin
+    },
     "graph_pagerank" -> {
       val iters = (1 to Iterations)
         .map(k => iterSql(s"r${k - 1}", s"r$k")).mkString(",\n")

@@ -610,7 +610,52 @@ object Sequences {
       .orderBy("dur_hours")
   }
 
+  /** Cohort lifetime-value curves — the revenue companion to
+    * [[seqRetention]]'s activity counts: users cohorted by first-seen
+    * week, purchase value accumulated by cohort age in weeks, reported
+    * as cumulative LTV per cohort user. The curve family (one per
+    * cohort) is what growth analytics reads payback periods and
+    * cohort-quality drift from; a later cohort whose curve flattens
+    * earlier is the canonical product-regression smell.
+    *
+    * Scale/determinism: purchase values quantize to exact cents
+    * (floor(v·100+0.5) longs) BEFORE any summation, so the per-cell
+    * totals are exact integers in both engines; corpus-sized work is
+    * one (user, week) purchase agg + the user-keyed cohort equi-join
+    * (standard shuffle shapes); the cumulation window partitions by
+    * cohort over the (cohorts × ages) frame — bounded by the corpus
+    * time span squared at ANY user count. Sparse cells (no purchases
+    * for a cohort-age) stay absent; the cumulative sum is over
+    * present cells ≤ age, identical in both engines. */
+  val seqCohortLtv: Q = (s, dir) => {
+    val WeekUs = 7L * 86400L * 1000000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("wk"),
+        col("event_type"), col("value"))
+    val cohort = e.groupBy("user_id").agg(min(col("wk")).as("cw"))
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+    val buys = e.filter(col("event_type") === "purchase")
+      .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .groupBy("user_id", "wk").agg(sum(col("cents")).as("cents"))
+    val wCum = Window.partitionBy("cw").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buys.join(cohort, "user_id")
+      .withColumn("age", col("wk") - col("cw"))
+      .groupBy("cw", "age")
+      .agg(sum(col("cents")).as("cell_cents"),
+        count(lit(1)).as("n_buyers"))
+      .withColumn("cum_cents", sum(col("cell_cents")).over(wCum))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").as("cohort_week"), col("age").as("age_weeks"),
+        col("n_cohort"), col("n_buyers"),
+        (col("cum_cents").cast("double") / 100).as("cum_value"),
+        dround(col("cum_cents").cast("double") / 100
+          / col("n_cohort").cast("double"), 6).as("ltv_per_user"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
   val queries: Map[String, Q] = Map(
+    "seq_cohort_ltv" -> seqCohortLtv,
     "seq_survival" -> seqSurvival,
     "seq_burstiness" -> seqBurstiness,
     "seq_gini" -> seqGini,
@@ -630,6 +675,34 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Cohort LTV: exact-cents quantization before summation, user-keyed
+    // cohort join, per-cohort cumulation over the bounded (cohort, age)
+    // frame.
+    "seq_cohort_ltv" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+         |    event_type, value FROM events),
+         |coh AS (SELECT user_id, MIN(wk) AS cw FROM e GROUP BY user_id),
+         |sz AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort
+         |  FROM coh GROUP BY cw),
+         |b AS (SELECT user_id, wk,
+         |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, wk),
+         |cell AS (SELECT coh.cw, b.wk - coh.cw AS age,
+         |    CAST(SUM(b.cents) AS BIGINT) AS cell_cents,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buyers
+         |  FROM b JOIN coh USING (user_id) GROUP BY 1, 2),
+         |cum AS (SELECT cell.*,
+         |    CAST(SUM(cell_cents) OVER (PARTITION BY cw ORDER BY age
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_cents
+         |  FROM cell)
+         |SELECT cw AS cohort_week, age AS age_weeks, n_cohort, n_buyers,
+         |  CAST(cum_cents AS DOUBLE) / 100 AS cum_value,
+         |  ${oRound("CAST(cum_cents AS DOUBLE) / 100" +
+             " / CAST(n_cohort AS DOUBLE)", 6)} AS ltv_per_user
+         |FROM cum JOIN sz USING (cw)
+         |ORDER BY cohort_week, age_weeks""".stripMargin,
     // KM/NA: one per-user min/max agg, then suffix/cumulative windows
     // over the bounded lifetime-day frame; 1e-9-quantized log/hazard
     // cumsums, d = n short-circuited before ln(0).

@@ -1124,8 +1124,8 @@ object SqlSurface {
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
     "fn_mask", "fn_math2", "fn_misc", "fn_ngrams", "fn_try",
     "fn_udf_registry", "fn_uniontype", "fn_url", "gen_parse_url_tuple",
-    "graph_bfs", "graph_kcore", "graph_labelprop", "graph_linkpred",
-    "graph_pagerank",
+    "graph_bfs", "graph_hits", "graph_kcore", "graph_labelprop",
+    "graph_linkpred", "graph_pagerank",
     "llm_ann_ivf", "llm_ann_ivf_int8",
     "llm_blocklist_filter", "llm_bm25_topk", "llm_bpe_merges",
     "llm_cosine_topk", "llm_embed_clip", "llm_embed_outliers",
@@ -1151,7 +1151,7 @@ object SqlSurface {
     "llm_textrank", "llm_tfidf_top", "llm_token_budget", "llm_tokenize",
     "llm_tokenizer_fertility", "llm_vocab_coverage", "llm_weighted_sample",
     "llm_zipf_fit", "llm_heaps_law", "llm_unimax",
-    "seq_anomaly", "seq_survival",
+    "seq_anomaly", "seq_survival", "seq_cohort_ltv",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
     "seq_periodicity", "seq_retention", "seq_rfm")
 

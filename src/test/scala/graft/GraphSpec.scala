@@ -42,6 +42,46 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.size > 100)
   }
 
+  test("graph_hits replays a driver-side quantized 3-iteration HITS") {
+    val got = SparkEntry.queries("graph_hits")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val n = got.size
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map(i => src.toLong -> (h(s"$src:$i") % n))
+    }
+    // engine's dsum(…, 6) per group: quantize each term, exact long sum
+    def q6sum(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e6 + 0.5).toLong).sum / 1e6
+    var hub = (0 until n).map(i => i.toLong -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 3) {
+      val aIn = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> q6sum(es.map(e => hub(e._1))) }
+      auth = (0 until n).map(i =>
+        i.toLong -> aIn.getOrElse(i.toLong, 0.0)).toMap
+      val hIn = edges.groupBy(_._1).map { case (src, es) =>
+        src -> q6sum(es.map(e => auth(e._2))) }
+      hub = (0 until n).map(i =>
+        i.toLong -> hIn.getOrElse(i.toLong, 0.0)).toMap
+    }
+    // grain-2 norm sums (the long-sum-capacity choice), grain-9 output
+    def norm(m: Map[Long, Double]): Double = math.sqrt(
+      m.values.map(x => math.floor(x * x * 100 + 0.5).toLong).sum / 100.0)
+    val (na, nh) = (norm(auth), norm(hub))
+    val want = (0 until n).map { i =>
+      i.toLong -> (q9(auth(i.toLong) / na), q9(hub(i.toLong) / nh)) }.toMap
+    assert(got == want)
+    // L2 invariants and non-degeneracy
+    assert(math.abs(got.values.map(v => v._1 * v._1).sum - 1.0) < 1e-6)
+    assert(math.abs(got.values.map(v => v._2 * v._2).sum - 1.0) < 1e-6)
+    assert(got.values.map(_._1).toSet.size > 100)
+  }
+
   test("graph_triangles replays a driver-side enumeration") {
     val got = SparkEntry.queries("graph_triangles")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -271,6 +271,46 @@ class SequenceSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == expected)
   }
 
+  test("seq_cohort_ltv: curves match a driver replay and are monotone") {
+    val rows = SparkEntry.queries("seq_cohort_ltv")(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 604800000000L,
+        r.getString(2), r.getDouble(3)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cents = ev.filter(_._3 == "purchase")
+      .groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .view.mapValues { es =>
+        (es.map(e => math.floor(e._4 * 100 + 0.5).toLong).sum,
+          es.map(_._1).distinct.size.toLong) }.toMap
+    val nCoh = cohort.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      cents.keySet)
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.groupBy(_.getLong(0)).foreach { case (cw, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        val (cellCents, buyers) = cents((cw, r.getLong(1)))
+        cum += cellCents
+        assert(r.getLong(2) == nCoh(cw) && r.getLong(3) == buyers)
+        assert(r.getDouble(4) == cum.toDouble / 100)
+        assert(r.getDouble(5) == q6(cum.toDouble / 100 / nCoh(cw)))
+        assert(buyers <= nCoh(cw))
+      }
+    }
+    // each user appears once per (user, week) purchase cell, so a
+    // cell's buyer count is bounded by its cohort size; curves are
+    // cumulative hence non-decreasing by construction — replay above
+    // asserts the exact values, this pins the law end to end
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val c = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(c.zip(c.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
   test("seq_survival: KM curve matches a driver replay and holds its laws") {
     val rows = SparkEntry.queries("seq_survival")(spark, sfDir).collect()
       .sortBy(_.getLong(0))
