@@ -119,12 +119,13 @@ object Graph {
           .agg(dsum(col("h"), 6).as("sa")),
         Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("sa"), lit(0.0)).as("a"))
-      hub = base.join(
-        edges.join(auth.select(col("doc_id").as("dst"), col("a")), "dst")
-          .groupBy(col("src").as("doc_id"))
-          .agg(dsum(col("a"), 6).as("sh")),
-        Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("sh"), lit(0.0)).as("h"))
+      // no left-join-back for hubs: every node has exactly OutDeg
+      // out-links by construction, so the src groupBy already covers
+      // all nodes (the auth side DOES need it — in-degree can be 0)
+      hub = edges
+        .join(auth.select(col("doc_id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(dsum(col("a"), 6).as("h"))
     }
     val joined = auth.join(hub, "doc_id")
     val norms = joined.agg(
