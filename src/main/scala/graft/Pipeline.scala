@@ -335,6 +335,14 @@ object Pipeline {
     * epochs, and the capped flag. */
   def unimax(docs: DataFrame): DataFrame = Text.unimaxOf(docs)
 
+  /** Poisson-bootstrap 95% CI for the corpus mean quality — each of
+    * nB replicates draws every doc's multiplicity independently as
+    * Poisson(1) (scale-free, one corpus pass). Input needs (doc_id,
+    * text); returns one row (n_docs, b_resamples, mean_q, lo95,
+    * hi95). */
+  def bootstrapCi(docs: DataFrame, nB: Int = 64): DataFrame =
+    Text.bootstrapCiOf(docs, nB)
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * top-k by the deterministic key ln(u)/w with md5-derived u — the
     * quality-∝ corpus-subset draw. Input needs (doc_id, n_chars);

@@ -1150,7 +1150,7 @@ object SqlSurface {
     "llm_suffix_dedup", "llm_suffix_scrub",
     "llm_textrank", "llm_tfidf_top", "llm_token_budget", "llm_tokenize",
     "llm_tokenizer_fertility", "llm_vocab_coverage", "llm_weighted_sample",
-    "llm_zipf_fit", "llm_heaps_law", "llm_unimax",
+    "llm_zipf_fit", "llm_heaps_law", "llm_unimax", "llm_bootstrap_ci",
     "seq_anomaly", "seq_survival", "seq_cohort_ltv",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
     "seq_periodicity", "seq_retention", "seq_rfm")

@@ -3682,6 +3682,74 @@ object Text {
   val llmUnimax: Q = (s, dir) =>
     unimaxOf(Tables.t(s, dir, "documents").select("lang", "text"))
 
+  /** Poisson-bootstrap confidence interval for the corpus mean quality
+    * (Chamandy et al., Google 2012 — "Estimating uncertainty for
+    * massive data streams"): the resampling scheme that works at any
+    * scale because each replicate draws every doc's multiplicity
+    * INDEPENDENTLY as Poisson(1) (no global n needed, no coordinated
+    * multinomial draw). A corpus-quality report without an error bar
+    * invites over-reading 0.1% drifts between snapshots; this puts the
+    * 95% band beside the point estimate.
+    *
+    * Determinism: the replicate weight is an inverse-CDF ladder over
+    * the catalogued md5-uniform (`(conv(substr(md5(doc:b),1,12),16,10)
+    * + 0.5)/16^12` — bit-identical in both engines), with Poisson(1)
+    * cumulative thresholds as full-precision double literals (tail
+    * capped at 6, P ≈ 6e-5, which both engines cap identically);
+    * quality quantizes to 1e-6 longs so every per-replicate sum is an
+    * exact integer. Point estimate rides the SAME 64-row frame (the
+    * per-replicate UNWEIGHTED Σqᵢ/count are b-independent) — one
+    * corpus pass, no second scan, no persist barrier needed. CI = the
+    * 2nd / 63rd order statistics of the 64 replicate means
+    * (ceil(0.025·64) / ceil(0.975·64), 1-based; ties broken by b).
+    *
+    * Scale shape: one 64-way explode absorbed by the two-phase agg's
+    * map-side combine (≤64 partial rows per partition regardless of
+    * corpus size); everything after runs on the 64-row frame. */
+  private[graft] def bootstrapCiOf(docs: DataFrame, nB: Int = 64)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Poisson(1) cumulative: P(X<=k) = e^-1 * sum 1/j!
+    val thr = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    val cells = docs
+      .select(col("doc_id"),
+        floor(qualityCol(split(col("text"), " ")) * 1e6 + lit(0.5))
+          .cast("long").as("qi"))
+      .select(col("doc_id"), col("qi"),
+        explode(array((1 to nB).map(lit): _*)).as("b"))
+      .withColumn("u",
+        (conv(substring(md5(concat_ws(":", col("doc_id"), col("b"))), 1, 12),
+          16, 10).cast("double") + 0.5) / lit(281474976710656.0))
+      .withColumn("w", thr.zipWithIndex.foldRight(lit(6): Column) {
+        case ((t, k), rest) => when(col("u") < t, lit(k)).otherwise(rest)
+      }.cast("long"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("qi")).as("swq"), sum(col("w")).as("sw"),
+        sum(col("qi")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("m",
+        col("swq").cast("double") / 1e6 / col("sw").cast("double"))
+    val wR = Window.orderBy(col("m"), col("b"))
+    val wAll = wR.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cells
+      .withColumn("r", row_number().over(wR))
+      .select(
+        max(col("n")).over(wAll).as("n_docs"),
+        max(col("r")).over(wAll).as("b_resamples"),
+        dround(max(col("sq")).over(wAll).cast("double") / 1e6
+          / max(col("n")).over(wAll).cast("double"), 6).as("mean_q"),
+        dround(max(when(col("r") === math.ceil(0.025 * nB).toInt,
+          col("m"))).over(wAll), 6).as("lo95"),
+        dround(max(when(col("r") === math.ceil(0.975 * nB).toInt,
+          col("m"))).over(wAll), 6).as("hi95"))
+      .limit(1)
+  }
+
+  val llmBootstrapCi: Q = (s, dir) =>
+    bootstrapCiOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   /** k-anonymity suppression (Sweeney 2002) over the quasi-identifier
     * triple (lang, source, ⌊n_chars/100⌋) — the release-side privacy
     * guard beside [[llmPiiScrub]]'s content-side scrubbing: a record
@@ -5662,6 +5730,7 @@ object Text {
     "llm_zipf_fit" -> llmZipfFit,
     "llm_heaps_law" -> llmHeapsLaw,
     "llm_unimax" -> llmUnimax,
+    "llm_bootstrap_ci" -> llmBootstrapCi,
     "llm_k_anon" -> llmKAnon,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -7414,6 +7483,44 @@ object Text {
              " ELSE COALESCE(tau, CAST(cap AS DOUBLE)) END)" +
              " / CAST(n_tokens AS DOUBLE)", 6)} AS epochs_alloc
          |FROM h ORDER BY lang""".stripMargin,
+    // Poisson bootstrap: md5-uniform → Poisson(1) inverse-CDF ladder
+    // (full-precision literals, tail capped at 6), exact per-replicate
+    // long sums, order-statistic CI on the 64-row frame.
+    "llm_bootstrap_ci" -> {
+      val bVals = (1 to 64).map(b => s"($b)").mkString(", ")
+      s"""WITH q AS (SELECT doc_id,
+         |    CAST(FLOOR((${qualitySql("text")}) * 1000000.0 + 0.5) AS BIGINT)
+         |      AS qi
+         |  FROM documents),
+         |rep AS (SELECT q.qi, t.b,
+         |    ((('0x' || substr(md5(q.doc_id || ':' || t.b), 1, 12))::BIGINT
+         |      + 0.5) / 281474976710656.0) AS u
+         |  FROM q, (VALUES $bVals) AS t(b)),
+         |wts AS (SELECT b, qi,
+         |    CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+         |      WHEN u < 0.7357588823428847 THEN 1
+         |      WHEN u < 0.9196986029286058 THEN 2
+         |      WHEN u < 0.9810118431238462 THEN 3
+         |      WHEN u < 0.9963401531726563 THEN 4
+         |      WHEN u < 0.9994058151824183 THEN 5
+         |      ELSE 6 END AS BIGINT) AS w
+         |  FROM rep),
+         |cell AS (SELECT b, CAST(SUM(w * qi) AS BIGINT) AS swq,
+         |    CAST(SUM(w) AS BIGINT) AS sw, CAST(SUM(qi) AS BIGINT) AS sq,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM wts GROUP BY b),
+         |m0 AS (SELECT cell.*,
+         |    CAST(swq AS DOUBLE) / 1000000.0 / CAST(sw AS DOUBLE) AS m
+         |  FROM cell),
+         |mm AS (SELECT m0.*, row_number() OVER (ORDER BY m, b) AS r
+         |  FROM m0)
+         |SELECT MAX(n) AS n_docs, CAST(MAX(r) AS INT) AS b_resamples,
+         |  ${oRound("CAST(MAX(sq) AS DOUBLE) / 1000000.0" +
+             " / CAST(MAX(n) AS DOUBLE)", 6)} AS mean_q,
+         |  ${oRound("MAX(CASE WHEN r = 2 THEN m END)", 6)} AS lo95,
+         |  ${oRound("MAX(CASE WHEN r = 63 THEN m END)", 6)} AS hi95
+         |FROM mm""".stripMargin
+    },
     // Per-source calibration: quantized-long quality, exact per-source
     // moments (Σq² in hugeint ≡ the builder's decimal(38,0)), unique
     // (qi, doc_id) rank == row_number, zero-variance CASE.

@@ -1243,6 +1243,45 @@ class QueriesSpec extends SparkSpec {
     assert(row.getDouble(1) < 0.05)
   }
 
+  test("llm_bootstrap_ci replays the Poisson bootstrap exactly") {
+    val row = SparkEntry.queries("llm_bootstrap_ci")(spark, sfDir)
+      .collect().head
+    // driver replay: same md5 uniform, same Poisson(1) ladder
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(key: String): Double = {
+      val d = md.digest(key.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+        .toDouble + 0.5) / 281474976710656.0
+    }
+    val thr = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183)
+    def w(key: String): Long = {
+      val x = u(key); val i = thr.indexWhere(x < _)
+      if (i < 0) 6L else i.toLong
+    }
+    val qs = SparkEntry.queries("llm_quality_score")(spark, sfDir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) ->
+        math.floor(r.getDouble(1) * 1e6 + 0.5).toLong / 1e6)
+    // quality col is dround(qualityExpr, 6) == the builder's 1e-6 grain
+    val qi = qs.map { case (d, q) => d -> math.floor(q * 1e6 + 0.5).toLong }
+    val means = (1 to 64).map { b =>
+      val (swq, sw) = qi.foldLeft((0L, 0L)) { case ((a, c), (d, q)) =>
+        val ww = w(s"$d:$b"); (a + ww * q, c + ww) }
+      b -> swq.toDouble / 1e6 / sw.toDouble
+    }.sortBy { case (b, m) => (m, b) }.map(_._2)
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(0) == qi.length && row.getInt(1) == 64)
+    assert(row.getDouble(2) == q6(qi.map(_._2).sum.toDouble / 1e6 / qi.length))
+    assert(row.getDouble(3) == q6(means(1)) && row.getDouble(4) == q6(means(62)))
+    // the band brackets the point estimate and is meaningfully tight
+    assert(row.getDouble(3) < row.getDouble(2) &&
+      row.getDouble(2) < row.getDouble(4))
+    assert(row.getDouble(4) - row.getDouble(3) < 0.1)
+  }
+
   test("llm_unimax: water-filling conserves the budget and honors caps") {
     val rows = SparkEntry.queries("llm_unimax")(spark, sfDir).collect()
     val perLang = Tables.t(spark, sfDir, "documents")
