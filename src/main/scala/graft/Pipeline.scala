@@ -579,6 +579,14 @@ object Pipeline {
       epochs: Int = 3): DataFrame =
     Text.qualityClassifierOf(docs, epochs, positive)
 
+  /** Split-conformal prediction sets over [[qualityClassifier]]'s
+    * scores: calibration split doc_id % 5 = 0, α = 0.1, integer-exact
+    * order-statistic threshold. Returns per eval doc the label set
+    * membership flags, coverage bit, and set size — the
+    * distribution-free coverage guarantee a pipeline checks before
+    * trusting a learned quality cut. */
+  def conformal(docs: DataFrame): DataFrame = Text.conformalOf(docs)
+
   /** PCA top-component projection over a caller (vec_id, v) frame:
     * center, estimate the dominant variance direction by `iters`
     * power-iteration steps over the collected d×d covariance (a model

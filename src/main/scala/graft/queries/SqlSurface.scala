@@ -1141,6 +1141,7 @@ object SqlSurface {
     "llm_lm_trigram", "llm_lsh_capped", "llm_minhash_lsh",
     "llm_mix_weights", "llm_ngram_jaccard", "llm_ngram_novelty",
     "llm_quality_calibrate", "llm_quality_classifier", "llm_quality_score",
+    "llm_conformal",
     "llm_readability",
     "llm_repetition", "llm_rrf_fusion", "llm_score_agreement",
     "llm_shuffle_order", "llm_simhash", "llm_simhash_neardup",

@@ -2919,6 +2919,60 @@ object Text {
   val llmQualityClassifier: Q = (s, dir) =>
     qualityClassifierOf(Tables.t(s, dir, "documents"))
 
+  /** Split-conformal prediction sets over the trained classifier
+    * (Vovk et al. 2005; the Angelopoulos & Bates 2021 recipe) — the
+    * distribution-free wrapper that turns ANY scorer into one with a
+    * finite-sample coverage guarantee: on a held-out calibration split
+    * (doc_id % 5 = 0), nonconformity a = −y·score (the signed margin);
+    * q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration a (α = 0.1,
+    * ties broken by doc_id); an eval doc's prediction SET then
+    * contains label y iff −y·score ≤ q̂ — possibly both labels
+    * (abstain-shaped uncertainty) or neither. Marginal coverage
+    * P(true label ∈ set) ≥ 1−α holds by exchangeability, with no
+    * assumption on the classifier at all — the property a filtering
+    * pipeline needs before it trusts a learned quality cut.
+    *
+    * Determinism/scale: classifier scores are exact integer longs (the
+    * perceptron's no-transcendentals design), so nonconformity, the
+    * order-statistic threshold, and every set-membership comparison
+    * are integer-exact in both engines — no quantization anywhere.
+    * The calibration rank window runs over the cal split only, and q̂
+    * rides a 1-row broadcast; everything else is the classifier's own
+    * audited shape. */
+  private[graft] def conformalOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persist rationale: three consumers (cal rank, cal count, eval
+    // projection) diverge by FILTERS above the classifier's final
+    // exchange, so AQE stage reuse only partially dedups the train
+    // pipeline (measured at sf0.1: 3.70 s in-suite unbarriered vs
+    // 0.98 s median cold micro with the barrier); eager count because
+    // the kq/eval stages run concurrently and would race the cache
+    // population.
+    val scored = qualityClassifierOf(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count()
+    val cal = scored.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), (-col("y").cast("long") * col("score")).as("a"))
+    val wR = Window.orderBy("a", "doc_id")
+    val kq = cal.withColumn("r", row_number().over(wR))
+      .crossJoin(broadcast(cal.agg(count(lit(1)).as("nc"))))
+      .filter(col("r") === least(expr("((nc + 1) * 9 + 9) DIV 10"), col("nc")))
+      .select(col("a").as("qhat"), col("nc").as("n_cal"))
+    scored.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .crossJoin(broadcast(kq))
+      .select(col("doc_id"), col("y"), col("score"), col("qhat"),
+        (-col("score") <= col("qhat")).as("in_set_pos"),
+        (col("score") <= col("qhat")).as("in_set_neg"),
+        ((col("y") === 1 && -col("score") <= col("qhat")) ||
+          (col("y") === -1 && col("score") <= col("qhat"))).as("covered"),
+        ((-col("score") <= col("qhat")).cast("int")
+          + (col("score") <= col("qhat")).cast("int")).as("set_size"))
+      .orderBy("doc_id")
+  }
+
+  val llmConformal: Q = (s, dir) =>
+    conformalOf(Tables.t(s, dir, "documents"))
+
   /** The complete Gopher document-filter rule battery (Rae et al.,
     * arXiv:2112.11446 Table A1) as one per-row projection — the
     * standard pre-filter every large English corpus pipeline runs
@@ -5714,6 +5768,7 @@ object Text {
     "llm_mix_weights" -> llmMixWeights,
     "llm_dsir_select" -> llmDsirSelect,
     "llm_quality_classifier" -> llmQualityClassifier,
+    "llm_conformal" -> llmConformal,
     "llm_gopher_rules" -> llmGopherRules,
     "llm_token_count" -> llmTokenCount,
     "llm_tokenize" -> llmTokenize,
@@ -6031,7 +6086,11 @@ object Text {
     * (s_e, m_e, g_e, w_e). Pure integer arithmetic end to end, so the
     * trained weights and every per-doc score are bit-exact across
     * engines. */
-  private def qualityClassifierSql(epochs: Int): String = {
+  /** The classifier train→score pipeline as a reusable CTE chain
+    * (ends at `fin(doc_id, score)`; `lab` carries the ±1 labels) —
+    * shared by the classifier oracle and the conformal wrapper so the
+    * two texts cannot drift. */
+  private def qualityClassifierCtes(epochs: Int): String = {
     val later = (2 to epochs).map { e =>
       s"""s$e AS (SELECT doc_id, CAST(SUM(cnt * wt) AS BIGINT) AS score
          |  FROM p JOIN w${e - 1} USING (f) GROUP BY doc_id),
@@ -6043,7 +6102,7 @@ object Text {
          |  COALESCE(wt, 0) + COALESCE(g, 0) AS wt
          |  FROM w${e - 1} FULL JOIN g$e ON w${e - 1}.f = g$e.f),""".stripMargin
     }.mkString("\n")
-    s"""WITH lab AS (SELECT doc_id,
+    s"""lab AS (SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
        |p AS (SELECT doc_id, wb AS f, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM (SELECT doc_id, $vocabBucketSql AS wb
@@ -6054,11 +6113,14 @@ object Text {
        |  FROM p JOIN lab USING (doc_id) GROUP BY f),
        |$later
        |fin AS (SELECT doc_id, CAST(SUM(cnt * wt) AS BIGINT) AS score
-       |  FROM p JOIN w$epochs USING (f) GROUP BY doc_id)
+       |  FROM p JOIN w$epochs USING (f) GROUP BY doc_id)""".stripMargin
+  }
+
+  private def qualityClassifierSql(epochs: Int): String =
+    s"""WITH ${qualityClassifierCtes(epochs)}
        |SELECT lab.doc_id, CAST(lab.y AS INT) AS y, fin.score,
        |  CASE WHEN fin.score > 0 THEN 1 ELSE -1 END AS pred
        |FROM lab JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin
-  }
 
   private def bpeTrainSql(steps: Int): String = {
     val union = (1 to steps).map { k =>
@@ -7158,6 +7220,30 @@ object Text {
     // the two sides separately.
     "llm_pca_project" -> pcaProjectSql(8),
     "llm_quality_classifier" -> qualityClassifierSql(3),
+    // Conformal: the SAME classifier CTE chain (cannot drift), integer
+    // margin nonconformity, order-statistic threshold on the cal split,
+    // set-membership comparisons all integer-exact.
+    "llm_conformal" ->
+      s"""WITH ${qualityClassifierCtes(3)},
+         |base AS (SELECT lab.doc_id, CAST(lab.y AS INT) AS y, fin.score
+         |  FROM lab JOIN fin USING (doc_id)),
+         |cal AS (SELECT doc_id, -CAST(y AS BIGINT) * score AS a
+         |  FROM base WHERE doc_id % 5 = 0),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cal),
+         |rk AS (SELECT a, doc_id,
+         |    row_number() OVER (ORDER BY a, doc_id) AS r FROM cal),
+         |kq AS (SELECT rk.a AS qhat FROM rk, nn
+         |  WHERE rk.r = LEAST(((nn.nc + 1) * 9 + 9) // 10, nn.nc))
+         |SELECT b.doc_id, b.y, b.score, kq.qhat,
+         |  -b.score <= kq.qhat AS in_set_pos,
+         |  b.score <= kq.qhat AS in_set_neg,
+         |  (b.y = 1 AND -b.score <= kq.qhat)
+         |    OR (b.y = -1 AND b.score <= kq.qhat) AS covered,
+         |  CAST((CASE WHEN -b.score <= kq.qhat THEN 1 ELSE 0 END)
+         |    + (CASE WHEN b.score <= kq.qhat THEN 1 ELSE 0 END) AS INT)
+         |    AS set_size
+         |FROM base b, kq WHERE b.doc_id % 5 <> 0
+         |ORDER BY b.doc_id""".stripMargin,
     "llm_dsir_select" ->
       s"""WITH ws AS (SELECT doc_id, $vocabBucketSql AS wb
          |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -1243,6 +1243,31 @@ class QueriesSpec extends SparkSpec {
     assert(row.getDouble(1) < 0.05)
   }
 
+  test("llm_conformal replays split-conformal exactly and covers") {
+    val scored = SparkEntry.queries("llm_quality_classifier")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val cal = scored.filter(_._1 % 5 == 0)
+      .map { case (d, y, s) => (-y.toLong * s, d) }.sorted
+    val k = math.min(((cal.length + 1) * 9 + 9) / 10, cal.length)
+    val qhat = cal(k - 1)._1
+    val want = scored.filter(_._1 % 5 != 0).map { case (d, y, s) =>
+      val (p, n) = (-s <= qhat, s <= qhat)
+      (d, y, s, qhat, p, n, if (y == 1) p else n,
+        (if (p) 1 else 0) + (if (n) 1 else 0))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("llm_conformal")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getInt(7)))
+    assert(got.toSeq == want.toSeq)
+    // the finite-sample guarantee is marginal over splits; on this
+    // fixed split allow binomial slack around 1 - alpha = 0.9
+    val cov = got.count(_._7).toDouble / got.length
+    assert(cov >= 0.8, s"coverage $cov")
+    // the weak classifier on a non-separable fixture must show its
+    // uncertainty as multi-label sets, not silent overconfidence
+    assert(got.map(_._8).sum.toDouble / got.length > 1.0)
+  }
+
   test("llm_bootstrap_ci replays the Poisson bootstrap exactly") {
     val row = SparkEntry.queries("llm_bootstrap_ci")(spark, sfDir)
       .collect().head
