@@ -584,7 +584,8 @@ object Pipeline {
     * order-statistic threshold. Returns per eval doc the label set
     * membership flags, coverage bit, and set size — the
     * distribution-free coverage guarantee a pipeline checks before
-    * trusting a learned quality cut. */
+    * trusting a learned quality cut. Input needs (doc_id, lang, text)
+    * — lang supplies the classifier's ±1 labels. */
   def conformal(docs: DataFrame): DataFrame = Text.conformalOf(docs)
 
   /** PCA top-component projection over a caller (vec_id, v) frame:

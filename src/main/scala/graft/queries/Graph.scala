@@ -34,12 +34,23 @@ object Graph {
   private val Iterations = 5
   private val OutDeg = 3
 
-  /** 5-iteration PageRank (damping 0.85) over the md5-derived doc graph. */
-  val pagerank: Q = (s, dir) => {
+  /** Shared md5-derived 3-out-link doc graph: (base = ids × n-as-double,
+    * edges), both persisted — ONE construction for every link-analysis
+    * query (pagerank, hits), so the scale-critical, oracle-mirrored
+    * edge derivation has no copy to drift from.
+    *
+    * Persist rationale: both subtrees are pure projection chains (no
+    * exchange below → nothing for AQE stage reuse to dedup) consumed
+    * once per iteration — unpersisted, the executed plan re-scans the
+    * corpus 11× for 5 pagerank iterations (the catalogued
+    * multi-consumed-projection barrier rule). Eager count: concurrent
+    * iteration stages would race the cache population. N rides as a
+    * broadcast-joined column: no driver-side collect at any corpus
+    * size. */
+  private def linkGraph(s: org.apache.spark.sql.SparkSession, dir: String)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
     val nDf = ids.agg(count(lit(1)).cast("double").as("n"))
-    // carry N as a broadcast-joined column: no driver-side collect, and the
-    // 0.15/n teleport term stays in-plan at any corpus size
     val base = ids.crossJoin(broadcast(nDf))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = base
@@ -49,13 +60,13 @@ object Graph {
         pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
           16, 10).cast("long"), col("n").cast("long")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persist rationale: both subtrees are pure projection chains (no
-    // exchange below → nothing for AQE stage reuse to dedup) consumed
-    // once per iteration — unpersisted, the executed plan re-scans the
-    // corpus 11× for 5 iterations (the catalogued multi-consumed-
-    // projection barrier rule). Eager count: concurrent iteration
-    // stages would race the cache population.
     edges.count()
+    (base, edges)
+  }
+
+  /** 5-iteration PageRank (damping 0.85) over the md5-derived doc graph. */
+  val pagerank: Q = (s, dir) => {
+    val (base, edges) = linkGraph(s, dir)
     var ranks = base.select(col("doc_id"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to Iterations) {
       val contribs = edges
@@ -81,35 +92,30 @@ object Graph {
     *  - NO intermediate normalization: per-iteration renorm references
     *    each frame twice (value + norm agg) and doubles the logical
     *    plan per step — the catalogued PCA in-plan-iteration pathology.
-    *    Unnormalized values stay bounded by (out-degree)^(2k) = 3^6 at
-    *    k = 3, so doubles are nowhere near trouble and each step
-    *    references its predecessor ONCE (linear plan, the pagerank
-    *    loop shape).
-    *  - Final L2 norms quantize at grain 1e-2 (not the usual 1e-6):
-    *    the per-row quantized long is a²·10², so the exact long sum
-    *    holds past 10⁹ nodes at these degree bounds where grain 1e-6
-    *    would overflow at ~10⁷; the norm is ~√(Σ≈n·10⁵), where 1e-2
-    *    absolute is ~1e-14 relative — far inside the 1e-9 output
-    *    rounding. Per-iteration group sums stay at grain 1e-6: a
-    *    group's sum is bounded by degree·3^6, never corpus-sized.
+    *    Each step instead references its predecessor ONCE (linear
+    *    plan, the pagerank loop shape). Unnormalized values are
+    *    bounded by out-degree AND the max IN-degree D of the md5
+    *    multigraph (a₁ = indeg, so after 3 iterations values reach
+    *    ≤ 27·D³ — D grows like log n / log log n for 3n balls in n
+    *    bins, ≈ 40 at 10⁹ nodes → values ≲ 10⁶): nowhere near double
+    *    trouble, but NOT the constant 3⁶ a pure out-degree argument
+    *    would give.
+    *  - Final L2 norms quantize at grain 1e-2 and accumulate in
+    *    decimal(38,0) (the seq_gini overflow rule, matching DuckDB's
+    *    HUGEINT sum): per-row quantized values reach a²·10² ≈ 10¹⁴ at
+    *    the D-bound above, so a LONG sum would overflow near 10⁵
+    *    worst-case rows while decimal(38,0) has 10²⁴ of headroom past
+    *    10⁹ nodes. Grain 1e-2 absolute on Σa² is ~1e-14 relative —
+    *    far inside the 1e-9 output rounding. Per-half-step group sums
+    *    stay long-safe at grain 1e-6: a group's sum is bounded by
+    *    degree·27D³·10⁶ ≈ 10¹³, never corpus-sized.
     *
     * Scale shape: each half-step is one equi-join of the static edge
-    * list with the current score vector plus one two-phase groupBy —
-    * O(|E|/cores) per round, nothing driver-side; the final norm frame
-    * is one broadcast row. */
+    * list ([[linkGraph]] — shared with pagerank) with the current
+    * score vector plus one two-phase groupBy — O(|E|/cores) per round,
+    * nothing driver-side; the final norm frame is one broadcast row. */
   val hits: Q = (s, dir) => {
-    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
-    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
-    val base = ids.crossJoin(broadcast(nDf))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = base
-      .select(col("doc_id").as("src"), col("n"),
-        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
-      .select(col("src"),
-        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
-          16, 10).cast("long"), col("n")).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // eager: 6 consumers below race the cache otherwise
+    val (base, edges) = linkGraph(s, dir)
     var hub = base.select(col("doc_id"), lit(1.0).as("h"))
     var auth: org.apache.spark.sql.DataFrame = null
     for (_ <- 1 to 3) {
@@ -128,9 +134,13 @@ object Graph {
         .agg(dsum(col("a"), 6).as("h"))
     }
     val joined = auth.join(hub, "doc_id")
+    // decimal(38,0) accumulation, NOT dsum's long: see the scaladoc
+    // overflow bound (DuckDB's SUM(BIGINT) is HUGEINT — same headroom)
+    def decSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(floor(c * 100 + lit(0.5)).cast("decimal(38,0)")).cast("double") / 100
     val norms = joined.agg(
-      sqrt(dsum(col("a") * col("a"), 2)).as("na"),
-      sqrt(dsum(col("h") * col("h"), 2)).as("nh"))
+      sqrt(decSum(col("a") * col("a"))).as("na"),
+      sqrt(decSum(col("h") * col("h"))).as("nh"))
     joined.crossJoin(broadcast(norms))
       .select(col("doc_id"),
         dround(col("a") / col("na"), 9).as("authority"),

@@ -2936,7 +2936,9 @@ object Text {
     * perceptron's no-transcendentals design), so nonconformity, the
     * order-statistic threshold, and every set-membership comparison
     * are integer-exact in both engines — no quantization anywhere.
-    * The calibration rank window runs over the cal split only, and q̂
+    * The threshold is the MULTISET order statistic (min a with
+    * count(≤ a) ≥ k), so the only window runs over the groupBy-a
+    * distinct-margin frame — never over calibration rows — and q̂
     * rides a 1-row broadcast; everything else is the classifier's own
     * audited shape. */
   private[graft] def conformalOf(docs: DataFrame): DataFrame = {
@@ -2951,13 +2953,24 @@ object Text {
     val scored = qualityClassifierOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scored.count()
+    // The k-th-smallest calibration nonconformity is computed on the
+    // VALUE-level frame (groupBy a → cumulative counts), never by
+    // ranking calibration ROWS: a row-level rank window would funnel
+    // n/5 corpus rows through one partition (the CCNet-sort
+    // anti-pattern), while the multiset order statistic — min a with
+    // count(≤ a) ≥ k — is identical and its window runs over the
+    // distinct-margin frame only (the drift_ks posture, pinned in
+    // PlanSpec).
     val cal = scored.filter(pmod(col("doc_id"), lit(5)) === 0)
-      .select(col("doc_id"), (-col("y").cast("long") * col("score")).as("a"))
-    val wR = Window.orderBy("a", "doc_id")
-    val kq = cal.withColumn("r", row_number().over(wR))
-      .crossJoin(broadcast(cal.agg(count(lit(1)).as("nc"))))
-      .filter(col("r") === least(expr("((nc + 1) * 9 + 9) DIV 10"), col("nc")))
-      .select(col("a").as("qhat"), col("nc").as("n_cal"))
+      .select((-col("y").cast("long") * col("score")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy("a")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kq = cal.withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(cal.agg(sum(col("c")).as("nc"))))
+      .filter(col("cum") >= least(expr("((nc + 1) * 9 + 9) DIV 10"),
+        col("nc")))
+      .agg(min(col("a")).as("qhat"))
     scored.filter(pmod(col("doc_id"), lit(5)) =!= 0)
       .crossJoin(broadcast(kq))
       .select(col("doc_id"), col("y"), col("score"), col("qhat"),
@@ -3632,6 +3645,11 @@ object Text {
     * summation order cannot drift between engines. */
   private[graft] def heapsLawOf(docs: DataFrame, nCkpt: Int = 16): DataFrame = {
     val ln = (c: Column) => org.apache.spark.sql.functions.log(c)
+    // m feeds BOTH branches below, but no persist: its broadcast
+    // exchanges are canonically identical, and the POST-EXECUTION plan
+    // shows `ReusedExchange [m] BroadcastExchange` — the doc_id scan
+    // behind it runs once (verified at sf0.1; the no-persist-over-
+    // reusable-exchange rule).
     val m = docs.agg((max(col("doc_id")) + 1).as("m"))
     val docTok = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
@@ -3667,10 +3685,18 @@ object Text {
         dround(col("b"), 6).as("heaps_beta"),
         dround((col("sy") - col("b") * col("sx")) / col("n"), 6)
           .as("intercept"),
-        dround((col("n") * col("sxy") - col("sx") * col("sy"))
-          * (col("n") * col("sxy") - col("sx") * col("sy"))
-          / ((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
+        // zero-variance guard (the quality_calibrate rule): a closed
+        // vocabulary — the very regime this gate detects — makes every
+        // y identical, so n·syy − sy² is a ±1e-7 quantization residue
+        // of arbitrary sign; an unguarded ratio then emits NaN or an
+        // impossible R² in the hygiene column. Pin r2 = 0 there.
+        when(col("n") * col("syy") - col("sy") * col("sy") <= lit(1e-9),
+          lit(0.0)).otherwise(
+          dround((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy"))
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("r2"),
         col("tokens_total"), col("vocab_total"))
   }
 
@@ -3782,8 +3808,14 @@ object Text {
       .groupBy("b")
       .agg(sum(col("w") * col("qi")).as("swq"), sum(col("w")).as("sw"),
         sum(col("qi")).as("sq"), count(lit(1)).as("n"))
-      .withColumn("m",
+      // zero-draw guard: P(Σw = 0) = e^-n per replicate — negligible
+      // on a corpus but near-certain somewhere on a 3-doc caller frame
+      // (the facade is public); an unguarded 0/0 NaN would sort
+      // DIFFERENTLY between engines. A weightless replicate resolves
+      // to the unweighted mean (the natural degenerate resample).
+      .withColumn("m", when(col("sw") > 0,
         col("swq").cast("double") / 1e6 / col("sw").cast("double"))
+        .otherwise(col("sq").cast("double") / 1e6 / col("n").cast("double")))
     val wR = Window.orderBy(col("m"), col("b"))
     val wAll = wR.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
@@ -6080,16 +6112,14 @@ object Text {
        |FROM prj ORDER BY vec_id""".stripMargin
   }
 
-  /** Unrolled batch-perceptron oracle ([[qualityClassifierOf]]): epoch
-    * 1 folds into w1 (zero weights misclassify every doc); each later
-    * epoch e appends score/misclassified/gradient/weight CTEs
-    * (s_e, m_e, g_e, w_e). Pure integer arithmetic end to end, so the
-    * trained weights and every per-doc score are bit-exact across
-    * engines. */
-  /** The classifier train→score pipeline as a reusable CTE chain
-    * (ends at `fin(doc_id, score)`; `lab` carries the ±1 labels) —
-    * shared by the classifier oracle and the conformal wrapper so the
-    * two texts cannot drift. */
+  /** Unrolled batch-perceptron pipeline ([[qualityClassifierOf]]) as a
+    * reusable CTE chain (ends at `fin(doc_id, score)`; `lab` carries
+    * the ±1 labels) — shared by the classifier oracle and the
+    * conformal wrapper so the two texts cannot drift. Epoch 1 folds
+    * into w1 (zero weights misclassify every doc); each later epoch e
+    * appends score/misclassified/gradient/weight CTEs (s_e, m_e, g_e,
+    * w_e). Pure integer arithmetic end to end, so the trained weights
+    * and every per-doc score are bit-exact across engines. */
   private def qualityClassifierCtes(epochs: Int): String = {
     val later = (2 to epochs).map { e =>
       s"""s$e AS (SELECT doc_id, CAST(SUM(cnt * wt) AS BIGINT) AS score
@@ -6116,6 +6146,8 @@ object Text {
        |  FROM p JOIN w$epochs USING (f) GROUP BY doc_id)""".stripMargin
   }
 
+  /** The full classifier oracle: [[qualityClassifierCtes]] + the
+    * per-doc (y, score, pred) SELECT. */
   private def qualityClassifierSql(epochs: Int): String =
     s"""WITH ${qualityClassifierCtes(epochs)}
        |SELECT lab.doc_id, CAST(lab.y AS INT) AS y, fin.score,
@@ -7227,13 +7259,16 @@ object Text {
       s"""WITH ${qualityClassifierCtes(3)},
          |base AS (SELECT lab.doc_id, CAST(lab.y AS INT) AS y, fin.score
          |  FROM lab JOIN fin USING (doc_id)),
-         |cal AS (SELECT doc_id, -CAST(y AS BIGINT) * score AS a
+         |cal AS (SELECT -CAST(y AS BIGINT) * score AS a
          |  FROM base WHERE doc_id % 5 = 0),
-         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cal),
-         |rk AS (SELECT a, doc_id,
-         |    row_number() OVER (ORDER BY a, doc_id) AS r FROM cal),
-         |kq AS (SELECT rk.a AS qhat FROM rk, nn
-         |  WHERE rk.r = LEAST(((nn.nc + 1) * 9 + 9) // 10, nn.nc))
+         |lvl AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM cal GROUP BY a),
+         |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nc FROM lvl),
+         |cum AS (SELECT a, CAST(SUM(c) OVER (ORDER BY a ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM lvl),
+         |kq AS (SELECT MIN(a) AS qhat FROM cum, nn
+         |  WHERE cum.cum >= LEAST(((nn.nc + 1) * 9 + 9) // 10, nn.nc))
          |SELECT b.doc_id, b.y, b.score, kq.qhat,
          |  -b.score <= kq.qhat AS in_set_pos,
          |  b.score <= kq.qhat AS in_set_neg,
@@ -7527,8 +7562,9 @@ object Text {
          |SELECT CAST(n AS BIGINT) AS n_fit,
          |  ${oRound("b", 6)} AS heaps_beta,
          |  ${oRound("(sy - b * sx) / n", 6)} AS intercept,
-         |  ${oRound("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
-             " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2,
+         |  CASE WHEN n * syy - sy * sy <= 1e-9 THEN 0.0
+         |    ELSE ${oRound("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
+             " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} END AS r2,
          |  tokens_total, vocab_total
          |FROM bb""".stripMargin,
     // UniMax water-filling: exact-long caps/prefix sums/budget, τ as a
@@ -7596,7 +7632,10 @@ object Text {
          |    CAST(COUNT(*) AS BIGINT) AS n
          |  FROM wts GROUP BY b),
          |m0 AS (SELECT cell.*,
-         |    CAST(swq AS DOUBLE) / 1000000.0 / CAST(sw AS DOUBLE) AS m
+         |    CASE WHEN sw > 0
+         |      THEN CAST(swq AS DOUBLE) / 1000000.0 / CAST(sw AS DOUBLE)
+         |      ELSE CAST(sq AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+         |      END AS m
          |  FROM cell),
          |mm AS (SELECT m0.*, row_number() OVER (ORDER BY m, b) AS r
          |  FROM m0)

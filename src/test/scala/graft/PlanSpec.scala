@@ -517,7 +517,7 @@ class PlanSpec extends SparkSpec {
     // is the grouped distinct-value / top-V frame. A lost groupBy
     // (window directly over the scan) is the scale bug this pins.
     Seq("llm_drift_ks", "llm_zipf_fit", "llm_heaps_law",
-        "llm_unimax").foreach { name =>
+        "llm_unimax", "llm_conformal").foreach { name =>
       val s = planString(SparkEntry.queries(name)(spark, sfDir))
       val lines = s.linesIterator.toSeq
       val winAt = lines.indexWhere(l => l.contains("Window ["))

@@ -1241,6 +1241,14 @@ class QueriesSpec extends SparkSpec {
     // the synthetic fixture vocabulary is closed (~31 words) — the gate
     // reads it as a template flood: beta pinned to the floor
     assert(row.getDouble(1) < 0.05)
+    // zero-variance guard: a FULLY closed vocabulary (every checkpoint
+    // sees the same 1-word vocab) must pin r2 = 0.0, not NaN or an
+    // impossible R² from the quantization residue
+    val flat = (0 until 64).map(d => (d.toLong, "w w w"))
+      .toDF("doc_id", "text")
+    val f = graft.queries.Text.heapsLawOf(flat).collect().head
+    assert(f.getLong(5) == 1L && f.getDouble(1) == 0.0 &&
+      f.getDouble(3) == 0.0, s"flat-vocab fit $f")
   }
 
   test("llm_conformal replays split-conformal exactly and covers") {
@@ -1305,6 +1313,15 @@ class QueriesSpec extends SparkSpec {
     assert(row.getDouble(3) < row.getDouble(2) &&
       row.getDouble(2) < row.getDouble(4))
     assert(row.getDouble(4) - row.getDouble(3) < 0.1)
+    // zero-draw guard: on a tiny frame some replicate draws all-zero
+    // Poisson weights (P = e^-n per replicate); the band must stay
+    // finite, not NaN from 0/0
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val t = graft.queries.Text.bootstrapCiOf(tiny).collect().head
+    assert(!t.getDouble(3).isNaN && !t.getDouble(4).isNaN &&
+      t.getDouble(3) <= t.getDouble(4), s"tiny-frame CI $t")
   }
 
   test("llm_unimax: water-filling conserves the budget and honors caps") {

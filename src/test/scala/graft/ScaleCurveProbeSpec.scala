@@ -62,11 +62,14 @@ class ScaleCurveProbeSpec extends SparkSpec {
   // and every window runs over the fixed 16-checkpoint frame — a lost
   // checkpoint bucketing (window straight over the word stream) would
   // single-partition the corpus and trip this curve first.
+  // graph_hits (r17): 6 edge⋈score half-steps over the persisted edge
+  // list — a lost edge persist re-scans the corpus ~11x per run and a
+  // lost equi-key would wedge-square the join; both trip here first.
   Seq("llm_dedup_cc", "llm_semdedup_cc", "llm_ngram_jaccard",
       "llm_ann_ivf", "llm_ann_pq", "llm_ann_ivfpq",
       "llm_cluster_sample", "join_range_bin",
       "llm_suffix_dedup", "llm_suffix_scrub",
-      "llm_heaps_law").foreach { name =>
+      "llm_heaps_law", "graph_hits").foreach { name =>
     test(s"$name grows sub-quadratically over the 10x corpus step") {
       assume(!skip, "SPARK_GRAFT_SKIP_SCALE_PROBE=1")
       val lo = minTime(name, loDir)
