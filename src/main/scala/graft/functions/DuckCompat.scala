@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, Subtract}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, LessThan, Literal, Subtract}
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** ANSI-gap compat pack for the oracle dialect (SURVEY §3.4): the scalar
   * names DuckDB-flavoured SQL texts use, registered as NATIVE temp
@@ -30,6 +30,13 @@ object DuckCompat {
     b(_)
   }
 
+  /** [lo, hi) as sequence(lo, hi-1) guarded to [] when lo >= hi (DuckDB's
+    * empty-range contract; see the `range` entry below). */
+  private def halfOpenRange(lo: Expression, hi: Expression): Expression =
+    If(LessThan(lo, hi),
+      builtin("sequence")(Seq(lo, Cast(Subtract(hi, Literal(1L)), LongType))),
+      Literal.create(Seq.empty[Long], ArrayType(LongType, containsNull = false)))
+
   /** name → builder; kept in one map so registration and the doc table
     * in COVERAGE.md stay in sync. */
   private val fns: Map[String, Seq[Expression] => Expression] = Map(
@@ -47,14 +54,14 @@ object DuckCompat {
     "regexp_matches" -> builtin("rlike"),
     "to_hex" -> builtin("hex"),
     // range(n) = [0, n); range(a, b) = [a, b) — half-open like DuckDB's,
-    // vs sequence's inclusive stop; elements widened to BIGINT to match
+    // vs sequence's inclusive stop; elements widened to BIGINT to match.
+    // EMPTY ranges (start >= stop) guard to [] explicitly: DuckDB returns
+    // [] there, while Spark's sequence(start, stop) with start > stop
+    // generates a DESCENDING array — without the If, a surface text
+    // hitting an empty range on non-fixture data would emit spurious rows.
     "range" -> {
-      case Seq(n) => builtin("sequence")(Seq(
-        Cast(Literal(0), LongType),
-        Cast(Subtract(n, Literal(1)), LongType)))
-      case Seq(a, b) => builtin("sequence")(Seq(
-        Cast(a, LongType),
-        Cast(Subtract(b, Literal(1)), LongType)))
+      case Seq(n) => halfOpenRange(Cast(Literal(0), LongType), Cast(n, LongType))
+      case Seq(a, b) => halfOpenRange(Cast(a, LongType), Cast(b, LongType))
       case es => throw new IllegalArgumentException(
         s"range takes 1 or 2 args, got ${es.size}")
     },

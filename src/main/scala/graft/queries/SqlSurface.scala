@@ -1274,6 +1274,40 @@ object SqlSurface {
         }
         s
       }
+      // DuckDB struct literal {'k': v, …} → named_struct('k', v, …).
+      // Keys are MASKED string literals at this point, so the first ':'
+      // in each top-level part is the key separator ('::' casts only
+      // occur inside values); innermost-first repetition handles nesting.
+      // NO String.trim here — the mask sentinel  is a control char
+      // below U+0020, so trim would strip it and break unmasking; strip()
+      // (Character.isWhitespace-based) leaves sentinels intact.
+      .pipe { t =>
+        val structLit = "\\{([^{}]*)\\}".r
+        var s = t
+        var prev = ""
+        while (prev != s) {
+          prev = s
+          s = structLit.replaceAllIn(s, m => {
+            // top-level comma split WITHOUT splitTopLevel — its trim()
+            // would also strip boundary sentinels
+            val parts = scala.collection.mutable.ArrayBuffer[String]()
+            val cur = new StringBuilder
+            var depth = 0
+            m.group(1).foreach { c =>
+              if (c == '(') depth += 1 else if (c == ')') depth -= 1
+              if (c == ',' && depth == 0) { parts += cur.toString; cur.clear() }
+              else cur.append(c)
+            }
+            parts += cur.toString
+            val kv = parts.map { p =>
+              val i = p.indexOf(':')
+              p.substring(0, i).strip + ", " + p.substring(i + 1).strip
+            }.mkString(", ")
+            java.util.regex.Matcher.quoteReplacement(s"named_struct($kv)")
+          })
+        }
+        s
+      }
       // [a:b] slice syntax (1-based, inclusive end) → slice(x, a, len)
       .replaceAll("((?:\\w+\\.)?\\w+)\\[(\\d+):(\\d+)\\]",
         "slice($1, $2, ($3) - ($2) + 1)")
@@ -1390,6 +1424,21 @@ object SqlSurface {
     * the CREATE TEMPORARY FUNCTION half of the reference's UDF
     * lifecycle. Idempotent. */
   def registerCompat(spark: SparkSession): Unit = {
+    // The SQL-text path has no persist-barrier defense against
+    // InferFiltersFromGenerate (r10/r11: the inferred size(arr) > 0
+    // filter substitutes the md5 shingle/minhash signature chain into
+    // scan DataFilters, re-evaluating it against every raw row — 174 s
+    // vs 0.5 s at sf0.1 in the builder incarnation). The builders fix it
+    // per-query with a cache barrier; a SQL string cannot, so a session
+    // serving the dialect surface excludes the rule. Semantically
+    // neutral (the inferred filter only pre-skips rows whose generate
+    // output is empty), and in this workload every generator input the
+    // rule would guard is an expensive signature chain while corpus
+    // text arrays are never empty — the trade is strictly good. The
+    // PlanSpec SQL-surface sweep pins the symptom (no md5 in any
+    // FileScan line) suite-wide.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     graft.functions.UnicodeNormalize.register(spark)
     graft.functions.GapFunctions.registerAll(spark)
     graft.functions.DuckCompat.register(spark)

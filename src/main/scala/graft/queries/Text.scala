@@ -199,7 +199,11 @@ object Text {
     val noFrag = regexp_replace(url, "#.*$", "")
     val head = regexp_extract(noFrag, "^[^:]+://[^/?#]*", 0)
     val tail = noFrag.substr(length(head) + 1, length(noFrag))
-    val canonHead = regexp_replace(lower(head), ":(80|443)$", "")
+    // Default-port stripping is SCHEME-AWARE: :80 is only the default for
+    // http and :443 only for https — http://host:443/x is a DIFFERENT
+    // resource than http://host/x and must keep its key distinct.
+    val canonHead = regexp_replace(regexp_replace(lower(head),
+      "^(http://[^/?#]*):80$", "$1"), "^(https://[^/?#]*):443$", "$1")
     val canonPath = regexp_replace(regexp_extract(tail, "^[^?]*", 0), "/+$", "")
     val query = regexp_extract(tail, "\\?(.*)$", 1)
     val params = array_sort(filter(split(query, "&"),
@@ -2403,14 +2407,14 @@ object Text {
        |rep AS (
        |  SELECT doc_id, ${hashGramSql(2, distinct = false)} AS bg,
        |    len(hs) AS n_words
-       |  FROM wh WHERE len(hs) >= 2),
+       |  FROM wh WHERE nw >= 2),
        |gc AS (SELECT doc_id, g, COUNT(*) AS c
        |       FROM (SELECT doc_id, unnest(bg) AS g FROM rep) u GROUP BY doc_id, g),
        |tc AS (SELECT doc_id, MAX(c) AS top FROM gc GROUP BY doc_id),
        |nonrep AS (
        |  SELECT rep.doc_id FROM rep JOIN tc USING (doc_id)
        |  WHERE NOT (tc.top * 1.0 / (rep.n_words - 1) > 0.20)),
-       |g4 AS (SELECT doc_id, ${hashGramSql(4)} AS g FROM wh WHERE len(hs) >= 4),
+       |g4 AS (SELECT doc_id, ${hashGramSql(4)} AS g FROM wh WHERE nw >= 4),
        |eg AS (SELECT DISTINCT unnest(g) AS gm FROM g4 WHERE doc_id % 97 = 0),
        |contam AS (
        |  SELECT DISTINCT c.doc_id
@@ -3325,22 +3329,41 @@ object Text {
     * approximates the per-stratum count; survey-style corpus audits and
     * eval-set construction need the quota honored exactly).
     *
-    * Scale shape: quota selection = rank-within-stratum, a per-lang
-    * window ordered by the hash (never a global sort; skew bounded by
-    * the largest language, same bound CCNet bucketing documents). The
-    * per-lang counts ride a broadcast #langs-row join. Hash order means
-    * adding NEW docs later shifts membership only where hashes
-    * interleave — unlike positional sampling, no global renumbering. */
+    * Scale shape: quota selection DECOMPOSES the per-lang rank through
+    * 4096 hash-prefix buckets (the distributed order-statistic /
+    * histogram-refinement shape) — a row_number partitioned on `lang`
+    * alone would funnel the dominant language (English ≈ most of a web
+    * corpus) through ONE WindowExec partition, the same CCNet-sort
+    * anti-pattern [[qualityCalibrateOf]] avoids. Here: groupBy
+    * (lang, bucket) counts → a cumulative below-count over the ≤4096-row
+    * per-lang bucket frame → join back; buckets entirely past the quota
+    * are PRUNED before ranking (~1−frac of the corpus never enters a
+    * window), and the within-bucket row_number partitions on
+    * (lang, bucket) — 4096× finer than lang. rn = below + in-bucket rank
+    * is exactly the per-lang md5-order rank, since the bucket is the
+    * hash's own 3-hex-digit prefix. The per-lang counts ride a broadcast
+    * #langs-row join. Hash order means adding NEW docs later shifts
+    * membership only where hashes interleave — unlike positional
+    * sampling, no global renumbering. */
   private[graft] def stratifiedSampleOf(docs: DataFrame,
       frac: Double = 0.2): DataFrame = {
-    val d = docs.select("doc_id", "lang")
-    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    d.join(broadcast(counts), "lang")
-      .withColumn("rn", row_number().over(win))
+    val keyed = docs.select("doc_id", "lang")
+      .withColumn("k", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", conv(substring(col("k"), 1, 3), 16, 10).cast("int"))
+    val counts = keyed.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cums = keyed.groupBy("lang", "bkt").agg(count(lit(1)).as("cb"))
+      .withColumn("below", coalesce(sum(col("cb")).over(wCum), lit(0L)))
+      .drop("cb")
+    val wBkt = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "bkt").orderBy("k", "doc_id")
+    keyed.join(cums, Seq("lang", "bkt"))
+      .join(broadcast(counts), "lang")
       .withColumn("quota", ceil(col("n_lang") * lit(frac)))
+      .filter(col("below") < col("quota"))
+      .withColumn("rn", (col("below") + row_number().over(wBkt)).cast("int"))
       .filter(col("rn") <= col("quota"))
       .select(col("doc_id"), col("lang"), col("rn"),
         col("n_lang"), col("quota").cast("long").as("quota"))
@@ -3540,11 +3563,18 @@ object Text {
     * qualitySql pair quantized to 1e-6 longs; per-source moments are
     * exact sums of those longs with the Σq² accumulated in
     * decimal(38,0) (the seq_gini overflow rule — int64 dies at ~9M
-    * docs/source); the rank runs in a per-source window ordered by
-    * (qi, doc_id) — unique keys, so rank == row_number in both engines
-    * — bounded by the largest source (the CCNet-bucketing bound, never
-    * global); the #sources-row moment frame rides a broadcast join.
-    * Zero-variance sources pin z to 0 (the CASE both engines share). */
+    * docs/source); the rank DECOMPOSES to the value frame (the
+    * [[conformalOf]] / driftKs posture): groupBy (source, qi) counts,
+    * a cumulative below-count window over the per-source DISTINCT-qi
+    * frame (bounded by the 1e6-value quantization grain, never by
+    * rows — a row-level rank window partitioned on `source` would
+    * funnel the dominant source, ~80% of a web corpus, through one
+    * WindowExec partition), an equi-join back on (source, qi), and a
+    * within-tie row_number partitioned on (source, qi) ordered by
+    * doc_id — together exactly rank() over (source | qi, doc_id)
+    * since (qi, doc_id) is unique. The #sources-row moment frame
+    * rides a broadcast join. Zero-variance sources pin z to 0 (the
+    * CASE both engines share). */
   private[graft] def qualityCalibrateOf(docs: DataFrame): DataFrame = {
     val scored = docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
@@ -3556,10 +3586,19 @@ object Text {
     val stats = scored.groupBy("source").agg(
       count(lit(1)).as("ns"), sum(col("qi")).as("s1"),
       sum((col("qi") * col("qi")).cast("decimal(38,0)")).as("s2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("qi", "doc_id")
-    scored.join(broadcast(stats), "source")
-      .withColumn("rnk", rank().over(w))
+    // Value-frame rank decomposition (never a per-source ROW window):
+    // below-count over distinct (source, qi) + within-tie row_number.
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("qi")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val below = scored.groupBy("source", "qi").agg(count(lit(1)).as("cv"))
+      .withColumn("nbelow", coalesce(sum(col("cv")).over(wVal), lit(0L)))
+      .drop("cv")
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "qi").orderBy("doc_id")
+    scored.join(below, Seq("source", "qi"))
+      .join(broadcast(stats), "source")
+      .withColumn("rnk", col("nbelow") + row_number().over(wTie))
       .withColumn("mu", col("s1").cast("double") / 1e6 / col("ns"))
       .withColumn("sd", sqrt(greatest(
         col("s2").cast("double") / 1e12 / col("ns") - col("mu") * col("mu"),
@@ -3616,10 +3655,18 @@ object Text {
         dround(-col("b"), 6).as("zipf_exponent"),
         dround((col("sy") - col("b") * col("sx")) / col("n"), 6)
           .as("intercept"),
-        dround((col("n") * col("sxy") - col("sx") * col("sy"))
-          * (col("n") * col("sxy") - col("sx") * col("sy"))
-          / ((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+        // zero-variance guard (the quality_calibrate rule, same as
+        // heapsLawOf): a degenerate corpus where all top-V counts are
+        // equal leaves n·syy − sy² as a ±quantization residue — the
+        // unguarded ratio would emit NaN or an impossible R² in the
+        // hygiene column. Pin r2 to 0 there in BOTH engines.
+        when(col("n") * col("syy") - col("sy") * col("sy") <= lit(1e-9),
+          lit(0.0)).otherwise(
+          dround((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy"))
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("r2"))
   }
 
   val llmZipfFit: Q = (s, dir) =>
@@ -5438,8 +5485,11 @@ object Text {
     * the removable join on the gram key (hot boilerplate grams are
     * AQE-skew-splittable), a bounded per-doc covered-set collect
     * (≤ doc_len ints), and a per-row array rebuild — no global sort,
-    * no driver state. First-occurrence choice is the deterministic min
-    * packed (doc_id, pos) key, same tiebreak as [[spanDedupOf]]. */
+    * no driver state. First-occurrence choice is the deterministic
+    * lexicographic min over (doc_id, pos) STRUCTS — no arithmetic
+    * packing, so no magnitude assumption on either field (a packed
+    * `doc_id*1e6+pos` key would silently collide once a document
+    * exceeds 1M words; struct comparison is exact at any size). */
   private[graft] def suffixScrubOf(docs: DataFrame, spanW: Int = 8): DataFrame = {
     val wsDocs = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val grams = wsDocs
@@ -5448,8 +5498,7 @@ object Text {
           sequence(lit(1), size(col("ws")) - spanW + 1),
           p => array_join(slice(col("ws"), p, lit(spanW)), " ")))
         .as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"),
-        (col("doc_id") * lit(1000000L) + col("p0") + 1).as("pk"), col("g"))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
       // Persist barrier over the gram projection: both the stats agg and
       // the removable-join probe side consume it, and the two subtrees
       // are NOT canonically identical up to an exchange (probe side has
@@ -5463,9 +5512,11 @@ object Text {
       .persist()
     grams.count()
     val stats = grams.groupBy("g")
-      .agg(count(lit(1)).as("cnt"), min(col("pk")).as("firstpk"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("p"))).as("firstocc"))
     val removable = grams.join(stats, "g")
-      .filter(col("cnt") >= 2 && col("pk") =!= col("firstpk"))
+      .filter(col("cnt") >= 2 &&
+        struct(col("doc_id"), col("p")) =!= col("firstocc"))
       .select(col("doc_id"), col("p"))
     val covered = removable
       .select(col("doc_id"),
@@ -5880,10 +5931,18 @@ object Text {
 
   /** DuckDB twin of `wordHashRows`→`shingleIdRows`: 28-bit md5 word
     * hashes combined with the same B1/B2/B3 · mod-P arithmetic. */
+  /** `nw` duplicates len(hs) from the CHEAP precursor (split only, no
+    * md5): length guards must filter on nw, never len(hs) — a predicate
+    * referencing hs alias-substitutes the md5 word-hash chain into the
+    * scan's DataFilters when the text runs as the Spark surface entry
+    * (the r10 pathology site; PlanSpec's SQL-surface sweep pins md5 out
+    * of every FileScan line). list_transform preserves length, so the
+    * two spellings are row-identical. */
   private val wordHashSql =
     """SELECT doc_id, lang,
       |  list_transform(string_split(text, ' '),
-      |    w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hs
+      |    w -> ('0x' || substr(md5(w), 1, 7))::BIGINT) AS hs,
+      |  len(string_split(text, ' ')) AS nw
       |FROM documents""".stripMargin
 
   /** DuckDB twin of [[hashGramCol]] — same coefficients, same mod-P. */
@@ -5897,7 +5956,7 @@ object Text {
   private val shingleSql =
     s"""SELECT doc_id, ${hashGramSql(3)} AS sh
        |FROM ($wordHashSql) t
-       |WHERE len(hs) >= 3""".stripMargin
+       |WHERE nw >= 3""".stripMargin
 
   /** CTE block ending in `buckets(doc_id, sh, band, sig)` — the capped LSH
     * bucket table; `cap` mirrors the Spark-side [[capBuckets]] threshold. */
@@ -6409,7 +6468,11 @@ object Text {
          |  FROM s1),
          |s3 AS (
          |  SELECT doc_id, n_chars,
-         |    regexp_replace(lower(head), ':(80|443)$$', '') AS canon_head,
+         |    CASE WHEN lower(head) LIKE 'http://%'
+         |           THEN regexp_replace(lower(head), ':80$$', '')
+         |         WHEN lower(head) LIKE 'https://%'
+         |           THEN regexp_replace(lower(head), ':443$$', '')
+         |         ELSE lower(head) END AS canon_head,
          |    substr(nf, length(head) + 1) AS tail
          |  FROM s2),
          |s4 AS (
@@ -6497,7 +6560,7 @@ object Text {
     "llm_contamination" ->
       s"""WITH g AS (
          |  SELECT doc_id, ${hashGramSql(4)} AS g
-         |  FROM ($wordHashSql) t WHERE len(hs) >= 4),
+         |  FROM ($wordHashSql) t WHERE nw >= 4),
          |eg AS (SELECT DISTINCT unnest(g) AS gm FROM g WHERE doc_id % 97 = 0),
          |c AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS gm
          |      FROM g WHERE doc_id % 97 != 0)
@@ -6509,7 +6572,7 @@ object Text {
       s"""WITH b AS (
          |  SELECT doc_id, len(hs) AS n_words, len(list_distinct(hs)) AS n_distinct,
          |    ${hashGramSql(2, distinct = false)} AS bg
-         |  FROM ($wordHashSql) t WHERE len(hs) >= 2),
+         |  FROM ($wordHashSql) t WHERE nw >= 2),
          |gc AS (SELECT doc_id, g, COUNT(*) AS c
          |       FROM (SELECT doc_id, unnest(bg) AS g FROM b) u GROUP BY doc_id, g),
          |tc AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM gc GROUP BY doc_id)
@@ -7083,8 +7146,9 @@ object Text {
     // is duplicated at depth d iff its d-word gram (list_slice, 1-based
     // inclusive) occurs >= 2 times corpus-wide. range(1, len-d+2) is
     // empty when len < d, so short docs drop out of deep depths on both
-    // engines. The Spark side derives the same equality classes by
-    // prefix doubling — equality of class reps == equality of grams.
+    // engines. The Spark side emits the same literal d-grams in a
+    // single pass (its scaladoc documents measuring and rejecting the
+    // prefix-doubling alternative) — identical gram multisets per depth.
     "llm_suffix_dedup" ->
       s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |ds(d) AS (VALUES (1), (2), (4), (8), (16)),
@@ -7107,19 +7171,21 @@ object Text {
     // Span-removal action: non-first occurrences of duplicated 8-word
     // spans are cut; a word survives unless covered by some removable
     // span start. range(p, p+8) is half-open = offsets p..p+7; kept
-    // words reassemble ORDER BY position. First occurrence = min
-    // packed (doc_id, pos) key, the spanDedup tiebreak.
+    // words reassemble ORDER BY position. First occurrence = lexico-
+    // graphic MIN over (doc_id, pos) STRUCTS (no packed-key magnitude
+    // assumption — mirrors the builder), the spanDedup tiebreak.
     "llm_suffix_scrub" ->
       s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |g AS (SELECT doc_id, p,
-         |    doc_id * 1000000 + p AS pk,
          |    array_to_string(list_slice(ws, p, p + 7), ' ') AS gm
          |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 8 + 2)) AS p
          |        FROM wt WHERE len(ws) >= 8) t),
-         |st AS (SELECT gm, COUNT(*) AS cnt, MIN(pk) AS firstpk
+         |st AS (SELECT gm, COUNT(*) AS cnt,
+         |    MIN({'d': doc_id, 'p': p}) AS firstocc
          |  FROM g GROUP BY 1),
          |rm AS (SELECT g.doc_id, g.p FROM g JOIN st USING (gm)
-         |  WHERE st.cnt >= 2 AND g.pk <> st.firstpk),
+         |  WHERE st.cnt >= 2
+         |    AND {'d': g.doc_id, 'p': g.p} <> st.firstocc),
          |cov AS (SELECT DISTINCT doc_id, q
          |  FROM (SELECT doc_id, unnest(range(p, p + 8)) AS q FROM rm) c),
          |px AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM wt),
@@ -7460,14 +7526,32 @@ object Text {
          |FROM fr WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Exact-quota stratified sample: rank within lang by md5(doc_id),
     // keep rn <= ceil(0.2 * n_lang) — all-integer membership test.
+    // Bucket-decomposed per-lang rank (the builder's distributed
+    // order-statistic shape): hash-prefix buckets, cumulative
+    // below-counts over the per-lang bucket frame, within-bucket
+    // row_number — never a row window partitioned on lang alone. The
+    // text doubles as the Spark surface entry, where the plan shape
+    // is PlanSpec-guarded.
     "llm_stratified_sample" ->
       """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
         |           FROM documents GROUP BY lang),
-        |r AS (SELECT d.doc_id, d.lang,
-        |        row_number() OVER (PARTITION BY d.lang
-        |          ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
-        |      FROM documents d)
-        |SELECT r.doc_id, r.lang, CAST(r.rn AS INT) AS rn, c.n_lang,
+        |kb AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3))::BIGINT AS INT) AS bkt
+        |       FROM documents),
+        |cm AS (SELECT lang, bkt,
+        |         COALESCE(SUM(CAST(COUNT(*) AS BIGINT)) OVER
+        |           (PARTITION BY lang ORDER BY bkt
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS below
+        |       FROM kb GROUP BY lang, bkt),
+        |r AS (SELECT kb.doc_id, kb.lang,
+        |        CAST(cm.below + row_number() OVER (PARTITION BY kb.lang, kb.bkt
+        |          ORDER BY kb.k, kb.doc_id) AS INT) AS rn
+        |      FROM kb
+        |      JOIN cm ON cm.lang = kb.lang AND cm.bkt = kb.bkt
+        |      JOIN c ON c.lang = kb.lang
+        |      WHERE cm.below < CEIL(c.n_lang * 0.2))
+        |SELECT r.doc_id, r.lang, r.rn, c.n_lang,
         |  CAST(CEIL(c.n_lang * 0.2) AS BIGINT) AS quota
         |FROM r JOIN c USING (lang)
         |WHERE r.rn <= CEIL(c.n_lang * 0.2)
@@ -7520,8 +7604,9 @@ object Text {
          |SELECT CAST(n AS BIGINT) AS n_fit,
          |  ${oRound("-b", 6)} AS zipf_exponent,
          |  ${oRound("(sy - b * sx) / n", 6)} AS intercept,
-         |  ${oRound("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
-             " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+         |  CASE WHEN n * syy - sy * sy <= 1e-9 THEN 0.0
+         |  ELSE ${oRound("(n * sxy - sx * sy) * (n * sxy - sx * sy)" +
+             " / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} END AS r2
          |FROM bb""".stripMargin,
     // Heaps fit: integer-exact ceil-division checkpoint buckets,
     // word→min(doc) first-occurrence agg, cumulation + quantized
@@ -7657,9 +7742,16 @@ object Text {
          |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
          |    CAST(SUM(qi) AS BIGINT) AS s1, SUM(qi * qi) AS s2
          |  FROM sc GROUP BY source),
-         |r AS (SELECT doc_id, source, qi,
-         |    rank() OVER (PARTITION BY source ORDER BY qi, doc_id) AS rnk
-         |  FROM sc),
+         |cm AS (SELECT source, qi,
+         |    COALESCE(SUM(CAST(COUNT(*) AS BIGINT)) OVER
+         |      (PARTITION BY source ORDER BY qi
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS nbelow
+         |  FROM sc GROUP BY source, qi),
+         |r AS (SELECT sc.doc_id, sc.source, sc.qi,
+         |    cm.nbelow + row_number() OVER (PARTITION BY sc.source, sc.qi
+         |      ORDER BY sc.doc_id) AS rnk
+         |  FROM sc JOIN cm ON cm.source = sc.source AND cm.qi = sc.qi),
          |j AS (SELECT r.doc_id, r.source, r.qi, r.rnk, st.ns,
          |    CAST(st.s1 AS DOUBLE) / 1000000.0 / st.ns AS mu,
          |    sqrt(GREATEST(CAST(st.s2 AS DOUBLE) / 1000000000000.0 / st.ns
@@ -7940,7 +8032,7 @@ object Text {
     "llm_winnow" ->
       s"""WITH wh AS ($wordHashSql),
          |g AS (SELECT doc_id, ${hashGramSql(3, distinct = false)} AS g
-         |      FROM wh WHERE len(hs) >= ${winnowW + 2}),
+         |      FROM wh WHERE nw >= ${winnowW + 2}),
          |f AS (SELECT doc_id, list_distinct(list_transform(range(len(g) - ${winnowW - 1}),
          |        i -> list_min(g[i+1:i+$winnowW]))) AS fps FROM g)
          |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
@@ -8100,7 +8192,7 @@ object Text {
     "llm_ngram_novelty" ->
       s"""WITH wh AS ($wordHashSql),
          |g4 AS (SELECT doc_id, unnest(${hashGramSql(4)}) AS g
-         |       FROM wh WHERE len(hs) >= 4),
+         |       FROM wh WHERE nw >= 4),
          |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g4 GROUP BY g)
          |SELECT g4.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
          |  CAST(SUM(CASE WHEN f.first_doc = g4.doc_id THEN 1 ELSE 0 END)

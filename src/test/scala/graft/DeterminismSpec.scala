@@ -24,7 +24,7 @@ package graft
 class DeterminismSpec extends SparkSpec {
 
   /** Run every named query under the CURRENT session conf and collect
-    * its rows, fanned out on a fixed 4-thread pool (r17, verdict item
+    * its rows, fanned out on a fixed 8-thread pool (r17, verdict item
     * 6): the conf is constant for the whole phase, so concurrent
     * execution is safe — Spark's scheduler interleaves the jobs — and
     * the two-phase shape (all-baseline, flip once, all-flipped) replaces

@@ -527,14 +527,111 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("no registered query plans an accidental cartesian product") {
-    // join_cross IS a cartesian product by design (guarded dims-only).
-    val intentional = Set("join_cross")
-    val offenders = SparkEntry.queries.collect {
-      case (name, fn) if !intentional(name) &&
-        fn(spark, sfDir).queryExecution.sparkPlan.toString
-          .contains("CartesianProduct") => name
+  /** True iff the physical plan contains a ranking window (rank /
+    * dense_rank / percent_rank / row_number / ntile) whose partitioning
+    * is SOLELY data-skewed keys (source / lang) over a non-aggregated
+    * frame — the CCNet-sort anti-pattern: a real corpus has a dominant
+    * source (web ≈ 80%), so such a window funnels ~the whole corpus
+    * through ONE WindowExec partition. Legal shapes stay legal: a finer
+    * partitioning like (source, qi) (the quality_calibrate within-tie
+    * window) or (lang, bkt) (the stratified-sample bucket refinement),
+    * or a window whose input STREAM is already grouped (an aggregate
+    * beneath bounds the frame by distinct keys — but only on the
+    * streamed lineage: an aggregate inside a broadcast-join BUILD side
+    * says nothing about the window's row count, so BroadcastExchange
+    * subtrees don't count). */
+  private def skewedRankWindow(plan: SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, RankLike, RowNumberLike, WindowExpression}
+    val skewed = Set("source", "lang", "language")
+    def streamHasAgg(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+      case other => other.children.exists(streamHasAgg)
     }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    plan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.forall {
+            case a: AttributeReference => skewed(a.name)
+            case _ => false
+          } &&
+          w.windowExpression.exists(_.collectFirst {
+            case we: WindowExpression
+              if we.windowFunction.isInstanceOf[RankLike] ||
+                we.windowFunction.isInstanceOf[RowNumberLike] => we
+          }.nonEmpty) &&
+          !streamHasAgg(w.child) => w
+    }.nonEmpty
+  }
+
+  test("no registered query plans a cartesian product or a skewed-key row-rank window") {
+    // join_cross IS a cartesian product by design (guarded dims-only).
+    // One sweep builds each plan once and runs both suite-wide
+    // plan-class assertions on it (r18, verdict items 2+4).
+    val intentional = Set("join_cross")
+    val cartOffenders = scala.collection.mutable.ListBuffer[String]()
+    val rankOffenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      if (!intentional(name) && plan.toString.contains("CartesianProduct"))
+        cartOffenders += name
+      if (skewedRankWindow(plan)) rankOffenders += name
+    }
+    assert(cartOffenders.isEmpty, s"cartesian products in: $cartOffenders")
+    assert(rankOffenders.isEmpty,
+      s"row-rank window partitioned only on a skewed key (source/lang) " +
+        s"over an ungrouped frame in: $rankOffenders")
+  }
+
+  test("SQL-surface texts obey the suite-wide plan-class guards too") {
+    // The 222 surface texts are gated on ROW equality against their
+    // builders, but a dialect-translation regression (a translatedPatched
+    // regex dropping a join condition or fanning a signature chain into
+    // scan filters) would keep rows identical while planning
+    // catastrophically worse. Iterate the same plan-class bounds over
+    // every text (r17 verdict item 4): no cartesian, no skewed-key
+    // row-rank window, and the r10/r11 InferFilters pushdown pathology
+    // detected at its actual SITE — md5 signature chains substituted
+    // into scan DataFilters (re-evaluated against every RAW row during
+    // the scan, the r10 174-s shape), NOT total plan md5 prints:
+    // band-struct expansion legitimately prints one textual md5
+    // hundreds of times, and Filter nodes above generators carry
+    // signature terms at a bounded constant factor (the no-persist SQL
+    // texts pass the row gate in seconds with those). Measured healthy
+    // FileScan-line counts across all 222 texts: ≤ 4.
+    spark.catalog.clearCache()
+    graft.Tables.registerAll(spark, sfDir)
+    graft.queries.SqlSurface.registerCompat(spark)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = SparkEntry.sqlQueries.toSeq.map { case (name, text) =>
+        Future {
+          val qe = spark.sql(text).queryExecution
+          val phys = qe.sparkPlan
+          val s = phys.toString
+          val scanMd5 = s.linesIterator.filter(_.contains("FileScan"))
+            .map(l => "md5\\(".r.findAllIn(l).size).sum
+          val problems = Seq(
+            if (name != "join_cross" && s.contains("CartesianProduct"))
+              Some("cartesian product") else None,
+            if (skewedRankWindow(phys)) Some("skewed-key row-rank window")
+            else None,
+            if (scanMd5 > 4)
+              Some(s"md5 in scan DataFilters: $scanMd5 sites — " +
+                "InferFilters pushdown blowup") else None).flatten
+          if (problems.isEmpty) None else Some(s"$name: ${problems.mkString("; ")}")
+        }.recover { case e: Throwable =>
+          Some(s"$name threw during planning: " +
+            e.getMessage.linesIterator.next().take(160))
+        }
+      }
+      val failures = Await.result(Future.sequence(fs), 15.minutes).flatten
+      assert(failures.isEmpty,
+        s"${failures.size} SQL-surface plan-class violations:\n  " +
+          failures.mkString("\n  "))
+    } finally pool.shutdown()
   }
 }

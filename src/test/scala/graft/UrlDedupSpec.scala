@@ -22,7 +22,11 @@ class UrlDedupSpec extends SparkSpec {
       // all params tracking => no '?'
       "https://ex.com/p/?utm_campaign=x" -> "https://ex.com/p",
       // non-default port survives
-      "https://ex.com:8443/p" -> "https://ex.com:8443/p")
+      "https://ex.com:8443/p" -> "https://ex.com:8443/p",
+      // port stripping is scheme-aware: :443 is NOT http's default and
+      // :80 is NOT https's — both name distinct resources and keep keys
+      "http://ex.com:443/p" -> "http://ex.com:443/p",
+      "https://ex.com:80/p" -> "https://ex.com:80/p")
     import spark.implicits._
     val got = cases.map(_._1).toDF("url")
       .select(Text.canonicalUrl(col("url")).as("c")).collect().map(_.getString(0))
