@@ -357,6 +357,20 @@ object Pipeline {
     * lang, source, size_bucket, group_n). */
   def kAnon(docs: DataFrame, k: Int = 5): DataFrame = Text.kAnonOf(docs, k)
 
+  /** l-diversity audit over the (lang, size-bucket) quasi-identifier
+    * pair with `source` as the sensitive attribute: per QI group, size,
+    * distinct-l, sensitive-distribution entropy, and the distinct-l ≥ l
+    * flag — the homogeneity-attack check k-anonymity alone misses.
+    * Returns (lang, size_bucket, n_docs, distinct_l, entropy, diverse). */
+  def lDiversity(docs: DataFrame, l: Int = 3): DataFrame =
+    Text.lDiversityOf(docs, l)
+
+  /** Retrieval evaluation (nDCG@k / MRR / hits) of the brute-cosine
+    * ranking against label relevance. Returns per eval query
+    * (q_id, n_rel, hits, mrr, dcg, ndcg). */
+  def ndcgEval(embeddings: DataFrame, k: Int = 10): DataFrame =
+    Text.ndcgEvalOf(embeddings, k)
+
   /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
     * (strip fragments/default ports/trailing slashes/tracking params,
     * sort survivors), then per canonical key keep the best-quality doc

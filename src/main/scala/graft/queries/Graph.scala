@@ -390,7 +390,40 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Connected components over the residue-partitioned link subgraph —
+    * the remaining classic graph primitive beside rank (pagerank/HITS),
+    * degree (kcore), community (labelprop), counting (triangles) and
+    * traversal (bfs): each node's component label = the minimum doc_id
+    * reachable from it. The subgraph keeps only links whose endpoints
+    * share `doc_id % 16` (a "same-shard links" cut): with out-degree 3
+    * and 1/16 of targets landing in-class, intra-class degree ≈ 0.19 —
+    * a sparse forest-like graph with MANY nontrivial components, so the
+    * labels exercise real merging (the full md5 graph is one giant
+    * component whp, which would make the query a constant).
+    *
+    * Scale shape: delegates to the audited O(log d) large-star /
+    * small-star contraction ([[Text.connectedComponents]] — the
+    * llm_dedup_cc engine, per-round checkpointed lineage, plateau +
+    * symmetric set-compare convergence, measured scale-curve α ≈ 0.04).
+    * Edge derivation is a projection; no new shuffle class. The DuckDB
+    * twin walks the transitive closure recursively (fixture-scale
+    * only). */
+  val cc: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val intra = raw.filter(pmod(col("src"), lit(16)) === pmod(col("dst"), lit(16)))
+    graft.queries.Text.connectedComponents(ids, intra)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_cc" -> cc,
     "graph_hits" -> hits,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
@@ -454,6 +487,27 @@ object Graph {
        |  WHERE c >= 4)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Residue-partitioned subgraph (src%16 = dst%16), symmetric closure,
+    // recursive min-reachable-id walk (fixture-scale; the Spark side
+    // runs the O(log d) star contraction instead — the dedup_cc twin
+    // convention). Isolated nodes label themselves via the seed row.
+    "graph_cc" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+        |raw AS (
+        |  SELECT ids.doc_id AS src,
+        |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+        |      % (SELECT n FROM nn)) AS dst
+        |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+        |intra AS (SELECT src, dst FROM raw WHERE src % 16 = dst % 16),
+        |edges AS (SELECT src AS a, dst AS b FROM intra
+        |          UNION SELECT dst, src FROM intra),
+        |walk AS (
+        |  SELECT doc_id AS node, doc_id AS reach FROM ids
+        |  UNION
+        |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+        |SELECT node AS doc_id, MIN(reach) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     // Same closure; 4 unrolled peel rounds, survivors' within-core
     // degree.
     // Same undirected closure; 4 unrolled BFS relaxations from the

@@ -1136,7 +1136,8 @@ object SqlSurface {
     "llm_charngram_langid", "llm_contamination", "llm_contamination_fuzzy",
     "llm_corpus_pipeline", "llm_corpus_select", "llm_dedup_incremental",
     "llm_drift_ks", "llm_drift_psi",
-    "llm_dsir_select", "llm_html_extract", "llm_k_anon", "llm_lang_id",
+    "llm_dsir_select", "llm_html_extract", "llm_k_anon",
+    "llm_l_diversity", "llm_lang_id", "llm_ndcg_eval",
     "llm_lexical_diversity", "llm_lm_bigram", "llm_lm_quality",
     "llm_lm_trigram", "llm_lsh_capped", "llm_minhash_lsh",
     "llm_mix_weights", "llm_ngram_jaccard", "llm_ngram_novelty",
@@ -1486,7 +1487,8 @@ object SqlSurface {
       "llm_bpe_encode" -> "applies the trained merge table iteratively; same unrolled-text analyzer cap",
       "llm_dedup_cc" -> "connected components — oracle uses WITH RECURSIVE … UNION (distinct), which Spark 4 recursive CTEs don't support (UNION ALL only)",
       "llm_semdedup_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
-      "llm_cluster_sample" -> "same recursive-CTE UNION limitation as llm_dedup_cc")
+      "llm_cluster_sample" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
+      "graph_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc")
     val vectorDialect = Seq(
       "llm_mmr_rerank" -> "the greedy MMR selection loop is a typed flatMapGroups (imperative per-group state) — not single-statement SQL; the oracle replays it with QUALIFY recursion")
     // r17: the former gate-divergent category is EMPTY — all three

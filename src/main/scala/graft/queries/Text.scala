@@ -745,6 +745,77 @@ object Text {
       .orderBy("q_id", "rnk")
   }
 
+  /** Retrieval-quality evaluation — nDCG@k, MRR and hit-count per query
+    * (Järvelin & Kekäläinen, TOIS 2002 for DCG; the standard eval
+    * triple every retrieval stack reports): rank the corpus per query
+    * by the [[llmCosineTopk]] brute-cosine baseline, grade binary
+    * relevance by the embedding fixture's `label` (a retrieved doc is
+    * relevant iff it shares the query's label — real class structure,
+    * not a synthetic rule), and score the top-k list. This is the
+    * measurement leg the ANN family's recall gates quote — as a
+    * registered operator the pipeline can run per release, not just in
+    * tests.
+    *
+    * Scale shape: the eval query set is a bounded sample (the ANN
+    * convention here: vec_id < 20), so the ranking join is a broadcast
+    * of ~20 query vectors against the corpus — one pass, no corpus ×
+    * corpus anything; the per-query window partitions on q_id. The
+    * ideal-DCG side needs only each query's TOTAL relevant count (an
+    * equi-join on label, two-phase counted) joined to a k-row literal
+    * discount frame.
+    *
+    * Cross-engine determinism: cosines are the proven dround(6) grain
+    * with vec_id tiebreaks; every log-discount term is spelled
+    * ln(r+1)/ln(2) in BOTH engines (identical IEEE ops — never an
+    * engine's own log2) and quantized to 1e-9 before the exact long
+    * sum; MRR's 1/rank and the final ratios round at the same grains. */
+  private[graft] def ndcgEvalOf(emb0: DataFrame, k: Int = 10): DataFrame = {
+    val spark = emb0.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val dot = (x: Column, y: Column) => call_function("dot_product", x, y)
+    val lg = (c: Column) => org.apache.spark.sql.functions.log(c)
+    val disc = (r: Column) =>
+      dround(lit(1.0) / (lg(r.cast("double") + lit(1.0)) / lg(lit(2.0))), 9)
+    val emb = emb0.select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_lab"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val rtot = broadcast(q.select("q_id", "q_lab"))
+      .join(corpus.select("label"), col("q_lab") === col("label"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val top = broadcast(q).join(corpus)
+      .select(col("q_id"), col("q_lab"), col("vec_id"), col("label"),
+        dround(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .withColumn("rel", (col("q_lab") === col("label")).cast("int"))
+    val per = top.groupBy("q_id").agg(
+      sum(col("rel")).as("hits"),
+      dround(coalesce(lit(1.0) /
+        min(when(col("rel") === 1, col("rnk"))), lit(0.0)), 9).as("mrr"),
+      dsum(col("rel") * disc(col("rnk")), 9).as("dcg"))
+    val ranks = spark.range(1, k + 1L)
+      .select(col("id").cast("int").as("r"))
+      .withColumn("d", disc(col("r")))
+    val idcg = rtot
+      .join(broadcast(ranks), col("r") <= least(col("n_rel"), lit(k.toLong)))
+      .groupBy("q_id", "n_rel").agg(dsum(col("d"), 9).as("idcg"))
+    per.join(idcg, "q_id")
+      .select(col("q_id"), col("n_rel"), col("hits"),
+        col("mrr"), dround(col("dcg"), 6).as("dcg"),
+        when(col("idcg") > 0, dround(col("dcg") / col("idcg"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("q_id")
+  }
+
+  val llmNdcgEval: Q = (s, dir) =>
+    ndcgEvalOf(Tables.t(s, dir, "embeddings"))
+
   /** MMR diversity reranking (Carbonell & Goldstein, SIGIR 1998):
     * greedily re-order a retrieval pool so each pick maximizes
     * `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — relevance traded against
@@ -3913,6 +3984,47 @@ object Text {
   val llmKAnon: Q = (s, dir) =>
     kAnonOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** l-diversity audit (Machanavajjhala et al., TKDD 2007) — the
+    * release-side privacy gate k-anonymity alone can't give: a QI group
+    * can satisfy k ≥ 5 while every member shares ONE sensitive value
+    * (the homogeneity attack — group membership then discloses the
+    * attribute). Per QI group (lang, ⌊n_chars/100⌋) with `source` as
+    * the sensitive attribute, report group size, the distinct-l count,
+    * the sensitive-distribution entropy (the entropy-l-diversity
+    * statistic, ln l being its threshold form), and the distinct-l ≥ 3
+    * pass flag — the audit table a release pipeline joins against
+    * before publishing, sibling to [[kAnonOf]]'s suppression action.
+    *
+    * Scale shape: two nested two-phase aggregations (QI × sensitive
+    * counts, then QI rollup) — map-side partials absorb the corpus;
+    * both output frames are bounded by QI × source cardinality. The
+    * group-total window runs over the AGGREGATED (QI, source) frame
+    * (never rows). Entropy terms quantize to 1e-9 longs before the
+    * exact sum ([[dsum]]) so ln never drifts cross-engine. */
+  private[graft] def lDiversityOf(docs: DataFrame, l: Int = 3): DataFrame = {
+    val sc = docs
+      .select(col("lang"), expr("n_chars DIV 100").as("size_bucket"),
+        col("source"))
+      .groupBy("lang", "size_bucket", "source").agg(count(lit(1)).as("c"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "size_bucket")
+    sc.withColumn("n", sum(col("c")).over(wg))
+      .groupBy("lang", "size_bucket")
+      .agg(max(col("n")).as("n_docs"),
+        count(lit(1)).cast("int").as("distinct_l"),
+        dsum(col("c").cast("double") / col("n")
+          * org.apache.spark.sql.functions.log(
+            col("n").cast("double") / col("c")), 9).as("ent"))
+      .select(col("lang"), col("size_bucket"), col("n_docs"),
+        col("distinct_l"), dround(col("ent"), 6).as("entropy"),
+        (col("distinct_l") >= l).as("diverse"))
+      .orderBy("lang", "size_bucket")
+  }
+
+  val llmLDiversity: Q = (s, dir) =>
+    lDiversityOf(Tables.t(s, dir, "documents")
+      .select("lang", "n_chars", "source"))
+
   /** PMI-ranked collocation extraction (Church & Hanks 1990, the
     * association-ratio method): for each adjacent word pair, the
     * pointwise-mutual-information RATIO p(a,b)/(p(a)·p(b)) =
@@ -5829,6 +5941,7 @@ object Text {
     "llm_simhash_neardup" -> llmSimhashNeardup,
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_cosine_topk" -> llmCosineTopk,
+    "llm_ndcg_eval" -> llmNdcgEval,
     "llm_embed_quantize" -> llmEmbedQuantize,
     "llm_random_proj" -> llmRandomProj,
     "llm_pca_project" -> llmPcaProject,
@@ -5870,6 +5983,7 @@ object Text {
     "llm_unimax" -> llmUnimax,
     "llm_bootstrap_ci" -> llmBootstrapCi,
     "llm_k_anon" -> llmKAnon,
+    "llm_l_diversity" -> llmLDiversity,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
     "llm_textrank" -> llmTextrank,
@@ -6849,6 +6963,45 @@ object Text {
          |  FROM sims)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Retrieval eval: cosine_topk's ranking graded by label relevance;
+    // every log2 discount is spelled ln(r+1)/ln(2) (identical IEEE ops
+    // in both engines) and quantized at 1e-9 before the exact sum;
+    // ideal DCG joins the per-query relevant total against a 10-row
+    // rank frame.
+    "llm_ndcg_eval" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |        sqrt(list_inner_product(v, v)) AS nrm FROM e),
+         |rt AS (SELECT q.vec_id AS q_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |       FROM n q JOIN n c
+         |         ON q.vec_id < 20 AND c.vec_id >= 20 AND q.label = c.label
+         |       GROUP BY q.vec_id),
+         |sims AS (
+         |  SELECT q.vec_id AS q_id, q.label AS q_lab, c.vec_id, c.label,
+         |    ${oRound("list_inner_product(q.v, c.v) / (q.nrm * c.nrm)", 6)} AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id >= 20),
+         |t AS (SELECT q_id, vec_id, rnk,
+         |        CASE WHEN q_lab = label THEN 1 ELSE 0 END AS rel
+         |      FROM (SELECT q_id, q_lab, vec_id, label,
+         |              row_number() OVER (PARTITION BY q_id
+         |                ORDER BY cos DESC, vec_id) AS rnk
+         |            FROM sims) r WHERE rnk <= 10),
+         |p AS (SELECT q_id, CAST(SUM(rel) AS BIGINT) AS hits,
+         |        ${oRound("COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END), 0.0)", 9)} AS mrr,
+         |        ${oSum("rel * (" + oRound("1.0 / (ln(CAST(rnk AS DOUBLE) + 1.0) / ln(2.0))", 9) + ")", 9)} AS dcg
+         |      FROM t GROUP BY q_id),
+         |rk AS (SELECT unnest(range(1, 11)) AS r),
+         |ic AS (SELECT rt.q_id, rt.n_rel,
+         |        ${oSum(oRound("1.0 / (ln(CAST(rk.r AS DOUBLE) + 1.0) / ln(2.0))", 9), 9)} AS idcg
+         |       FROM rt JOIN rk ON rk.r <= LEAST(rt.n_rel, 10)
+         |       GROUP BY rt.q_id, rt.n_rel)
+         |SELECT p.q_id, ic.n_rel, p.hits, p.mrr,
+         |  ${oRound("p.dcg", 6)} AS dcg,
+         |  CASE WHEN ic.idcg > 0 THEN ${oRound("p.dcg / ic.idcg", 6)}
+         |       ELSE 0.0 END AS ndcg
+         |FROM p JOIN ic ON ic.q_id = p.q_id
+         |ORDER BY p.q_id""".stripMargin,
     // Hard-negative mining: the cosine_topk pairing carried with labels;
     // per-query rank over the same-label frame (keep 1 = the positive)
     // and the different-label frame (keep 3 = the hard negatives);
@@ -7979,6 +8132,22 @@ object Text {
         |  CASE WHEN group_n >= 5 THEN CAST(size_bucket AS VARCHAR) ELSE '*' END AS size_bucket,
         |  CAST(group_n AS BIGINT) AS group_n
         |FROM g ORDER BY doc_id""".stripMargin,
+    // l-diversity: QI pair (lang, n_chars//100), sensitive = source;
+    // group-total window runs over the aggregated (QI, source) frame;
+    // entropy terms quantized at 1e-9 before the exact sum.
+    "llm_l_diversity" ->
+      s"""WITH sc AS (SELECT lang, n_chars // 100 AS size_bucket, source,
+         |        CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM documents GROUP BY 1, 2, 3),
+         |g AS (SELECT lang, size_bucket, c,
+         |        SUM(c) OVER (PARTITION BY lang, size_bucket) AS n
+         |      FROM sc)
+         |SELECT lang, size_bucket, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS INT) AS distinct_l,
+         |  ${oRound(oSum("(c * 1.0 / n) * ln(n * 1.0 / c)", 9), 6)} AS entropy,
+         |  (COUNT(*) >= 3) AS diverse
+         |FROM g GROUP BY lang, size_bucket
+         |ORDER BY lang, size_bucket""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id,
          |list_reduce(list_prepend(0::BIGINT,

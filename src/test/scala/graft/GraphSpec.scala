@@ -252,4 +252,41 @@ class GraphSpec extends SparkSpec {
       .take(20).map { case (u, w, cn, jq) => (u, w, cn, jq / 1e6) }
     assert(got.toSeq == expected)
   }
+
+  test("graph_cc replays a driver-side union-find over the residue subgraph") {
+    val got = SparkEntry.queries("graph_cc")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = got.size
+    assert(n == 500)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    // same derivation, kept only when src%16 == dst%16 (the shard cut)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x; while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    for (src <- 0 until n; i <- 1 to 3) {
+      val dst = (h(s"$src:$i") % n).toInt
+      if (src % 16 == dst % 16) {
+        val (a, b) = (find(src), find(dst))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+    }
+    val label = (0 until n)
+      .groupBy(find).flatMap { case (_, ms) =>
+        val m = ms.min.toLong; ms.map(_.toLong -> m)
+      }
+    assert(got == label)
+    // the shard cut must leave genuinely many nontrivial components —
+    // a single giant component would make the operator a constant
+    val comps = got.values.toSet.size
+    assert(comps > 50, s"only $comps components")
+    assert(got.exists { case (d, c) => d != c }, "no nontrivial component")
+  }
 }

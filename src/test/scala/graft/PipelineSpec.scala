@@ -234,6 +234,75 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("lDiversity: homogeneous QI groups flagged, entropy replays exactly") {
+    import spark.implicits._
+    // group A (en, bucket 1): sources web×2, book, news — distinct 3
+    // (diverse at l = 3), entropy = ½ln2 + ¼ln4 + ¼ln4 ≈ 1.0397
+    // group B (fr, bucket 2): all web — the homogeneity attack case
+    // k-anonymity misses (size 4 can pass k small but distinct_l = 1)
+    val corpus = (Seq((1L, "en", "web", 150L), (2L, "en", "web", 150L),
+      (3L, "en", "book", 150L), (4L, "en", "news", 150L)) ++
+      (5 to 8).map(i => (i.toLong, "fr", "web", 250L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val rows = Pipeline.lDiversity(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // replay the engine quantization: per-term floor(x*1e9+.5) long sum,
+    // then the dround(6) output grain
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5)
+    def ent(cs: Seq[Long]): Double = {
+      val n = cs.sum.toDouble
+      val s = cs.map(c => q9(c.toDouble / n * math.log(n / c))).sum / 1e9
+      math.floor(s * 1e6 + 0.5) / 1e6
+    }
+    assert(rows(("en", 1L)) == ((4L, 3, ent(Seq(2L, 1L, 1L)), true)))
+    assert(rows(("fr", 2L)) == ((4L, 1, 0.0, false)))
+  }
+
+  test("ndcgEval: exact replay of metrics over the fixture embeddings") {
+    val got = SparkEntry.queries("llm_ndcg_eval")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size == 20)
+    // driver-side replay: same float→double cast, left-to-right dot
+    // accumulation (the DotProduct loop), dround(6) cosines, vec_id
+    // tiebreak, q9 discount terms spelled ln(r+1)/ln 2
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val queries = emb.filter(_._1 < 20)
+    val corpus = emb.filter(_._1 >= 20)
+    val want = queries.map { case (qid, qlab, qv) =>
+      val qn = math.sqrt(dot(qv, qv))
+      val top = corpus.map { case (vid, lab, v) =>
+        (vid, lab, q(dot(qv, v) / (qn * math.sqrt(dot(v, v))), 1e6))
+      }.sortBy { case (vid, _, cos) => (-cos, vid) }.take(10)
+      val rels = top.zipWithIndex.map { case ((_, lab, _), i) =>
+        (i + 1, if (lab == qlab) 1 else 0) }
+      val nRel = corpus.count(_._2 == qlab).toLong
+      val hits = rels.map(_._2).sum.toLong
+      val disc = (r: Int) => q(1.0 / (math.log(r + 1.0) / math.log(2.0)), 1e9)
+      val mrr = q(rels.find(_._2 == 1).map(1.0 / _._1).getOrElse(0.0), 1e9)
+      val dcg = rels.map { case (r, rel) =>
+        math.floor(rel * disc(r) * 1e9 + 0.5).toLong }.sum / 1e9
+      val idcg = (1 to math.min(nRel, 10L).toInt).map(r =>
+        math.floor(disc(r) * 1e9 + 0.5).toLong).sum / 1e9
+      val ndcg = if (idcg > 0) q(dcg / idcg, 1e6) else 0.0
+      qid -> ((nRel, hits, mrr, q(dcg, 1e6), ndcg))
+    }.toMap
+    assert(got == want)
+    // sanity invariants a broken ranking would trip
+    assert(got.values.forall { case (_, h, _, _, nd) =>
+      h >= 0 && h <= 10 && nd >= 0.0 && nd <= 1.0 })
+    assert(got.values.exists(_._2 > 0), "no query retrieved any relevant doc")
+  }
+
   test("mmrRerank: diversity flips a redundant higher-relevance candidate") {
     import spark.implicits._
     // q = [1,0]. vec 11 ([0.81, 0.586], rel ≈ .8102) edges out vec 10

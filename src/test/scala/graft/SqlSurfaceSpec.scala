@@ -52,6 +52,25 @@ class SqlSurfaceSpec extends SparkSpec {
   }
 
   test("sql surface round-trip: every entry matches its builder") {
+    // Suite-wall-clock bound (r18, verdict item 5): the per-commit run
+    // exercises a STABLE md5-keyed quarter of the surface (~56 texts —
+    // the same fixed-sample convention DeterminismSpec uses, so the
+    // subset never silently rotates out a regression), and close-of-
+    // round runs set SPARK_GRAFT_SQL_SURFACE=full for the complete
+    // sweep. A NEW surface entry must be gated by one full run before
+    // it ships — the close protocol's full `sbt test` provides that.
+    val all = SparkEntry.sqlQueries.keys.toSeq.sorted
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_SQL_SURFACE").contains("full")) all
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val quarter = all.filter { n =>
+          ((md.digest(n.getBytes("UTF-8"))(0) & 0xff) % 4) == 0
+        }
+        info(s"sampled quarter: ${quarter.size}/${all.size} texts " +
+          "(SPARK_GRAFT_SQL_SURFACE=full for the complete sweep)")
+        quarter
+      }
     // Longest-first submission: the measured tail (multi-job iterative
     // builders — PCA's driver-side power iteration, the LSH/knn
     // families, the n-gram LM trio) each run 60–120 s under pool
@@ -63,8 +82,8 @@ class SqlSurfaceSpec extends SparkSpec {
       "llm_lsh_capped", "llm_lm_bigram", "llm_lm_trigram",
       "llm_lm_quality", "llm_ngram_jaccard", "llm_split_leakage",
       "llm_contamination_fuzzy", "llm_corpus_pipeline")
-    val names = heavyFirst.filter(SparkEntry.sqlQueries.contains) ++
-      SparkEntry.sqlQueries.keys.toSeq.sorted.filterNot(heavyFirst.contains)
+    val names = heavyFirst.filter(selected.contains) ++
+      selected.filterNot(heavyFirst.contains)
     spark.catalog.clearCache()
     graft.Tables.registerAll(spark, sfDir)
     graft.queries.SqlSurface.registerCompat(spark)

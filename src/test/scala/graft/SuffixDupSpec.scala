@@ -72,7 +72,7 @@ class SuffixDupSpec extends SparkSpec {
     val res = runScrub(Seq(
       1L -> "a b c d e f g h x1 x2",
       2L -> "z1 a b c d e f g h z2"))
-    // doc 1 holds the global-first occurrence (min packed key) — untouched
+    // doc 1 holds the global-first occurrence (min (doc_id, pos) struct) — untouched
     assert(res(1L) == ((10L, 0L, "a b c d e f g h x1 x2")))
     // doc 2's occurrence starts at position 2: words 2..9 cut
     assert(res(2L) == ((10L, 8L, "z1 z2")))
@@ -83,6 +83,26 @@ class SuffixDupSpec extends SparkSpec {
     // only the global-first span's start position survives
     val res = runScrub(Seq(7L -> Seq.fill(10)("r").mkString(" ")))
     assert(res(7L) == ((10L, 9L, "r")))
+  }
+
+  test("scrub first-occurrence survives a >1M-word document (no packed-key collision)") {
+    // r17 advice: the old first-occurrence key packed doc_id*1_000_000
+    // + pos, silently colliding once a doc passes 1M words — here doc 1
+    // plants its span at position 1,000,021, whose OLD key (2,000,021)
+    // sorts AFTER doc 2's occurrence at position 5 (old key 2,000,005),
+    // so the packed arithmetic would misattribute "first" to doc 2 and
+    // scrub doc 1. The lexicographic (doc_id, pos) struct min keeps
+    // doc 1 (lower doc_id) untouched regardless of magnitude.
+    val big = 1000030
+    val spanAt = 1000021 // 1-based word position of the planted span
+    val doc1 = (1 to big).map { i =>
+      if (i >= spanAt && i < spanAt + 8) s"dup${i - spanAt}" else s"w$i"
+    }.mkString(" ")
+    val doc2 = "v1 v2 v3 v4 dup0 dup1 dup2 dup3 dup4 dup5 dup6 dup7 v5 v6"
+    val res = runScrub(Seq(1L -> doc1, 2L -> doc2))
+    assert(res(1L)._1 == big.toLong && res(1L)._2 == 0L,
+      s"doc 1's first occurrence was scrubbed: ${res(1L)._2} words removed")
+    assert(res(2L) == ((14L, 8L, "v1 v2 v3 v4 v5 v6")))
   }
 
   test("scrub leaves short and unique docs intact") {
