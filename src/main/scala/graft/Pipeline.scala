@@ -371,6 +371,21 @@ object Pipeline {
   def ndcgEval(embeddings: DataFrame, k: Int = 10): DataFrame =
     Text.ndcgEvalOf(embeddings, k)
 
+  /** Per-source boilerplate-prefix detection: the most frequent w-word
+    * document prefix per source, its share of the source's docs, and
+    * the share ≥ thresh flag — the audit before a template-strip pass.
+    * Returns (source, n_docs, top_prefix, top_count, share, boilerplate). */
+  def boilerplate(docs: DataFrame, w: Int = 8,
+      thresh: Double = 0.2): DataFrame = Text.boilerplateOf(docs, w, thresh)
+
+  /** Multi-touch conversion attribution (linear + last-touch side by
+    * side, 7-day lookback, value-conserving `direct` bucket) over a
+    * (user_id, event_id, tsu, event_type, value) event frame. Returns
+    * (touch_type, n_touches, linear_value, last_touch_value). */
+  def attribution(events: DataFrame,
+      lookbackUs: Long = 604800000000L): DataFrame =
+    graft.queries.Sequences.attributionOf(events, lookbackUs)
+
   /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
     * (strip fragments/default ports/trailing slashes/tracking params,
     * sort survivors), then per canonical key keep the best-quality doc

@@ -654,7 +654,68 @@ object Sequences {
       .orderBy("cohort_week", "age_weeks")
   }
 
+  /** Multi-touch conversion attribution — the marketing-analytics
+    * staple over event journeys (Shao & Li, KDD 2011 frame it; every
+    * product stack ships the model-free baselines): each purchase's
+    * value is credited to the user's preceding view/click touches
+    * within a 7-day lookback, under TWO standard models side by side —
+    * linear (equal split across the window's touches) and last-touch
+    * (all value to the latest touch, event_id tiebreak). Purchases
+    * with an empty lookback window land in the `direct` bucket with
+    * full value under both models, so value is conserved: Σ linear =
+    * Σ last = Σ purchase value (the invariant the spec pins).
+    *
+    * Scale shape: one equi-join on user_id with the time-band
+    * condition (the [[graft.streaming.Events]] interval-join shape —
+    * state-boundable under watermarks in the streaming twin's terms);
+    * per-purchase touch counts and the last-touch pick run in windows
+    * PARTITIONED BY the purchase id — bounded by one user's 7-day
+    * activity, never corpus-wide; the rollup is a two-phase agg on the
+    * 3-row touch-type frame. Money quantizes to exact cents BEFORE any
+    * division; the per-touch linear shares divide in doubles with an
+    * identical operation order in both engines and sum 1e-6-quantized. */
+  val seqAttribution: Q = (s, dir) =>
+    attributionOf(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"), col("value")))
+
+  /** Core of [[seqAttribution]] over an injectable
+    * (user_id, event_id, tsu, event_type, value) frame. */
+  private[graft] def attributionOf(e: org.apache.spark.sql.DataFrame,
+      lookbackUs: Long = 604800000000L): org.apache.spark.sql.DataFrame = {
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("tsu").as("ptsu"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("tsu").as("ttsu"), col("event_type").as("touch_type"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("ttsu") < col("ptsu") &&
+        col("ttsu") >= col("ptsu") - lookbackUs)
+    val wN = Window.partitionBy("p_id")
+    val wLast = Window.partitionBy("p_id")
+      .orderBy(col("ttsu").desc, col("t_id").desc)
+    val credited = pairs
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wLast))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        dsum(col("cents") / lit(100.0) / col("n"), 6).as("linear_value"),
+        dsum(when(col("rn") === 1, col("cents") / lit(100.0))
+          .otherwise(lit(0.0)), 6).as("last_touch_value"))
+    val direct = purchases
+      .join(pairs.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"),
+        dsum(col("cents") / lit(100.0), 6).as("linear_value"),
+        dsum(col("cents") / lit(100.0), 6).as("last_touch_value"))
+      .select(lit("direct").as("touch_type"), col("n_touches"),
+        col("linear_value"), col("last_touch_value"))
+    credited.unionByName(direct).orderBy("touch_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "seq_attribution" -> seqAttribution,
     "seq_cohort_ltv" -> seqCohortLtv,
     "seq_survival" -> seqSurvival,
     "seq_burstiness" -> seqBurstiness,
@@ -675,6 +736,39 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Attribution: exact-cents before division, identical left-assoc
+    // double ops, per-purchase windows, anti-join direct bucket.
+    "seq_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         |             event_type, value FROM events),
+         |p AS (SELECT user_id, event_id AS p_id, tsu AS ptsu,
+         |        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+         |      FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS t_id, tsu AS ttsu,
+         |        event_type AS touch_type
+         |      FROM e WHERE event_type IN ('view', 'click')),
+         |pr AS (SELECT p.p_id, p.cents, t.touch_type, t.ttsu, t.t_id
+         |       FROM p JOIN t ON t.user_id = p.user_id
+         |         AND t.ttsu < p.ptsu AND t.ttsu >= p.ptsu - 604800000000),
+         |w AS (SELECT touch_type, cents,
+         |        COUNT(*) OVER (PARTITION BY p_id) AS n,
+         |        row_number() OVER (PARTITION BY p_id
+         |          ORDER BY ttsu DESC, t_id DESC) AS rn
+         |      FROM pr),
+         |credited AS (SELECT touch_type,
+         |        CAST(COUNT(*) AS BIGINT) AS n_touches,
+         |        ${oSum("cents / 100.0 / n", 6)} AS linear_value,
+         |        ${oSum("CASE WHEN rn = 1 THEN cents / 100.0 ELSE 0.0 END", 6)}
+         |          AS last_touch_value
+         |      FROM w GROUP BY touch_type),
+         |direct AS (SELECT 'direct' AS touch_type,
+         |        CAST(COUNT(*) AS BIGINT) AS n_touches,
+         |        ${oSum("cents / 100.0", 6)} AS linear_value,
+         |        ${oSum("cents / 100.0", 6)} AS last_touch_value
+         |      FROM p WHERE NOT EXISTS
+         |        (SELECT 1 FROM pr WHERE pr.p_id = p.p_id))
+         |SELECT * FROM credited UNION ALL SELECT * FROM direct
+         |ORDER BY touch_type""".stripMargin,
     // Cohort LTV: exact-cents quantization before summation, user-keyed
     // cohort join, per-cohort cumulation over the bounded (cohort, age)
     // frame.

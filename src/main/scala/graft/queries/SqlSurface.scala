@@ -51,7 +51,8 @@ object SqlSurface {
     "join_scd2", "join_semi", "join_smb", "join_theta", "join_uniquejoin",
     "llm_dedup_rows", "llm_dedup_weights", "local_values",
     "q1_pricing_summary", "q5_local_supplier",
-    "seq_funnel", "seq_matchpath", "seq_sessionize", "seq_transitions",
+    "seq_attribution", "seq_funnel", "seq_matchpath", "seq_sessionize",
+    "seq_transitions",
     "seq_user_surprise",
     "setop_except", "setop_except_all", "setop_intersect",
     "setop_intersect_all", "setop_union_all", "setop_union_distinct",
@@ -1127,7 +1128,8 @@ object SqlSurface {
     "graph_bfs", "graph_hits", "graph_kcore", "graph_labelprop",
     "graph_linkpred", "graph_pagerank",
     "llm_ann_ivf", "llm_ann_ivf_int8",
-    "llm_blocklist_filter", "llm_bm25_topk", "llm_bpe_merges",
+    "llm_blocklist_filter", "llm_bm25_topk", "llm_boilerplate",
+    "llm_bpe_merges",
     "llm_cosine_topk", "llm_embed_clip", "llm_embed_outliers",
     "llm_embed_quantize", "llm_hard_negatives", "llm_ivf_balance",
     "llm_knn_classify", "llm_knn_graph",

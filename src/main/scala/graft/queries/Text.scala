@@ -5261,6 +5261,47 @@ object Text {
       .orderBy("source")
   }
 
+  /** Per-source boilerplate-prefix detection — the cleaning concern C4
+    * (Raffel et al. 2020 §2.2) and RefinedWeb address with line-level
+    * dedup: a TEMPLATED source (forum engine, news CMS, licence
+    * headers) stamps the same opening words on most of its documents,
+    * and a corpus mix audit wants that surfaced per source before a
+    * strip pass runs. Per source: the most frequent `w`-word document
+    * PREFIX, its count, its share of the source's (≥ w-word) docs, and
+    * the share ≥ `thresh` flag.
+    *
+    * Scale shape: one per-row prefix projection (slice + join, no
+    * hashing), a two-phase (source, prefix) count — map-side partials
+    * absorb the corpus — then BOTH the source total (sum window) and
+    * the argmax (row_number over (count desc, prefix)) run over the
+    * AGGREGATED per-source distinct-prefix frame, never document rows
+    * (the stream-side-aggregate exemption the PlanSpec skewed-key
+    * guard codifies: a `source`-partitioned window is legal exactly
+    * when its input frame is already grouped). */
+  private[graft] def boilerplateOf(docs: DataFrame, w: Int = 8,
+      thresh: Double = 0.2): DataFrame = {
+    val pref = docs
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("source"), array_join(slice(col("ws"), 1, w), " ").as("prefix"))
+    val counts = pref.groupBy("source", "prefix").agg(count(lit(1)).as("c"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("prefix"))
+    counts
+      .withColumn("n", sum(col("c")).over(wg))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n").as("n_docs"),
+        col("prefix").as("top_prefix"), col("c").as("top_count"),
+        dround(col("c") * lit(1.0) / col("n"), 6).as("share"),
+        (col("c") * lit(1.0) / col("n") >= thresh).as("boilerplate"))
+      .orderBy("source")
+  }
+
+  val llmBoilerplate: Q = (s, dir) =>
+    boilerplateOf(Tables.t(s, dir, "documents").select("source", "text"))
+
   val llmDupChunks: Q = (s, dir) =>
     dupChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
@@ -5984,6 +6025,7 @@ object Text {
     "llm_bootstrap_ci" -> llmBootstrapCi,
     "llm_k_anon" -> llmKAnon,
     "llm_l_diversity" -> llmLDiversity,
+    "llm_boilerplate" -> llmBoilerplate,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
     "llm_textrank" -> llmTextrank,
@@ -8132,6 +8174,26 @@ object Text {
         |  CASE WHEN group_n >= 5 THEN CAST(size_bucket AS VARCHAR) ELSE '*' END AS size_bucket,
         |  CAST(group_n AS BIGINT) AS group_n
         |FROM g ORDER BY doc_id""".stripMargin,
+    // Boilerplate prefix: (source, 8-word prefix) counts; source total
+    // and argmax both over the aggregated distinct-prefix frame; the
+    // length guard filters on the cheap split length.
+    "llm_boilerplate" ->
+      s"""WITH p AS (SELECT source,
+         |        array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+         |          AS prefix
+         |      FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         |c AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM p GROUP BY 1, 2),
+         |g AS (SELECT source, prefix, c,
+         |        SUM(c) OVER (PARTITION BY source) AS n,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY c DESC, prefix) AS rn
+         |      FROM c)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs, prefix AS top_prefix,
+         |  c AS top_count,
+         |  ${oRound("c * 1.0 / n", 6)} AS share,
+         |  (c * 1.0 / n >= 0.2) AS boilerplate
+         |FROM g WHERE rn = 1 ORDER BY source""".stripMargin,
     // l-diversity: QI pair (lang, n_chars//100), sensitive = source;
     // group-total window runs over the aggregated (QI, source) frame;
     // entropy terms quantized at 1e-9 before the exact sum.

@@ -303,6 +303,51 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "no query retrieved any relevant doc")
   }
 
+  test("boilerplate: templated source flagged, diverse source passes, short docs excluded") {
+    import spark.implicits._
+    val stamp = "terms of service apply to this forum post"      // 8 words
+    // source A: 3 of 5 long docs share the stamp (share .6 → flagged);
+    // a 3-word doc must NOT count toward the denominator
+    val a = Seq.tabulate(3)(i => ("A", s"$stamp unique tail $i")) ++
+      Seq(("A", "one two three four five six seven eight nine"),
+        ("A", "x1 x2 x3 x4 x5 x6 x7 x8 x9"), ("A", "too short doc"))
+    // source B: 6 long docs, all prefixes distinct (top share 1/6 < .2)
+    val b = Seq.tabulate(6)(i => ("B", s"b$i w1 w2 w3 w4 w5 w6 w7 w8"))
+    val rows = Pipeline.boilerplate((a ++ b).toDF("source", "text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    assert(rows("A") == ((5L, stamp, 3L, 0.6, true)))
+    val (bn, _, bc, bs, bflag) = rows("B")
+    assert(bn == 6L && bc == 1L && bs == math.floor(1.0 / 6 * 1e6 + 0.5) / 1e6
+      && !bflag)
+  }
+
+  test("attribution: linear splits, last-touch picks latest, value conserved") {
+    import spark.implicits._
+    val h = 3600000000L // 1h in µs
+    val events = Seq(
+      // user 1: view @0h, click @1h, purchase 10.00 @2h → linear 5/5,
+      // last-touch all to the click
+      (1L, 101L, 0L, "view", 0.0), (1L, 102L, h, "click", 0.0),
+      (1L, 103L, 2 * h, "purchase", 10.0),
+      // user 2: direct purchase 7.50 (no touches at all)
+      (2L, 201L, 5 * h, "purchase", 7.5),
+      // user 3: touch OUTSIDE the 7-day lookback → also direct
+      (3L, 301L, 0L, "click", 0.0),
+      (3L, 302L, 200 * 24 * h, "purchase", 2.5))
+      .toDF("user_id", "event_id", "tsu", "event_type", "value")
+    val rows = Pipeline.attribution(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows("view") == ((1L, 5.0, 0.0)))
+    assert(rows("click") == ((1L, 5.0, 10.0)))
+    assert(rows("direct") == ((2L, 10.0, 10.0)))
+    // value conservation: Σ linear = Σ last = Σ purchase value
+    assert(rows.values.map(_._2).sum == 20.0)
+    assert(rows.values.map(_._3).sum == 20.0)
+  }
+
   test("mmrRerank: diversity flips a redundant higher-relevance candidate") {
     import spark.implicits._
     // q = [1,0]. vec 11 ([0.81, 0.586], rel ≈ .8102) edges out vec 10
