@@ -303,6 +303,22 @@ object Pipeline {
     * only the delta. Input needs (doc_id, text). */
   def corpusDiff(docs: DataFrame): DataFrame = Text.corpusDiffOf(docs)
 
+  /** t-closeness audit (the third release-privacy gate beside kAnon and
+    * lDiversity): per QI group, the EMD (= total-variation distance for
+    * categorical attributes) between the group's sensitive-value
+    * distribution and the corpus-wide one, plus the t-pass flag. All
+    * comparison frames are aggregated — one corpus pass. Input needs
+    * (lang, n_chars, source). */
+  def tCloseness(docs: DataFrame, t: Double = 0.25): DataFrame =
+    Text.tClosenessOf(docs, t)
+
+  /** K-minimum-values distinct-count sketch over the corpus vocabulary:
+    * (k, u_k, est_ndv, exact_ndv, rel_err) one-row self-gate — the
+    * exactly-replayable counterpart of the HLL++ NDV estimate. Input
+    * needs a text column. */
+  def kmvNdv(docs: DataFrame, k: Int = 256): DataFrame =
+    Text.kmvNdvOf(docs, k)
+
   /** Per-source quality-score calibration (batch-effect correction):
     * per doc, the raw quantized score plus its in-source percent rank
     * (uniform [0,1] per source — what a per-source quota cuts at) and
@@ -385,6 +401,14 @@ object Pipeline {
   def attribution(events: DataFrame,
       lookbackUs: Long = 604800000000L): DataFrame =
     graft.queries.Sequences.attributionOf(events, lookbackUs)
+
+  /** CUPED variance-reduced A/B readout over an event frame: per
+    * md5-parity arm, (n_users, mean_y, mean_y_cuped, theta, var_y,
+    * var_y_cuped) with the pre/post split at the observation window's
+    * midpoint. The variance ratio is the sample-size saving the
+    * covariate adjustment buys. */
+  def cuped(events: DataFrame): DataFrame =
+    graft.queries.Sequences.cupedOf(events)
 
   /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
     * (strip fragments/default ports/trailing slashes/tracking params,

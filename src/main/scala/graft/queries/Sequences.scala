@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.MatchPath
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -294,6 +295,87 @@ object Sequences {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy("user_id")
   }
+
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    * Walker, WSDM 2013) — the A/B-analysis workhorse: using each
+    * user's PRE-period metric as a control covariate removes the
+    * between-user variance an experiment can never randomize away,
+    * tightening the treatment-effect CI at zero extra data. Per user:
+    * X = pre-period spend, Y = post-period spend (the observation
+    * window split at its own midpoint — reproducible, never now());
+    * θ = cov(X,Y)/var(X) pooled; Y_cuped = Y − θ·(X − X̄). Output per
+    * deterministic md5-parity arm: n, mean Y, mean Y_cuped, with the
+    * pooled θ and the raw/adjusted pooled variances beside them — the
+    * variance ratio IS the sample-size saving.
+    *
+    * Cross-engine determinism: values quantize to exact cent longs
+    * per row; per-user X/Y are exact long sums; θ is a ratio of exact
+    * int128 moment combinations (Σx² and Σxy in decimal(38,0) — the
+    * seq_gini overflow rule) cast to double for ONE division;
+    * the per-user adjustment is a fixed-shape IEEE chain quantized at
+    * 1e-6 before the arm/variance sums. Zero pre-period variance pins
+    * θ = 0 (the heaps-law degenerate-corpus rule).
+    *
+    * Scale shape: one user_id shuffle builds the per-user frame; the
+    * moment row and the pooled-variance row are broadcast 1-row aggs;
+    * the arm readout is a 2-row agg — nothing after the per-user
+    * groupBy touches corpus-sized data again. */
+  private[graft] def cupedOf(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vc"))
+    val r = e.agg(min("tsu").as("t0"), max("tsu").as("t1"))
+    val per = e.crossJoin(broadcast(r))
+      .withColumn("split", expr("t0 + (t1 - t0) DIV 2"))
+      .groupBy("user_id")
+      .agg(sum(when(col("tsu") < col("split"), col("vc"))
+          .otherwise(lit(0L))).as("xc"),
+        sum(when(col("tsu") >= col("split"), col("vc"))
+          .otherwise(lit(0L))).as("yc"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("xc").cast("decimal(38,0)")).as("sx"),
+      sum(col("yc").cast("decimal(38,0)")).as("sy"),
+      sum(col("xc").cast("decimal(38,0)") * col("xc")).as("sxx"),
+      sum(col("xc").cast("decimal(38,0)") * col("yc")).as("sxy"))
+    val th = m.select(col("n"), col("sx"),
+      when(col("n").cast("decimal(38,0)") * col("sxx")
+          - col("sx") * col("sx") <= 0, lit(0.0))
+        .otherwise(
+          (col("n").cast("decimal(38,0)") * col("sxy")
+            - col("sx") * col("sy")).cast("double")
+          / (col("n").cast("decimal(38,0)") * col("sxx")
+            - col("sx") * col("sx")).cast("double")).as("theta"))
+    val b = per.crossJoin(broadcast(th))
+      .select(col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long") % 2).as("arm"),
+        (col("yc") / lit(100.0)).as("yu"), col("theta"),
+        (col("yc") / lit(100.0) - col("theta")
+          * (col("xc") / lit(100.0)
+            - col("sx").cast("double") / col("n") / lit(100.0))).as("yadj"))
+    val g = b.groupBy("arm").agg(count(lit(1)).as("n_users"),
+      dsum(col("yu"), 6).as("sya"), dsum(col("yadj"), 6).as("saa"),
+      max(col("theta")).as("theta"))
+    val v = b.agg(count(lit(1)).as("nu"),
+      dsum(col("yu"), 6).as("sy2"), dsum(col("yu") * col("yu"), 6).as("syy2"),
+      dsum(col("yadj"), 6).as("sa2"),
+      dsum(col("yadj") * col("yadj"), 6).as("saa2"))
+    g.crossJoin(broadcast(v))
+      .select(col("arm"), col("n_users"),
+        dround(col("sya") / col("n_users"), 6).as("mean_y"),
+        dround(col("saa") / col("n_users"), 6).as("mean_y_cuped"),
+        dround(col("theta"), 6).as("theta"),
+        dround(col("syy2") / col("nu")
+          - (col("sy2") / col("nu")) * (col("sy2") / col("nu")), 6)
+          .as("var_y"),
+        dround(col("saa2") / col("nu")
+          - (col("sa2") / col("nu")) * (col("sa2") / col("nu")), 6)
+          .as("var_y_cuped"))
+      .orderBy("arm")
+  }
+
+  val seqCuped: Q = (s, dir) =>
+    cupedOf(Tables.events(s, dir).select("user_id", "ts", "value"))
 
   /** Per-user daily-activity anomaly flags (the monitoring staple behind
     * abuse detection and pipeline drift alerts): bucket events into
@@ -722,6 +804,7 @@ object Sequences {
     "seq_gini" -> seqGini,
     "seq_user_surprise" -> seqUserSurprise,
     "seq_rfm" -> seqRfm,
+    "seq_cuped" -> seqCuped,
     "seq_anomaly" -> seqAnomaly,
     "seq_changepoint" -> seqChangepoint,
     "seq_periodicity" -> seqPeriodicity,
@@ -736,6 +819,53 @@ object Sequences {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // CUPED: exact cent longs per user, int128 moments for theta, one
+    // double division, fixed-shape IEEE adjustment chain quantized at
+    // 1e-6; md5-parity arms; pooled variance from the quantized sums.
+    "seq_cuped" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+         |        CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+         |      FROM events),
+         |r AS (SELECT MIN(tsu) AS t0, MAX(tsu) AS t1 FROM e),
+         |per AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN tsu < t0 + (t1 - t0) // 2
+         |      THEN vc ELSE 0 END) AS BIGINT) AS xc,
+         |    CAST(SUM(CASE WHEN tsu >= t0 + (t1 - t0) // 2
+         |      THEN vc ELSE 0 END) AS BIGINT) AS yc
+         |  FROM e, r GROUP BY user_id),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(xc) AS HUGEINT) AS sx,
+         |    CAST(SUM(yc) AS HUGEINT) AS sy,
+         |    SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+         |    SUM(CAST(xc AS HUGEINT) * yc) AS sxy
+         |  FROM per),
+         |th AS (SELECT n, sx,
+         |    CASE WHEN n * sxx - sx * sx <= 0 THEN 0.0
+         |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta
+         |  FROM m),
+         |b AS (SELECT user_id,
+         |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+         |      % 2) AS arm,
+         |    yc / 100.0 AS yu, theta,
+         |    yc / 100.0 - theta
+         |      * (xc / 100.0 - CAST(sx AS DOUBLE) / n / 100.0) AS yadj
+         |  FROM per, th),
+         |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    ${oSum("yu", 6)} AS sya, ${oSum("yadj", 6)} AS saa,
+         |    MAX(theta) AS theta
+         |  FROM b GROUP BY arm),
+         |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+         |    ${oSum("yu", 6)} AS sy2, ${oSum("yu * yu", 6)} AS syy2,
+         |    ${oSum("yadj", 6)} AS sa2, ${oSum("yadj * yadj", 6)} AS saa2
+         |  FROM b)
+         |SELECT arm, n_users,
+         |  ${oRound("sya / n_users", 6)} AS mean_y,
+         |  ${oRound("saa / n_users", 6)} AS mean_y_cuped,
+         |  ${oRound("theta", 6)} AS theta,
+         |  ${oRound("syy2 / nu - (sy2 / nu) * (sy2 / nu)", 6)} AS var_y,
+         |  ${oRound("saa2 / nu - (sa2 / nu) * (sa2 / nu)", 6)} AS var_y_cuped
+         |FROM g, v ORDER BY arm""".stripMargin,
     // Attribution: exact-cents before division, identical left-assoc
     // double ops, per-purchase windows, anti-join direct bucket.
     "seq_attribution" ->

@@ -1155,8 +1155,10 @@ object SqlSurface {
     "llm_textrank", "llm_tfidf_top", "llm_token_budget", "llm_tokenize",
     "llm_tokenizer_fertility", "llm_vocab_coverage", "llm_weighted_sample",
     "llm_zipf_fit", "llm_heaps_law", "llm_unimax", "llm_bootstrap_ci",
+    "llm_t_closeness", "llm_kmv_ndv",
     "seq_anomaly", "seq_survival", "seq_cohort_ltv",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
+    "seq_cuped",
     "seq_periodicity", "seq_retention", "seq_rfm")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
@@ -1256,6 +1258,10 @@ object SqlSurface {
       // rules, whose patterns require non-empty bracket contents anyway)
       .replaceAll("((?:\\w+\\.)?\\w+)::DOUBLE\\[\\]", "CAST($1 AS ARRAY<DOUBLE>)")
       .replaceAll("(?i)\\bVARCHAR\\b", "STRING")
+      // dialect int128: Spark's widest exact integer type is DECIMAL(38,0)
+      // (the seq_gini overflow idiom) — same values at any sum the gated
+      // texts reach, so the cast-to-DOUBLE results match bit-for-bit
+      .replaceAll("(?i)\\bHUGEINT\\b", "DECIMAL(38,0)")
       .replaceAll("\\blist_transform\\s*\\(", "transform(")
       .replaceAll("\\blist_filter\\s*\\(", "filter(")
       .replaceAll("\\blist_has_any\\s*\\(", "arrays_overlap(")

@@ -3479,6 +3479,48 @@ object Text {
   val llmWeightedSample: Q = (s, dir) =>
     weightedSampleOf(Tables.t(s, dir, "documents"))
 
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al.,
+    * RANDOM 2002; the Θ-sketch family's base estimator) over the corpus
+    * vocabulary: hash every distinct word to u ∈ (0,1), keep the k
+    * smallest hashes, and estimate NDV = (k−1)/u_(k) — if k minima
+    * pack into [0, u_k], the full set packs ~uniformly at the same
+    * density. Reported beside the exact distinct count and the
+    * relative error, self-gating the estimator the way
+    * `agg_approx_ndv` gates HLL++ — but unlike HLL++ this sketch is
+    * replayed EXACTLY by the oracle (the hash is the md5 12-hex idiom,
+    * the k minima a deterministic ORDER/LIMIT), so the gate is the
+    * full hash compare, not a tolerance band.
+    *
+    * Scale shape: one vocab-sized two-phase distinct (the wordcount
+    * shuffle); the k minima ride TakeOrderedAndProject's per-partition
+    * heaps (never a global sort); the estimate is one row. The exact
+    * count reuses the same distinct frame — one shuffle total.
+    * Boundary ties cannot split: equal u at the k-boundary means equal
+    * 12-hex md5 prefixes, and u_(k) is the same either way. */
+  private[graft] def kmvNdvOf(docs: DataFrame, k: Int = 256): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val hashed = words.select(
+      ((conv(substring(md5(col("w")), 1, 12), 16, 10)
+        .cast("double") + 0.5) / lit(281474976710656.0)).as("u"))
+    val mins = hashed.orderBy("u").limit(k)
+    val sk = mins.agg(count(lit(1)).cast("int").as("k"),
+      max(col("u")).as("uk"))
+    val exact = words.agg(count(lit(1)).as("exact_ndv"))
+    sk.crossJoin(broadcast(exact))
+      .select(col("k"), dround(col("uk"), 9).as("uk"),
+        dround((col("k") - 1).cast("double") / col("uk"), 2).as("est_ndv"),
+        col("exact_ndv"),
+        dround(abs((col("k") - 1).cast("double") / col("uk")
+          - col("exact_ndv").cast("double"))
+          / col("exact_ndv").cast("double"), 6).as("rel_err"))
+  }
+
+  val llmKmvNdv: Q = (s, dir) =>
+    kmvNdvOf(Tables.t(s, dir, "documents"))
+
   /** Distribution-drift monitor — the Population Stability Index over a
     * binned document feature between a REFERENCE slice and a CANDIDATE
     * slice (the standard model-ops drift gate, PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ);
@@ -4023,6 +4065,53 @@ object Text {
 
   val llmLDiversity: Q = (s, dir) =>
     lDiversityOf(Tables.t(s, dir, "documents")
+      .select("lang", "n_chars", "source"))
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third leg of the release-privacy triad beside [[kAnonOf]] and
+    * [[lDiversityOf]]: a QI group can be k-anonymous AND l-diverse
+    * while its sensitive-value DISTRIBUTION still leaks (a group that
+    * is 90% one source against a 20% global share discloses by skew,
+    * not by homogeneity). Per QI group (lang, ⌊n_chars/100⌋) with
+    * `source` sensitive: the Earth-Mover's Distance between the
+    * group's source distribution and the corpus-wide one — for a
+    * categorical attribute under the uniform ground metric, EMD is
+    * exactly the total-variation distance ½·Σ|p_s − q_s| — plus the
+    * t ≤ 0.25 pass flag the release gate reads.
+    *
+    * Scale shape: the only corpus-sized pass is the (QI × sensitive)
+    * two-phase count; the global distribution, the QI totals and the
+    * full QI × sensitive comparison grid are all derived FROM that
+    * aggregated frame (bounded by QI-cardinality × #sources — never
+    * rows), with the #sources-row global frame riding a broadcast.
+    * Absent (group, source) cells matter (they contribute q_s to the
+    * distance), so the grid is the aggregated cross join, not the
+    * observed cells. Terms quantize to 1e-9 longs before the exact sum
+    * ([[dsum]]); the ×½ and the t-compare run on the quantized value. */
+  private[graft] def tClosenessOf(docs: DataFrame, t: Double = 0.25): DataFrame = {
+    val sc = docs
+      .select(col("lang"), expr("n_chars DIV 100").as("size_bucket"),
+        col("source"))
+      .groupBy("lang", "size_bucket", "source").agg(count(lit(1)).as("c"))
+    val g = sc.groupBy("lang", "size_bucket").agg(sum("c").as("n"))
+    val q = sc.groupBy("source").agg(sum("c").as("cs"))
+    val qn = q.crossJoin(broadcast(q.agg(sum(col("cs")).as("nn"))))
+    g.crossJoin(broadcast(qn))
+      .join(sc, Seq("lang", "size_bucket", "source"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy("lang", "size_bucket")
+      .agg(max(col("n")).as("n_docs"),
+        dsum(abs(col("c") * lit(1.0) / col("n")
+          - col("cs") * lit(1.0) / col("nn")), 9).as("l1"))
+      .select(col("lang"), col("size_bucket"),
+        col("n_docs").cast("long").as("n_docs"),
+        dround(lit(0.5) * col("l1"), 6).as("emd"),
+        (dround(lit(0.5) * col("l1"), 6) <= t).as("close"))
+      .orderBy("lang", "size_bucket")
+  }
+
+  val llmTCloseness: Q = (s, dir) =>
+    tClosenessOf(Tables.t(s, dir, "documents")
       .select("lang", "n_chars", "source"))
 
   /** PMI-ranked collocation extraction (Church & Hanks 1990, the
@@ -6025,6 +6114,8 @@ object Text {
     "llm_bootstrap_ci" -> llmBootstrapCi,
     "llm_k_anon" -> llmKAnon,
     "llm_l_diversity" -> llmLDiversity,
+    "llm_t_closeness" -> llmTCloseness,
+    "llm_kmv_ndv" -> llmKmvNdv,
     "llm_boilerplate" -> llmBoilerplate,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -8210,6 +8301,45 @@ object Text {
          |  (COUNT(*) >= 3) AS diverse
          |FROM g GROUP BY lang, size_bucket
          |ORDER BY lang, size_bucket""".stripMargin,
+    // t-closeness: the comparison grid is the aggregated QI-frame x
+    // sensitive-universe cross join (absent cells contribute q_s), terms
+    // quantized at 1e-9, the x1/2 and t-compare on the quantized value.
+    "llm_t_closeness" ->
+      s"""WITH d AS (SELECT lang, n_chars // 100 AS size_bucket, source
+         |      FROM documents),
+         |sc AS (SELECT lang, size_bucket, source,
+         |        CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2, 3),
+         |g AS (SELECT lang, size_bucket, CAST(SUM(c) AS BIGINT) AS n
+         |      FROM sc GROUP BY 1, 2),
+         |q AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cs
+         |      FROM sc GROUP BY 1),
+         |t AS (SELECT CAST(SUM(cs) AS BIGINT) AS nn FROM q),
+         |x AS (SELECT g.lang, g.size_bucket, g.n, q.cs, t.nn,
+         |        COALESCE(sc.c, 0) AS c
+         |      FROM g CROSS JOIN q CROSS JOIN t
+         |      LEFT JOIN sc ON sc.lang = g.lang
+         |        AND sc.size_bucket = g.size_bucket AND sc.source = q.source)
+         |SELECT lang, size_bucket, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |  ${oRound("0.5 * (" + oSum("ABS(c * 1.0 / n - cs * 1.0 / nn)", 9) + ")", 6)} AS emd,
+         |  (${oRound("0.5 * (" + oSum("ABS(c * 1.0 / n - cs * 1.0 / nn)", 9) + ")", 6)} <= 0.25) AS close
+         |FROM x GROUP BY lang, size_bucket
+         |ORDER BY lang, size_bucket""".stripMargin,
+    // KMV sketch: md5 12-hex uniform hash over the DISTINCT vocabulary,
+    // k minima via ORDER/LIMIT, estimate (k-1)/u_k replayed exactly.
+    "llm_kmv_ndv" ->
+      s"""WITH wd AS (SELECT DISTINCT w FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |      WHERE w <> ''),
+         |h AS (SELECT (('0x' || substr(md5(w), 1, 12))::BIGINT + 0.5)
+         |        / 281474976710656.0 AS u FROM wd),
+         |mn AS (SELECT u FROM h ORDER BY u LIMIT 256),
+         |sk AS (SELECT CAST(COUNT(*) AS INT) AS k, MAX(u) AS uk FROM mn),
+         |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_ndv FROM wd)
+         |SELECT k, ${oRound("uk", 9)} AS uk,
+         |  ${oRound("CAST(k - 1 AS DOUBLE) / uk", 2)} AS est_ndv,
+         |  exact_ndv,
+         |  ${oRound("ABS(CAST(k - 1 AS DOUBLE) / uk - CAST(exact_ndv AS DOUBLE)) / CAST(exact_ndv AS DOUBLE)", 6)} AS rel_err
+         |FROM sk, e""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id,
          |list_reduce(list_prepend(0::BIGINT,

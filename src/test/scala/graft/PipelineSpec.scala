@@ -259,6 +259,140 @@ class PipelineSpec extends SparkSpec {
     assert(rows(("fr", 2L)) == ((4L, 1, 0.0, false)))
   }
 
+  test("tCloseness: skewed group fails, EMD replays the quantized sum") {
+    import spark.implicits._
+    // group A (en, bucket 1), n = 12: 4 web / 4 book / 4 news;
+    // group B (fr, bucket 2), n = 4: all web. Global = (8w, 4b, 4n)/16,
+    // so A deviates mildly (EMD ~0.167, close) while B's homogeneous
+    // distribution sits EMD = 0.5 from the corpus — k-anonymous AND
+    // l-diverse-in-nothing, exactly the leak t-closeness exists to catch.
+    val corpus = ((1 to 12).map { i =>
+      val src = Seq("web", "book", "news")((i - 1) % 3)
+      (i.toLong, "en", src, 150L)
+    } ++ (13 to 16).map(i => (i.toLong, "fr", "web", 250L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val rows = Pipeline.tCloseness(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // replay: per-(group, source) term |c/n - cs/N| quantized at 1e-9,
+    // exact long sum, x0.5, dround(6)
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5)
+    def emd(terms: Seq[Double]): Double = {
+      val s = 0.5 * (terms.map(q9).sum / 1e9)
+      math.floor(s * 1e6 + 0.5) / 1e6
+    }
+    val a = emd(Seq(math.abs(4 * 1.0 / 12 - 8 * 1.0 / 16),
+      math.abs(4 * 1.0 / 12 - 4 * 1.0 / 16),
+      math.abs(4 * 1.0 / 12 - 4 * 1.0 / 16)))
+    val b = emd(Seq(math.abs(4 * 1.0 / 4 - 8 * 1.0 / 16),
+      math.abs(0 * 1.0 / 4 - 4 * 1.0 / 16),
+      math.abs(0 * 1.0 / 4 - 4 * 1.0 / 16)))
+    assert(rows(("en", 1L)) == ((12L, a, true)))
+    assert(rows(("fr", 2L)) == ((4L, b, false)))
+    assert(b == 0.5)
+  }
+
+  test("kmvNdv: u_k and estimate replay the md5 hash floor exactly") {
+    import spark.implicits._
+    // 6 distinct words over 3 docs (k = 256 > vocab, so the sketch
+    // degenerates to the full hash set and every column replays exactly)
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "beta delta epsilon"),
+      (3L, "zeta alpha")).toDF("doc_id", "text")
+    val row = Pipeline.kmvNdv(corpus).collect().head
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def u(w: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(12), 16) + 0.5) / 281474976710656.0
+    }
+    def r(x: Double, s: Int) =
+      math.floor(x * math.pow(10, s) + 0.5) / math.pow(10, s)
+    val uk = words.map(u).max
+    assert(row.getInt(0) == 6)
+    assert(row.getDouble(1) == r(uk, 9))
+    assert(row.getDouble(2) == r(5.0 / uk, 2))
+    assert(row.getLong(3) == 6L)
+  }
+
+  test("kmvNdv: sketch estimate lands near a 2000-word exact count") {
+    import spark.implicits._
+    // the sf fixtures use a closed ~31-word vocabulary (below k), so the
+    // estimator-accuracy check needs a synthetic open vocabulary
+    val corpus = (1 to 100).map(i =>
+      (i.toLong, (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = Pipeline.kmvNdv(corpus).collect().head
+    assert(row.getInt(0) == 256)
+    assert(row.getLong(3) == 2000L)
+    // KMV standard error is ~1/sqrt(k-2) ~ 6.3%; 25% is a 4-sigma gate
+    assert(row.getDouble(4) < 0.25,
+      s"rel_err ${row.getDouble(4)} vs exact ${row.getLong(3)}")
+  }
+
+  test("cuped: theta and adjusted means replay; correlated covariate cuts variance") {
+    import spark.implicits._
+    // y strongly tracks x per user, so CUPED must collapse the pooled
+    // between-user variance; exact driver replay of every output cell
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-31 00:00:00")
+    val rows = (1 to 40).flatMap { uid =>
+      val base = 10.0 + (uid % 7) * 35.0 // spread across users
+      Seq((uid.toLong, ts0, base + uid * 0.01), // pre-period event
+        (uid.toLong, ts1, 2.0 * base + (uid % 3) * 1.5)) // post-period
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = Pipeline.cuped(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // driver replay at the engine grain: cents longs, int128 moments,
+    // one double theta division, IEEE adjustment, 1e-6 quantized sums
+    def cents(v: Double) = math.floor(v * 100.0 + 0.5).toLong
+    val per = rows.groupBy(_._1).map { case (uid, es) =>
+      val t0 = ts0.getTime * 1000L; val t1 = ts1.getTime * 1000L
+      val split = t0 + (t1 - t0) / 2
+      val xc = es.filter(_._2.getTime * 1000L < split).map(e => cents(e._3)).sum
+      val yc = es.filter(_._2.getTime * 1000L >= split).map(e => cents(e._3)).sum
+      (uid, xc, yc)
+    }.toSeq
+    val n = per.size.toLong
+    val sx = per.map(p => BigInt(p._2)).sum
+    val sy = per.map(p => BigInt(p._3)).sum
+    val sxx = per.map(p => BigInt(p._2) * p._2).sum
+    val sxy = per.map(p => BigInt(p._2) * p._3).sum
+    val den = BigInt(n) * sxx - sx * sx
+    val theta = if (den <= 0) 0.0
+      else (BigInt(n) * sxy - sx * sy).toDouble / den.toDouble
+    val xbar = sx.toDouble / n / 100.0
+    def q(x: Double, s: Int) = math.floor(x * math.pow(10, s) + 0.5)
+    def r6(x: Double) = q(x, 6) / 1e6
+    def arm(uid: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16) % 2
+    }
+    val adj = per.map { case (uid, xc, yc) =>
+      (arm(uid), yc / 100.0, yc / 100.0 - theta * (xc / 100.0 - xbar))
+    }
+    val nu = adj.size
+    val syy2 = adj.map(a => q(a._2 * a._2, 6)).sum / 1e6
+    val sy2q = adj.map(a => q(a._2, 6)).sum / 1e6
+    val sa2q = adj.map(a => q(a._3, 6)).sum / 1e6
+    val saa2q = adj.map(a => q(a._3 * a._3, 6)).sum / 1e6
+    val varY = r6(syy2 / nu - (sy2q / nu) * (sy2q / nu))
+    val varA = r6(saa2q / nu - (sa2q / nu) * (sa2q / nu))
+    Seq(0L, 1L).foreach { a =>
+      val g = adj.filter(_._1 == a)
+      val exp = ((g.size.toLong,
+        r6(g.map(x => q(x._2, 6)).sum / 1e6 / g.size),
+        r6(g.map(x => q(x._3, 6)).sum / 1e6 / g.size),
+        r6(theta), varY, varA))
+      assert(got(a) == exp, s"arm $a")
+    }
+    // the point of CUPED: the adjusted variance collapses
+    assert(varA < 0.2 * varY, s"varA=$varA varY=$varY")
+  }
+
   test("ndcgEval: exact replay of metrics over the fixture embeddings") {
     val got = SparkEntry.queries("llm_ndcg_eval")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
