@@ -319,6 +319,14 @@ object Pipeline {
   def kmvNdv(docs: DataFrame, k: Int = 256): DataFrame =
     Text.kmvNdvOf(docs, k)
 
+  /** Count-min sketch heavy-hitter read-out: d×w occurrence counters
+    * over the vocabulary, then per top-k exact word the CMS estimate,
+    * the overestimate, and the one-sided-error invariant — the
+    * mergeable-sketch counterpart of kmvNdv. Input needs a text
+    * column. */
+  def cmsTopk(docs: DataFrame, d: Int = 4, wBuckets: Int = 1024,
+      topK: Int = 10): DataFrame = Text.cmsTopkOf(docs, d, wBuckets, topK)
+
   /** Per-source quality-score calibration (batch-effect correction):
     * per doc, the raw quantized score plus its in-source percent rank
     * (uniform [0,1] per source — what a per-source quota cuts at) and
@@ -409,6 +417,16 @@ object Pipeline {
     * covariate adjustment buys. */
   def cuped(events: DataFrame): DataFrame =
     graft.queries.Sequences.cupedOf(events)
+
+  /** Markov removal-effect attribution — the data-driven upgrade of
+    * [[attribution]]: journeys as a first-order chain over touch
+    * channels with absorbing conv/null, channel credit ∝ the drop in
+    * start→conv absorption when the channel is removed (12-step
+    * truncated fixed point, exact cross-engine). Returns one row per
+    * channel: (p_base, p_removed, removal_effect, share,
+    * attributed_value). */
+  def attributionMarkov(events: DataFrame, steps: Int = 12): DataFrame =
+    graft.queries.Sequences.attributionMarkovOf(events, steps)
 
   /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
     * (strip fragments/default ports/trailing slashes/tracking params,

@@ -377,6 +377,124 @@ object Sequences {
   val seqCuped: Q = (s, dir) =>
     cupedOf(Tables.events(s, dir).select("user_id", "ts", "value"))
 
+  /** Markov removal-effect attribution (Anderl, Becker, v. Wangenheim
+    * & Schumann 2014) — the data-driven upgrade of [[attributionOf]]'s
+    * heuristic linear/last-touch models: journeys become a first-order
+    * Markov chain over touch channels with absorbing `conv`/`null`
+    * states, a channel's credit is its REMOVAL EFFECT (how much the
+    * start→conv absorption probability drops when every transition
+    * into the channel is redirected to `null`), and the conversion
+    * value is shared ∝ removal effects. Absorption probabilities are
+    * the 12-step truncated fixed point p ← T·p (p(conv) ≡ 1,
+    * p(null) ≡ 0) — BOTH engines run the identical truncation, so the
+    * compare is exact, not convergence-dependent.
+    *
+    * Scale shape: the ONLY corpus-sized work is the journey
+    * segmentation (one user-partitioned window pass) and the
+    * transition count (two-phase); everything after — the probability
+    * rows, the 5-variant removal grid (none + 4 channels), and all 12
+    * fixed-point steps — is O((#channels+3)²) scalar math over the
+    * COLLECTED transition matrix, a bounded model artifact (the
+    * pcaProjectOf covariance boundary; the in-plan alternative is
+    * measured and rejected in the body comment). The oracle replays
+    * the same 12 steps as MATERIALIZED CTEs.
+    *
+    * Determinism: transition probabilities and every step's sums
+    * quantize at 1e-9 ([[dsum]]/[[dround]]); purchase value in exact
+    * cents; share and attributed value spelled from the same raw
+    * ratio in both engines. */
+  private[graft] def attributionMarkovOf(events: DataFrame,
+      steps: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tsu"), col("event_type"), col("value"))
+    val wUser = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val j = ev.withColumn("jid",
+      coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wJ = Window.partitionBy("user_id", "jid").orderBy("tsu", "event_id")
+    val tch = j.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("jid"), col("tsu"), col("event_id"),
+        col("event_type"),
+        lag("event_type", 1).over(wJ).as("prv"),
+        row_number().over(wJ).as("rn"),
+        count(lit(1)).over(Window.partitionBy("user_id", "jid")).as("cnt"))
+    val pur = j.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("jid"),
+        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("cents"))
+    val internal = tch.select(
+      coalesce(col("prv"), lit("start")).as("frm"), col("event_type").as("nxt"))
+    val terminal = tch.filter(col("rn") === col("cnt"))
+      .join(pur.select(col("user_id"), col("jid"), lit(1).as("cv")),
+        Seq("user_id", "jid"), "left")
+      .select(col("event_type").as("frm"),
+        when(col("cv").isNull, lit("null")).otherwise(lit("conv")).as("nxt"))
+    val emptyConv = pur
+      .join(tch.select("user_id", "jid").distinct(),
+        Seq("user_id", "jid"), "left_anti")
+      .select(lit("start").as("frm"), lit("conv").as("nxt"))
+    val bc = internal.unionByName(terminal).unionByName(emptyConv)
+      .groupBy("frm", "nxt").agg(count(lit(1)).as("c"))
+    val bp = bc
+      .withColumn("tot", sum("c").over(Window.partitionBy("frm")))
+      .select(col("frm"), col("nxt"),
+        dround(col("c") * lit(1.0) / col("tot"), 9).as("p"))
+    // The transition matrix is a MODEL ARTIFACT — ≤ (#channels+3)² rows
+    // at ANY corpus scale — so collecting it is the pcaProjectOf
+    // covariance / bpeTrainOf merge-table boundary, not a data collect.
+    // The first cut ran the fixed point in-plan (12 joins over the tiny
+    // variant grid): 15.8 s at sf0.1 — 12 sequential tiny stages plus
+    // re-planned transition lineage — vs ~1 s with the same quantized
+    // arithmetic driver-side; the oracle's unrolled MATERIALIZED CTEs
+    // replay either shape bit-for-bit (long sums are order-exact, each
+    // double op IEEE-identical).
+    val base = bp.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val channels = Seq("click", "error", "signup", "view")
+    def q9l(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val pStart = ("none" +: channels).map { v =>
+      val tvv = base
+        .map { case (frm, nxt, p) => (frm, if (nxt == v) "null" else nxt, p) }
+        .groupBy(t => (t._1, t._2))
+        .map { case ((frm, nxt), rs) =>
+          (frm, nxt, rs.map(r => q9l(r._3)).sum / 1e9) }
+        .toSeq
+      var pk = Map.empty[String, Double]
+      for (_ <- 1 to steps) {
+        val pa = pk ++ Map("conv" -> 1.0, "null" -> 0.0)
+        pk = tvv.filter(t => pa.contains(t._2))
+          .groupBy(_._1)
+          .map { case (frm, rs) =>
+            frm -> rs.map(t => q9l(t._3 * pa(t._2))).sum / 1e9 }
+      }
+      v -> pk.getOrElse("start", 0.0)
+    }.toMap
+    val pBase = pStart("none")
+    val reRows = channels.map { c =>
+      (c, pStart(c), pBase,
+        math.floor((pBase - pStart(c)) * 1e9 + 0.5) / 1e9)
+    }
+    val reTot = reRows.map(r => q9l(r._4)).sum / 1e9
+    import spark.implicits._
+    val re = reRows.toDF("channel", "p_removed", "p_base", "re")
+      .withColumn("re_tot", lit(reTot))
+    val vt = pur.agg(sum(col("cents")).as("vc"))
+    val shareRaw = when(col("re_tot") <= 0, lit(0.0))
+      .otherwise(col("re") / col("re_tot"))
+    re.crossJoin(broadcast(vt))
+      .select(col("channel"),
+        dround(col("p_base"), 6).as("p_base"),
+        dround(col("p_removed"), 6).as("p_removed"),
+        dround(col("re"), 6).as("removal_effect"),
+        dround(shareRaw, 6).as("share"),
+        dround(shareRaw * (col("vc") / lit(100.0)), 2).as("attributed_value"))
+      .orderBy("channel")
+  }
+
+  val seqAttributionMarkov: Q = (s, dir) =>
+    attributionMarkovOf(Tables.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value"))
+
   /** Per-user daily-activity anomaly flags (the monitoring staple behind
     * abuse detection and pipeline drift alerts): bucket events into
     * integer days per user, then flag days whose count sits more than
@@ -805,6 +923,7 @@ object Sequences {
     "seq_user_surprise" -> seqUserSurprise,
     "seq_rfm" -> seqRfm,
     "seq_cuped" -> seqCuped,
+    "seq_attribution_markov" -> seqAttributionMarkov,
     "seq_anomaly" -> seqAnomaly,
     "seq_changepoint" -> seqChangepoint,
     "seq_periodicity" -> seqPeriodicity,
@@ -866,6 +985,79 @@ object Sequences {
          |  ${oRound("syy2 / nu - (sy2 / nu) * (sy2 / nu)", 6)} AS var_y,
          |  ${oRound("saa2 / nu - (sa2 / nu) * (sa2 / nu)", 6)} AS var_y_cuped
          |FROM g, v ORDER BY arm""".stripMargin,
+    // Markov attribution: identical journey segmentation, 1e-9-quantized
+    // transition probs, and the SAME 12-step truncated absorption fixed
+    // point unrolled as MATERIALIZED CTEs (one per step, default CTE
+    // inlining would re-expand the chain per reference — the PCA rule).
+    "seq_attribution_markov" -> {
+      val stepCtes = (1 to 12).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT t.v, t.frm AS state, ${oSum("t.p * a.pv", 9)} AS pv
+           |  FROM tv t JOIN (SELECT v, state, pv FROM p${k - 1}
+           |      UNION ALL SELECT v, 'conv' AS state, 1.0 AS pv FROM vv
+           |      UNION ALL SELECT v, 'null' AS state, 0.0 AS pv FROM vv) a
+           |    ON a.v = t.v AND a.state = t.nxt
+           |  GROUP BY t.v, t.frm)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         |        event_type, value FROM events),
+         |j AS (SELECT user_id, event_id, tsu, event_type, value,
+         |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS jid
+         |  FROM e),
+         |tch AS (SELECT user_id, jid, tsu, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id, jid
+         |      ORDER BY tsu, event_id) AS prv,
+         |    row_number() OVER (PARTITION BY user_id, jid
+         |      ORDER BY tsu, event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id, jid) AS cnt
+         |  FROM j WHERE event_type <> 'purchase'),
+         |pur AS (SELECT user_id, jid,
+         |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM j WHERE event_type = 'purchase'),
+         |tr AS (
+         |  SELECT COALESCE(prv, 'start') AS frm, event_type AS nxt FROM tch
+         |  UNION ALL
+         |  SELECT t.event_type AS frm,
+         |    CASE WHEN p.user_id IS NULL THEN 'null' ELSE 'conv' END AS nxt
+         |  FROM tch t LEFT JOIN pur p
+         |    ON p.user_id = t.user_id AND p.jid = t.jid
+         |  WHERE t.rn = t.cnt
+         |  UNION ALL
+         |  SELECT 'start' AS frm, 'conv' AS nxt
+         |  FROM pur p LEFT JOIN (SELECT DISTINCT user_id, jid FROM tch) t
+         |    ON t.user_id = p.user_id AND t.jid = p.jid
+         |  WHERE t.user_id IS NULL),
+         |bc AS (SELECT frm, nxt, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tr GROUP BY frm, nxt),
+         |bp AS (SELECT frm, nxt,
+         |    ${oRound("c * 1.0 / SUM(c) OVER (PARTITION BY frm)", 9)} AS p
+         |  FROM bc),
+         |vv AS (SELECT v FROM (VALUES ('none'), ('view'), ('click'),
+         |    ('signup'), ('error')) AS x(v)),
+         |tv AS MATERIALIZED (SELECT v, frm, nxt, ${oSum("p", 9)} AS p
+         |  FROM (SELECT vv.v, bp.frm,
+         |      CASE WHEN bp.nxt = vv.v THEN 'null' ELSE bp.nxt END AS nxt,
+         |      bp.p
+         |    FROM vv, bp) GROUP BY v, frm, nxt),
+         |p0 AS (SELECT v, 'x' AS state, 0.0 AS pv FROM vv WHERE 1 = 0),
+         |$stepCtes,
+         |ps AS (SELECT v, pv FROM p12 WHERE state = 'start'),
+         |pb AS (SELECT pv AS p_base FROM ps WHERE v = 'none'),
+         |re AS (SELECT ps.v AS channel, ps.pv AS p_removed, pb.p_base,
+         |    ${oRound("pb.p_base - ps.pv", 9)} AS re
+         |  FROM ps, pb WHERE ps.v <> 'none'),
+         |rt AS (SELECT ${oSum("re", 9)} AS re_tot FROM re),
+         |vt AS (SELECT CAST(SUM(cents) AS BIGINT) AS vc FROM pur)
+         |SELECT channel, ${oRound("p_base", 6)} AS p_base,
+         |  ${oRound("p_removed", 6)} AS p_removed,
+         |  ${oRound("re", 6)} AS removal_effect,
+         |  ${oRound("CASE WHEN re_tot <= 0 THEN 0.0 ELSE re / re_tot END", 6)} AS share,
+         |  ${oRound("(CASE WHEN re_tot <= 0 THEN 0.0 ELSE re / re_tot END) * (vc / 100.0)", 2)} AS attributed_value
+         |FROM re, rt, vt ORDER BY channel""".stripMargin
+    },
     // Attribution: exact-cents before division, identical left-assoc
     // double ops, per-purchase windows, anti-join direct bucket.
     "seq_attribution" ->

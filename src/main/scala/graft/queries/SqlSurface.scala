@@ -1155,10 +1155,10 @@ object SqlSurface {
     "llm_textrank", "llm_tfidf_top", "llm_token_budget", "llm_tokenize",
     "llm_tokenizer_fertility", "llm_vocab_coverage", "llm_weighted_sample",
     "llm_zipf_fit", "llm_heaps_law", "llm_unimax", "llm_bootstrap_ci",
-    "llm_t_closeness", "llm_kmv_ndv",
+    "llm_t_closeness", "llm_kmv_ndv", "llm_cms_topk",
     "seq_anomaly", "seq_survival", "seq_cohort_ltv",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
-    "seq_cuped",
+    "seq_cuped", "seq_attribution_markov",
     "seq_periodicity", "seq_retention", "seq_rfm")
 
   /** r17: translated texts whose ONLY builder divergence was Spark

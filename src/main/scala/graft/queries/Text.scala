@@ -3521,6 +3521,50 @@ object Text {
   val llmKmvNdv: Q = (s, dir) =>
     kmvNdvOf(Tables.t(s, dir, "documents"))
 
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan,
+    * J.Alg 2005) self-gated on the corpus heavy hitters: d = 4 hash
+    * rows × w = 1024 buckets of occurrence counters, then for each of
+    * the top-10 exact words the CMS read-out min_r counter(r, h_r(w))
+    * beside the exact count, the overestimate, and the one-sided-error
+    * invariant est ≥ exact the oracle pins TRUE. The mergeable-sketch
+    * sibling of [[kmvNdvOf]]: counters are plain sums, so partition
+    * partials merge by addition — the shape a streaming heavy-hitter
+    * monitor ships to the driver.
+    *
+    * Scale shape: the corpus-sized pass is the vocab-sized two-phase
+    * wordcount; the 4-way hash explode runs over the DISTINCT-word
+    * frame (Heaps-bounded, never the token stream) into a ≤ d·w-row
+    * sketch frame; the top-10 ride TakeOrderedAndProject heaps; the
+    * read-out joins 40 probe rows against the 4096-row sketch.
+    * Determinism: bucket = md5 12-hex mod w (the catalogued idiom), so
+    * DuckDB replays every counter exactly — the gate is the hash
+    * compare, not the CMS error bound. */
+  private[graft] def cmsTopkOf(docs: DataFrame, d: Int = 4, wBuckets: Int = 1024,
+      topK: Int = 10): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val probes = words
+      .select(col("w"), col("c"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("b",
+        conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("w"))),
+          1, 12), 16, 10).cast("long") % wBuckets)
+    val sketch = probes.groupBy("r", "b").agg(sum(col("c")).as("cnt"))
+    val top = words.orderBy(col("c").desc, col("w")).limit(topK)
+    top.join(probes.select(col("w"), col("r"), col("b")), "w")
+      .join(sketch, Seq("r", "b"))
+      .groupBy("w")
+      .agg(max(col("c")).as("exact"), min(col("cnt")).as("cms_est"))
+      .select(col("w"), col("exact"), col("cms_est"),
+        (col("cms_est") - col("exact")).as("overestimate"),
+        (col("cms_est") >= col("exact")).as("one_sided"))
+      .orderBy(col("exact").desc, col("w"))
+  }
+
+  val llmCmsTopk: Q = (s, dir) =>
+    cmsTopkOf(Tables.t(s, dir, "documents"))
+
   /** Distribution-drift monitor — the Population Stability Index over a
     * binned document feature between a REFERENCE slice and a CANDIDATE
     * slice (the standard model-ops drift gate, PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ);
@@ -6116,6 +6160,7 @@ object Text {
     "llm_l_diversity" -> llmLDiversity,
     "llm_t_closeness" -> llmTCloseness,
     "llm_kmv_ndv" -> llmKmvNdv,
+    "llm_cms_topk" -> llmCmsTopk,
     "llm_boilerplate" -> llmBoilerplate,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -8340,6 +8385,27 @@ object Text {
          |  exact_ndv,
          |  ${oRound("ABS(CAST(k - 1 AS DOUBLE) / uk - CAST(exact_ndv AS DOUBLE)) / CAST(exact_ndv AS DOUBLE)", 6)} AS rel_err
          |FROM sk, e""".stripMargin,
+    // CMS: counters replay exactly (md5 12-hex mod-w buckets over the
+    // distinct-word frame); the one_sided invariant is the sketch's
+    // defining property, pinned TRUE by construction in both engines.
+    "llm_cms_topk" ->
+      s"""WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |    WHERE w <> '' GROUP BY w),
+         |pr AS (SELECT w, c, r,
+         |    (('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || w), 1, 12))::BIGINT
+         |      % 1024) AS b
+         |  FROM wc, (VALUES (0), (1), (2), (3)) AS t(r)),
+         |sk AS (SELECT r, b, CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM pr GROUP BY r, b),
+         |tp AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 10)
+         |SELECT tp.w AS w, CAST(MAX(tp.c) AS BIGINT) AS exact,
+         |  CAST(MIN(sk.cnt) AS BIGINT) AS cms_est,
+         |  CAST(MIN(sk.cnt) - MAX(tp.c) AS BIGINT) AS overestimate,
+         |  (MIN(sk.cnt) >= MAX(tp.c)) AS one_sided
+         |FROM tp JOIN pr ON pr.w = tp.w JOIN sk ON sk.r = pr.r AND sk.b = pr.b
+         |GROUP BY tp.w
+         |ORDER BY exact DESC, w""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id,
          |list_reduce(list_prepend(0::BIGINT,

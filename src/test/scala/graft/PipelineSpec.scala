@@ -329,6 +329,65 @@ class PipelineSpec extends SparkSpec {
       s"rel_err ${row.getDouble(4)} vs exact ${row.getLong(3)}")
   }
 
+  test("cmsTopk: collision-forced counters replay, one-sided error holds") {
+    import spark.implicits._
+    // wBuckets = 2 forces collisions among 5 words, so the overestimate
+    // column is exercised (not identically zero) while one_sided must
+    // hold everywhere — replay every counter driver-side
+    val corpus = Seq((1L, "a a a b b c d e"), (2L, "a b c c d e"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.cmsTopk(corpus, d = 4, wBuckets = 2, topK = 5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    val counts = Map("a" -> 4L, "b" -> 3L, "c" -> 3L, "d" -> 2L, "e" -> 2L)
+    def bucket(r: Int, w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16) % 2
+    }
+    val sketch = (0 until 4).flatMap { r =>
+      counts.toSeq.map { case (w, c) => ((r, bucket(r, w)), c) }
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    counts.foreach { case (w, c) =>
+      val est = (0 until 4).map(r => sketch((r, bucket(r, w)))).min
+      assert(got(w) == ((c, est, est - c, true)), s"word $w")
+      assert(est >= c)
+    }
+    // with 5 words in 2 buckets some row must collide somewhere
+    assert(got.values.exists(_._3 > 0), "expected at least one collision")
+  }
+
+  test("attributionMarkov: hand-computed removal effects on a planted chain") {
+    import spark.implicits._
+    // u1: view -> purchase(10) — internal + terminal-conv transitions
+    // u2: click -> (no purchase) — terminal-null
+    // u3: purchase(5) with no touches — the empty-converted-journey edge
+    // Chain: start->{view 1/3, click 1/3, conv 1/3}; view->conv; click->null.
+    // p_base = 2/3; removing view drops it to 1/3 (the direct-conv mass),
+    // removing any other channel changes nothing — view takes ALL credit.
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (1L, 11L, ts("2024-01-01 10:05:00"), "purchase", 10.0),
+      (2L, 20L, ts("2024-01-02 09:00:00"), "click", 0.0),
+      (3L, 30L, ts("2024-01-03 08:00:00"), "purchase", 5.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Pipeline.attributionMarkov(ev).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val third = 333333333.0 / 1e9 // dround(1/3, 9) — the engine grain
+    val base = r6(2 * third) // 0.666667 after the step-sum quantization
+    assert(got.keySet == Set("view", "click", "signup", "error"))
+    assert(got("view") == ((base, r6(third), r6(third), 1.0, 15.0)))
+    Seq("click", "signup", "error").foreach { c =>
+      val (pb, pr, re, sh, av) = got(c)
+      assert((pb, re, sh, av) == ((base, 0.0, 0.0, 0.0)), s"channel $c")
+      assert(pr == base, s"channel $c p_removed")
+    }
+  }
+
   test("cuped: theta and adjusted means replay; correlated covariate cuts variance") {
     import spark.implicits._
     // y strongly tracks x per user, so CUPED must collapse the pooled
