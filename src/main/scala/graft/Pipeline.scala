@@ -327,6 +327,14 @@ object Pipeline {
   def cmsTopk(docs: DataFrame, d: Int = 4, wBuckets: Int = 1024,
       topK: Int = 10): DataFrame = Text.cmsTopkOf(docs, d, wBuckets, topK)
 
+  /** ε-DP contingency-release audit: the (lang × source) count table
+    * with deterministic per-cell Laplace(1/ε) noise, round-and-clamp
+    * post-processing, true counts and utility loss beside the release
+    * — completes the privacy family (kAnon/lDiversity/tCloseness audit
+    * the data; this audits the released statistic). */
+  def dpRelease(docs: DataFrame, eps: Double = 1.0): DataFrame =
+    Text.dpReleaseOf(docs, eps)
+
   /** Per-source quality-score calibration (batch-effect correction):
     * per doc, the raw quantized score plus its in-source percent rank
     * (uniform [0,1] per source — what a per-source quota cuts at) and
@@ -427,6 +435,18 @@ object Pipeline {
     * attributed_value). */
   def attributionMarkov(events: DataFrame, steps: Int = 12): DataFrame =
     graft.queries.Sequences.attributionMarkovOf(events, steps)
+
+  /** Difference-in-differences estimate over an event frame: md5-parity
+    * arms × midpoint pre/post split, per-cell user means and the DiD
+    * point estimate in one row — the quasi-experimental companion to
+    * [[cuped]]. */
+  def did(events: DataFrame): DataFrame = graft.queries.Sequences.didOf(events)
+
+  /** Holt linear-trend forecast per event-type daily-count series:
+    * (level, trend, 1- and 7-step-ahead forecasts) per series;
+    * sequential per series, parallel across series. */
+  def forecastHolt(events: DataFrame): DataFrame =
+    graft.queries.Sequences.forecastHoltOf(events)
 
   /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
     * (strip fragments/default ports/trailing slashes/tracking params,

@@ -15,6 +15,13 @@ case class SeqEvent(user_id: Long, event_id: Long, tsu: Long, sym: String,
 case class SeqMatchRow(user_id: Long, match_idx: Int, start_event_id: Long,
   n_steps: Int, total_value: Double)
 
+/** Daily count cell fed to the Holt forecaster. */
+case class HoltDay(event_type: String, day: Long, y: Double)
+
+/** One Holt forecast row per series. */
+case class HoltFc(event_type: String, n_days: Long, level: Double,
+  trend: Double, fc_1: Double, fc_7: Double)
+
 /** MatchPath-style sequence matching over `events` (SURVEY.md §2 PTF gap;
   * reference `[exec!ql/udf/ptf/MatchPath.class]`): the funnel pattern
   * `click . view+ . purchase` per user, in (ts, event_id) order.
@@ -376,6 +383,113 @@ object Sequences {
 
   val seqCuped: Q = (s, dir) =>
     cupedOf(Tables.events(s, dir).select("user_id", "ts", "value"))
+
+  /** Difference-in-differences estimate (Card & Krueger AER 1994 made
+    * it canonical) — [[cupedOf]]'s sibling for the case where
+    * randomization is absent or suspect: with md5-parity arms and the
+    * same midpoint pre/post split, the effect is the TREAT group's
+    * pre→post change net of the CONTROL group's change, differencing
+    * away both stable group composition and the common time trend.
+    * One row: per-cell user means and the DiD point estimate.
+    *
+    * Scale/determinism posture inherited from [[cupedOf]]: exact cent
+    * longs per user (one user_id shuffle), the 2×2 cell frame is a
+    * 2-row agg, means are exact-sum/count divisions quantized at
+    * 1e-6, the estimate one fixed-shape chain on the quantized
+    * means. */
+  private[graft] def didOf(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vc"))
+    val r = e.agg(min("tsu").as("t0"), max("tsu").as("t1"))
+    val per = e.crossJoin(broadcast(r))
+      .withColumn("split", expr("t0 + (t1 - t0) DIV 2"))
+      .groupBy("user_id")
+      .agg(sum(when(col("tsu") < col("split"), col("vc"))
+          .otherwise(lit(0L))).as("xc"),
+        sum(when(col("tsu") >= col("split"), col("vc"))
+          .otherwise(lit(0L))).as("yc"))
+      .withColumn("arm",
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long") % 2)
+    val cells = per.groupBy("arm").agg(count(lit(1)).as("n_users"),
+      sum(col("xc")).as("sx"), sum(col("yc")).as("sy"))
+      .select(col("arm"), col("n_users"),
+        dround(col("sx").cast("double") / col("n_users") / 100.0, 6)
+          .as("m_pre"),
+        dround(col("sy").cast("double") / col("n_users") / 100.0, 6)
+          .as("m_post"))
+    val t = cells.filter(col("arm") === 1)
+      .select(col("n_users").as("n_treat"), col("m_pre").as("treat_pre"),
+        col("m_post").as("treat_post"))
+    val c = cells.filter(col("arm") === 0)
+      .select(col("n_users").as("n_ctrl"), col("m_pre").as("ctrl_pre"),
+        col("m_post").as("ctrl_post"))
+    t.crossJoin(broadcast(c))
+      .select(col("n_treat"), col("n_ctrl"),
+        col("treat_pre"), col("treat_post"), col("ctrl_pre"),
+        col("ctrl_post"),
+        dround((col("treat_post") - col("treat_pre"))
+          - (col("ctrl_post") - col("ctrl_pre")), 6).as("did"))
+  }
+
+  val seqDid: Q = (s, dir) =>
+    didOf(Tables.events(s, dir).select("user_id", "ts", "value"))
+
+  /** Holt linear-trend forecast (Holt 1957 / Hyndman & Athanasopoulos
+    * FPP) per event-type daily-count series — the capacity-planning
+    * read the monitoring family (seq_anomaly / seq_changepoint /
+    * seq_periodicity) stops short of: level/trend state
+    * l ← αy + (1−α)(l+b), b ← β(l−l_prev) + (1−β)b with α = 0.5,
+    * β = 0.3, seeded l₁ = y₁, b₁ = y₂−y₁, plus the h = 1 and h = 7
+    * step-ahead forecasts l + h·b.
+    *
+    * Scale shape: the corpus-sized pass is the (type, day) two-phase
+    * count; the fold is SEQUENTIAL PER SERIES but parallel across
+    * series (`groupByKey(type).flatMapGroups` — the MMR posture), each
+    * group bounded by the time span in days, never the event count.
+    * Series shorter than 2 days emit nothing (the seed needs y₂) —
+    * identically in both engines, where the oracle's recursive-CTE
+    * seed join drops them.
+    *
+    * Determinism: every step's level/trend quantize to the 1e-9 grid
+    * (the trend update nests the NEW level's quantized value — the
+    * oracle spells the same nested expression), outputs at 1e-6; the
+    * oracle replays the fold with a recursive CTE keyed on the
+    * row-number time index. */
+  private[graft] def forecastHoltOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("double").as("y"))
+      .as[HoltDay]
+      .groupByKey(_.event_type)
+      .flatMapGroups { (k, it) =>
+        val ys = it.toArray.sortBy(_.day).map(_.y)
+        if (ys.length < 2) Iterator.empty
+        else {
+          var l = ys(0)
+          var b = ys(1) - ys(0)
+          ys.drop(1).foreach { y =>
+            val lNew = r9(0.5 * y + 0.5 * (l + b))
+            b = r9(0.3 * (lNew - l) + 0.7 * b)
+            l = lNew
+          }
+          Iterator.single(HoltFc(k, ys.length.toLong, r6(l), r6(b),
+            r6(l + b), r6(l + 7 * b)))
+        }
+      }
+      .toDF()
+      .orderBy("event_type")
+  }
+
+  val seqForecastHolt: Q = (s, dir) =>
+    forecastHoltOf(Tables.events(s, dir).select("event_type", "ts"))
 
   /** Markov removal-effect attribution (Anderl, Becker, v. Wangenheim
     * & Schumann 2014) — the data-driven upgrade of [[attributionOf]]'s
@@ -924,6 +1038,8 @@ object Sequences {
     "seq_rfm" -> seqRfm,
     "seq_cuped" -> seqCuped,
     "seq_attribution_markov" -> seqAttributionMarkov,
+    "seq_did" -> seqDid,
+    "seq_forecast_holt" -> seqForecastHolt,
     "seq_anomaly" -> seqAnomaly,
     "seq_changepoint" -> seqChangepoint,
     "seq_periodicity" -> seqPeriodicity,
@@ -985,6 +1101,60 @@ object Sequences {
          |  ${oRound("syy2 / nu - (sy2 / nu) * (sy2 / nu)", 6)} AS var_y,
          |  ${oRound("saa2 / nu - (sa2 / nu) * (sa2 / nu)", 6)} AS var_y_cuped
          |FROM g, v ORDER BY arm""".stripMargin,
+    // DiD: the cuped per-user frame, 2-row cell agg, quantized means,
+    // one fixed-shape chain on the quantized means.
+    "seq_did" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+         |        CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+         |      FROM events),
+         |r AS (SELECT MIN(tsu) AS t0, MAX(tsu) AS t1 FROM e),
+         |per AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN tsu < t0 + (t1 - t0) // 2
+         |      THEN vc ELSE 0 END) AS BIGINT) AS xc,
+         |    CAST(SUM(CASE WHEN tsu >= t0 + (t1 - t0) // 2
+         |      THEN vc ELSE 0 END) AS BIGINT) AS yc,
+         |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+         |      % 2) AS arm
+         |  FROM e, r GROUP BY user_id),
+         |cl AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    ${oRound("CAST(SUM(xc) AS DOUBLE) / COUNT(*) / 100.0", 6)} AS m_pre,
+         |    ${oRound("CAST(SUM(yc) AS DOUBLE) / COUNT(*) / 100.0", 6)} AS m_post
+         |  FROM per GROUP BY arm),
+         |t AS (SELECT n_users AS n_treat, m_pre AS treat_pre,
+         |    m_post AS treat_post FROM cl WHERE arm = 1),
+         |c AS (SELECT n_users AS n_ctrl, m_pre AS ctrl_pre,
+         |    m_post AS ctrl_post FROM cl WHERE arm = 0)
+         |SELECT n_treat, n_ctrl, treat_pre, treat_post, ctrl_pre, ctrl_post,
+         |  ${oRound("(treat_post - treat_pre) - (ctrl_post - ctrl_pre)", 6)} AS did
+         |FROM t, c""".stripMargin,
+    // Holt: recursive CTE keyed on the row-number time index replays the
+    // per-series fold; the trend update nests the NEW level's quantized
+    // value exactly as the engine fold does.
+    "seq_forecast_holt" ->
+      s"""WITH RECURSIVE dc AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |      CAST(COUNT(*) AS DOUBLE) AS y
+         |    FROM events GROUP BY 1, 2),
+         |o AS (SELECT event_type, day, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dc),
+         |st AS (
+         |  SELECT a.event_type, 1 AS t, a.n, a.y AS l, b.y - a.y AS b
+         |  FROM o a JOIN o b ON b.event_type = a.event_type AND b.t = 2
+         |  WHERE a.t = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.t + 1, r.n,
+         |    ${oRound("0.5 * o.y + 0.5 * (r.l + r.b)", 9)} AS l,
+         |    ${oRound(
+             "0.3 * ((" + oRound("0.5 * o.y + 0.5 * (r.l + r.b)", 9) +
+             ") - r.l) + 0.7 * r.b", 9)} AS b
+         |  FROM st r JOIN o ON o.event_type = r.event_type
+         |    AND o.t = r.t + 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  ${oRound("l", 6)} AS level, ${oRound("b", 6)} AS trend,
+         |  ${oRound("l + b", 6)} AS fc_1, ${oRound("l + 7 * b", 6)} AS fc_7
+         |FROM st WHERE t = n ORDER BY event_type""".stripMargin,
     // Markov attribution: identical journey segmentation, 1e-9-quantized
     // transition probs, and the SAME 12-step truncated absorption fixed
     // point unrolled as MATERIALIZED CTEs (one per step, default CTE

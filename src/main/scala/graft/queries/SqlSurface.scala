@@ -1158,7 +1158,8 @@ object SqlSurface {
     "llm_t_closeness", "llm_kmv_ndv", "llm_cms_topk",
     "seq_anomaly", "seq_survival", "seq_cohort_ltv",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
-    "seq_cuped", "seq_attribution_markov",
+    "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
+    "llm_dp_release",
     "seq_periodicity", "seq_retention", "seq_rfm")
 
   /** r17: translated texts whose ONLY builder divergence was Spark

@@ -3565,6 +3565,44 @@ object Text {
   val llmCmsTopk: Q = (s, dir) =>
     cmsTopkOf(Tables.t(s, dir, "documents"))
 
+  /** ε-differentially-private contingency release audit (Dwork,
+    * McSherry, Nissim & Smith, TCC 2006): the (lang × source) doc-count
+    * table a curator actually publishes, each cell perturbed with
+    * Laplace(Δ/ε) noise (Δ = 1 for disjoint counting queries, ε = 1)
+    * and post-processed by round-and-clamp — beside the true count and
+    * the absolute utility loss, the release-or-not view that completes
+    * the privacy family ([[kAnonOf]] / [[lDiversityOf]] /
+    * [[tClosenessOf]] audit the *data*; this audits the *statistic*).
+    *
+    * Determinism: the Laplace draw inverts the catalogued md5 12-hex
+    * uniform per CELL KEY (not per row — noise must not rescale with
+    * the data): noise = −b·sign(u−½)·ln(1−2|u−½|), quantized at 1e-9
+    * before round-and-clamp, so both engines release identical tables
+    * (a seeded-RNG release would be rows-only). u = (h+½)/16¹² can
+    * never hit exactly ½, so ln's argument stays positive.
+    *
+    * Scale shape: ONE two-phase (lang, source) count is the only
+    * corpus-sized pass; the noise arithmetic runs on the aggregated
+    * cells (bounded by langs × sources at any corpus size). */
+  private[graft] def dpReleaseOf(docs: DataFrame, eps: Double = 1.0): DataFrame = {
+    val b = 1.0 / eps
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_true"))
+    val u = (conv(substring(md5(concat(col("lang"), lit(":"), col("source"))),
+      1, 12), 16, 10).cast("double") + 0.5) / lit(281474976710656.0)
+    val noise = dround(lit(-b) * signum(u - 0.5)
+      * org.apache.spark.sql.functions.log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 9)
+    cells
+      .withColumn("noise", noise)
+      .select(col("lang"), col("source"), col("n_true"),
+        greatest(floor(col("n_true") + col("noise") + 0.5), lit(0.0))
+          .cast("long").as("released"),
+        dround(abs(col("noise")), 6).as("noise_abs"))
+      .orderBy("lang", "source")
+  }
+
+  val llmDpRelease: Q = (s, dir) =>
+    dpReleaseOf(Tables.t(s, dir, "documents").select("lang", "source"))
+
   /** Distribution-drift monitor — the Population Stability Index over a
     * binned document feature between a REFERENCE slice and a CANDIDATE
     * slice (the standard model-ops drift gate, PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ);
@@ -6161,6 +6199,7 @@ object Text {
     "llm_t_closeness" -> llmTCloseness,
     "llm_kmv_ndv" -> llmKmvNdv,
     "llm_cms_topk" -> llmCmsTopk,
+    "llm_dp_release" -> llmDpRelease,
     "llm_boilerplate" -> llmBoilerplate,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -8406,6 +8445,24 @@ object Text {
          |FROM tp JOIN pr ON pr.w = tp.w JOIN sk ON sk.r = pr.r AND sk.b = pr.b
          |GROUP BY tp.w
          |ORDER BY exact DESC, w""".stripMargin,
+    // DP release: per-CELL-KEY md5 uniform inverted through the Laplace
+    // CDF, quantized at 1e-9 before round-and-clamp — both engines
+    // release the identical table (a seeded RNG would be rows-only).
+    "llm_dp_release" ->
+      s"""WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_true
+         |    FROM documents GROUP BY lang, source),
+         |un AS (SELECT lang, source, n_true,
+         |    (('0x' || substr(md5(lang || ':' || source), 1, 12))::BIGINT
+         |      + 0.5) / 281474976710656.0 AS u
+         |  FROM c),
+         |nz AS (SELECT lang, source, n_true,
+         |    ${oRound("-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * ABS(u - 0.5))", 9)} AS noise
+         |  FROM un)
+         |SELECT lang, source, n_true,
+         |  CAST(GREATEST(FLOOR(n_true + noise + 0.5), 0.0) AS BIGINT)
+         |    AS released,
+         |  ${oRound("ABS(noise)", 6)} AS noise_abs
+         |FROM nz ORDER BY lang, source""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id,
          |list_reduce(list_prepend(0::BIGINT,

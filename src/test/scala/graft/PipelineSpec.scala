@@ -388,6 +388,80 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dpRelease: Laplace noise replays from the cell-key hash; clamp holds") {
+    import spark.implicits._
+    val corpus = (Seq.fill(40)(("en", "web")) ++ Seq.fill(3)(("fr", "book")) ++
+      Seq(("de", "news")))
+      .zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("doc_id", "lang", "source")
+    val got = Pipeline.dpRelease(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def u(key: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(12), 16) + 0.5) / 281474976710656.0
+    }
+    def r(x: Double, s: Int) =
+      math.floor(x * math.pow(10, s) + 0.5) / math.pow(10, s)
+    Map("en:web" -> 40L, "fr:book" -> 3L, "de:news" -> 1L).foreach {
+      case (key, n) =>
+        val uu = u(key)
+        val noise = r(-1.0 * math.signum(uu - 0.5)
+          * math.log(1.0 - 2.0 * math.abs(uu - 0.5)), 9)
+        val released = math.max(math.floor(n + noise + 0.5), 0.0).toLong
+        val Array(l, s) = key.split(":")
+        assert(got((l, s)) == ((n, released, r(math.abs(noise), 6))), key)
+        assert(released >= 0)
+    }
+  }
+
+  test("did: cell means and the estimate replay on planted arms") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-31 00:00:00")
+    val rows = (1 to 30).flatMap { uid =>
+      Seq((uid.toLong, ts0, 10.0 + uid), (uid.toLong, ts1, 25.0 + 2 * uid))
+    }
+    val got = Pipeline.did(rows.toDF("user_id", "ts", "value")).collect().head
+    def arm(uid: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16) % 2
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cents(v: Double) = math.floor(v * 100.0 + 0.5).toLong
+    val by = (1 to 30).map(_.toLong).groupBy(arm)
+    def mean(us: Seq[Long], f: Long => Long) =
+      r6(us.map(f).sum.toDouble / us.size / 100.0)
+    val (tu, cu) = (by(1L), by(0L))
+    val tp = mean(tu, u => cents(10.0 + u)); val tq = mean(tu, u => cents(25.0 + 2 * u))
+    val cp = mean(cu, u => cents(10.0 + u)); val cq = mean(cu, u => cents(25.0 + 2 * u))
+    assert(got.getLong(0) == tu.size.toLong && got.getLong(1) == cu.size.toLong)
+    assert((got.getDouble(2), got.getDouble(3), got.getDouble(4),
+      got.getDouble(5)) == ((tp, tq, cp, cq)))
+    assert(got.getDouble(6) == r6((tq - tp) - (cq - cp)))
+  }
+
+  test("forecastHolt: linear ramp tracked exactly; 1-day series dropped") {
+    import spark.implicits._
+    // type 'a': y_t = 2t over 4 days — Holt's linear seed tracks a ramp
+    // exactly (l = 2t, b = 2), so level/trend/forecasts are closed-form;
+    // type 'b': a single day — the seed needs y2, so it must vanish
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = ((1 to 4).flatMap { t =>
+      val ts = new java.sql.Timestamp(day0.getTime + (t - 1) * 86400000L)
+      Seq.fill(2 * t)(("a", ts))
+    } :+ (("b", day0)))
+      .zipWithIndex.map { case ((et, ts), i) => (i.toLong, ts, et) }
+      .toDF("event_id", "ts", "event_type")
+    val got = Pipeline.forecastHolt(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set("a"))
+    assert(got("a") == ((4L, 8.0, 2.0, 10.0, 22.0)))
+  }
+
   test("cuped: theta and adjusted means replay; correlated covariate cuts variance") {
     import spark.implicits._
     // y strongly tracks x per user, so CUPED must collapse the pooled
