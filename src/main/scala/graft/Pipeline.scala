@@ -436,6 +436,11 @@ object Pipeline {
   def attributionMarkov(events: DataFrame, steps: Int = 12): DataFrame =
     graft.queries.Sequences.attributionMarkovOf(events, steps)
 
+  /** Sample-ratio-mismatch guardrail: χ² of the realized md5-parity arm
+    * split against 50/50 with the 1-dof 95% flag — run it before
+    * reading any [[cuped]]/[[did]] estimate. */
+  def srm(events: DataFrame): DataFrame = graft.queries.Sequences.srmOf(events)
+
   /** Difference-in-differences estimate over an event frame: md5-parity
     * arms × midpoint pre/post split, per-cell user means and the DiD
     * point estimate in one row — the quasi-experimental companion to

@@ -253,7 +253,14 @@ object Graph {
     * dataflow. The label frame is referenced ONCE per round (the PCA
     * plan-doubling lesson: nodes without edges rejoin only at the END
     * via one left join), so the unrolled plan grows linearly. */
-  val labelprop: Q = (s, dir) => {
+  /** Shared pieces of the label-propagation pipeline: node ids, the
+    * undirected simple edge closure (a < b), its symmetric expansion
+    * (persisted — consumed once per round), and the full community
+    * assignment (v, c) after 3 synchronous rounds. Consumed by
+    * [[labelprop]] and [[modularity]]. */
+  private def lpParts(s: org.apache.spark.sql.SparkSession, dir: String)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+     org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
     val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
     val raw = ids.crossJoin(broadcast(nDf))
@@ -281,10 +288,56 @@ object Graph {
         .withColumn("r", row_number().over(wBest)).filter(col("r") === 1)
         .select(col("u").as("v"), col("lbl"))
     }
-    ids.join(lab.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("community"))
+    val asg = ids.join(lab.withColumnRenamed("v", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id").as("v"),
+        coalesce(col("lbl"), col("doc_id")).as("c"))
+    (ids, edges, und, asg)
+  }
+
+  val labelprop: Q = (s, dir) => {
+    val (_, _, _, asg) = lpParts(s, dir)
+    asg.select(col("v").as("doc_id"), col("c").as("community"))
       .orderBy("doc_id")
+  }
+
+  /** Newman modularity of the label-propagation partition (Newman &
+    * Girvan PRE 2004; Q = Σ_c [L_c/m − (D_c/2m)²]) — the
+    * community-QUALITY gate the detection step itself doesn't give: a
+    * near-zero Q says the partition explains no more edge mass than a
+    * random graph with the same degrees, so downstream per-community
+    * processing (dedup within communities, community-stratified
+    * sampling) would be built on noise. One summary row: nodes, edges,
+    * communities, within-community edges, Q.
+    *
+    * Scale shape: reuses [[lpParts]]'s rounds (corpus-sized work =
+    * the same per-round neighbor joins), then TWO label joins on the
+    * edge frame + a degree agg + a per-community rollup — every
+    * post-assignment frame is bounded by #communities. Σ D_c² rides
+    * decimal(38,0) (the seq_gini overflow rule: int64 dies once a
+    * community's degree sum passes ~3e9). Q is one fixed-shape double
+    * chain over exact integer aggregates, quantized at 1e-6. */
+  val modularity: Q = (s, dir) => {
+    val (ids, edges, und, asg) = lpParts(s, dir)
+    val m = edges.agg(count(lit(1)).as("m"))
+    val ie = edges
+      .join(asg.select(col("v").as("a"), col("c").as("ca")), "a")
+      .join(asg.select(col("v").as("b"), col("c").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).as("ie"))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val dc = asg.join(deg.withColumnRenamed("u", "v"), Seq("v"), "left")
+      .groupBy("c").agg(coalesce(sum(col("d")), lit(0L)).as("dsum"))
+    val ag = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("dsum").cast("decimal(38,0)") * col("dsum")).as("sd2"))
+    val nn = ids.agg(count(lit(1)).as("n_nodes"))
+    nn.crossJoin(broadcast(m)).crossJoin(broadcast(ie))
+      .crossJoin(broadcast(ag))
+      .select(col("n_nodes"), col("m").as("m_edges"), col("n_communities"),
+        col("ie").as("inner_edges"),
+        dround(col("ie") * lit(1.0) / col("m")
+          - col("sd2").cast("double") / (lit(4.0) * col("m") * col("m")), 6)
+          .as("modularity"))
   }
 
   /** Bounded k-core peeling (Seidman 1983, k = 4; the density filter
@@ -429,6 +482,7 @@ object Graph {
     "graph_triangles" -> triangles,
     "graph_linkpred" -> linkpred,
     "graph_labelprop" -> labelprop,
+    "graph_modularity" -> modularity,
     "graph_kcore" -> kcore,
     "graph_bfs" -> bfs
   )
@@ -578,6 +632,47 @@ object Graph {
          |SELECT ids.doc_id, COALESCE(l3.lbl, ids.doc_id) AS community
          |FROM ids LEFT JOIN l3 ON l3.v = ids.doc_id
          |ORDER BY ids.doc_id""".stripMargin
+    },
+    // Modularity: the labelprop CTE prefix + rounds, then two label
+    // joins on the edge frame, per-community degree rollup, sum D_c^2
+    // in HUGEINT, Q one fixed-shape chain over exact integers.
+    "graph_modularity" -> {
+      val rounds = (1 to 3)
+        .map(k => lpRoundSql(s"l${k - 1}", s"l$k")).mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |und AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM ids),
+         |$rounds,
+         |asg AS MATERIALIZED (
+         |  SELECT ids.doc_id AS v, COALESCE(l3.lbl, ids.doc_id) AS c
+         |  FROM ids LEFT JOIN l3 ON l3.v = ids.doc_id),
+         |me AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+         |ie AS (SELECT CAST(COUNT(*) AS BIGINT) AS ie FROM edges e
+         |  JOIN asg x ON x.v = e.a JOIN asg y ON y.v = e.b
+         |  WHERE x.c = y.c),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM und GROUP BY u),
+         |dc AS (SELECT a.c,
+         |    CAST(COALESCE(SUM(d.d), 0) AS BIGINT) AS dsum
+         |  FROM asg a LEFT JOIN deg d ON d.u = a.v GROUP BY a.c),
+         |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    SUM(CAST(dsum AS HUGEINT) * dsum) AS sd2 FROM dc),
+         |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM ids)
+         |SELECT cn.n_nodes, me.m AS m_edges, ag.n_communities,
+         |  ie.ie AS inner_edges,
+         |  ${oRound("ie.ie * 1.0 / me.m - CAST(ag.sd2 AS DOUBLE) / (4.0 * me.m * me.m)", 6)}
+         |    AS modularity
+         |FROM cn, me, ie, ag""".stripMargin
     },
     // Same oriented edge CTE; common neighbors via the middle-node
     // self-join; union size by inclusion-exclusion; quantized-long

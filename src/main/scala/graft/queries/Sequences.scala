@@ -384,6 +384,39 @@ object Sequences {
   val seqCuped: Q = (s, dir) =>
     cupedOf(Tables.events(s, dir).select("user_id", "ts", "value"))
 
+  /** Sample-ratio-mismatch guardrail (Fabijan et al., ICSE-SEIP 2019
+    * catalogue it as the most common experiment-invalidating bug): a
+    * χ² goodness-of-fit of the realized arm split against the intended
+    * 50/50 — an experiment whose assignment is skewed (broken hash,
+    * bot filter firing per-arm, logging loss) must be DISCARDED before
+    * anyone reads [[cupedOf]]/[[didOf]] estimates. One row: arm
+    * counts, χ², and the flag at the 1-dof 95% critical value 3.841.
+    *
+    * Scale/determinism: one distinct-user pass (the arm is a pure
+    * projection off user_id, so the count pair is a 2-row two-phase
+    * agg); χ² is one fixed-shape double chain over exact longs,
+    * quantized at 1e-6 — identical in both engines. */
+  private[graft] def srmOf(events: DataFrame): DataFrame = {
+    val arms = events.select(col("user_id")).distinct()
+      .select((conv(substring(md5(col("user_id").cast("string")), 1, 12),
+        16, 10).cast("long") % 2).as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("cnt"))
+    val t = arms.filter(col("arm") === 1).select(col("cnt").as("n_treat"))
+    val c = arms.filter(col("arm") === 0).select(col("cnt").as("n_ctrl"))
+    t.crossJoin(broadcast(c))
+      .withColumn("n", col("n_treat") + col("n_ctrl"))
+      .select(col("n").as("n_users"), col("n_treat"), col("n_ctrl"),
+        dround((col("n_treat") - col("n") / lit(2.0))
+          * (col("n_treat") - col("n") / lit(2.0)) / (col("n") / lit(2.0))
+          + (col("n_ctrl") - col("n") / lit(2.0))
+          * (col("n_ctrl") - col("n") / lit(2.0)) / (col("n") / lit(2.0)), 6)
+          .as("chi2"))
+      .withColumn("srm", col("chi2") > 3.841)
+  }
+
+  val seqSrm: Q = (s, dir) =>
+    srmOf(Tables.events(s, dir).select("user_id"))
+
   /** Difference-in-differences estimate (Card & Krueger AER 1994 made
     * it canonical) — [[cupedOf]]'s sibling for the case where
     * randomization is absent or suspect: with md5-parity arms and the
@@ -1040,6 +1073,7 @@ object Sequences {
     "seq_attribution_markov" -> seqAttributionMarkov,
     "seq_did" -> seqDid,
     "seq_forecast_holt" -> seqForecastHolt,
+    "seq_srm" -> seqSrm,
     "seq_anomaly" -> seqAnomaly,
     "seq_changepoint" -> seqChangepoint,
     "seq_periodicity" -> seqPeriodicity,
@@ -1101,6 +1135,26 @@ object Sequences {
          |  ${oRound("syy2 / nu - (sy2 / nu) * (sy2 / nu)", 6)} AS var_y,
          |  ${oRound("saa2 / nu - (sa2 / nu) * (sa2 / nu)", 6)} AS var_y_cuped
          |FROM g, v ORDER BY arm""".stripMargin,
+    // SRM: distinct users -> md5-parity arms -> 2-row count, chi2 one
+    // fixed-shape chain over exact longs at 1e-6.
+    "seq_srm" ->
+      s"""WITH a AS (SELECT
+         |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+         |      % 2) AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM a GROUP BY arm),
+         |t AS (SELECT cnt AS n_treat FROM g WHERE arm = 1),
+         |c AS (SELECT cnt AS n_ctrl FROM g WHERE arm = 0),
+         |x AS (SELECT n_treat + n_ctrl AS n, n_treat, n_ctrl FROM t, c)
+         |SELECT n AS n_users, n_treat, n_ctrl,
+         |  ${oRound("(n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)" +
+             " + (n_ctrl - n / 2.0) * (n_ctrl - n / 2.0) / (n / 2.0)", 6)}
+         |    AS chi2,
+         |  (${oRound("(n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)" +
+             " + (n_ctrl - n / 2.0) * (n_ctrl - n / 2.0) / (n / 2.0)", 6)}
+         |    > 3.841) AS srm
+         |FROM x""".stripMargin,
     // DiD: the cuped per-user frame, 2-row cell agg, quantized means,
     // one fixed-shape chain on the quantized means.
     "seq_did" ->

@@ -1159,7 +1159,7 @@ object SqlSurface {
     "seq_anomaly", "seq_survival", "seq_cohort_ltv",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
     "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
-    "llm_dp_release",
+    "seq_srm", "llm_dp_release", "graph_modularity",
     "seq_periodicity", "seq_retention", "seq_rfm")
 
   /** r17: translated texts whose ONLY builder divergence was Spark

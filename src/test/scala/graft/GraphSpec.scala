@@ -144,6 +144,47 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.size < n)
   }
 
+  test("graph_modularity replays the Newman Q over the labelprop partition") {
+    val row = SparkEntry.queries("graph_modularity")(spark, sfDir)
+      .collect().head
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map { i =>
+        val dst = h(s"$src:$i") % n
+        (math.min(src.toLong, dst), math.max(src.toLong, dst))
+      }
+    }.filter(e => e._1 < e._2).toSet
+    val nbr = scala.collection.mutable.Map[Long, Seq[Long]]()
+      .withDefaultValue(Seq.empty)
+    edges.foreach { case (a, b) =>
+      nbr(a) = nbr(a) :+ b; nbr(b) = nbr(b) :+ a
+    }
+    var lab: Map[Long, Long] = (0L until n.toLong).map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lab = nbr.toMap.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      } ++ (0L until n.toLong).filterNot(nbr.contains).map(v => v -> v)
+    }
+    val m = edges.size
+    val inner = edges.count { case (a, b) => lab(a) == lab(b) }
+    val dsums = (0L until n.toLong).groupBy(lab)
+      .map { case (_, vs) => vs.map(v => nbr(v).size.toLong).sum }
+    val sd2 = dsums.map(d => BigInt(d) * d).sum
+    val q = math.floor(
+      (inner * 1.0 / m - sd2.toDouble / (4.0 * m * m)) * 1e6 + 0.5) / 1e6
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getLong(1) == m.toLong)
+    assert(row.getLong(2) == dsums.size.toLong)
+    assert(row.getLong(3) == inner.toLong)
+    assert(row.getDouble(4) == q)
+  }
+
   test("graph_kcore replays 4 driver-side peel rounds") {
     val got = SparkEntry.queries("graph_kcore")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -462,6 +462,41 @@ class PipelineSpec extends SparkSpec {
     assert(got("a") == ((4L, 8.0, 2.0, 10.0, 22.0)))
   }
 
+  test("srm: chi-square replays the md5 arm split; planted skew flags") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def arm(uid: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16) % 2
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def chi2(t: Long, c: Long): Double = {
+      val n = (t + c).toDouble
+      r6((t - n / 2.0) * (t - n / 2.0) / (n / 2.0)
+        + (c - n / 2.0) * (c - n / 2.0) / (n / 2.0))
+    }
+    // healthy split: every user once
+    val ev = (1 to 40).map(u => (u.toLong, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = Pipeline.srm(ev).collect().head
+    val (t, c) = ((1 to 40).count(u => arm(u) == 1).toLong,
+      (1 to 40).count(u => arm(u) == 0).toLong)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((40L, t, c)))
+    assert(got.getDouble(3) == chi2(t, c))
+    assert(!got.getBoolean(4))
+    // planted skew: keep only treat-arm users (a per-arm logging bug) plus
+    // two control stragglers — the guardrail must fire
+    val treaties = (1 to 200).map(_.toLong).filter(u => arm(u) == 1)
+    val skewUsers = treaties ++ (1 to 200).map(_.toLong)
+      .filter(u => arm(u) == 0).take(2)
+    val skew = skewUsers.map(u => (u, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val g2 = Pipeline.srm(skew).collect().head
+    assert(g2.getBoolean(4), s"chi2=${g2.getDouble(3)} should flag")
+    assert(g2.getDouble(3) == chi2(treaties.size.toLong, 2L))
+  }
+
   test("cuped: theta and adjusted means replay; correlated covariate cuts variance") {
     import spark.implicits._
     // y strongly tracks x per user, so CUPED must collapse the pooled
