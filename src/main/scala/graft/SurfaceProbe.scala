@@ -40,7 +40,7 @@ object SurfaceProbe {
       } catch {
         case e: Throwable =>
           bad += 1
-          println(s"ERR  $name: ${e.getMessage.linesIterator.next().take(200)}")
+          println(s"ERR  $name: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse(e.getClass.getName).take(200)}")
       }
     }
     spark.stop()

@@ -328,17 +328,7 @@ object Sequences {
     * the arm readout is a 2-row agg — nothing after the per-user
     * groupBy touches corpus-sized data again. */
   private[graft] def cupedOf(events: DataFrame): DataFrame = {
-    val e = events
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
-        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vc"))
-    val r = e.agg(min("tsu").as("t0"), max("tsu").as("t1"))
-    val per = e.crossJoin(broadcast(r))
-      .withColumn("split", expr("t0 + (t1 - t0) DIV 2"))
-      .groupBy("user_id")
-      .agg(sum(when(col("tsu") < col("split"), col("vc"))
-          .otherwise(lit(0L))).as("xc"),
-        sum(when(col("tsu") >= col("split"), col("vc"))
-          .otherwise(lit(0L))).as("yc"))
+    val per = prePostCents(events)
     val m = per.agg(count(lit(1)).as("n"),
       sum(col("xc").cast("decimal(38,0)")).as("sx"),
       sum(col("yc").cast("decimal(38,0)")).as("sy"),
@@ -381,6 +371,25 @@ object Sequences {
       .orderBy("arm")
   }
 
+  /** Shared experimentation frame: per user, exact-cent spend in the
+    * pre/post halves of the observation window (split at its midpoint —
+    * reproducible, never now()). ONE user_id shuffle; consumed by
+    * [[cupedOf]] and [[didOf]] so the split rule can never
+    * desynchronize between them (r18 review finding). */
+  private def prePostCents(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vc"))
+    val r = e.agg(min("tsu").as("t0"), max("tsu").as("t1"))
+    e.crossJoin(broadcast(r))
+      .withColumn("split", expr("t0 + (t1 - t0) DIV 2"))
+      .groupBy("user_id")
+      .agg(sum(when(col("tsu") < col("split"), col("vc"))
+          .otherwise(lit(0L))).as("xc"),
+        sum(when(col("tsu") >= col("split"), col("vc"))
+          .otherwise(lit(0L))).as("yc"))
+  }
+
   val seqCuped: Q = (s, dir) =>
     cupedOf(Tables.events(s, dir).select("user_id", "ts", "value"))
 
@@ -397,19 +406,21 @@ object Sequences {
     * agg); χ² is one fixed-shape double chain over exact longs,
     * quantized at 1e-6 — identical in both engines. */
   private[graft] def srmOf(events: DataFrame): DataFrame = {
-    val arms = events.select(col("user_id")).distinct()
+    // ONE total aggregate, never a per-arm join: a filter-join shape
+    // returns zero rows when an arm is completely empty — i.e. the
+    // guardrail goes silent in exactly the most extreme mismatch
+    // (r18 review finding). sum(arm) counts the treat arm directly.
+    events.select(col("user_id")).distinct()
       .select((conv(substring(md5(col("user_id").cast("string")), 1, 12),
         16, 10).cast("long") % 2).as("arm"))
-      .groupBy("arm").agg(count(lit(1)).as("cnt"))
-    val t = arms.filter(col("arm") === 1).select(col("cnt").as("n_treat"))
-    val c = arms.filter(col("arm") === 0).select(col("cnt").as("n_ctrl"))
-    t.crossJoin(broadcast(c))
-      .withColumn("n", col("n_treat") + col("n_ctrl"))
-      .select(col("n").as("n_users"), col("n_treat"), col("n_ctrl"),
+      .agg(count(lit(1)).as("n"), sum(col("arm")).as("n_treat"))
+      .select(col("n").as("n_users"), col("n_treat"),
+        (col("n") - col("n_treat")).as("n_ctrl"),
         dround((col("n_treat") - col("n") / lit(2.0))
           * (col("n_treat") - col("n") / lit(2.0)) / (col("n") / lit(2.0))
-          + (col("n_ctrl") - col("n") / lit(2.0))
-          * (col("n_ctrl") - col("n") / lit(2.0)) / (col("n") / lit(2.0)), 6)
+          + ((col("n") - col("n_treat")) - col("n") / lit(2.0))
+          * ((col("n") - col("n_treat")) - col("n") / lit(2.0))
+          / (col("n") / lit(2.0)), 6)
           .as("chi2"))
       .withColumn("srm", col("chi2") > 3.841)
   }
@@ -431,17 +442,7 @@ object Sequences {
     * 1e-6, the estimate one fixed-shape chain on the quantized
     * means. */
   private[graft] def didOf(events: DataFrame): DataFrame = {
-    val e = events
-      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
-        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vc"))
-    val r = e.agg(min("tsu").as("t0"), max("tsu").as("t1"))
-    val per = e.crossJoin(broadcast(r))
-      .withColumn("split", expr("t0 + (t1 - t0) DIV 2"))
-      .groupBy("user_id")
-      .agg(sum(when(col("tsu") < col("split"), col("vc"))
-          .otherwise(lit(0L))).as("xc"),
-        sum(when(col("tsu") >= col("split"), col("vc"))
-          .otherwise(lit(0L))).as("yc"))
+    val per = prePostCents(events)
       .withColumn("arm",
         conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
           .cast("long") % 2)
@@ -597,7 +598,13 @@ object Sequences {
     // double op IEEE-identical).
     val base = bp.collect().map(r =>
       (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
-    val channels = Seq("click", "error", "signup", "view")
+    // The channel universe is DERIVED from the observed transitions (every
+    // touch event appears as some transition's target, so this is exactly
+    // the set of non-purchase event types present) — a hardcoded list
+    // would silently zero-credit an unlisted channel while its
+    // transitions still shaped the matrix (r18 review finding).
+    val channels = base.flatMap(t => Seq(t._1, t._2)).distinct
+      .filterNot(Set("start", "conv", "null")).sorted
     def q9l(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
     val pStart = ("none" +: channels).map { v =>
       val tvv = base
@@ -1009,8 +1016,12 @@ object Sequences {
     * linear (equal split across the window's touches) and last-touch
     * (all value to the latest touch, event_id tiebreak). Purchases
     * with an empty lookback window land in the `direct` bucket with
-    * full value under both models, so value is conserved: Σ linear =
-    * Σ last = Σ purchase value (the invariant the spec pins).
+    * full value under both models, so value is conserved: Σ last =
+    * Σ purchase value EXACTLY, and Σ linear matches at the 1e-6 output
+    * grain (each per-touch share quantizes to 1e-6, so a value not
+    * divisible by its touch count loses < n·1e-6 per purchase — e.g.
+    * 10.00 over 3 touches sums to 9.999999; the spec pins the exact
+    * last-touch identity and the linear one on divisible splits).
     *
     * Scale shape: one equi-join on user_id with the time-band
     * condition (the [[graft.streaming.Events]] interval-join shape —
@@ -1142,19 +1153,18 @@ object Sequences {
          |    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
          |      % 2) AS arm
          |  FROM (SELECT DISTINCT user_id FROM events)),
-         |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM a GROUP BY arm),
-         |t AS (SELECT cnt AS n_treat FROM g WHERE arm = 1),
-         |c AS (SELECT cnt AS n_ctrl FROM g WHERE arm = 0),
-         |x AS (SELECT n_treat + n_ctrl AS n, n_treat, n_ctrl FROM t, c)
-         |SELECT n AS n_users, n_treat, n_ctrl,
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(arm) AS BIGINT) AS n_treat FROM a)
+         |SELECT n AS n_users, n_treat, n - n_treat AS n_ctrl,
          |  ${oRound("(n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)" +
-             " + (n_ctrl - n / 2.0) * (n_ctrl - n / 2.0) / (n / 2.0)", 6)}
+             " + ((n - n_treat) - n / 2.0) * ((n - n_treat) - n / 2.0)" +
+             " / (n / 2.0)", 6)}
          |    AS chi2,
          |  (${oRound("(n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)" +
-             " + (n_ctrl - n / 2.0) * (n_ctrl - n / 2.0) / (n / 2.0)", 6)}
+             " + ((n - n_treat) - n / 2.0) * ((n - n_treat) - n / 2.0)" +
+             " / (n / 2.0)", 6)}
          |    > 3.841) AS srm
-         |FROM x""".stripMargin,
+         |FROM g""".stripMargin,
     // DiD: the cuped per-user frame, 2-row cell agg, quantized means,
     // one fixed-shape chain on the quantized means.
     "seq_did" ->
@@ -1259,8 +1269,10 @@ object Sequences {
          |bp AS (SELECT frm, nxt,
          |    ${oRound("c * 1.0 / SUM(c) OVER (PARTITION BY frm)", 9)} AS p
          |  FROM bc),
-         |vv AS (SELECT v FROM (VALUES ('none'), ('view'), ('click'),
-         |    ('signup'), ('error')) AS x(v)),
+         |vv AS (SELECT 'none' AS v
+         |  UNION ALL
+         |  SELECT DISTINCT event_type AS v FROM events
+         |  WHERE event_type <> 'purchase'),
          |tv AS MATERIALIZED (SELECT v, frm, nxt, ${oSum("p", 9)} AS p
          |  FROM (SELECT vv.v, bp.frm,
          |      CASE WHEN bp.nxt = vv.v THEN 'null' ELSE bp.nxt END AS nxt,

@@ -1121,6 +1121,16 @@ object SqlSurface {
     * pinned to exact builder rows by `SqlSurfaceSpec`; candidates were
     * harvested by the `SqlProbe` sweep, and a name whose translation
     * diverges from its builder by even one row never enters this list). */
+  /** Surface entries added in the CURRENT round. `SqlSurfaceSpec`'s
+    * per-commit sampled round-trip ALWAYS includes these on top of the
+    * stable md5 quarter — a brand-new entry must never depend on the
+    * close-of-round full sweep for its first gate (r18 review finding).
+    * Reset at each round close, when the full sweep has covered them. */
+  private[graft] val recentAdditions: Seq[String] = Seq(
+    "llm_t_closeness", "llm_kmv_ndv", "llm_cms_topk", "llm_dp_release",
+    "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
+    "seq_srm", "graph_modularity")
+
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
     "fn_mask", "fn_math2", "fn_misc", "fn_ngrams", "fn_try",

@@ -69,7 +69,7 @@ class DuckToSparkSpec extends AnyFunSuite {
     SparkEntry.sqlQueries.foreach { case (name, text) =>
       try parser.parsePlan(text)
       catch { case e: Throwable =>
-        fail(s"$name does not parse: ${e.getMessage.linesIterator.next()}")
+        fail(s"$name does not parse: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse(e.getClass.getName)}")
       }
     }
   }

@@ -379,13 +379,30 @@ class PipelineSpec extends SparkSpec {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val third = 333333333.0 / 1e9 // dround(1/3, 9) — the engine grain
     val base = r6(2 * third) // 0.666667 after the step-sum quantization
-    assert(got.keySet == Set("view", "click", "signup", "error"))
+    // channel universe is DERIVED from observed touches, never a fixed
+    // list — only view/click occur here, so only they get rows
+    assert(got.keySet == Set("view", "click"))
     assert(got("view") == ((base, r6(third), r6(third), 1.0, 15.0)))
-    Seq("click", "signup", "error").foreach { c =>
-      val (pb, pr, re, sh, av) = got(c)
-      assert((pb, re, sh, av) == ((base, 0.0, 0.0, 0.0)), s"channel $c")
-      assert(pr == base, s"channel $c p_removed")
-    }
+    val (pb, pr, re, sh, av) = got("click")
+    assert((pb, re, sh, av) == ((base, 0.0, 0.0, 0.0)))
+    assert(pr == base)
+  }
+
+  test("attributionMarkov: an unlisted channel type gets a credit row") {
+    import spark.implicits._
+    // the r18 review scenario: an 'email' touch type outside any fixed
+    // channel list must still receive its removal-effect row
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "email", 0.0),
+      (1L, 11L, ts("2024-01-01 10:05:00"), "purchase", 8.0),
+      (2L, 20L, ts("2024-01-02 09:00:00"), "view", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Pipeline.attributionMarkov(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(got.keySet == Set("email", "view"))
+    assert(got("email") == 8.0) // all conversion value rides the email touch
+    assert(got("view") == 0.0)
   }
 
   test("dpRelease: Laplace noise replays from the cell-key hash; clamp holds") {
@@ -495,6 +512,14 @@ class PipelineSpec extends SparkSpec {
     val g2 = Pipeline.srm(skew).collect().head
     assert(g2.getBoolean(4), s"chi2=${g2.getDouble(3)} should flag")
     assert(g2.getDouble(3) == chi2(treaties.size.toLong, 2L))
+    // a COMPLETELY empty arm is the most extreme mismatch — the
+    // guardrail must emit a flagged row, not zero rows (r18 review)
+    val oneArm = treaties.map(u => (u, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val g3 = Pipeline.srm(oneArm).collect()
+    assert(g3.length == 1)
+    assert(g3.head.getLong(2) == 0L && g3.head.getBoolean(4))
+    assert(g3.head.getDouble(3) == chi2(treaties.size.toLong, 0L))
   }
 
   test("cuped: theta and adjusted means replay; correlated covariate cuts variance") {

@@ -625,7 +625,8 @@ class PlanSpec extends SparkSpec {
           if (problems.isEmpty) None else Some(s"$name: ${problems.mkString("; ")}")
         }.recover { case e: Throwable =>
           Some(s"$name threw during planning: " +
-            e.getMessage.linesIterator.next().take(160))
+            String.valueOf(e.getMessage).linesIterator.nextOption()
+              .getOrElse(e.getClass.getName).take(160))
         }
       }
       val failures = Await.result(Future.sequence(fs), 15.minutes).flatten

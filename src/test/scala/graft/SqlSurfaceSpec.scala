@@ -64,8 +64,11 @@ class SqlSurfaceSpec extends SparkSpec {
       if (sys.env.get("SPARK_GRAFT_SQL_SURFACE").contains("full")) all
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
+        // stable quarter PLUS every entry added this round — a new
+        // entry must never dodge the per-commit gate by md5 luck
         val quarter = all.filter { n =>
-          ((md.digest(n.getBytes("UTF-8"))(0) & 0xff) % 4) == 0
+          ((md.digest(n.getBytes("UTF-8"))(0) & 0xff) % 4) == 0 ||
+            graft.queries.SqlSurface.recentAdditions.contains(n)
         }
         info(s"sampled quarter: ${quarter.size}/${all.size} texts " +
           "(SPARK_GRAFT_SQL_SURFACE=full for the complete sweep)")
@@ -104,7 +107,7 @@ class SqlSurfaceSpec extends SparkSpec {
             s"first diff: ${viaSql.zipAll(viaApi, "<none>", "<none>")
               .find(p => p._1 != p._2)})")
         }.recover { case e: Throwable =>
-          Some(s"$name threw: ${e.getMessage.linesIterator.next().take(160)}")
+          Some(s"$name threw: ${String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse(e.getClass.getName).take(160)}")
         }
       }
       val failures =
