@@ -1154,17 +1154,16 @@ object Sequences {
          |      % 2) AS arm
          |  FROM (SELECT DISTINCT user_id FROM events)),
          |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(arm) AS BIGINT) AS n_treat FROM a)
+         |    CAST(SUM(arm) AS BIGINT) AS n_treat FROM a),
+         |x AS (SELECT n, n_treat, CAST(n AS DOUBLE) / 2.0 AS e FROM g)
          |SELECT n AS n_users, n_treat, n - n_treat AS n_ctrl,
-         |  ${oRound("(n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)" +
-             " + ((n - n_treat) - n / 2.0) * ((n - n_treat) - n / 2.0)" +
-             " / (n / 2.0)", 6)}
+         |  ${oRound("(n_treat - e) * (n_treat - e) / e" +
+             " + ((n - n_treat) - e) * ((n - n_treat) - e) / e", 6)}
          |    AS chi2,
-         |  (${oRound("(n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)" +
-             " + ((n - n_treat) - n / 2.0) * ((n - n_treat) - n / 2.0)" +
-             " / (n / 2.0)", 6)}
+         |  (${oRound("(n_treat - e) * (n_treat - e) / e" +
+             " + ((n - n_treat) - e) * ((n - n_treat) - e) / e", 6)}
          |    > 3.841) AS srm
-         |FROM g""".stripMargin,
+         |FROM x""".stripMargin,
     // DiD: the cuped per-user frame, 2-row cell agg, quantized means,
     // one fixed-shape chain on the quantized means.
     "seq_did" ->
@@ -1281,18 +1280,20 @@ object Sequences {
          |p0 AS (SELECT v, 'x' AS state, 0.0 AS pv FROM vv WHERE 1 = 0),
          |$stepCtes,
          |ps AS (SELECT v, pv FROM p12 WHERE state = 'start'),
-         |pb AS (SELECT pv AS p_base FROM ps WHERE v = 'none'),
-         |re AS (SELECT ps.v AS channel, ps.pv AS p_removed, pb.p_base,
-         |    ${oRound("pb.p_base - ps.pv", 9)} AS re
-         |  FROM ps, pb WHERE ps.v <> 'none'),
-         |rt AS (SELECT ${oSum("re", 9)} AS re_tot FROM re),
-         |vt AS (SELECT CAST(SUM(cents) AS BIGINT) AS vc FROM pur)
+         |re AS (SELECT v AS channel, pv AS p_removed,
+         |    (SELECT pv FROM ps WHERE v = 'none') AS p_base,
+         |    ${oRound("(SELECT pv FROM ps WHERE v = 'none') - pv", 9)} AS re
+         |  FROM ps WHERE v <> 'none'),
+         |x AS (SELECT re.*,
+         |    (SELECT ${oSum("re", 9)} FROM re) AS re_tot,
+         |    (SELECT CAST(SUM(cents) AS BIGINT) FROM pur) AS vc
+         |  FROM re)
          |SELECT channel, ${oRound("p_base", 6)} AS p_base,
          |  ${oRound("p_removed", 6)} AS p_removed,
          |  ${oRound("re", 6)} AS removal_effect,
          |  ${oRound("CASE WHEN re_tot <= 0 THEN 0.0 ELSE re / re_tot END", 6)} AS share,
          |  ${oRound("(CASE WHEN re_tot <= 0 THEN 0.0 ELSE re / re_tot END) * (vc / 100.0)", 2)} AS attributed_value
-         |FROM re, rt, vt ORDER BY channel""".stripMargin
+         |FROM x ORDER BY channel""".stripMargin
     },
     // Attribution: exact-cents before division, identical left-assoc
     // double ops, per-purchase windows, anti-join direct bucket.
