@@ -436,6 +436,13 @@ object Pipeline {
   def attributionMarkov(events: DataFrame, steps: Int = 12): DataFrame =
     graft.queries.Sequences.attributionMarkovOf(events, steps)
 
+  /** Experiment sample-size estimate: users per arm to detect a
+    * `mdeRel` relative lift at α=.05 / power .80, with variance and
+    * baseline measured from the control arm's post-period spend — the
+    * planning read in front of [[cuped]]. */
+  def power(events: DataFrame, mdeRel: Double = 0.05): DataFrame =
+    graft.queries.Sequences.powerOf(events, mdeRel)
+
   /** Sample-ratio-mismatch guardrail: χ² of the realized md5-parity arm
     * split against 50/50 with the 1-dof 95% flag — run it before
     * reading any [[cuped]]/[[did]] estimate. */

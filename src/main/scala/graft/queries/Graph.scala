@@ -340,6 +340,38 @@ object Graph {
           .as("modularity"))
   }
 
+  /** Degree assortativity (Newman, PRL 2002) of the undirected simple
+    * graph — the one-number mixing diagnostic beside [[modularity]]'s
+    * partition quality: r > 0 means hubs attach to hubs (social-graph
+    * shape), r < 0 hubs attach to leaves (web/biology shape), r ≈ 0
+    * degree-random wiring — which is exactly what the md5 fixture
+    * graph should read. Pearson correlation of the degree pair over
+    * the symmetric edge list: r = [M·Σjk − (Σj)²] / [M·Σj² − (Σj)²]
+    * (on the symmetric list Σj = Σk and Σj² = Σk², so the classic
+    * formula collapses to this form).
+    *
+    * Scale shape: the degree agg (one shuffle on node), TWO degree
+    * joins on the symmetric edge frame, one 1-row moment agg — no
+    * window, no iteration. Moment products ride decimal(38,0) (the
+    * seq_gini rule: Σjk hits ~d⁴·|E| long overflow territory on hubby
+    * graphs); r is one fixed-shape double chain at 1e-6. */
+  val assortativity: Q = (s, dir) => {
+    val (_, _, und, _) = lpParts(s, dir)
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val m = und
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("mm"),
+        sum(col("du").cast("decimal(38,0)")).as("sj"),
+        sum(col("du").cast("decimal(38,0)") * col("du")).as("sjj"),
+        sum(col("du").cast("decimal(38,0)") * col("dv")).as("sjk"))
+    m.select(col("mm").as("n_edge_ends"),
+      dround((col("mm").cast("decimal(38,0)") * col("sjk")
+          - col("sj") * col("sj")).cast("double")
+        / (col("mm").cast("decimal(38,0)") * col("sjj")
+          - col("sj") * col("sj")).cast("double"), 6).as("assortativity"))
+  }
+
   /** Bounded k-core peeling (Seidman 1983, k = 4; the density filter
     * behind community pre-processing and graph sparsification — a node
     * survives iff it keeps ≥ k neighbors among survivors): 4 synchronous
@@ -483,6 +515,7 @@ object Graph {
     "graph_linkpred" -> linkpred,
     "graph_labelprop" -> labelprop,
     "graph_modularity" -> modularity,
+    "graph_assortativity" -> assortativity,
     "graph_kcore" -> kcore,
     "graph_bfs" -> bfs
   )
@@ -674,6 +707,32 @@ object Graph {
          |    AS modularity
          |FROM cn, me, ie, ag""".stripMargin
     },
+    // Assortativity: same edge closure, two degree joins, HUGEINT
+    // moments, one fixed-shape Pearson chain at 1e-6.
+    "graph_assortativity" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |und AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM und GROUP BY u),
+         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS mm,
+         |    CAST(SUM(x.d) AS HUGEINT) AS sj,
+         |    SUM(CAST(x.d AS HUGEINT) * x.d) AS sjj,
+         |    SUM(CAST(x.d AS HUGEINT) * y.d) AS sjk
+         |  FROM und JOIN deg x ON x.u = und.u JOIN deg y ON y.u = und.v)
+         |SELECT mm AS n_edge_ends,
+         |  ${oRound("CAST(mm * sjk - sj * sj AS DOUBLE)" +
+             " / CAST(mm * sjj - sj * sj AS DOUBLE)", 6)} AS assortativity
+         |FROM mo""".stripMargin,
     // Same oriented edge CTE; common neighbors via the middle-node
     // self-join; union size by inclusion-exclusion; quantized-long
     // top-20 ordering.

@@ -428,6 +428,42 @@ object Sequences {
   val seqSrm: Q = (s, dir) =>
     srmOf(Tables.events(s, dir).select("user_id"))
 
+  /** Experiment power / sample-size estimate (the planning read in
+    * front of [[cupedOf]]: how many users per arm before a 5% lift is
+    * detectable?): the two-sample formula n = (z_{α/2}+z_β)²·2σ²/δ²
+    * at α = .05 / power = .80 ((1.95996+0.84162)²·2 = 15.6979, pinned
+    * as a literal so both engines share the constant), with σ² and
+    * the baseline mean measured from the CONTROL arm's post-period
+    * spend — the same frame the readout will use, so the plan and the
+    * analysis can't diverge on population definition.
+    *
+    * Scale/determinism: [[prePostCents]]'s one user_id shuffle; the
+    * moment row is a 1-row agg of exact cent longs with Σy² in
+    * decimal(38,0) (the seq_gini rule); mean/var/MDE/n are one
+    * fixed-shape double chain, n ceiled to a whole user. */
+  private[graft] def powerOf(events: DataFrame, mdeRel: Double = 0.05)
+  : DataFrame = {
+    val ctrl = prePostCents(events)
+      .filter(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+        16, 10).cast("long") % 2 === 0)
+    val m = ctrl.agg(count(lit(1)).as("n"),
+      sum(col("yc")).as("sy"),
+      sum(col("yc").cast("decimal(38,0)") * col("yc")).as("syy"))
+    m.select(col("n").as("n_ctrl_users"),
+        dround(col("sy").cast("double") / col("n") / 100.0, 6).as("mean_y"),
+        dround((col("n").cast("decimal(38,0)") * col("syy")
+            - col("sy").cast("decimal(38,0)") * col("sy")).cast("double")
+          / (col("n").cast("double") * col("n")) / 10000.0, 6).as("var_y"))
+      .select(col("n_ctrl_users"), col("mean_y"), col("var_y"),
+        dround(lit(mdeRel) * col("mean_y"), 6).as("mde_abs"),
+        ceil(lit(15.6979) * col("var_y")
+          / ((lit(mdeRel) * col("mean_y")) * (lit(mdeRel) * col("mean_y"))))
+          .cast("long").as("n_required_per_arm"))
+  }
+
+  val seqPower: Q = (s, dir) =>
+    powerOf(Tables.events(s, dir).select("user_id", "ts", "value"))
+
   /** Difference-in-differences estimate (Card & Krueger AER 1994 made
     * it canonical) — [[cupedOf]]'s sibling for the case where
     * randomization is absent or suspect: with md5-parity arms and the
@@ -1085,6 +1121,7 @@ object Sequences {
     "seq_did" -> seqDid,
     "seq_forecast_holt" -> seqForecastHolt,
     "seq_srm" -> seqSrm,
+    "seq_power" -> seqPower,
     "seq_anomaly" -> seqAnomaly,
     "seq_changepoint" -> seqChangepoint,
     "seq_periodicity" -> seqPeriodicity,
@@ -1164,6 +1201,34 @@ object Sequences {
              " + ((n - n_treat) - e) * ((n - n_treat) - e) / e", 6)}
          |    > 3.841) AS srm
          |FROM x""".stripMargin,
+    // Power: control-arm post-period cents moments (Σy² HUGEINT), the
+    // pinned 15.6979 two-sample constant, one fixed-shape chain, ceil.
+    "seq_power" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+         |        CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+         |      FROM events),
+         |r AS (SELECT MIN(tsu) AS t0, MAX(tsu) AS t1 FROM e),
+         |per AS (SELECT user_id,
+         |    CAST(SUM(CASE WHEN tsu >= t0 + (t1 - t0) // 2
+         |      THEN vc ELSE 0 END) AS BIGINT) AS yc
+         |  FROM e, r GROUP BY user_id),
+         |ctl AS (SELECT yc FROM per
+         |  WHERE (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+         |      % 2) = 0),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(yc) AS HUGEINT) AS sy,
+         |    SUM(CAST(yc AS HUGEINT) * yc) AS syy FROM ctl),
+         |s1 AS (SELECT n AS n_ctrl_users,
+         |    ${oRound("CAST(sy AS DOUBLE) / n / 100.0", 6)} AS mean_y,
+         |    ${oRound("CAST(n * syy - sy * sy AS DOUBLE)" +
+             " / (CAST(n AS DOUBLE) * n) / 10000.0", 6)} AS var_y
+         |  FROM m)
+         |SELECT n_ctrl_users, mean_y, var_y,
+         |  ${oRound("0.05 * mean_y", 6)} AS mde_abs,
+         |  CAST(CEIL(15.6979 * var_y
+         |    / ((0.05 * mean_y) * (0.05 * mean_y))) AS BIGINT)
+         |    AS n_required_per_arm
+         |FROM s1""".stripMargin,
     // DiD: the cuped per-user frame, 2-row cell agg, quantized means,
     // one fixed-shape chain on the quantized means.
     "seq_did" ->

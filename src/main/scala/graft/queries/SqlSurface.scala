@@ -1129,7 +1129,7 @@ object SqlSurface {
   private[graft] val recentAdditions: Seq[String] = Seq(
     "llm_t_closeness", "llm_kmv_ndv", "llm_cms_topk", "llm_dp_release",
     "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
-    "seq_srm", "graph_modularity")
+    "seq_srm", "seq_power", "graph_modularity", "graph_assortativity")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1169,7 +1169,8 @@ object SqlSurface {
     "seq_anomaly", "seq_survival", "seq_cohort_ltv",
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
     "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
-    "seq_srm", "llm_dp_release", "graph_modularity",
+    "seq_srm", "seq_power", "llm_dp_release", "graph_modularity",
+    "graph_assortativity",
     "seq_periodicity", "seq_retention", "seq_rfm")
 
   /** r17: translated texts whose ONLY builder divergence was Spark

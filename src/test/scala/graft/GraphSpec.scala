@@ -185,6 +185,37 @@ class GraphSpec extends SparkSpec {
     assert(row.getDouble(4) == q)
   }
 
+  test("graph_assortativity replays the degree-pair Pearson exactly") {
+    val row = SparkEntry.queries("graph_assortativity")(spark, sfDir)
+      .collect().head
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map { i =>
+        val dst = h(s"$src:$i") % n
+        (math.min(src.toLong, dst), math.max(src.toLong, dst))
+      }
+    }.filter(e => e._1 < e._2).toSet
+    val und = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = und.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val mm = und.size
+    val sj = und.map(e => BigInt(deg(e._1))).sum
+    val sjj = und.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+    val sjk = und.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val r = math.floor(
+      ((BigInt(mm) * sjk - sj * sj).toDouble
+        / (BigInt(mm) * sjj - sj * sj).toDouble) * 1e6 + 0.5) / 1e6
+    assert(row.getLong(0) == mm.toLong)
+    assert(row.getDouble(1) == r)
+    // md5 wiring is degree-random: mixing must sit near zero, away
+    // from genuinely assortative (>0.2) or disassortative (<-0.2)
+    assert(math.abs(row.getDouble(1)) < 0.2)
+  }
+
   test("graph_kcore replays 4 driver-side peel rounds") {
     val got = SparkEntry.queries("graph_kcore")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

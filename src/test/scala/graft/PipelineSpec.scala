@@ -522,6 +522,38 @@ class PipelineSpec extends SparkSpec {
     assert(g3.head.getDouble(3) == chi2(treaties.size.toLong, 0L))
   }
 
+  test("power: sample size replays the pinned two-sample constant") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def arm(uid: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16) % 2
+    }
+    val t0 = ts("2024-01-01 00:00:00"); val t1 = ts("2024-01-31 00:00:00")
+    val rows = (1 to 50).flatMap { uid =>
+      Seq((uid.toLong, t0, 1.0), (uid.toLong, t1, 20.0 + (uid % 9) * 7.0))
+    }
+    val got = Pipeline.power(rows.toDF("user_id", "ts", "value"))
+      .collect().head
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ctrl = (1 to 50).map(_.toLong).filter(u => arm(u) == 0)
+    val yc = ctrl.map(u => math.floor((20.0 + (u % 9) * 7.0) * 100.0 + 0.5)
+      .toLong)
+    val nU = ctrl.size
+    val sy = yc.map(BigInt(_)).sum
+    val syy = yc.map(y => BigInt(y) * y).sum
+    val mean = r6(sy.toDouble / nU / 100.0)
+    val vy = r6((BigInt(nU) * syy - sy * sy).toDouble
+      / (nU.toDouble * nU) / 10000.0)
+    val mde = r6(0.05 * mean)
+    val req = math.ceil(15.6979 * vy / ((0.05 * mean) * (0.05 * mean))).toLong
+    assert(got.getLong(0) == nU.toLong)
+    assert((got.getDouble(1), got.getDouble(2), got.getDouble(3)) ==
+      ((mean, vy, mde)))
+    assert(got.getLong(4) == req)
+  }
+
   test("cuped: theta and adjusted means replay; correlated covariate cuts variance") {
     import spark.implicits._
     // y strongly tracks x per user, so CUPED must collapse the pooled
