@@ -327,6 +327,13 @@ object Pipeline {
   def cmsTopk(docs: DataFrame, d: Int = 4, wBuckets: Int = 1024,
       topK: Int = 10): DataFrame = Text.cmsTopkOf(docs, d, wBuckets, topK)
 
+  /** Excess-loss data selection (RHO-style): top-k docs by
+    * uni_bits − bi_bits — the per-word information the context model
+    * explains that the unigram reference cannot; high gain = learnable
+    * structure, ~0 = word soup a loss-based curator skips. */
+  def rhoSelect(docs: DataFrame, topK: Int = 100): DataFrame =
+    Text.rhoSelectOf(docs, topK)
+
   /** ε-DP contingency-release audit: the (lang × source) count table
     * with deterministic per-cell Laplace(1/ε) noise, round-and-clamp
     * post-processing, true counts and utility loss beside the release

@@ -372,6 +372,35 @@ object Graph {
           - col("sj") * col("sj")).cast("double"), 6).as("assortativity"))
   }
 
+  /** Edge reciprocity of the DIRECTED link graph (Newman, Forrest &
+    * Balthrop PRE 2002 formalized it for networks) — the directed
+    * companion to [[assortativity]]: the fraction of directed edges
+    * whose reverse also exists. Near-zero on the md5 graph (random
+    * wiring into n targets makes a back-edge a ~d/n event); a real web
+    * or citation graph reads materially higher and a social graph
+    * higher still — the cheapest structural fingerprint of a link
+    * corpus before deciding whether directed algorithms (HITS,
+    * pagerank) will differ from their undirected counterparts.
+    *
+    * Scale shape: distinct directed simple edges (one two-phase
+    * distinct), ONE self-equi-join on the reversed key, two 1-row
+    * counts — no window, no iteration. The ratio is one quantized
+    * division of exact longs. */
+  val reciprocity: Q = (s, dir) => {
+    val (_, edges) = linkGraph(s, dir)
+    val ds = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val rec = ds.as("x")
+      .join(ds.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .agg(count(lit(1)).as("n_recip"))
+    ds.agg(count(lit(1)).as("n_directed"))
+      .crossJoin(broadcast(rec))
+      .select(col("n_directed"), col("n_recip"),
+        dround(col("n_recip") * lit(1.0) / col("n_directed"), 6)
+          .as("reciprocity"))
+  }
+
   /** Bounded k-core peeling (Seidman 1983, k = 4; the density filter
     * behind community pre-processing and graph sparsification — a node
     * survives iff it keeps ≥ k neighbors among survivors): 4 synchronous
@@ -516,6 +545,7 @@ object Graph {
     "graph_labelprop" -> labelprop,
     "graph_modularity" -> modularity,
     "graph_assortativity" -> assortativity,
+    "graph_reciprocity" -> reciprocity,
     "graph_kcore" -> kcore,
     "graph_bfs" -> bfs
   )
@@ -707,6 +737,24 @@ object Graph {
          |    AS modularity
          |FROM cn, me, ie, ag""".stripMargin
     },
+    // Reciprocity: distinct directed simple edges, reversed-key
+    // self-join, quantized ratio of exact longs.
+    "graph_reciprocity" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |ds AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw
+         |  WHERE src <> dst),
+         |rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+         |  FROM ds x JOIN ds y ON x.src = y.dst AND x.dst = y.src),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_directed FROM ds)
+         |SELECT nd.n_directed, rc.n_recip,
+         |  ${oRound("rc.n_recip * 1.0 / nd.n_directed", 6)} AS reciprocity
+         |FROM nd, rc""".stripMargin,
     // Assortativity: same edge closure, two degree joins, HUGEINT
     // moments, one fixed-shape Pearson chain at 1e-6.
     "graph_assortativity" ->

@@ -1129,7 +1129,8 @@ object SqlSurface {
   private[graft] val recentAdditions: Seq[String] = Seq(
     "llm_t_closeness", "llm_kmv_ndv", "llm_cms_topk", "llm_dp_release",
     "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
-    "seq_srm", "seq_power", "graph_modularity", "graph_assortativity")
+    "seq_srm", "seq_power", "graph_modularity", "graph_assortativity",
+    "llm_rho_select", "graph_reciprocity")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1154,6 +1155,7 @@ object SqlSurface {
     "llm_lm_trigram", "llm_lsh_capped", "llm_minhash_lsh",
     "llm_mix_weights", "llm_ngram_jaccard", "llm_ngram_novelty",
     "llm_quality_calibrate", "llm_quality_classifier", "llm_quality_score",
+    "llm_rho_select",
     "llm_conformal",
     "llm_readability",
     "llm_repetition", "llm_rrf_fusion", "llm_score_agreement",
@@ -1170,7 +1172,7 @@ object SqlSurface {
     "seq_burstiness", "seq_changepoint", "seq_concurrency",
     "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
     "seq_srm", "seq_power", "llm_dp_release", "graph_modularity",
-    "graph_assortativity",
+    "graph_assortativity", "graph_reciprocity",
     "seq_periodicity", "seq_retention", "seq_rfm")
 
   /** r17: translated texts whose ONLY builder divergence was Spark

@@ -2684,6 +2684,37 @@ object Text {
   val llmLmBigram: Q = (s, dir) =>
     lmBigramOf(Tables.t(s, dir, "documents")).orderBy("doc_id")
 
+  /** Excess-loss data selection (the RHO-loss idea of Mindermann et
+    * al., ICML 2022, instantiated with this engine's two LM scorers):
+    * rank docs by uni_bits − bi_bits — the per-word information the
+    * CONTEXT model explains that the unigram reference cannot. High
+    * gain = structured, learnable text (context genuinely predicts);
+    * gain ≈ 0 = word soup or boilerplate whose bigrams are as
+    * surprising as its unigrams — the docs a loss-based curator skips.
+    * Top-k by quantized gain with doc_id tiebreak.
+    *
+    * Scale shape: exactly [[lmQualityOf]] + [[lmBigramOf]]'s passes
+    * (their persists and broadcasts included) + ONE doc_id equi-join
+    * and a TakeOrderedAndProject top-k — no new shuffle class. Docs
+    * under 2 words drop with the bigram side's documented semantics.
+    * The oracle composes the same shared CTE fragments
+    * ([[lmBitsCtes]] + the bigram pair CTEs), reusing the unigram
+    * count frame for the pair join — one definition, no drift. */
+  private[graft] def rhoSelectOf(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val u = lmQualityOf(docs)
+      .select(col("doc_id"), col("n_words"), col("avg_bits").as("uni_bits"))
+    val b = lmBigramOf(docs)
+      .select(col("doc_id"), col("avg_cond_bits").as("bi_bits"))
+    u.join(b, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("uni_bits"), col("bi_bits"),
+        dround(col("uni_bits") - col("bi_bits"), 6).as("gain"))
+      .orderBy(col("gain").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  val llmRhoSelect: Q = (s, dir) =>
+    rhoSelectOf(Tables.t(s, dir, "documents"))
+
   /** CCNet head/middle/tail corpus partitioning (Wenzek et al.
     * arXiv:1911.00359 §4.3) — the SELECTION step the LM-score family
     * feeds: per LANGUAGE, docs are split into the best/middle/worst
@@ -6200,6 +6231,7 @@ object Text {
     "llm_kmv_ndv" -> llmKmvNdv,
     "llm_cms_topk" -> llmCmsTopk,
     "llm_dp_release" -> llmDpRelease,
+    "llm_rho_select" -> llmRhoSelect,
     "llm_boilerplate" -> llmBoilerplate,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
@@ -7628,6 +7660,32 @@ object Text {
          |  ${oRound("CAST(SUM(greatest(0, length(bin(cp)) - length(bin(cb)))) AS DOUBLE) / COUNT(*)", 6)} AS avg_cond_bits
          |FROM pairs JOIN fu USING (bp) JOIN fb USING (bb)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // RHO select: the shared unigram-bits CTEs + the bigram pair CTEs
+    // (unigram count frame reused for the pair join — no recount),
+    // quantized gain, rounded-gain/doc_id total order into the top-k.
+    "llm_rho_select" ->
+      s"""WITH ${lmBitsCtes("ws", "f", "t", "b")},
+         |u AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    $lmAvgBitsSql AS uni_bits FROM b GROUP BY doc_id),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS ws2
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(ws2[i]), 1, 4))::BIGINT AS bp,
+         |    ('0x' || substr(md5(ws2[i] || '_' || ws2[i + 1]), 1, 4))::BIGINT AS bb
+         |  FROM (SELECT doc_id, ws2, unnest(range(1, len(ws2))) AS i
+         |        FROM wt) px),
+         |fb AS (SELECT bb, COUNT(*) AS cb FROM pairs GROUP BY bb),
+         |bg AS (SELECT doc_id,
+         |    ${oRound("CAST(SUM(greatest(0, length(bin(cp)) - length(bin(cb)))) AS DOUBLE) / COUNT(*)", 6)} AS bi_bits
+         |  FROM pairs
+         |  JOIN (SELECT wb AS bp, c AS cp FROM f) fu USING (bp)
+         |  JOIN fb USING (bb)
+         |  GROUP BY doc_id)
+         |SELECT u.doc_id AS doc_id, u.n_words, u.uni_bits, bg.bi_bits,
+         |  ${oRound("u.uni_bits - bg.bi_bits", 6)} AS gain
+         |FROM u JOIN bg USING (doc_id)
+         |ORDER BY gain DESC, doc_id LIMIT 100""".stripMargin,
     // SemDeDup: the IVF cell CTEs over ALL vectors (no query/corpus
     // split), then within-cell pairs + the embed_neardup keeper rule.
     // Shares `semPairsCtes` with the CC-resolved twin below.

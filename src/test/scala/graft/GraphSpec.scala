@@ -216,6 +216,27 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1)) < 0.2)
   }
 
+  test("graph_reciprocity replays the reversed-edge count") {
+    val row = SparkEntry.queries("graph_reciprocity")(spark, sfDir)
+      .collect().head
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val ds = (0 until n).flatMap { src =>
+      (1 to 3).map(i => (src.toLong, h(s"$src:$i") % n))
+    }.filter(e => e._1 != e._2).toSet
+    val recip = ds.count { case (a, b) => ds.contains((b, a)) }
+    val r6 = math.floor(recip * 1.0 / ds.size * 1e6 + 0.5) / 1e6
+    assert(row.getLong(0) == ds.size.toLong)
+    assert(row.getLong(1) == recip.toLong)
+    assert(row.getDouble(2) == r6)
+    // random d-out wiring: a back-edge is a ~d/n event, so near zero
+    assert(row.getDouble(2) < 0.05)
+  }
+
   test("graph_kcore replays 4 driver-side peel rounds") {
     val got = SparkEntry.queries("graph_kcore")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -554,6 +554,36 @@ class PipelineSpec extends SparkSpec {
     assert(got.getLong(4) == req)
   }
 
+  test("rhoSelect: gain is exactly the component difference; top-k ordered") {
+    import spark.implicits._
+    // composition contract on a planted corpus: gain is exactly the
+    // quantized difference of the two REGISTERED component scores on
+    // the same frame (rare-word doc 2 scores high uni_bits while the
+    // empirical bigram model memorizes its singleton pairs to ~0 —
+    // the excess-loss signature RHO selects on)
+    val corpus = Seq(
+      (1L, Seq.fill(12)("ping pong").mkString(" ")),
+      (2L, (1 to 24).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Pipeline.rhoSelect(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    val uni = graft.queries.Text.lmQualityOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = graft.queries.Text.lmBigramOf(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    Seq(1L, 2L).foreach { d =>
+      assert(got(d) == ((uni(d), bi(d), r6(uni(d) - bi(d)))), s"doc $d")
+    }
+    // top-k contract on the fixture: k rows, (gain desc, doc_id) order
+    val fx = Pipeline.rhoSelect(
+      spark.read.parquet(s"$sfDir/documents.parquet"), topK = 25).collect()
+      .map(r => (r.getDouble(4), r.getLong(0)))
+    assert(fx.length == 25)
+    assert(fx.sameElements(fx.sortBy { case (g, d) => (-g, d) }))
+  }
+
   test("cuped: theta and adjusted means replay; correlated covariate cuts variance") {
     import spark.implicits._
     // y strongly tracks x per user, so CUPED must collapse the pooled
