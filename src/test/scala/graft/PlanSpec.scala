@@ -535,18 +535,34 @@ class PlanSpec extends SparkSpec {
     * through ONE WindowExec partition. Legal shapes stay legal: a finer
     * partitioning like (source, qi) (the quality_calibrate within-tie
     * window) or (lang, bkt) (the stratified-sample bucket refinement),
-    * or a window whose input STREAM is already grouped (an aggregate
-    * beneath bounds the frame by distinct keys — but only on the
-    * streamed lineage: an aggregate inside a broadcast-join BUILD side
-    * says nothing about the window's row count, so BroadcastExchange
-    * subtrees don't count). */
+    * or a window whose input STREAM is already grouped by
+    * VALUE-DOMAIN-BOUNDED keys (an aggregate beneath bounds the frame
+    * by its distinct group keys — but ONLY when those keys are
+    * bounded: an agg grouping by a text-derived, data-sized column
+    * (prefix / gram / hash / doc_id / …) has ~one group per document,
+    * so it exonerates nothing — the r18 `llm_boilerplate` loophole.
+    * And only on the streamed lineage: an aggregate inside a
+    * broadcast-join BUILD side says nothing about the window's row
+    * count, so BroadcastExchange subtrees don't count). Flags ranking
+    * functions AND group-total aggregates over an unbounded frame —
+    * the r18 boilerplate sum-window needed the same per-source Sort a
+    * rank does. */
   private def skewedRankWindow(plan: SparkPlan): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, RankLike, RowNumberLike, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, RankLike, RowNumberLike, SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
     val skewed = Set("source", "lang", "language")
-    def streamHasAgg(p: SparkPlan): Boolean = p match {
-      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    // Data-sized (text-derived) key-name fragments: grouping by one of
+    // these does NOT bound the frame's cardinality at corpus scale.
+    val dataSized = Seq("doc_id", "prefix", "gram", "hash", "sig",
+      "shingle", "token", "word", "url", "text", "fp", "chunk")
+    def boundedAggBelow(p: SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.forall { g =>
+          g.collect { case ar: AttributeReference => ar.name.toLowerCase }
+            .forall(n => !dataSized.exists(n.contains))
+        }
       case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
-      case other => other.children.exists(streamHasAgg)
+      case other => other.children.exists(boundedAggBelow)
     }
     plan.collectFirst {
       case w: org.apache.spark.sql.execution.window.WindowExec
@@ -559,8 +575,14 @@ class PlanSpec extends SparkSpec {
             case we: WindowExpression
               if we.windowFunction.isInstanceOf[RankLike] ||
                 we.windowFunction.isInstanceOf[RowNumberLike] => we
+            case we: WindowExpression
+              if we.windowFunction.isInstanceOf[AggregateExpression] &&
+                (we.windowSpec.frameSpecification match {
+                  case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => true
+                  case _ => false
+                }) => we
           }.nonEmpty) &&
-          !streamHasAgg(w.child) => w
+          !boundedAggBelow(w.child) => w
     }.nonEmpty
   }
 
@@ -581,6 +603,39 @@ class PlanSpec extends SparkSpec {
     assert(rankOffenders.isEmpty,
       s"row-rank window partitioned only on a skewed key (source/lang) " +
         s"over an ungrouped frame in: $rankOffenders")
+  }
+
+  test("skewedRankWindow flags the pre-r19 llm_boilerplate shape (aggregated-frame loophole)") {
+    // The r18 verdict's one scale-shape defect: a source-partitioned
+    // sum-window + row_number over the (source, prefix) counts frame.
+    // The frame IS aggregated, but its group keys are data-sized
+    // (distinct prefixes ≈ one per document), so the dominant source
+    // still funnels ~the corpus through one Sort task. The old
+    // streamHasAgg exemption exonerated it; the bounded-keys exemption
+    // must not. Rebuild the exact pre-fix plan and assert it's flagged.
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("source"), array_join(slice(col("ws"), 1, 8), " ").as("prefix"))
+    val counts = docs.groupBy("source", "prefix").agg(count(lit(1)).as("c"))
+    val preFix = counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("prefix"))))
+      .filter(col("rn") === 1)
+    assert(skewedRankWindow(preFix.queryExecution.sparkPlan),
+      "guard must flag a skewed-key window whose child agg groups by a data-sized key")
+    // And the sum-window ALONE (no rank) is flagged too — the
+    // unbounded-frame group-total needs the same per-source Sort.
+    val sumOnly = counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    assert(skewedRankWindow(sumOnly.queryExecution.sparkPlan),
+      "guard must flag an unbounded-frame agg window over a data-sized frame")
+    // The reshaped (post-fix) builder plans clean.
+    assert(!skewedRankWindow(
+      SparkEntry.queries("llm_boilerplate")(spark, sfDir).queryExecution.sparkPlan),
+      "reshaped llm_boilerplate must not plan a skewed-key window")
   }
 
   test("SQL-surface texts obey the suite-wide plan-class guards too") {
