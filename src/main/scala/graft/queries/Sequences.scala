@@ -472,6 +472,13 @@ object Sequences {
     * away both stable group composition and the common time trend.
     * One row: per-cell user means and the DiD point estimate.
     *
+    * Precondition — BOTH arms must be populated: the t×c crossJoin
+    * collapses to ZERO rows when either md5-parity arm is empty (and
+    * [[cupedOf]] likewise emits only present arms). That extreme
+    * mismatch is exactly what [[srmOf]] exists to catch — it is the
+    * documented mandatory pre-read, and did/cuped outputs are
+    * undefined until it passes (r18 ADVICE note).
+    *
     * Scale/determinism posture inherited from [[cupedOf]]: exact cent
     * longs per user (one user_id shuffle), the 2×2 cell frame is a
     * 2-row agg, means are exact-sum/count divisions quantized at
@@ -632,7 +639,21 @@ object Sequences {
     // arithmetic driver-side; the oracle's unrolled MATERIALIZED CTEs
     // replay either shape bit-for-bit (long sums are order-exact, each
     // double op IEEE-identical).
-    val base = bp.collect().map(r =>
+    // …but nothing about the INPUT enforces that bound: a hostile
+    // corpus with data-sized `event_type` cardinality would OOM the
+    // driver silently. Cap it loudly (r18 verdict nit): collect through
+    // limit(maxRows+1) — ONE job, driver memory bounded at maxRows+1
+    // rows even when the input violates the contract — and require the
+    // limit was not hit. 64 channels is an order of magnitude above any
+    // real attribution taxonomy.
+    val maxChannels = 64
+    val maxRows = (maxChannels + 3) * (maxChannels + 3)
+    val collected = bp.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"attribution transition matrix exceeds $maxRows rows " +
+        s"(> $maxChannels distinct event types?) — event_type must be a " +
+        "bounded channel taxonomy, not a data-sized column")
+    val base = collected.map(r =>
       (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
     // The channel universe is DERIVED from the observed transitions (every
     // touch event appears as some transition's target, so this is exactly
@@ -641,6 +662,10 @@ object Sequences {
     // transitions still shaped the matrix (r18 review finding).
     val channels = base.flatMap(t => Seq(t._1, t._2)).distinct
       .filterNot(Set("start", "conv", "null")).sorted
+    require(channels.length <= maxChannels,
+      s"${channels.length} distinct event types exceed the $maxChannels-" +
+        "channel cap — event_type must be a bounded channel taxonomy, " +
+        "not a data-sized column")
     def q9l(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
     val pStart = ("none" +: channels).map { v =>
       val tvv = base

@@ -1317,13 +1317,18 @@ object SqlSurface {
             val cur = new StringBuilder
             var depth = 0
             m.group(1).foreach { c =>
-              if (c == '(') depth += 1 else if (c == ')') depth -= 1
+              // '[' counts too: a bracketed list value ({'k': [1, 2]})
+              // must not mis-split on its interior comma (r18 ADVICE)
+              if (c == '(' || c == '[') depth += 1
+              else if (c == ')' || c == ']') depth -= 1
               if (c == ',' && depth == 0) { parts += cur.toString; cur.clear() }
               else cur.append(c)
             }
             parts += cur.toString
             val kv = parts.map { p =>
               val i = p.indexOf(':')
+              require(i >= 0,
+                s"struct literal part without a key separator: '$p' in '{${m.group(1)}}'")
               p.substring(0, i).strip + ", " + p.substring(i + 1).strip
             }.mkString(", ")
             java.util.regex.Matcher.quoteReplacement(s"named_struct($kv)")
@@ -1460,8 +1465,15 @@ object SqlSurface {
     // text arrays are never empty — the trade is strictly good. The
     // PlanSpec SQL-surface sweep pins the symptom (no md5 in any
     // FileScan line) suite-wide.
+    // APPEND to any exclusions the embedding session already set —
+    // overwriting would clobber a caller's own excludedRules (r18 ADVICE).
+    val inferRule =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      (existing :+ inferRule).distinct.mkString(","))
     graft.functions.UnicodeNormalize.register(spark)
     graft.functions.GapFunctions.registerAll(spark)
     graft.functions.DuckCompat.register(spark)

@@ -805,9 +805,14 @@ object Text {
     val idcg = rtot
       .join(broadcast(ranks), col("r") <= least(col("n_rel"), lit(k.toLong)))
       .groupBy("q_id", "n_rel").agg(dsum(col("d"), 9).as("idcg"))
-    per.join(idcg, "q_id")
-      .select(col("q_id"), col("n_rel"), col("hits"),
-        col("mrr"), dround(col("dcg"), 6).as("dcg"),
+    // LEFT join: an eval query whose label has ZERO relevant corpus
+    // docs never reaches rtot/idcg (both are built by inner joins), but
+    // the per-query contract still owes it a row — n_rel 0, ndcg 0
+    // (r18 ADVICE: the old inner join silently dropped it and made the
+    // idcg > 0 guard dead code).
+    per.join(idcg, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"), col("mrr"), dround(col("dcg"), 6).as("dcg"),
         when(col("idcg") > 0, dround(col("dcg") / col("idcg"), 6))
           .otherwise(lit(0.0)).as("ndcg"))
       .orderBy("q_id")
@@ -3601,9 +3606,19 @@ object Text {
     * table a curator actually publishes, each cell perturbed with
     * Laplace(Δ/ε) noise (Δ = 1 for disjoint counting queries, ε = 1)
     * and post-processed by round-and-clamp — beside the true count and
-    * the absolute utility loss, the release-or-not view that completes
-    * the privacy family ([[kAnonOf]] / [[lDiversityOf]] /
-    * [[tClosenessOf]] audit the *data*; this audits the *statistic*).
+    * the absolute utility loss, completing the privacy family
+    * ([[kAnonOf]] / [[lDiversityOf]] / [[tClosenessOf]] audit the
+    * *data*; this audits the *statistic*).
+    *
+    * ⚠ This is a DP **simulation** for auditing utility loss, NOT a
+    * privacy mechanism: the noise is derived deterministically from
+    * the PUBLIC cell key md5(lang:source), so anyone can recompute and
+    * subtract it exactly — and the output ships `n_true` beside the
+    * perturbed value. The `released` column must never be published as
+    * a real DP release; a real mechanism draws its noise from a SECRET
+    * seed (and withholds n_true). What this query answers is the
+    * curator's *planning* question — "how much utility would ε = 1
+    * Laplace noise cost on THIS table?" — cross-engine-deterministically.
     *
     * Determinism: the Laplace draw inverts the catalogued md5 12-hex
     * uniform per CELL KEY (not per row — noise must not rescale with
@@ -7243,11 +7258,12 @@ object Text {
          |        ${oSum(oRound("1.0 / (ln(CAST(rk.r AS DOUBLE) + 1.0) / ln(2.0))", 9), 9)} AS idcg
          |       FROM rt JOIN rk ON rk.r <= LEAST(rt.n_rel, 10)
          |       GROUP BY rt.q_id, rt.n_rel)
-         |SELECT p.q_id, ic.n_rel, p.hits, p.mrr,
+         |SELECT p.q_id, CAST(COALESCE(ic.n_rel, 0) AS BIGINT) AS n_rel,
+         |  p.hits, p.mrr,
          |  ${oRound("p.dcg", 6)} AS dcg,
          |  CASE WHEN ic.idcg > 0 THEN ${oRound("p.dcg / ic.idcg", 6)}
          |       ELSE 0.0 END AS ndcg
-         |FROM p JOIN ic ON ic.q_id = p.q_id
+         |FROM p LEFT JOIN ic ON ic.q_id = p.q_id
          |ORDER BY p.q_id""".stripMargin,
     // Hard-negative mining: the cosine_topk pairing carried with labels;
     // per-query rank over the same-label frame (keep 1 = the positive)

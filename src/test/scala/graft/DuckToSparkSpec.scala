@@ -33,6 +33,21 @@ class DuckToSparkSpec extends AnyFunSuite {
       "SELECT slice(v, 1, (16) - (1) + 1) FROM t")
   }
 
+  test("struct literal with a bracketed list value splits on the right commas") {
+    // r18 ADVICE: the top-level comma split tracked only parens, so
+    // {'k': [1, 2]} mis-split at the list's interior comma and the
+    // keyless second fragment threw StringIndexOutOfBoundsException.
+    assert(duckToSpark("SELECT MIN({'nc': -c, 'p': prefix}) FROM t") ==
+      "SELECT MIN(named_struct('nc', -c, 'p', prefix)) FROM t")
+    assert(duckToSpark("SELECT {'k': [1, 2], 'j': 3} FROM t") ==
+      "SELECT named_struct('k', array(1, 2), 'j', 3) FROM t")
+    // a keyless fragment now fails with a named error, not a raw StringIndexOOB
+    val ex = intercept[IllegalArgumentException] {
+      duckToSpark("SELECT {'k': 1, 2} FROM t")
+    }
+    assert(ex.getMessage.contains("struct literal part"))
+  }
+
   test("hex-string cast idiom in both :: and CAST spellings") {
     assert(duckToSpark("(('0x' || substr(md5(w), 1, 7))::BIGINT)") ==
       "(CAST(conv(substr(md5(w), 1, 7), 16, 10) AS BIGINT))")

@@ -692,6 +692,30 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "no query retrieved any relevant doc")
   }
 
+  test("ndcgEval: eval query with zero relevant corpus docs still gets a row") {
+    // r18 ADVICE: the old inner per→idcg join silently dropped any
+    // query whose label has no relevant corpus docs, making the
+    // idcg > 0 guard dead code. Synthetic: query q0 (vec_id 0) carries
+    // label 99 which no corpus vector shares.
+    import spark.implicits._
+    val mk = (id: Long, lab: Int, v: Seq[Float]) => (id, lab, v)
+    val emb = Seq(
+      mk(0L, 99, Seq(1f, 0f)),            // eval query, orphan label
+      mk(1L, 1, Seq(0f, 1f)),             // eval query with relevants
+      mk(20L, 1, Seq(0.9f, 0.1f)),
+      mk(21L, 1, Seq(0.1f, 0.9f)),
+      mk(22L, 2, Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val rows = graft.queries.Text.ndcgEvalOf(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(5))))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L), s"both eval queries owed a row: $rows")
+    val (nRel0, hits0, ndcg0) = rows(0L)
+    assert(nRel0 == 0L && hits0 == 0L && ndcg0 == 0.0,
+      s"orphan-label query must read (0, 0, 0.0): ${rows(0L)}")
+    assert(rows(1L)._1 == 2L && rows(1L)._3 > 0.0)
+  }
+
   test("boilerplate: templated source flagged, diverse source passes, short docs excluded") {
     import spark.implicits._
     val stamp = "terms of service apply to this forum post"      // 8 words

@@ -352,4 +352,24 @@ class SequenceSpec extends SparkSpec {
     // both arms of censoring are exercised on the fixture
     assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(3)).sum > 0)
   }
+
+  test("Markov attribution fails loudly on a data-sized event_type column") {
+    // The driver-side transition-matrix fold is bounded by channel-type
+    // cardinality; nothing about the INPUT enforces that, so a corpus
+    // whose event_type is effectively an id column must hit the
+    // boundedness require instead of silently OOMing the driver
+    // (r18 verdict nit). 200 users × 1 touch each with 200 distinct
+    // types > the 64-channel cap.
+    import spark.implicits._
+    val wide = (0 until 200).flatMap { u =>
+      Seq((s"u$u", u.toLong * 2, new java.sql.Timestamp(1000L * u),
+            s"channel_$u", 0.0),
+          (s"u$u", u.toLong * 2 + 1, new java.sql.Timestamp(1000L * u + 500),
+            "purchase", 9.99))
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.Sequences.attributionMarkovOf(wide).collect()
+    }
+    assert(ex.getMessage.contains("bounded channel taxonomy"))
+  }
 }
