@@ -55,6 +55,78 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
+/** The bounded per-key heap pass shared by the partial and final
+  * phases: one LinkedHashMap of k+1-capacity max-heaps (head = worst
+  * retained row), hot keys cost nothing beyond their k retained rows. */
+private[plans] object TopKHeaps {
+  def run(it: Iterator[InternalRow], kLocal: Int,
+      partExprs: Seq[Expression], sortOrder: Seq[SortOrder],
+      childOutput: Seq[Attribute])
+  : java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
+    val keyProj = UnsafeProjection.create(partExprs, childOutput)
+    val ord = GenerateOrdering.generate(
+      sortOrder.map(BindReferences.bindReference(_, childOutput)))
+    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    val cmp = new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+    }
+    while (it.hasNext) {
+      val row = it.next()
+      val key = keyProj(row)
+      var pq = heaps.get(key)
+      if (pq == null) {
+        pq = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp)
+        heaps.put(key.copy(), pq)
+      }
+      if (pq.size() < kLocal) {
+        pq.add(row.copy())
+      } else if (ord.compare(row, pq.peek()) < 0) {
+        pq.poll(); pq.add(row.copy())
+      }
+    }
+    heaps
+  }
+}
+
+/** Map-side partial phase (the TakeOrderedAndProject pattern, per-key):
+  * runs the SAME bounded heaps over each INPUT partition BEFORE the
+  * exchange, so the shuffle ships ≤ input-partitions × keys-per-
+  * partition × k rows instead of the full row set — a skewed key
+  * (one dominant source in `llm_source_cap`, dedup keepers, the
+  * boilerplate top-1) no longer sends its entire row population to
+  * one reducer (r18 verdict item 4). Emits retained rows unranked;
+  * the final phase re-heaps and assigns rn. Correct because any row
+  * in a key's GLOBAL top-k is necessarily in the top-k of its own
+  * input partition. */
+case class TopKPerKeyPartialExec(
+    k: Int,
+    partitionExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  // no required distribution — this phase runs wherever the child is
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val childOutput = child.output
+    val partExprs = partitionExprs
+    val sortOrder = order
+    child.execute().mapPartitions({ it =>
+      val heaps = TopKHeaps.run(it, kLocal, partExprs, sortOrder, childOutput)
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { pq =>
+        pq.iterator().asScala // heap order is fine — the final phase re-ranks
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
 case class TopKPerKeyExec(
     k: Int,
     partitionExprs: Seq[Expression],
@@ -77,28 +149,7 @@ case class TopKPerKeyExec(
     val partExprs = partitionExprs
     val sortOrder = order
     child.execute().mapPartitions ({ it =>
-      val keyProj = UnsafeProjection.create(partExprs, childOutput)
-      val ord = GenerateOrdering.generate(
-        sortOrder.map(BindReferences.bindReference(_, childOutput)))
-      // max-heap under the requested order: head = worst retained row
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      val cmp = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
-      }
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyProj(row)
-        var pq = heaps.get(key)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp)
-          heaps.put(key.copy(), pq)
-        }
-        if (pq.size() < kLocal) {
-          pq.add(row.copy())
-        } else if (ord.compare(row, pq.peek()) < 0) {
-          pq.poll(); pq.add(row.copy())
-        }
-      }
+      val heaps = TopKHeaps.run(it, kLocal, partExprs, sortOrder, childOutput)
       val outProj = UnsafeProjection.create(childOutput :+ rnAttr, childOutput :+ rnAttr)
       val rnRow = new GenericInternalRow(1)
       val joined = new JoinedRow
@@ -148,7 +199,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(k, part, order, rn, child) =>
-      TopKPerKeyExec(k, part, order, rn, planLater(child)) :: Nil
+      // partial → (exchange inserted by EnsureRequirements) → final;
+      // when the child is ALREADY clustered on the keys the exchange
+      // elides and the partial is a cheap co-located pre-pass.
+      TopKPerKeyExec(k, part, order, rn,
+        TopKPerKeyPartialExec(k, part, order, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -150,6 +150,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("map-side partial phase bounds the hot key's shuffle to partitions × k rows") {
+    // r18 verdict item 4: the heaps used to build only AFTER the
+    // ClusteredDistribution shuffle, so a skewed key shipped its full
+    // row set to one reducer. The partial phase must cut the exchange
+    // to ≤ input-partitions × keys × k records: 1M rows on ONE key at
+    // k = 5 may shuffle at most 5 × #input-partitions rows.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(1000000L).select(
+        lit(1).as("k"),
+        pmod(hash(col("id")), lit(1000000)).as("v"),
+        col("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v"), col("id"))
+      val top = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val plan = top.queryExecution.executedPlan
+      val s = plan.toString
+      assert(s.contains("TopKPerKeyPartial"), s"partial phase missing:\n$s")
+      // partial sits BELOW the exchange, final above it
+      assert(s.indexOf("TopKPerKeyExec") < s.indexOf("Exchange") &&
+        s.indexOf("Exchange") < s.indexOf("TopKPerKeyPartial"),
+        s"phases not split around the exchange:\n$s")
+      // collect THIS queryExecution (a .select would plan a fresh one
+      // whose metrics the captured `plan` object never sees)
+      val got = top.collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+      val inParts = df.rdd.getNumPartitions
+      val shuffled = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.map(_.metrics("shuffleRecordsWritten").value).sum
+      assert(shuffled <= 5L * inParts && shuffled > 0,
+        s"hot key shuffled $shuffled rows (input partitions: $inParts)")
+      // and the answer is still the exact global top-5
+      val expected = df.orderBy(col("v"), col("id")).limit(5)
+        .select("v", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).zipWithIndex
+        .map { case ((v, id), i) => (v, id, i + 1) }
+      assert(got.sortBy(_._3).toSeq === expected.toSeq)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("TopKRewrite leaves rank()/unfiltered windows untouched") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
