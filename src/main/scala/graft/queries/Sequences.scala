@@ -22,6 +22,10 @@ case class HoltDay(event_type: String, day: Long, y: Double)
 case class HoltFc(event_type: String, n_days: Long, level: Double,
   trend: Double, fc_1: Double, fc_7: Double)
 
+/** One Holt-Winters forecast row per series. */
+case class HwFc(event_type: String, n_days: Long, level: Double,
+  trend: Double, s_amp: Double, fc_1: Double, fc_7: Double)
+
 /** MatchPath-style sequence matching over `events` (SURVEY.md §2 PTF gap;
   * reference `[exec!ql/udf/ptf/MatchPath.class]`): the funnel pattern
   * `click . view+ . purchase` per user, in (ts, event_id) order.
@@ -567,6 +571,162 @@ object Sequences {
 
   val seqForecastHolt: Q = (s, dir) =>
     forecastHoltOf(Tables.events(s, dir).select("event_type", "ts"))
+
+  /** Holt-Winters additive seasonal forecast (Winters 1960; Holt 1957)
+    * — [[forecastHoltOf]]'s upgrade for series with a weekly cycle
+    * (any traffic/DAU series has one): level + trend + a 7-slot
+    * additive seasonal vector, α = .5, β = .3, γ = .3, initialized
+    * from the first two weeks (level = week-1 mean, trend =
+    * (week-2 − week-1 mean)/7, seasonal_i = y_i − level — the
+    * classical two-season init). Forecast h steps = level + h·trend +
+    * seasonal[(n+h−1) mod 7]. Series shorter than two seasons emit
+    * nothing (the init is undefined).
+    *
+    * Scale shape: [[forecastHoltOf]]'s exactly — the fold is
+    * sequential PER SERIES but parallel across series, so
+    * `groupByKey(type).flatMapGroups` over the (type, day)
+    * PRE-AGGREGATED frame (groups bounded by calendar days, never
+    * event count; the corpus-sized pass is the one two-phase count).
+    *
+    * Determinism: daily counts are integer-valued doubles (exact
+    * sums), and every update (level/trend/seasonal slot) quantizes at
+    * 1e-9 before the next step — the oracle replays the identical
+    * trajectory in a recursive CTE carrying the seasonal vector as a
+    * LIST, updating one slot per step with the same repeated-
+    * expression arithmetic. */
+  private[graft] def holtWintersOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("double").as("y"))
+      .as[HoltDay]
+      .groupByKey(_.event_type)
+      .flatMapGroups { (k, it) =>
+        val ys = it.toArray.sortBy(_.day).map(_.y)
+        val n = ys.length
+        if (n < 14) Iterator.empty
+        else {
+          val sum1 = ys.slice(0, 7).sum  // exact: integer-valued doubles
+          val sum2 = ys.slice(7, 14).sum
+          var l = r9(sum1 / 7.0)
+          var b = r9((sum2 - sum1) / 49.0)
+          val s = Array.tabulate(7)(i => r9(ys(i) - l))
+          var t = 0
+          while (t < n) {
+            val idx = t % 7
+            val lNew = r9(0.5 * (ys(t) - s(idx)) + 0.5 * (l + b))
+            b = r9(0.3 * (lNew - l) + 0.7 * b)
+            s(idx) = r9(0.3 * (ys(t) - lNew) + 0.7 * s(idx))
+            l = lNew
+            t += 1
+          }
+          Iterator.single(HwFc(k, n.toLong, r6(l), r6(b),
+            r6(s.max - s.min),
+            r6(l + b + s(n % 7)),
+            r6(l + 7 * b + s((n + 6) % 7))))
+        }
+      }
+      .toDF()
+      .orderBy("event_type")
+  }
+
+  val seqHoltWinters: Q = (s, dir) =>
+    holtWintersOf(Tables.events(s, dir).select("event_type", "ts"))
+
+  /** STL-lite seasonal decomposition (Cleveland et al. 1990's
+    * trend/seasonal/remainder split, with moving-average smoothers in
+    * place of loess so both engines replay it exactly): per series,
+    * trend = centered 7-day moving average of the daily count,
+    * seasonal = the day-of-week mean of the detrended series,
+    * residual = what's left. The pipeline read: a residual spike is an
+    * anomaly AFTER the weekly cycle is explained away — the complement
+    * of [[seqAnomaly]]'s plain z-score.
+    *
+    * Scale shape: one corpus-sized two-phase (type, day) count; the
+    * MA window and the dow means run over the CALENDAR-BOUNDED
+    * (types × days) frame — bounded at any corpus size.
+    *
+    * Determinism: daily counts are integer-valued doubles, so the
+    * ≤ 7-term window sums are exact in both engines; trend quantizes
+    * at 1e-6, dow means use the dsum(6)/count shape, and the residual
+    * is a chain of already-quantized values. */
+  private[graft] def stlDecomposeOf(events: DataFrame): DataFrame = {
+    val dc = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("double").as("y"))
+    val wMa = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val trended = dc
+      .withColumn("trend", dround(avg(col("y")).over(wMa), 6))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+      .withColumn("d", col("y") - col("trend"))
+    val seas = trended.groupBy("event_type", "dow")
+      .agg((dsum(col("d"), 6) / count(lit(1))).as("seasonal_raw"))
+      .select(col("event_type"), col("dow"),
+        dround(col("seasonal_raw"), 6).as("seasonal"))
+    trended.join(seas, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("y"), col("trend"),
+        col("seasonal"),
+        dround(col("y") - col("trend") - col("seasonal"), 6).as("resid"))
+      .orderBy("event_type", "day")
+  }
+
+  val seqStlDecompose: Q = (s, dir) =>
+    stlDecomposeOf(Tables.events(s, dir).select("event_type", "ts"))
+
+  /** Entropy rate of the user-behavior Markov chain (Shannon 1948 §7;
+    * the sequence-predictability summary next-action models are judged
+    * against): with [[seqTransitions]]' empirical first-order matrix,
+    * each FROM-state contributes share(i) · H(i) where H(i) =
+    * −Σ_j p(j|i)·ln p(j|i) and share(i) is the state's fraction of all
+    * transitions. Low rate = rigid, predictable journeys; a rising
+    * rate release-over-release means behavior is fragmenting.
+    *
+    * Scale shape: the lag runs over the user-partitioned window (one
+    * user_id shuffle, the [[seqTransitions]] posture); everything
+    * after operates on the ≤ #types² transition frame — bounded,
+    * window-free (group totals by join, not sum-over).
+    *
+    * Determinism: probabilities quantize at 1e-9 before the log, each
+    * p·ln p term at 1e-9 before the exact sum, shares and the final
+    * contribution at 1e-6. */
+  private[graft] def entropyRateOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val trans = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val tots = trans.groupBy("prev").agg(sum(col("cnt")).as("tot"))
+    val grand = tots.agg(sum(col("tot")).as("n_trans"))
+    trans.join(broadcast(tots), "prev")
+      .select(col("prev"),
+        dround(col("cnt").cast("double") / col("tot"), 9).as("p"),
+        col("tot"))
+      .groupBy("prev", "tot")
+      .agg(dsum(-col("p") * org.apache.spark.sql.functions.log(col("p")), 9)
+        .as("entropy_raw"))
+      .crossJoin(broadcast(grand))
+      .select(col("prev"), col("tot").as("n_out"),
+        dround(col("tot").cast("double") / col("n_trans"), 6).as("share"),
+        dround(col("entropy_raw"), 6).as("entropy_nats"),
+        dround(col("tot").cast("double") / col("n_trans")
+          * col("entropy_raw"), 6).as("rate_contrib"))
+      .orderBy("prev")
+  }
+
+  val seqEntropyRate: Q = (s, dir) =>
+    entropyRateOf(Tables.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type"))
 
   /** Markov removal-effect attribution (Anderl, Becker, v. Wangenheim
     * & Schumann 2014) — the data-driven upgrade of [[attributionOf]]'s
@@ -1145,6 +1305,9 @@ object Sequences {
     "seq_attribution_markov" -> seqAttributionMarkov,
     "seq_did" -> seqDid,
     "seq_forecast_holt" -> seqForecastHolt,
+    "seq_holt_winters" -> seqHoltWinters,
+    "seq_stl_decompose" -> seqStlDecompose,
+    "seq_entropy_rate" -> seqEntropyRate,
     "seq_srm" -> seqSrm,
     "seq_power" -> seqPower,
     "seq_anomaly" -> seqAnomaly,
@@ -1308,6 +1471,103 @@ object Sequences {
          |  ${oRound("l", 6)} AS level, ${oRound("b", 6)} AS trend,
          |  ${oRound("l + b", 6)} AS fc_1, ${oRound("l + 7 * b", 6)} AS fc_7
          |FROM st WHERE t = n ORDER BY event_type""".stripMargin,
+    // Holt-Winters: the seasonal vector rides the recursion as SEVEN
+    // columns (engine-portable — no list mutation), one slot updated
+    // per step with the same repeated-expression arithmetic the Holt
+    // oracle uses; init = classical two-season (week-1 mean level,
+    // week-over-week trend, y_i - level seasonals).
+    "seq_holt_winters" -> {
+      val sCur = "CASE r.t % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1" +
+        " WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4" +
+        " WHEN 5 THEN r.s5 ELSE r.s6 END"
+      val lNew = oRound(s"0.5 * (o.y - ($sCur)) + 0.5 * (r.l + r.b)", 9)
+      val l0 = oRound("w.sum1 / 7.0", 9)
+      val sCols = (0 to 6).map { i =>
+        s"    CASE WHEN r.t % 7 = $i THEN ${oRound(s"0.3 * (o.y - ($lNew)) + 0.7 * r.s$i", 9)}" +
+          s" ELSE r.s$i END AS s$i"
+      }.mkString(",\n")
+      val sInit = (0 to 6).map { i =>
+        s"    ${oRound(s"w.y${i + 1} - ($l0)", 9)} AS s$i"
+      }.mkString(",\n")
+      def sAt(e: String) = s"CASE ($e) WHEN 0 THEN s0 WHEN 1 THEN s1" +
+        " WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5" +
+        " ELSE s6 END"
+      s"""WITH RECURSIVE dc AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |      CAST(COUNT(*) AS DOUBLE) AS y
+         |    FROM events GROUP BY 1, 2),
+         |o AS (SELECT event_type, day, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dc),
+         |w1 AS (SELECT event_type, MAX(n) AS n,
+         |    SUM(CASE WHEN t <= 7 THEN y ELSE 0.0 END) AS sum1,
+         |    SUM(CASE WHEN t BETWEEN 8 AND 14 THEN y ELSE 0.0 END) AS sum2,
+         |    ${(1 to 7).map(i => s"MAX(CASE WHEN t = $i THEN y END) AS y$i").mkString(", ")}
+         |  FROM o WHERE t <= 14 GROUP BY 1 HAVING COUNT(*) >= 14),
+         |st AS (
+         |  SELECT w.event_type, w.n, 0 AS t,
+         |    ($l0) AS l, ${oRound("(w.sum2 - w.sum1) / 49.0", 9)} AS b,
+         |$sInit
+         |  FROM w1 w
+         |  UNION ALL
+         |  SELECT r.event_type, r.n, r.t + 1,
+         |    ($lNew) AS l,
+         |    ${oRound(s"0.3 * (($lNew) - r.l) + 0.7 * r.b", 9)} AS b,
+         |$sCols
+         |  FROM st r JOIN o ON o.event_type = r.event_type AND o.t = r.t + 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  ${oRound("l", 6)} AS level, ${oRound("b", 6)} AS trend,
+         |  ${oRound(s"GREATEST(s0, s1, s2, s3, s4, s5, s6) - LEAST(s0, s1, s2, s3, s4, s5, s6)", 6)} AS s_amp,
+         |  ${oRound(s"l + b + (${sAt("n % 7")})", 6)} AS fc_1,
+         |  ${oRound(s"l + 7 * b + (${sAt("(n + 6) % 7")})", 6)} AS fc_7
+         |FROM st WHERE t = n ORDER BY event_type""".stripMargin
+    },
+    // STL-lite: trend = centered 7-day MA over the calendar-bounded
+    // (type, day) frame (integer-valued daily counts -> exact window
+    // sums), seasonal = dow mean of the detrended series at the
+    // dsum(6)/count grain, residual from the quantized pieces.
+    "seq_stl_decompose" ->
+      s"""WITH dc AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(COUNT(*) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2),
+         |tr AS (SELECT event_type, day, y,
+         |    ${oRound("AVG(y) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)", 6)} AS trend,
+         |    day % 7 AS dow
+         |  FROM dc),
+         |se AS (SELECT event_type, dow,
+         |    ${oRound(oSum("d", 6) + " / COUNT(*)", 6)} AS seasonal
+         |  FROM (SELECT event_type, dow, y - trend AS d FROM tr) x
+         |  GROUP BY 1, 2)
+         |SELECT t.event_type, t.day, t.y, t.trend, s.seasonal,
+         |  ${oRound("t.y - t.trend - s.seasonal", 6)} AS resid
+         |FROM tr t JOIN se s ON s.event_type = t.event_type AND s.dow = t.dow
+         |ORDER BY t.event_type, t.day""".stripMargin,
+    // Entropy rate: seq_transitions' lag shape; probabilities quantized
+    // at 1e-9 BEFORE the log, each -p ln p term at 1e-9 before the
+    // exact sum; the grand total rides a scalar subquery (a comma cross
+    // join of tiny frames can plan as CartesianProduct).
+    "seq_entropy_rate" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         |    event_type FROM events),
+         |x AS (SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id) AS prev
+         |  FROM e),
+         |t AS (SELECT prev, event_type AS next,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tt AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot
+         |  FROM t GROUP BY 1),
+         |h AS (SELECT t.prev, tt.tot,
+         |    ${oSum(s"-(${oRound("CAST(t.cnt AS DOUBLE) / tt.tot", 9)}) * ln(${oRound("CAST(t.cnt AS DOUBLE) / tt.tot", 9)})", 9)} AS entropy_raw
+         |  FROM t JOIN tt USING (prev) GROUP BY 1, 2)
+         |SELECT h.prev, h.tot AS n_out,
+         |  ${oRound("CAST(h.tot AS DOUBLE) / (SELECT CAST(SUM(tot) AS BIGINT) FROM tt)", 6)} AS share,
+         |  ${oRound("h.entropy_raw", 6)} AS entropy_nats,
+         |  ${oRound("CAST(h.tot AS DOUBLE) / (SELECT CAST(SUM(tot) AS BIGINT) FROM tt) * h.entropy_raw", 6)} AS rate_contrib
+         |FROM h ORDER BY h.prev""".stripMargin,
     // Markov attribution: identical journey segmentation, 1e-9-quantized
     // transition probs, and the SAME 12-step truncated absorption fixed
     // point unrolled as MATERIALIZED CTEs (one per step, default CTE

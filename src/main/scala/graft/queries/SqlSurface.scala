@@ -1127,10 +1127,9 @@ object SqlSurface {
     * close-of-round full sweep for its first gate (r18 review finding).
     * Reset at each round close, when the full sweep has covered them. */
   private[graft] val recentAdditions: Seq[String] = Seq(
-    "llm_t_closeness", "llm_kmv_ndv", "llm_cms_topk", "llm_dp_release",
-    "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
-    "seq_srm", "seq_power", "graph_modularity", "graph_assortativity",
-    "llm_rho_select", "graph_reciprocity")
+    "llm_source_hhi", "llm_sketch_setops", "llm_rake_keywords",
+    "llm_code_detect", "llm_topic_mix", "llm_lm_perplexity",
+    "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1173,7 +1172,10 @@ object SqlSurface {
     "seq_cuped", "seq_attribution_markov", "seq_did", "seq_forecast_holt",
     "seq_srm", "seq_power", "llm_dp_release", "graph_modularity",
     "graph_assortativity", "graph_reciprocity",
-    "seq_periodicity", "seq_retention", "seq_rfm")
+    "seq_periodicity", "seq_retention", "seq_rfm",
+    "llm_source_hhi", "llm_sketch_setops", "llm_rake_keywords",
+    "llm_code_detect", "llm_topic_mix", "llm_lm_perplexity",
+    "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
     * parsing bare numeric literals as DECIMAL where the builder used

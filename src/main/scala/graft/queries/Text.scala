@@ -5517,6 +5517,333 @@ object Text {
   val llmBoilerplate: Q = (s, dir) =>
     boilerplateOf(Tables.t(s, dir, "documents").select("source", "text"))
 
+  /** Corpus concentration audit — Herfindahl-Hirschman index, Shannon
+    * entropy and effective-source count of the per-lang source mix
+    * (Hirschman AER 1964 for HHI; exp(H) is Hill's "true diversity" of
+    * order 1): the one-row-per-lang read a mixing policy consults
+    * before [[llmSourceCap]]/[[llmMixWeights]] — an HHI drifting toward
+    * 1 means one source is quietly swallowing a language's corpus.
+    *
+    * Scale shape: ONE two-phase (lang, source) count is the only
+    * corpus-sized pass; both indices collapse in a second window-free
+    * groupBy(lang) over the value-bounded cell frame, using the
+    * H = ln n − (Σ c·ln c)/n identity so no per-source share (and thus
+    * no group-total window) is ever materialized.
+    *
+    * Determinism: Σc² runs in decimal(38,0) (the seq_gini rule — exact
+    * at any corpus size, cast to double once); each c·ln c term
+    * quantizes at 1e-9 before the exact sum. */
+  private[graft] def sourceHhiOf(docs: DataFrame): DataFrame = {
+    val lg = (c: Column) => org.apache.spark.sql.functions.log(c)
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+    cells.groupBy("lang")
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("c2"),
+        dsum(col("c").cast("double") * lg(col("c").cast("double")), 9)
+          .as("clnc"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        dround(col("c2").cast("double")
+          / (col("n_docs").cast("double") * col("n_docs")), 6).as("hhi"),
+        dround(lg(col("n_docs").cast("double"))
+          - col("clnc") / col("n_docs"), 6).as("entropy_nats"),
+        dround(exp(lg(col("n_docs").cast("double"))
+          - col("clnc") / col("n_docs")), 6).as("eff_sources"))
+      .orderBy("lang")
+  }
+
+  val llmSourceHhi: Q = (s, dir) =>
+    sourceHhiOf(Tables.t(s, dir, "documents").select("lang", "source"))
+
+  /** KMV/theta-sketch set operations (Bar-Yossef et al. RANDOM 2002;
+    * the DataSketches theta union/intersection): distinct-vocabulary
+    * estimates for two corpus slices AND their union/intersection from
+    * k-minimum-value sketches — the mergeable way to answer "how much
+    * vocabulary do these crawls share?" without ever joining them.
+    * Slices here: even vs odd doc_id (deterministic, balanced). Beside
+    * each estimate rides the exact count, so the row doubles as a
+    * sketch-error audit ([[llmKmvNdv]]'s posture, extended to set
+    * algebra).
+    *
+    * Estimators: NDV ≈ (k−1)/θ with θ = the kth smallest hash (exact
+    * count when a slice's sketch is not full); jaccard ≈ the share of
+    * the union sketch's k values present in BOTH slice sketches;
+    * intersection ≈ jaccard × union.
+    *
+    * Scale shape: one distinct (slice, word) pass (two-phase), md5
+    * 48-bit uniform hashes, then per-slice k-minima via the
+    * row_number ≤ k rewrite (TopKPerKeyExec: bounded heaps with the
+    * r19 map-side partial, no sort); everything downstream operates on
+    * ≤ 2k sketch rows. Exact counts are independent two-phase aggs of
+    * the same distinct frame. */
+  private[graft] def sketchSetopsOf(docs: DataFrame, k: Int = 200): DataFrame = {
+    val words = docs
+      .select(pmod(col("doc_id"), lit(2)).cast("int").as("slice"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      // Persist barrier: FOUR consumers (sketch ranking, both exact
+      // counts, the both-slices membership frame) re-derive this
+      // distinct frame; below it sits an exchange, but the consumers'
+      // differing projections break canonical equality for stage reuse
+      // (the lm_kn measured case), so the cache barrier wins.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count() // eager: concurrent consumers race the cache
+    val hashed = words.select(col("slice"), col("w"),
+      (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("double")
+        / lit(281474976710656.0)).as("h"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("slice").orderBy(col("h"), col("w"))
+    val sk = hashed.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+    val skAgg = sk.groupBy("slice")
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("theta"))
+      .select(col("slice"), col("n_sk"),
+        when(col("n_sk") < k, col("n_sk").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("theta")).as("nd_est"))
+    val estA = skAgg.filter(col("slice") === 0)
+      .select(col("nd_est").as("nd_a_est"))
+    val estB = skAgg.filter(col("slice") === 1)
+      .select(col("nd_est").as("nd_b_est"))
+    val unionK = sk.select(col("w"), col("h")).distinct()
+      .orderBy(col("h"), col("w")).limit(k)
+    val both = sk.groupBy("w").agg(countDistinct(col("slice")).as("ns"))
+    val uStats = unionK.join(both, "w")
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("theta_u"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).as("m_both"))
+      .select(col("n_u"), col("m_both"),
+        when(col("n_u") < k, col("n_u").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("theta_u")).as("nd_union_est"))
+    val exact = words.groupBy("w").agg(countDistinct(col("slice")).as("ns"))
+      .agg(sum(when(col("ns") >= 1, 1L).otherwise(0L)).as("n_union_exact"),
+        sum(when(col("ns") === 2, 1L).otherwise(0L)).as("n_intersect_exact"))
+    val exactSl = words.groupBy("slice").agg(count(lit(1)).as("n"))
+    val exA = exactSl.filter(col("slice") === 0).select(col("n").as("n_a_exact"))
+    val exB = exactSl.filter(col("slice") === 1).select(col("n").as("n_b_exact"))
+    estA.crossJoin(broadcast(estB)).crossJoin(broadcast(uStats))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(exA)).crossJoin(broadcast(exB))
+      .select(lit(k).as("k"),
+        dround(col("nd_a_est"), 6).as("nd_a_est"), col("n_a_exact"),
+        dround(col("nd_b_est"), 6).as("nd_b_est"), col("n_b_exact"),
+        dround(col("nd_union_est"), 6).as("nd_union_est"), col("n_union_exact"),
+        dround(col("m_both").cast("double") / col("n_u"), 6).as("jaccard_est"),
+        dround(col("m_both").cast("double") / col("n_u")
+          * col("nd_union_est"), 6).as("nd_intersect_est"),
+        col("n_intersect_exact"))
+  }
+
+  val llmSketchSetops: Q = (s, dir) =>
+    sketchSetopsOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010 —
+    * "Automatic keyword extraction from individual documents"):
+    * candidate phrases are maximal stopword-free word runs (≤ 3 words
+    * here), each word scores degree/frequency over all candidate
+    * occurrences, a phrase scores the sum of its member word scores —
+    * the zero-training keyword baseline every corpus-exploration pass
+    * starts from ([[llmTextrank]]'s graph-free sibling; collocations
+    * rank PAIRS, RAKE ranks variable-length phrases).
+    *
+    * Scale shape: phrase candidates are a pure per-row projection
+    * (stopword masking + split — no window, no join); word stats and
+    * phrase frequencies are two-phase counts; the scoring join runs on
+    * the word key and the final top-N is one TakeOrderedAndProject.
+    *
+    * Determinism: word score quantizes at 1e-9 before the exact
+    * per-phrase sum; the delimiter regex uses only literal space/pipe
+    * classes (RE2 == Java semantics). */
+  private[graft] def rakeKeywordsOf(docs: DataFrame, topN: Int = 20): DataFrame = {
+    val stops = Seq("a", "the", "of", "to", "and", "in", "is", "on",
+      "for", "with", "as", "by", "an", "at", "or", "be", "this",
+      "that", "it", "from")
+    val stopArr = array(stops.map(lit): _*)
+    val occ = docs
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(split(array_join(transform(col("ws"),
+        w => when(array_contains(stopArr, w), lit("|")).otherwise(w)),
+        " "), "[ ]*[|][ ]*")).as("phrase"))
+      .filter(length(col("phrase")) > 0)
+      .select(col("phrase"), split(col("phrase"), " ").as("pws"))
+      .filter(size(col("pws")) <= 3)
+    val wordStats = occ
+      .select(explode(col("pws")).as("w"), size(col("pws")).as("plen"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val pf = occ.groupBy("phrase").agg(count(lit(1)).as("occurrences"))
+    pf.select(col("phrase"), col("occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordStats, "w")
+      .groupBy("phrase", "occurrences")
+      .agg(count(lit(1)).as("n_words"),
+        dsum(col("deg").cast("double") / col("freq"), 9).as("score_raw"))
+      .select(col("phrase"), col("n_words"), col("occurrences"),
+        dround(col("score_raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topN)
+  }
+
+  val llmRakeKeywords: Q = (s, dir) =>
+    rakeKeywordsOf(Tables.t(s, dir, "documents").select("text"))
+
+  /** Code-vs-prose detection — the corpus-composition audit every
+    * pretraining mix tracks (The Stack / StarCoder pipelines filter ON
+    * this; a prose corpus quietly absorbing code changes loss curves):
+    * a per-doc heuristic score from the symbol-character ratio
+    * ({}();=<>[] per char) and the code-keyword token ratio, rolled up
+    * per source as the code-like document fraction.
+    *
+    * Scale shape: pure per-row projections (translate + one lambda
+    * filter — no UDF, fully codegen) into one two-phase groupBy(source)
+    * rollup; output bounded by #sources.
+    *
+    * Determinism: both ratios are exact-count divisions quantized at
+    * 1e-6; the keyword list is a literal. */
+  private[graft] def codeDetectOf(docs: DataFrame, thresh: Double = 0.05)
+  : DataFrame = {
+    val kws = Seq("def", "class", "import", "return", "function", "var",
+      "val", "if", "else", "for", "while", "int", "void", "public",
+      "static")
+    val kwArr = array(kws.map(lit): _*)
+    val scored = docs
+      .select(col("source"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("source"),
+        (length(col("text"))
+          - length(translate(col("text"), "{}();=<>[]", ""))).as("n_sym"),
+        length(col("text")).as("n_chars"),
+        size(filter(col("ws"), w => array_contains(kwArr, w))).as("n_kw"),
+        size(col("ws")).as("n_words"))
+      .select(col("source"),
+        dround(lit(5.0) * col("n_sym") / col("n_chars")
+          + lit(2.0) * col("n_kw") / col("n_words"), 6).as("score"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= thresh, 1L).otherwise(0L)).as("code_docs"),
+        davg(col("score"), 6).as("avg_score"))
+      .select(col("source"), col("n_docs"), col("code_docs"),
+        dround(col("code_docs").cast("double") / col("n_docs"), 6)
+          .as("code_frac"),
+        dround(col("avg_score"), 6).as("avg_score"))
+      .orderBy("source")
+  }
+
+  val llmCodeDetect: Q = (s, dir) =>
+    codeDetectOf(Tables.t(s, dir, "documents").select("source", "text"))
+
+  /** Lexicon-based topic classification + per-source topic mix — the
+    * WebOrganizer/Dolma-style topical-composition audit: each doc's
+    * topic is the argmax of lexicon-keyword hits ('other' when nothing
+    * matches), rolled up as per-(source, topic) shares. The mixing
+    * read: a source whose topic profile shifts between crawls changes
+    * the corpus even when its byte share is constant.
+    *
+    * Scale shape: explode words → broadcast lexicon join → two-phase
+    * (doc, topic) count → the argmax is the window-free
+    * min(struct(−c, topic)) two-phase agg (the reshaped-boilerplate
+    * idiom — no per-doc rank window); unmatched docs rejoin by
+    * left-anti equivalent (left join + coalesce). Shares come from a
+    * per-source total joined back — all frames past the word join are
+    * doc- or (source × topic)-bounded.
+    *
+    * Determinism: counts are exact; the argmax tiebreak is (hits desc,
+    * topic asc) via struct ordering; share quantizes at 1e-6. */
+  private[graft] def topicMixOf(docs: DataFrame): DataFrame = {
+    val lex: Seq[(String, String)] = Seq(
+      "join" -> "relational", "scan" -> "relational",
+      "filter" -> "relational", "sort" -> "relational",
+      "merge" -> "relational", "group" -> "relational",
+      "agg" -> "relational", "query" -> "relational",
+      "order" -> "relational",
+      "row" -> "storage", "column" -> "storage", "table" -> "storage",
+      "batch" -> "storage", "part" -> "storage", "line" -> "storage",
+      "key" -> "storage", "value" -> "storage", "data" -> "storage",
+      "hash" -> "execution", "vector" -> "execution",
+      "stream" -> "execution", "window" -> "execution",
+      "spark" -> "execution", "dup" -> "execution",
+      "small" -> "scale", "big" -> "scale", "fast" -> "scale",
+      "slow" -> "scale")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lexDf = lex.toDF("w", "topic")
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(lexDf), "w")
+      .groupBy("doc_id", "topic").agg(count(lit(1)).as("c"))
+    val docTopic = hits
+      .groupBy("doc_id")
+      .agg(min(struct((-col("c")).as("nc"), col("topic").as("t"))).as("best"))
+      .select(col("doc_id"), col("best.t").as("topic"))
+    val labeled = docs.select(col("doc_id"), col("source"))
+      .join(docTopic, Seq("doc_id"), "left")
+      .select(col("source"), coalesce(col("topic"), lit("other")).as("topic"))
+    val cells = labeled.groupBy("source", "topic").agg(count(lit(1)).as("n_docs"))
+    val tot = cells.groupBy("source").agg(sum(col("n_docs")).as("n_src"))
+    cells.join(broadcast(tot), "source")
+      .select(col("source"), col("topic"), col("n_docs"),
+        dround(col("n_docs").cast("double") / col("n_src"), 6).as("share"))
+      .orderBy("source", "topic")
+  }
+
+  val llmTopicMix: Q = (s, dir) =>
+    topicMixOf(Tables.t(s, dir, "documents").select("doc_id", "source", "text"))
+
+  /** Per-document perplexity under the corpus's own interpolated
+    * bigram LM (Jelinek-Mercer smoothing, λ = 0.9 bigram / 0.1 unigram
+    * — Chen & Goodman 1998's baseline): THE canonical quality filter
+    * (CCNet scores every doc against a KenLM; here the model is the
+    * corpus itself, so the score reads "how typical is this doc of the
+    * corpus" — outliers in either direction are cleaning candidates).
+    * [[lmQualityOf]] scores unigram surprise; this prices word ORDER.
+    *
+    * Scale shape: one bigram-explode pass (corpus-sized), two-phase
+    * model counts (c12, per-w1 totals, target unigrams), then ONE
+    * equi-join of doc bigrams against the model on (w1, w2) — the
+    * standard distributed LM-scoring shape; per-doc aggregation is the
+    * second corpus-sized pass. Docs with no bigram (< 2 words) carry
+    * no probability mass and are deliberately absent (unlike
+    * [[ndcgEvalOf]]'s eval contract, a doc without bigrams has no
+    * defined perplexity — documented drop, not an accident).
+    *
+    * Determinism: each ln p term quantizes at 1e-9 before the exact
+    * per-doc sum; p itself is a fixed-shape double chain over exact
+    * counts. */
+  private[graft] def lmPerplexityOf(docs: DataFrame): DataFrame = {
+    val lg = (c: Column) => org.apache.spark.sql.functions.log(c)
+    val big = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      // Persist barrier: the model side (three aggs) and the scoring
+      // side both consume this explode projection; the consumers'
+      // shapes differ enough that exchange reuse cannot dedup them
+      // (the lm_kn measured precedent).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    big.count() // eager: concurrent consumers would race the cache
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val cu = c12.groupBy("w2").agg(sum(col("c12")).as("cu"))
+    val t = c12.agg(sum(col("c12")).as("bt"))
+    val model = c12.join(c1, "w1").join(cu, "w2").crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"),
+        (lit(0.9) * col("c12").cast("double") / col("c1")
+          + lit(0.1) * col("cu").cast("double") / col("bt")).as("p"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        dsum(-lg(col("p")), 9).as("h_raw"))
+      .select(col("doc_id"), col("n_bigrams"),
+        dround(col("h_raw") / col("n_bigrams"), 6).as("cross_entropy"),
+        dround(exp(col("h_raw") / col("n_bigrams")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  val llmLmPerplexity: Q = (s, dir) =>
+    lmPerplexityOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   val llmDupChunks: Q = (s, dir) =>
     dupChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
@@ -6246,6 +6573,12 @@ object Text {
     "llm_dp_release" -> llmDpRelease,
     "llm_rho_select" -> llmRhoSelect,
     "llm_boilerplate" -> llmBoilerplate,
+    "llm_source_hhi" -> llmSourceHhi,
+    "llm_sketch_setops" -> llmSketchSetops,
+    "llm_rake_keywords" -> llmRakeKeywords,
+    "llm_code_detect" -> llmCodeDetect,
+    "llm_topic_mix" -> llmTopicMix,
+    "llm_lm_perplexity" -> llmLmPerplexity,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
     "llm_textrank" -> llmTextrank,
@@ -8440,6 +8773,188 @@ object Text {
          |  ${oRound("(-best.nc) * 1.0 / n", 6)} AS share,
          |  ((-best.nc) * 1.0 / n >= 0.2) AS boilerplate
          |FROM g ORDER BY source""".stripMargin,
+    // Source concentration: window-free H = ln n - (sum c ln c)/n
+    // identity; sum(c*c) exact (HUGEINT / decimal(38,0)) cast to double
+    // once; c ln c terms quantized at 1e-9 before the exact sum.
+    "llm_source_hhi" ->
+      s"""WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |    CAST(SUM(c * c) AS DOUBLE) AS c2,
+         |    ${oSum("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))", 9)} AS clnc
+         |  FROM c GROUP BY 1)
+         |SELECT lang, n_docs, n_sources,
+         |  ${oRound("c2 / (CAST(n_docs AS DOUBLE) * n_docs)", 6)} AS hhi,
+         |  ${oRound("ln(CAST(n_docs AS DOUBLE)) - clnc / n_docs", 6)} AS entropy_nats,
+         |  ${oRound("exp(ln(CAST(n_docs AS DOUBLE)) - clnc / n_docs)", 6)} AS eff_sources
+         |FROM g ORDER BY lang""".stripMargin,
+    // KMV theta set ops: same md5 48-bit uniform, per-slice k-minima by
+    // (h, w) rank, union sketch re-ranked over the distinct sketch
+    // values; every 1-row frame rides a scalar subquery (a comma cross
+    // join of tiny frames can plan as CartesianProduct on the Spark
+    // surface).
+    "llm_sketch_setops" ->
+      s"""WITH wd AS (SELECT DISTINCT doc_id % 2 AS slice, w
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE length(w) > 0),
+         |h AS (SELECT slice, w,
+         |    CAST(('0x' || substr(md5(w), 1, 12))::BIGINT AS DOUBLE)
+         |      / 281474976710656.0 AS h
+         |  FROM wd),
+         |sk AS (SELECT slice, w, h FROM (
+         |    SELECT slice, w, h,
+         |      row_number() OVER (PARTITION BY slice ORDER BY h, w) AS rn
+         |    FROM h) r
+         |  WHERE rn <= 200),
+         |sa AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_sk,
+         |    MAX(h) AS theta FROM sk GROUP BY 1),
+         |ea AS (SELECT CASE WHEN n_sk < 200 THEN CAST(n_sk AS DOUBLE)
+         |    ELSE 199.0 / theta END AS nd_a FROM sa WHERE slice = 0),
+         |eb AS (SELECT CASE WHEN n_sk < 200 THEN CAST(n_sk AS DOUBLE)
+         |    ELSE 199.0 / theta END AS nd_b FROM sa WHERE slice = 1),
+         |uk AS (SELECT w, h FROM (
+         |    SELECT w, h, row_number() OVER (ORDER BY h, w) AS rn
+         |    FROM (SELECT DISTINCT w, h FROM sk) d) r
+         |  WHERE rn <= 200),
+         |bo AS (SELECT w, CAST(COUNT(DISTINCT slice) AS BIGINT) AS ns
+         |  FROM sk GROUP BY 1),
+         |us AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS theta_u,
+         |    CAST(SUM(CASE WHEN bo.ns = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m_both
+         |  FROM uk JOIN bo USING (w)),
+         |us2 AS (SELECT n_u, m_both,
+         |    CASE WHEN n_u < 200 THEN CAST(n_u AS DOUBLE)
+         |      ELSE 199.0 / theta_u END AS nd_union_est
+         |  FROM us),
+         |ex AS (SELECT
+         |    CAST(SUM(CASE WHEN ns >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_union_exact,
+         |    CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect_exact
+         |  FROM (SELECT w, COUNT(DISTINCT slice) AS ns FROM wd GROUP BY 1) q)
+         |SELECT CAST(200 AS INT) AS k,
+         |  ${oRound("(SELECT nd_a FROM ea)", 6)} AS nd_a_est,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wd WHERE slice = 0) AS n_a_exact,
+         |  ${oRound("(SELECT nd_b FROM eb)", 6)} AS nd_b_est,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wd WHERE slice = 1) AS n_b_exact,
+         |  ${oRound("nd_union_est", 6)} AS nd_union_est,
+         |  (SELECT n_union_exact FROM ex) AS n_union_exact,
+         |  ${oRound("CAST(m_both AS DOUBLE) / n_u", 6)} AS jaccard_est,
+         |  ${oRound("CAST(m_both AS DOUBLE) / n_u * nd_union_est", 6)} AS nd_intersect_est,
+         |  (SELECT n_intersect_exact FROM ex) AS n_intersect_exact
+         |FROM us2""".stripMargin,
+    // RAKE: stopword masking + literal-class split (RE2 == Java for
+    // [ ]*[|][ ]*); word deg/freq over candidate occurrences; per-word
+    // score quantized at 1e-9 before the exact per-phrase sum.
+    "llm_rake_keywords" ->
+      s"""WITH po AS (SELECT phrase, string_split(phrase, ' ') AS pws FROM (
+         |    SELECT unnest(string_split_regex(array_to_string(
+         |      list_transform(string_split(text, ' '),
+         |        w -> CASE WHEN w IN ('a','the','of','to','and','in','is',
+         |          'on','for','with','as','by','an','at','or','be','this',
+         |          'that','it','from') THEN '|' ELSE w END), ' '),
+         |      '[ ]*[|][ ]*')) AS phrase
+         |    FROM documents) t
+         |  WHERE length(phrase) > 0 AND len(string_split(phrase, ' ')) <= 3),
+         |ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(SUM(plen) AS BIGINT) AS deg
+         |  FROM (SELECT unnest(pws) AS w, len(pws) AS plen FROM po) t
+         |  GROUP BY 1),
+         |pf AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS occurrences
+         |  FROM po GROUP BY 1),
+         |m AS (SELECT phrase, occurrences,
+         |    unnest(string_split(phrase, ' ')) AS w FROM pf),
+         |sc AS (SELECT m.phrase, m.occurrences,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    ${oSum("CAST(ws.deg AS DOUBLE) / ws.freq", 9)} AS score_raw
+         |  FROM m JOIN ws USING (w) GROUP BY 1, 2)
+         |SELECT phrase, n_words, occurrences,
+         |  ${oRound("score_raw", 6)} AS score
+         |FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+    // Code detection: translate-based symbol strip + IN-list lambda
+    // filter; all ratios are exact-count divisions with CAST AS DOUBLE
+    // hoisted before the division (the decimal-literal trap).
+    "llm_code_detect" ->
+      s"""WITH s AS (SELECT source,
+         |    CAST(length(text) - length(translate(text, '{}();=<>[]', ''))
+         |      AS BIGINT) AS n_sym,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ('def','class','import','return','function','var',
+         |        'val','if','else','for','while','int','void','public',
+         |        'static'))) AS BIGINT) AS n_kw,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |  FROM documents),
+         |sc AS (SELECT source,
+         |    ${oRound("5.0 * CAST(n_sym AS DOUBLE) / n_chars + 2.0 * CAST(n_kw AS DOUBLE) / n_words", 6)} AS score
+         |  FROM s)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS code_docs,
+         |  ${oRound("CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS code_frac,
+         |  ${oRound(s"${oSum("score", 6)} / COUNT(score)", 6)} AS avg_score
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin,
+    // Topic mix: the lexicon rides a CASE (values-identical to the
+    // builder's broadcast join), argmax = the window-free
+    // min(struct(-c, topic)) idiom, shares from a per-source total join.
+    "llm_topic_mix" ->
+      s"""WITH t AS (SELECT doc_id, CASE w
+         |      WHEN 'join' THEN 'relational' WHEN 'scan' THEN 'relational'
+         |      WHEN 'filter' THEN 'relational' WHEN 'sort' THEN 'relational'
+         |      WHEN 'merge' THEN 'relational' WHEN 'group' THEN 'relational'
+         |      WHEN 'agg' THEN 'relational' WHEN 'query' THEN 'relational'
+         |      WHEN 'order' THEN 'relational'
+         |      WHEN 'row' THEN 'storage' WHEN 'column' THEN 'storage'
+         |      WHEN 'table' THEN 'storage' WHEN 'batch' THEN 'storage'
+         |      WHEN 'part' THEN 'storage' WHEN 'line' THEN 'storage'
+         |      WHEN 'key' THEN 'storage' WHEN 'value' THEN 'storage'
+         |      WHEN 'data' THEN 'storage'
+         |      WHEN 'hash' THEN 'execution' WHEN 'vector' THEN 'execution'
+         |      WHEN 'stream' THEN 'execution' WHEN 'window' THEN 'execution'
+         |      WHEN 'spark' THEN 'execution' WHEN 'dup' THEN 'execution'
+         |      WHEN 'small' THEN 'scale' WHEN 'big' THEN 'scale'
+         |      WHEN 'fast' THEN 'scale' WHEN 'slow' THEN 'scale'
+         |      END AS topic
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) x),
+         |hh AS (SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM t WHERE topic IS NOT NULL GROUP BY 1, 2),
+         |dt AS (SELECT doc_id, MIN({'nc': -c, 'p': topic}) AS best
+         |  FROM hh GROUP BY 1),
+         |dt2 AS (SELECT doc_id, best.p AS topic FROM dt),
+         |lab AS (SELECT d.source, COALESCE(dt2.topic, 'other') AS topic
+         |  FROM documents d LEFT JOIN dt2 USING (doc_id)),
+         |ce AS (SELECT source, topic, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM lab GROUP BY 1, 2),
+         |tt AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src
+         |  FROM ce GROUP BY 1)
+         |SELECT ce.source, ce.topic, ce.n_docs,
+         |  ${oRound("CAST(ce.n_docs AS DOUBLE) / tt.n_src", 6)} AS share
+         |FROM ce JOIN tt USING (source) ORDER BY source, topic""".stripMargin,
+    // Bigram perplexity: Jelinek-Mercer 0.9/0.1 over exact counts,
+    // CAST AS DOUBLE hoisted; -ln p quantized at 1e-9 before the exact
+    // per-doc sum; bt rides a scalar subquery.
+    "llm_lm_perplexity" ->
+      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+         |        FROM wt WHERE len(ws) >= 2) t),
+         |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY 1),
+         |cu AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cu
+         |  FROM c12 GROUP BY 1),
+         |bt AS (SELECT CAST(SUM(c12) AS BIGINT) AS bt FROM c12),
+         |md AS (SELECT c12.w1, c12.w2,
+         |    0.9 * CAST(c12.c12 AS DOUBLE) / c1.c1
+         |      + 0.1 * CAST(cu.cu AS DOUBLE) / (SELECT bt FROM bt) AS p
+         |  FROM c12 JOIN c1 USING (w1) JOIN cu USING (w2))
+         |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ${oRound(s"(${oSum("-ln(p)", 9)}) / COUNT(*)", 6)} AS cross_entropy,
+         |  ${oRound(s"exp((${oSum("-ln(p)", 9)}) / COUNT(*))", 6)} AS ppl
+         |FROM bg JOIN md USING (w1, w2) GROUP BY bg.doc_id
+         |ORDER BY doc_id""".stripMargin,
     // l-diversity: QI pair (lang, n_chars//100), sensitive = source;
     // group-total window runs over the aggregated (QI, source) frame;
     // entropy terms quantized at 1e-9 before the exact sum.

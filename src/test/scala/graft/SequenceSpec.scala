@@ -353,6 +353,90 @@ class SequenceSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(3)).sum > 0)
   }
 
+  test("holtWinters: exact replay of the seasonal fold on the fixture") {
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val daily = graft.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts) DIV 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toSeq
+      .map { case ((t, d), y) => (t, d, y) }
+    val want = daily.groupBy(_._1).collect {
+      case (t, rows) if rows.size >= 14 =>
+        val ys = rows.sortBy(_._2).map(_._3).toArray
+        val n = ys.length
+        val sum1 = ys.slice(0, 7).sum; val sum2 = ys.slice(7, 14).sum
+        var l = r9(sum1 / 7.0); var b = r9((sum2 - sum1) / 49.0)
+        val s = Array.tabulate(7)(i => r9(ys(i) - l))
+        (0 until n).foreach { i =>
+          val idx = i % 7
+          val lN = r9(0.5 * (ys(i) - s(idx)) + 0.5 * (l + b))
+          b = r9(0.3 * (lN - l) + 0.7 * b)
+          s(idx) = r9(0.3 * (ys(i) - lN) + 0.7 * s(idx)); l = lN
+        }
+        t -> ((n.toLong, r6(l), r6(b), r6(s.max - s.min),
+          r6(l + b + s(n % 7)), r6(l + 7 * b + s((n + 6) % 7))))
+    }
+    val got = SparkEntry.queries("seq_holt_winters")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == want && got.nonEmpty)
+    // seasonal amplitude is strictly informative: some weekly structure
+    assert(got.values.exists(_._4 > 0.0))
+  }
+
+  test("stlDecompose: trend+seasonal+resid reassemble y, seasonal repeats by dow") {
+    val rows = SparkEntry.queries("seq_stl_decompose")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // identity: y = trend + seasonal + resid at the 1e-6 grain
+    rows.foreach { case (t, d, y, tr, se, re) =>
+      assert(math.abs(y - tr - se - re) < 2e-6, s"($t,$d)")
+    }
+    // seasonal depends only on (type, dow)
+    rows.groupBy { case (t, d, _, _, _, _) => (t, d % 7) }.values.foreach { g =>
+      assert(g.map(_._5).distinct.size == 1)
+    }
+    // per type, seasonal components of the dow means sum to ~0 (means
+    // of a detrended series)
+    rows.groupBy(_._1).values.foreach { g =>
+      val perDow = g.groupBy(_._2 % 7).values.map(_.head._5)
+      assert(math.abs(perDow.sum) < 1.5, s"seasonal sum ${perDow.sum}")
+    }
+  }
+
+  test("entropyRate: exact replay from the empirical transition matrix") {
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsu",
+        "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._2)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq
+    val byPrev = trans.groupBy(_._1)
+    val grand = trans.size.toLong
+    val want = byPrev.map { case (prev, ts) =>
+      val tot = ts.size.toLong
+      val eRaw = ts.groupBy(_._2).values.map { g =>
+        val p = q(g.size.toDouble / tot, 1e9)
+        math.floor(-p * math.log(p) * 1e9 + 0.5).toLong
+      }.sum / 1e9
+      prev -> ((tot, q(tot.toDouble / grand, 1e6), q(eRaw, 1e6),
+        q(tot.toDouble / grand * eRaw, 1e6)))
+    }
+    val got = SparkEntry.queries("seq_entropy_rate")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want)
+    // entropy bounded by ln(#next states)
+    val k = got.size
+    assert(got.values.forall(_._3 <= math.log(k.toDouble) + 1e-6))
+  }
+
   test("Markov attribution fails loudly on a data-sized event_type column") {
     // The driver-side transition-matrix fold is bounded by channel-type
     // cardinality; nothing about the INPUT enforces that, so a corpus
