@@ -467,6 +467,58 @@ object Pipeline {
   def forecastHolt(events: DataFrame): DataFrame =
     graft.queries.Sequences.forecastHoltOf(events)
 
+  /** Holt-Winters additive weekly-seasonal forecast per event_type —
+    * level/trend/seasonal-amplitude + h=1 and h=7 forecasts; series
+    * under two seasons (14 days) emit nothing. Input needs
+    * (event_type, ts). */
+  def holtWinters(events: DataFrame): DataFrame =
+    graft.queries.Sequences.holtWintersOf(events)
+
+  /** STL-lite trend/seasonal/residual decomposition of the per-type
+    * daily count series (centered MA7 trend, dow-mean seasonal).
+    * Input needs (event_type, ts). */
+  def stlDecompose(events: DataFrame): DataFrame =
+    graft.queries.Sequences.stlDecomposeOf(events)
+
+  /** Per-state entropy contributions of the first-order behavior
+    * Markov chain (share · H(state), summing to the chain's entropy
+    * rate). Input needs (user_id, event_id, ts, event_type). */
+  def entropyRate(events: DataFrame): DataFrame =
+    graft.queries.Sequences.entropyRateOf(events)
+
+  /** Per-lang source-concentration indices: HHI, Shannon entropy,
+    * effective-source count. Input needs (lang, source). */
+  def sourceHhi(docs: DataFrame): DataFrame =
+    graft.queries.Text.sourceHhiOf(docs)
+
+  /** KMV theta-sketch set operations between the even/odd doc_id
+    * slices: NDV estimates for each slice, their union and
+    * intersection, with exact counts beside every estimate. Input
+    * needs (doc_id, text). */
+  def sketchSetops(docs: DataFrame, k: Int = 200): DataFrame =
+    graft.queries.Text.sketchSetopsOf(docs, k)
+
+  /** RAKE keyword extraction: top-N stopword-free phrases scored by
+    * summed member-word degree/frequency. Input needs (text). */
+  def rakeKeywords(docs: DataFrame, topN: Int = 20): DataFrame =
+    graft.queries.Text.rakeKeywordsOf(docs, topN)
+
+  /** Per-source code-likeness audit (symbol-char + code-keyword
+    * ratios, code-like doc fraction). Input needs (source, text). */
+  def codeDetect(docs: DataFrame, thresh: Double = 0.05): DataFrame =
+    graft.queries.Text.codeDetectOf(docs, thresh)
+
+  /** Lexicon-based per-doc topic argmax rolled up as per-(source,
+    * topic) shares. Input needs (doc_id, source, text). */
+  def topicMix(docs: DataFrame): DataFrame =
+    graft.queries.Text.topicMixOf(docs)
+
+  /** Per-doc perplexity under the corpus's own interpolated bigram LM
+    * (docs with fewer than 2 words have no defined perplexity and are
+    * absent). Input needs (doc_id, text). */
+  def lmPerplexity(docs: DataFrame): DataFrame =
+    graft.queries.Text.lmPerplexityOf(docs)
+
   /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
     * (strip fragments/default ports/trailing slashes/tracking params,
     * sort survivors), then per canonical key keep the best-quality doc
