@@ -519,6 +519,18 @@ object Pipeline {
   def lmPerplexity(docs: DataFrame): DataFrame =
     graft.queries.Text.lmPerplexityOf(docs)
 
+  /** Jensen-Shannon divergence between the even/odd doc_id slices'
+    * word distributions (one row: vocab sizes, overlap, JS in nats and
+    * normalized to [0,1]). Input needs (doc_id, text). */
+  def jsDivergence(docs: DataFrame): DataFrame =
+    graft.queries.Text.jsDivergenceOf(docs)
+
+  /** Per-source document-length profile: exact interpolated
+    * p10/p50/p90 of n_chars plus the mean. Input needs
+    * (source, n_chars). */
+  def lengthProfile(docs: DataFrame): DataFrame =
+    graft.queries.Text.lengthProfileOf(docs)
+
   /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
     * (strip fragments/default ports/trailing slashes/tracking params,
     * sort survivors), then per canonical key keep the best-quality doc

@@ -536,8 +536,96 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Local clustering coefficient per node (Watts & Strogatz Nature
+    * 1998): 2·triangles / (deg·(deg−1)) over the undirected closure of
+    * the md5 doc graph — the "how cliquish is this node's
+    * neighborhood" diagnostic beside [[triangles]]' raw counts (a
+    * corpus link graph whose average coefficient collapses between
+    * crawls has lost its community structure).
+    *
+    * Scale shape: [[triangles]]' oriented-wedge discipline exactly
+    * (low→high edge orientation bounds the wedge join's fan-out by the
+    * higher-neighbor count); the per-node corner credit is a UNION ALL
+    * of the three projections + one two-phase count, degrees another;
+    * the edge frame persists across its four consumers (two wedge
+    * sides, the closure probe, degrees — pure projections below, the
+    * catalogued multi-consumer barrier). Isolated nodes (no edges)
+    * have no defined coefficient and are absent — documented, like the
+    * oracle. */
+  val clusteringCoeff: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val edges = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val wedges = edges.as("e1")
+      .join(edges.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tris = wedges
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val corners = tris.select(col("a").as("doc_id"))
+      .unionAll(tris.select(col("b").as("doc_id")))
+      .unionAll(tris.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val deg = edges.select(col("a").as("doc_id"))
+      .unionAll(edges.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    deg.join(corners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          dround(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("coeff"))
+      .orderBy("doc_id")
+  }
+
+  /** In-degree distribution of the md5 doc graph — the shape audit
+    * behind hub detection and skew planning (out-degree is constant 3
+    * by construction, so the in-degree histogram IS the graph's
+    * randomness diagnostic: ~Poisson(3) for the md5 targets, and any
+    * future real link graph dropped into the same pipeline shows its
+    * power-law tail here first).
+    *
+    * Scale shape: one edge pass → two-phase per-node in-degree count →
+    * left join back to the id frame (zero-in-degree nodes stay
+    * visible) → a second two-phase count over the DEGREE-bounded
+    * histogram frame. Window-free; the corpus-total share divisor
+    * rides the broadcast 1-row frame. */
+  val degreeDist: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val ind = raw.groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("d"))
+    ids.join(ind, Seq("doc_id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("indeg"))
+      .groupBy("indeg").agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(nDf))
+      .select(col("indeg"), col("n_nodes"),
+        dround(col("n_nodes").cast("double") / col("n"), 6).as("share"))
+      .orderBy("indeg")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_cc" -> cc,
+    "graph_clustering_coeff" -> clusteringCoeff,
+    "graph_degree_dist" -> degreeDist,
     "graph_hits" -> hits,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
@@ -817,6 +905,57 @@ object Graph {
          |  JOIN deg dw ON dw.u = c.w)
          |SELECT u AS a, w AS b, cn, CAST(jq AS DOUBLE) / 1000000.0 AS score
          |FROM sc ORDER BY jq DESC, a, b LIMIT 20""".stripMargin,
+    // Clustering coefficient: triangles' edge/wedge CTEs; corner credit
+    // via UNION ALL (portable — no lateral unnest), CAST-to-double
+    // hoisted before the 2T/(d(d-1)) division.
+    "graph_clustering_coeff" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |tris AS MATERIALIZED (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.a = e1.b
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT a AS doc_id FROM tris
+         |    UNION ALL SELECT b FROM tris
+         |    UNION ALL SELECT c FROM tris) tv
+         |  GROUP BY 1),
+         |dg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         |    SELECT a AS doc_id FROM edges
+         |    UNION ALL SELECT b FROM edges) u
+         |  GROUP BY 1)
+         |SELECT dg.doc_id, dg.degree,
+         |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN dg.degree >= 2 THEN
+         |    ${oRound("2.0 * CAST(COALESCE(tc.n_tri, 0) AS DOUBLE) / (dg.degree * (dg.degree - 1))", 6)}
+         |  ELSE 0.0 END AS coeff
+         |FROM dg LEFT JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // In-degree distribution: zero-degree nodes kept via the id left
+    // join; the share divisor rides a scalar subquery.
+    "graph_degree_dist" ->
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |ind AS (SELECT dst AS doc_id, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM raw GROUP BY 1),
+         |nd AS (SELECT CAST(COALESCE(ind.d, 0) AS BIGINT) AS indeg
+         |  FROM ids LEFT JOIN ind ON ind.doc_id = ids.doc_id)
+         |SELECT indeg, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  ${oRound("CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nn)", 6)} AS share
+         |FROM nd GROUP BY indeg ORDER BY indeg""".stripMargin,
     "graph_triangles" ->
       s"""WITH ids AS (SELECT doc_id FROM documents),
          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),

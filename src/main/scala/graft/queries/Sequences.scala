@@ -728,6 +728,63 @@ object Sequences {
     entropyRateOf(Tables.events(s, dir)
       .select("user_id", "event_id", "ts", "event_type"))
 
+  /** Inter-arrival latency profile per event type — the quantile
+    * companion to [[seqBurstiness]]' CV (capacity planning wants the
+    * p99 gap, not just the dispersion ratio): exact interpolated
+    * p50/p90/p99 of the within-(user, type) arrival gaps in seconds.
+    *
+    * Scale shape: [[seqBurstiness]]' exactly — gaps from per-(user,
+    * type) windows (never a per-type global ordering, which would
+    * funnel a fifth of the corpus through one sort task), then one
+    * exact-percentile agg per type over the gap stream (the
+    * `agg_percentile` idiom — Spark's `percentile` ≡ DuckDB's
+    * `quantile_cont`, both exact interpolated). */
+  val seqInterarrival: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("tsu", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("gap_us", col("tsu") - lag("tsu", 1).over(w))
+      .withColumn("gap_s", expr("gap_us DIV 1000000"))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        dround(expr("percentile(gap_s, 0.5)"), 6).as("p50_s"),
+        dround(expr("percentile(gap_s, 0.9)"), 6).as("p90_s"),
+        dround(expr("percentile(gap_s, 0.99)"), 6).as("p99_s"))
+      .orderBy("event_type")
+  }
+
+  /** Next-event predictability of the first-order Markov model — the
+    * modal-transition accuracy ([[seqTransitions]]' matrix turned into
+    * the eval every next-action model must beat: predicting the modal
+    * next state per FROM-state, what share of real transitions does it
+    * hit?). The [[entropyRateOf]] sibling in accuracy units.
+    *
+    * Scale shape: the lag's one user_id shuffle; the argmax is the
+    * window-free min(struct(−cnt, next)) two-phase agg over the
+    * ≤ #types² transition frame (the reshaped-boilerplate idiom) and
+    * accuracy one quantized division against the per-state total. */
+  val seqMarkovPrediction: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val tots = trans.groupBy("prev").agg(sum(col("cnt")).as("tot"))
+    trans.groupBy("prev")
+      .agg(min(struct((-col("cnt")).as("nc"), col("next").as("nx"))).as("best"))
+      .join(broadcast(tots), "prev")
+      .select(col("prev"), col("tot").as("n_out"),
+        col("best.nx").as("modal_next"), (-col("best.nc")).as("modal_cnt"),
+        dround(-col("best.nc") * lit(1.0) / col("tot"), 6).as("accuracy"))
+      .orderBy("prev")
+  }
+
   /** Markov removal-effect attribution (Anderl, Becker, v. Wangenheim
     * & Schumann 2014) — the data-driven upgrade of [[attributionOf]]'s
     * heuristic linear/last-touch models: journeys become a first-order
@@ -1308,6 +1365,8 @@ object Sequences {
     "seq_holt_winters" -> seqHoltWinters,
     "seq_stl_decompose" -> seqStlDecompose,
     "seq_entropy_rate" -> seqEntropyRate,
+    "seq_interarrival" -> seqInterarrival,
+    "seq_markov_prediction" -> seqMarkovPrediction,
     "seq_srm" -> seqSrm,
     "seq_power" -> seqPower,
     "seq_anomaly" -> seqAnomaly,
@@ -1568,6 +1627,42 @@ object Sequences {
          |  ${oRound("h.entropy_raw", 6)} AS entropy_nats,
          |  ${oRound("CAST(h.tot AS DOUBLE) / (SELECT CAST(SUM(tot) AS BIGINT) FROM tt) * h.entropy_raw", 6)} AS rate_contrib
          |FROM h ORDER BY h.prev""".stripMargin,
+    // Inter-arrival quantiles: burstiness' per-(user, type) gap shape,
+    // exact interpolated quantile_cont == Spark percentile.
+    "seq_interarrival" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id,
+         |    epoch_us(ts) AS tsu FROM events),
+         |g AS (SELECT event_type,
+         |    (tsu - lag(tsu) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY tsu, event_id)) // 1000000 AS gap_s
+         |  FROM e)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |  ${oRound("quantile_cont(gap_s, 0.5)", 6)} AS p50_s,
+         |  ${oRound("quantile_cont(gap_s, 0.9)", 6)} AS p90_s,
+         |  ${oRound("quantile_cont(gap_s, 0.99)", 6)} AS p99_s
+         |FROM g WHERE gap_s IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Modal-transition accuracy: the window-free min(struct) argmax
+    // over the transition frame; accuracy from the per-state total.
+    "seq_markov_prediction" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+         |    event_type FROM events),
+         |x AS (SELECT event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id) AS prev
+         |  FROM e),
+         |t AS (SELECT prev, event_type AS next,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM x WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |tt AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS tot
+         |  FROM t GROUP BY 1),
+         |bs AS (SELECT prev, MIN({'nc': -cnt, 'nx': next}) AS best
+         |  FROM t GROUP BY 1),
+         |b2 AS (SELECT prev, best.nx AS modal_next,
+         |    CAST(-best.nc AS BIGINT) AS modal_cnt FROM bs)
+         |SELECT b2.prev, tt.tot AS n_out, b2.modal_next, b2.modal_cnt,
+         |  ${oRound("b2.modal_cnt * 1.0 / tt.tot", 6)} AS accuracy
+         |FROM b2 JOIN tt USING (prev) ORDER BY b2.prev""".stripMargin,
     // Markov attribution: identical journey segmentation, 1e-9-quantized
     // transition probs, and the SAME 12-step truncated absorption fixed
     // point unrolled as MATERIALIZED CTEs (one per step, default CTE

@@ -1129,7 +1129,9 @@ object SqlSurface {
   private[graft] val recentAdditions: Seq[String] = Seq(
     "llm_source_hhi", "llm_sketch_setops", "llm_rake_keywords",
     "llm_code_detect", "llm_topic_mix", "llm_lm_perplexity",
-    "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate")
+    "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate",
+    "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
+    "seq_markov_prediction", "llm_js_divergence", "llm_length_profile")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1175,7 +1177,9 @@ object SqlSurface {
     "seq_periodicity", "seq_retention", "seq_rfm",
     "llm_source_hhi", "llm_sketch_setops", "llm_rake_keywords",
     "llm_code_detect", "llm_topic_mix", "llm_lm_perplexity",
-    "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate")
+    "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate",
+    "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
+    "seq_markov_prediction", "llm_js_divergence", "llm_length_profile")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
     * parsing bare numeric literals as DECIMAL where the builder used

@@ -5844,6 +5844,86 @@ object Text {
   val llmLmPerplexity: Q = (s, dir) =>
     lmPerplexityOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
+  /** Jensen-Shannon divergence between two corpus slices' word
+    * distributions (Lin IEEE-IT 1991) — the TEXT twin of the numeric
+    * drift monitors ([[Text]]'s psi/ks watch feature columns; JS
+    * watches the vocabulary itself): symmetric, bounded [0, ln 2], and
+    * finite even on disjoint support — exactly what a crawl-over-crawl
+    * vocabulary comparison needs. Slices: even vs odd doc_id (the
+    * [[sketchSetopsOf]] convention).
+    *
+    * Scale shape: one (slice, word) two-phase count is the corpus-
+    * sized pass; the slice totals collapse to ONE broadcast row and
+    * the divergence is a full-outer join on the vocab key + one agg —
+    * window-free.
+    *
+    * Determinism: each p·ln(p/m) term quantizes at 1e-9 before the
+    * exact sum; absent-side terms are exact zeros in both engines. */
+  private[graft] def jsDivergenceOf(docs: DataFrame): DataFrame = {
+    val lg = (c: Column) => org.apache.spark.sql.functions.log(c)
+    val counts = docs
+      .select(pmod(col("doc_id"), lit(2)).cast("int").as("slice"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("slice", "w").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy().agg(
+      sum(when(col("slice") === 0, col("c")).otherwise(0L)).as("na"),
+      sum(when(col("slice") === 1, col("c")).otherwise(0L)).as("nb"))
+    val ca = counts.filter(col("slice") === 0).select(col("w"), col("c").as("ca"))
+    val cb = counts.filter(col("slice") === 1).select(col("w"), col("c").as("cb"))
+    ca.join(cb, Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"),
+        (col("ca").cast("double") / col("na")).as("p"),
+        (col("cb").cast("double") / col("nb")).as("q"))
+      .select(col("ca"), col("cb"),
+        when(col("ca") > 0,
+          col("p") * lg(col("p") / ((col("p") + col("q")) / 2)))
+          .otherwise(lit(0.0)).as("tp"),
+        when(col("cb") > 0,
+          col("q") * lg(col("q") / ((col("p") + col("q")) / 2)))
+          .otherwise(lit(0.0)).as("tq"))
+      .agg(sum(when(col("ca") > 0, 1L).otherwise(0L)).as("n_words_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_words_b"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("n_common"),
+        dsum(col("tp"), 9).as("sp"), dsum(col("tq"), 9).as("sq"))
+      .select(col("n_words_a"), col("n_words_b"), col("n_common"),
+        dround(lit(0.5) * col("sp") + lit(0.5) * col("sq"), 6).as("js_nats"),
+        dround((lit(0.5) * col("sp") + lit(0.5) * col("sq"))
+          / lit(math.log(2.0)), 6).as("js_norm"))
+  }
+
+  val llmJsDivergence: Q = (s, dir) =>
+    jsDivergenceOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
+  /** Per-source document-length profile — exact interpolated
+    * p10/p50/p90 of `n_chars` plus the mean (the distributional read
+    * behind `llm_ccnet_buckets`' coarse length bins: a source whose
+    * p90 collapses between crawls started truncating documents, which
+    * a mean alone hides).
+    *
+    * Scale shape: ONE two-phase groupBy(source) with exact-percentile
+    * aggregates (the `agg_percentile` idiom — Spark `percentile` ≡
+    * DuckDB `quantile_cont`); output bounded by #sources, no window,
+    * no sort beyond the final #sources-row ORDER BY. */
+  private[graft] def lengthProfileOf(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        dround(expr("percentile(n_chars, 0.1)"), 6).as("p10_chars"),
+        dround(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        dround(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+        davg(col("n_chars").cast("double"), 6).as("mean_raw"))
+      .select(col("source"), col("n_docs"), col("p10_chars"),
+        col("p50_chars"), col("p90_chars"),
+        dround(col("mean_raw"), 6).as("mean_chars"))
+      .orderBy("source")
+
+  val llmLengthProfile: Q = (s, dir) =>
+    lengthProfileOf(Tables.t(s, dir, "documents").select("source", "n_chars"))
+
   val llmDupChunks: Q = (s, dir) =>
     dupChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
@@ -6579,6 +6659,8 @@ object Text {
     "llm_code_detect" -> llmCodeDetect,
     "llm_topic_mix" -> llmTopicMix,
     "llm_lm_perplexity" -> llmLmPerplexity,
+    "llm_js_divergence" -> llmJsDivergence,
+    "llm_length_profile" -> llmLengthProfile,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
     "llm_textrank" -> llmTextrank,
@@ -8955,6 +9037,44 @@ object Text {
          |  ${oRound(s"exp((${oSum("-ln(p)", 9)}) / COUNT(*))", 6)} AS ppl
          |FROM bg JOIN md USING (w1, w2) GROUP BY bg.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // JS divergence: full-outer vocab join, absent-side terms exact
+    // zeros, p ln(p/m) terms quantized at 1e-9 before the exact sum;
+    // slice totals ride scalar subqueries; ln 2 is the pinned Java
+    // double literal (an engine's own ln(2.0) could differ in the last
+    // ulp).
+    "llm_js_divergence" ->
+      s"""WITH wc AS (SELECT doc_id % 2 AS slice, w,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY 1, 2),
+         |na AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM wc WHERE slice = 0),
+         |nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM wc WHERE slice = 1),
+         |j AS (SELECT COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb,
+         |    CAST(COALESCE(a.c, 0) AS DOUBLE) / (SELECT na FROM na) AS p,
+         |    CAST(COALESCE(b.c, 0) AS DOUBLE) / (SELECT nb FROM nb) AS q
+         |  FROM (SELECT w, c FROM wc WHERE slice = 0) a
+         |  FULL OUTER JOIN (SELECT w, c FROM wc WHERE slice = 1) b
+         |    USING (w)),
+         |g AS (SELECT
+         |    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_words_a,
+         |    CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_words_b,
+         |    CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |    ${oSum("CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END", 9)} AS sp,
+         |    ${oSum("CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END", 9)} AS sq
+         |  FROM j)
+         |SELECT n_words_a, n_words_b, n_common,
+         |  ${oRound("0.5 * sp + 0.5 * sq", 6)} AS js_nats,
+         |  ${oRound(s"(0.5 * sp + 0.5 * sq) / ${math.log(2.0)}", 6)} AS js_norm
+         |FROM g""".stripMargin,
+    // Length profile: the agg_percentile idiom per source.
+    "llm_length_profile" ->
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ${oRound("quantile_cont(n_chars, 0.1)", 6)} AS p10_chars,
+         |  ${oRound("quantile_cont(n_chars, 0.5)", 6)} AS p50_chars,
+         |  ${oRound("quantile_cont(n_chars, 0.9)", 6)} AS p90_chars,
+         |  ${oRound(s"${oSum("CAST(n_chars AS DOUBLE)", 6)} / COUNT(n_chars)", 6)} AS mean_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // l-diversity: QI pair (lang, n_chars//100), sensitive = source;
     // group-total window runs over the aggregated (QI, source) frame;
     // entropy terms quantized at 1e-9 before the exact sum.

@@ -112,6 +112,63 @@ class GraphSpec extends SparkSpec {
     assert(got.values.sum % 3 == 0)
   }
 
+  test("graph_clustering_coeff replays 2T/(d(d-1)) against the triangle enumeration") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("graph_clustering_coeff")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val edges = (0 until n).flatMap { src =>
+      (1 to 3).map { i =>
+        val dst = h(s"$src:$i") % n
+        (math.min(src.toLong, dst), math.max(src.toLong, dst))
+      }
+    }.filter(e => e._1 < e._2).toSet
+    val adj = edges.groupBy(_._1).map { case (a, es) => a -> es.map(_._2) }
+    val tri = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, bs) <- adj.toSeq; b <- bs
+      c <- adj.getOrElse(b, Set.empty) if edges.contains((a, c))
+    } { tri(a) += 1; tri(b) += 1; tri(c) += 1 }
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = deg.map { case (v, d) =>
+      val t = tri(v)
+      v -> ((d, t, if (d >= 2) q6(2.0 * t / (d * (d - 1))) else 0.0))
+    }
+    assert(got == want)
+    assert(got.values.forall { case (_, _, c) => c >= 0.0 && c <= 1.0 })
+  }
+
+  test("graph_degree_dist replays the in-degree histogram incl. zero-degree nodes") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = SparkEntry.queries("graph_degree_dist")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val n = 500
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(sx: String): Long = {
+      val d = md.digest(sx.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val indeg = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    (0 until n).foreach { src =>
+      (1 to 3).foreach { i => indeg(h(s"$src:$i") % n) += 1 }
+    }
+    val byNode = (0 until n).map(v => indeg(v.toLong))
+    val want = byNode.groupBy(identity).map { case (d, vs) =>
+      d -> ((vs.size.toLong, q6(vs.size.toDouble / n))) }
+    assert(got == want)
+    // out-degree is constant 3, so in-degree mass must total 3n
+    assert(got.map { case (d, (c, _)) => d * c }.sum == 3L * n)
+    assert(got.contains(0L), "zero-in-degree nodes must be visible")
+  }
+
   test("graph_labelprop replays 3 synchronous driver-side rounds") {
     val got = SparkEntry.queries("graph_labelprop")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1526,6 +1526,69 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.forall { case (_, ce, ppl) => ce > 0 && ppl > 1.0 })
   }
 
+  test("jsDivergence: planted slices hit closed-form values; fixture row replays exactly") {
+    import spark.implicits._
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q9l(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    // identical distributions -> JS = 0
+    val same = Seq((0L, "x y"), (1L, "x y")).toDF("doc_id", "text")
+    val r0 = graft.queries.Text.jsDivergenceOf(same).collect()(0)
+    assert(r0.getDouble(3) == 0.0 && r0.getDouble(4) == 0.0)
+    // disjoint vocab -> JS = ln 2 (the upper bound), js_norm = 1
+    val disj = Seq((0L, "x x"), (1L, "y y")).toDF("doc_id", "text")
+    val r1 = graft.queries.Text.jsDivergenceOf(disj).collect()(0)
+    assert(math.abs(r1.getDouble(3) - math.log(2.0)) < 1e-6)
+    assert(math.abs(r1.getDouble(4) - 1.0) < 1e-6)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((1L, 1L, 0L)))
+    // fixture: full driver-side replay
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => ((r.getLong(0) % 2).toInt, w)))
+    val byKey = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val na = byKey.collect { case ((0, _), c) => c }.sum
+    val nb = byKey.collect { case ((1, _), c) => c }.sum
+    val vocab = byKey.keys.map(_._2).toSet
+    var sp = 0L; var sq = 0L
+    vocab.foreach { w =>
+      val ca = byKey.getOrElse((0, w), 0L); val cb = byKey.getOrElse((1, w), 0L)
+      val p = ca.toDouble / na; val q = cb.toDouble / nb
+      val m = (p + q) / 2
+      if (ca > 0) sp += q9l(p * math.log(p / m))
+      if (cb > 0) sq += q9l(q * math.log(q / m))
+    }
+    val js = 0.5 * (sp / 1e9) + 0.5 * (sq / 1e9)
+    val fx = SparkEntry.queries("llm_js_divergence")(spark, sfDir).collect()(0)
+    assert(fx.getDouble(3) == q6(js))
+    assert(fx.getDouble(4) == q6(js / math.log(2.0)))
+  }
+
+  test("lengthProfile: exact interpolated per-source percentiles replay") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def pct(sorted: Seq[Long], p: Double): Double = {
+      val rank = p * (sorted.length - 1)
+      val lo = rank.toInt; val frac = rank - lo
+      if (lo + 1 < sorted.length)
+        sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo).toDouble
+    }
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (src, rs) =>
+      val s = rs.map(_._2).sorted
+      val mean = rs.map(r =>
+        math.floor(r._2.toDouble * 1e6 + 0.5).toLong).sum / 1e6 / rs.length
+      src -> ((rs.length.toLong, q6(pct(s, 0.1)), q6(pct(s, 0.5)),
+        q6(pct(s, 0.9)), q6(mean)))
+    }
+    val got = SparkEntry.queries("llm_length_profile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == want)
+    assert(got.values.forall { case (_, a, b, c, _) => a <= b && b <= c })
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._

@@ -437,6 +437,63 @@ class SequenceSpec extends SparkSpec {
     assert(got.values.forall(_._3 <= math.log(k.toDouble) + 1e-6))
   }
 
+  test("markovPrediction: modal next state and accuracy replay from the matrix") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsu",
+        "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._2)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq
+    val want = trans.groupBy(_._1).map { case (prev, ts) =>
+      val byNext = ts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (modal, cnt) = byNext.toSeq.minBy { case (nx, c) => (-c, nx) }
+      prev -> ((ts.size.toLong, modal, cnt, q6(cnt.toDouble / ts.size)))
+    }
+    val got = SparkEntry.queries("seq_markov_prediction")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want)
+    // modal accuracy can never undercut the uniform baseline 1/#states
+    assert(got.values.forall(_._4 >= 1.0 / got.size - 1e-9))
+  }
+
+  test("interarrival: exact interpolated gap percentiles replay") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def pct(sorted: Seq[Long], p: Double): Double = {
+      val rank = p * (sorted.length - 1)
+      val lo = rank.toInt
+      val frac = rank - lo
+      if (lo + 1 < sorted.length)
+        sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo).toDouble
+    }
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(ts) AS tsu")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(e => (e._1, e._2)).values.flatMap { g =>
+      val s = g.sortBy(e => (e._4, e._3)).map(_._4)
+      s.zip(s.tail).map { case (a, b) =>
+        (g.head._2, java.lang.Math.floorDiv(b - a, 1000000L)) }
+    }.toSeq
+    val want = gaps.groupBy(_._1).map { case (t, gs) =>
+      val s = gs.map(_._2).sorted
+      t -> ((s.size.toLong, q6(pct(s, 0.5)), q6(pct(s, 0.9)), q6(pct(s, 0.99))))
+    }
+    val got = SparkEntry.queries("seq_interarrival")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want)
+    // quantile monotonicity
+    assert(got.values.forall { case (_, a, b, c) => a <= b && b <= c })
+  }
+
   test("Markov attribution fails loudly on a data-sized event_type column") {
     // The driver-side transition-matrix fold is bounded by channel-type
     // cardinality; nothing about the INPUT enforces that, so a corpus
