@@ -531,6 +531,14 @@ object Pipeline {
   def lengthProfile(docs: DataFrame): DataFrame =
     graft.queries.Text.lengthProfileOf(docs)
 
+  /** Asymmetric n-gram containment over pre-built LSH candidate pairs
+    * — the sub-document-duplicate detector symmetric Jaccard misses
+    * (the `embedded` flag fires on high containment at low Jaccard).
+    * `hashed` = [[graft.queries.Text.hashedWordsOf]] output (caller
+    * persists it); `pairs` needs (doc_a, doc_b). */
+  def ngramContainment(hashed: DataFrame, pairs: DataFrame): DataFrame =
+    graft.queries.Text.ngramContainmentFromHashed(hashed, pairs)
+
   /** URL-level dedup (RefinedWeb §3.1): canonicalize a `url` column
     * (strip fragments/default ports/trailing slashes/tracking params,
     * sort survivors), then per canonical key keep the best-quality doc

@@ -1131,7 +1131,8 @@ object SqlSurface {
     "llm_code_detect", "llm_topic_mix", "llm_lm_perplexity",
     "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate",
     "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
-    "seq_markov_prediction", "llm_js_divergence", "llm_length_profile")
+    "seq_markov_prediction", "llm_js_divergence", "llm_length_profile",
+    "llm_ngram_containment")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1179,7 +1180,8 @@ object SqlSurface {
     "llm_code_detect", "llm_topic_mix", "llm_lm_perplexity",
     "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate",
     "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
-    "seq_markov_prediction", "llm_js_divergence", "llm_length_profile")
+    "seq_markov_prediction", "llm_js_divergence", "llm_length_profile",
+    "llm_ngram_containment")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
     * parsing bare numeric literals as DECIMAL where the builder used

@@ -687,6 +687,64 @@ object Text {
     verifiedBigramPairsOf(Tables.t(s, dir, "documents"))
       .orderBy("doc_a", "doc_b")
 
+  /** Asymmetric n-gram CONTAINMENT over the LSH candidate pairs
+    * (Broder SEQUENCES 1997 distinguished resemblance from
+    * containment for exactly this case): C(A→B) = |A∩B| / |A| catches
+    * a document EMBEDDED in another — quote-and-extend posts, licence
+    * headers inside larger files — which symmetric Jaccard
+    * structurally underscores (a small doc inside a huge one has
+    * jac ≈ |A|/|B| ≈ 0 but containment ≈ 1). The `embedded` flag fires
+    * on high max-containment with low Jaccard: the sub-document-dup
+    * signature `llm_ngram_jaccard` cannot see.
+    *
+    * Scale shape: [[ngramJaccardFromHashed]]'s exactly — shared
+    * [[hashedWordsOf]] persist (one md5 pass), banded-LSH candidates
+    * (never all-pairs), intersection via the id-only explode/equi-join
+    * two-phase count; per-side sizes join back on the doc key. */
+  private[graft] def ngramContainmentFromHashed(hashed: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val gramSet = when(size(col("hs")) >= 2, hashGramCol(2))
+      .otherwise(array().cast("array<long>"))
+    val g = hashed.select(col("doc_id"), gramSet.as("g"))
+    val sizes = g.select(col("doc_id"), size(col("g")).as("n"))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val ex = g.select(col("doc_id"), explode(col("g")).as("g"))
+    val inter = p
+      .join(ex.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    p
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        when(col("n_a") === 0, lit(0.0))
+          .otherwise(dround(coalesce(col("n_inter"), lit(0L)) * lit(1.0)
+            / col("n_a"), 6)).as("cont_a"),
+        when(col("n_b") === 0, lit(0.0))
+          .otherwise(dround(coalesce(col("n_inter"), lit(0L)) * lit(1.0)
+            / col("n_b"), 6)).as("cont_b"),
+        when(col("n_a") + col("n_b") === 0, lit(0.0))
+          .otherwise(dround(coalesce(col("n_inter"), lit(0L)) * lit(1.0)
+            / (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6))
+          .as("jaccard"))
+      .withColumn("embedded",
+        greatest(col("cont_a"), col("cont_b")) >= 0.8 && col("jaccard") < 0.5)
+  }
+
+  val llmNgramContainment: Q = (s, dir) => {
+    val hashed = hashedWordsOf(Tables.t(s, dir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count() // eager: candidates + grams consume it concurrently
+    val sets = signaturesFromHashed(hashed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
+    ngramContainmentFromHashed(hashed, minhashCandidates(sets))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Train/val split-leakage audit — the self-contamination check
     * `llm_contamination` (corpus vs EXTERNAL eval set) cannot do: when
     * near-duplicate docs straddle the train/val split, validation loss
@@ -6661,6 +6719,7 @@ object Text {
     "llm_lm_perplexity" -> llmLmPerplexity,
     "llm_js_divergence" -> llmJsDivergence,
     "llm_length_profile" -> llmLengthProfile,
+    "llm_ngram_containment" -> llmNgramContainment,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
     "llm_textrank" -> llmTextrank,
@@ -7322,6 +7381,36 @@ object Text {
          |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
          |FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Containment: the ngram_jaccard chain with asymmetric |A∩B|/|A|
+    // read-outs; embedded = high max-containment at low Jaccard, off
+    // the already-quantized values (no float boundary).
+    "llm_ngram_containment" -> {
+      s"""WITH $minhashPairsCtes,
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |g AS (
+         |  SELECT doc_id, ${hashGramSql(2)} AS g
+         |  FROM ($wordHashSql) t),
+         |j AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_filter(a.g, x -> list_contains(b.g, x))) AS ni,
+         |    len(a.g) AS n_a, len(b.g) AS n_b
+         |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
+         |  JOIN g b ON b.doc_id = c.doc_b),
+         |j2 AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |    CAST(ni AS BIGINT) AS n_inter,
+         |    CASE WHEN n_a = 0 THEN 0.0
+         |      ELSE ${oRound("ni * 1.0 / n_a", 6)} END AS cont_a,
+         |    CASE WHEN n_b = 0 THEN 0.0
+         |      ELSE ${oRound("ni * 1.0 / n_b", 6)} END AS cont_b,
+         |    CASE WHEN n_a + n_b = 0 THEN 0.0
+         |      ELSE ${oRound("ni * 1.0 / (n_a + n_b - ni)", 6)} END AS jaccard
+         |  FROM j)
+         |SELECT doc_a, doc_b, n_a, n_b, n_inter, cont_a, cont_b, jaccard,
+         |  (GREATEST(cont_a, cont_b) >= 0.8 AND jaccard < 0.5) AS embedded
+         |FROM j2 ORDER BY doc_a, doc_b""".stripMargin
+    },
     // Split leakage: the ngram_jaccard chain verbatim, each side tagged
     // with the split_assign md5-bucket rule, aggregated per category.
     "llm_split_leakage" -> {

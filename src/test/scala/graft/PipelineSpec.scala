@@ -1526,6 +1526,32 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.forall { case (_, ce, ppl) => ce > 0 && ppl > 1.0 })
   }
 
+  test("ngramContainment: an embedded sub-document flags where Jaccard cannot") {
+    import spark.implicits._
+    // doc 2 is a verbatim 6-word prefix of doc 1 (5 shared bigrams, 19
+    // total in doc 1): containment(2->1) = 1.0 while jaccard = 5/19
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, (1 to 6).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val hashed = graft.queries.Text.hashedWordsOf(docs)
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = graft.queries.Text.ngramContainmentFromHashed(hashed, pairs)
+      .collect()(0)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((19L, 5L, 5L)),
+      s"sizes: $r")
+    assert(r.getDouble(6) == 1.0, s"cont_b must be 1.0: $r") // B inside A
+    assert(r.getDouble(7) < 0.5 && r.getBoolean(8),
+      s"embedded flag must fire at high containment / low jaccard: $r")
+    // registered query replays the full LSH->containment chain
+    val fx = SparkEntry.queries("llm_ngram_containment")(spark, sfDir).collect()
+    fx.foreach { row =>
+      val (na, nb, ni) = (row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(ni <= math.min(na, nb), s"intersection bound: $row")
+      assert(row.getDouble(7) <= math.min(row.getDouble(5), row.getDouble(6))
+        + 1e-9, s"jaccard <= min containment: $row")
+    }
+  }
+
   test("jsDivergence: planted slices hit closed-form values; fixture row replays exactly") {
     import spark.implicits._
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
