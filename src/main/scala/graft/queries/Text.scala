@@ -5628,6 +5628,11 @@ object Text {
     * the union sketch's k values present in BOTH slice sketches;
     * intersection ≈ jaccard × union.
     *
+    * Precondition — BOTH slices must be non-empty: an input whose
+    * doc_ids are all one parity collapses the per-slice estimate
+    * frames and the final row vanishes (the didOf-style crossJoin
+    * shape; on the registered fixture both parities always exist).
+    *
     * Scale shape: one distinct (slice, word) pass (two-phase), md5
     * 48-bit uniform hashes, then per-slice k-minima via the
     * row_number ≤ k rewrite (TopKPerKeyExec: bounded heaps with the
@@ -5913,7 +5918,10 @@ object Text {
     * Scale shape: one (slice, word) two-phase count is the corpus-
     * sized pass; the slice totals collapse to ONE broadcast row and
     * the divergence is a full-outer join on the vocab key + one agg —
-    * window-free.
+    * window-free. Precondition — both slices non-empty: an all-one-
+    * parity input zeroes a totals divisor and the divergence reads
+    * null (the didOf doc convention; both parities always exist on
+    * the registered fixture).
     *
     * Determinism: each p·ln(p/m) term quantizes at 1e-9 before the
     * exact sum; absent-side terms are exact zeros in both engines. */

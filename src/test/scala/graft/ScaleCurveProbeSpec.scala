@@ -65,6 +65,22 @@ class ScaleCurveProbeSpec extends SparkSpec {
   // graph_hits (r17): 6 edge⋈score half-steps over the persisted edge
   // list — a lost edge persist re-scans the corpus ~11x per run and a
   // lost equi-key would wedge-square the join; both trip here first.
+  // Per-commit wall-clock bound (r19, verdict item 7 — at 12 curves ×
+  // 8 timed runs this was the suite's LARGEST sink, ~170 s): unless
+  // SPARK_GRAFT_SCALE_PROBE=full, run a stable md5-keyed third of the
+  // curve list (the SqlSurfaceSpec sampling convention — never rotates
+  // silently); close-of-round runs set the env var for the complete
+  // sweep, so every curve still gates every round. A curve for a query
+  // TOUCHED this round belongs in recentAdditions, which always runs.
+  private val fullCurves =
+    sys.env.get("SPARK_GRAFT_SCALE_PROBE").contains("full")
+  private def curveSampled(name: String): Boolean =
+    fullCurves || {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ((md.digest(name.getBytes("UTF-8"))(3) & 0xff) % 3) == 0 ||
+        graft.queries.SqlSurface.recentAdditions.contains(name)
+    }
+
   Seq("llm_dedup_cc", "llm_semdedup_cc", "llm_ngram_jaccard",
       "llm_ann_ivf", "llm_ann_pq", "llm_ann_ivfpq",
       "llm_cluster_sample", "join_range_bin",
@@ -72,6 +88,8 @@ class ScaleCurveProbeSpec extends SparkSpec {
       "llm_heaps_law", "graph_hits").foreach { name =>
     test(s"$name grows sub-quadratically over the 10x corpus step") {
       assume(!skip, "SPARK_GRAFT_SKIP_SCALE_PROBE=1")
+      assume(curveSampled(name),
+        "outside the per-commit md5 third (SPARK_GRAFT_SCALE_PROBE=full sweeps)")
       val lo = minTime(name, loDir)
       val hi = minTime(name, hiDir)
       val ratio = hi / lo
