@@ -531,6 +531,12 @@ object Pipeline {
   def lengthProfile(docs: DataFrame): DataFrame =
     graft.queries.Text.lengthProfileOf(docs)
 
+  /** Near-dup threshold sensitivity curve: per candidate Jaccard cut
+    * (0.5–0.9), the verified pairs and distinct docs a dedup pass at
+    * that cut would touch. Input needs (doc_id, text). */
+  def dedupThresholdCurve(docs: DataFrame): DataFrame =
+    graft.queries.Text.dedupThresholdCurveOf(docs)
+
   /** Asymmetric n-gram containment over pre-built LSH candidate pairs
     * — the sub-document-duplicate detector symmetric Jaccard misses
     * (the `embedded` flag fires on high containment at low Jaccard).

@@ -622,8 +622,39 @@ object Graph {
       .orderBy("indeg")
   }
 
+  /** Component-size histogram over [[cc]]'s labels — the read that
+    * makes a components run actionable (dedup wants "how many docs
+    * collapse", infra wants "is there a giant component"): per
+    * distinct size, the component count, total nodes, and node share.
+    *
+    * Scale shape: [[cc]]'s audited star-contraction verbatim, then two
+    * bounded rollups — per-label sizes (≤ #components rows) and the
+    * SIZE-bounded histogram; share divisor on the broadcast 1-row
+    * total. */
+  val ccSizes: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val intra = raw.filter(pmod(col("src"), lit(16)) === pmod(col("dst"), lit(16)))
+    graft.queries.Text.connectedComponents(ids, intra)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(nDf))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_nodes"),
+        dround((col("size") * col("n_components")).cast("double")
+          / col("n"), 6).as("node_share"))
+      .orderBy("size")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_cc" -> cc,
+    "graph_cc_sizes" -> ccSizes,
     "graph_clustering_coeff" -> clusteringCoeff,
     "graph_degree_dist" -> degreeDist,
     "graph_hits" -> hits,
@@ -713,6 +744,31 @@ object Graph {
         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
         |SELECT node AS doc_id, MIN(reach) AS cluster_id
         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    // Component-size histogram: the graph_cc closure + two bounded
+    // rollups; node share off a scalar-subquery total.
+    "graph_cc_sizes" ->
+      s"""WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |intra AS (SELECT src, dst FROM raw WHERE src % 16 = dst % 16),
+         |edges AS (SELECT src AS a, dst AS b FROM intra
+         |          UNION SELECT dst, src FROM intra),
+         |walk AS (
+         |  SELECT doc_id AS node, doc_id AS reach FROM ids
+         |  UNION
+         |  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         |lab AS (SELECT node, MIN(reach) AS cluster_id
+         |  FROM walk GROUP BY node),
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+         |  FROM lab GROUP BY 1)
+         |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components,
+         |  CAST(size * COUNT(*) AS BIGINT) AS n_nodes,
+         |  ${oRound("CAST(size * COUNT(*) AS DOUBLE) / (SELECT n FROM nn)", 6)} AS node_share
+         |FROM cs GROUP BY size ORDER BY size""".stripMargin,
     // Same closure; 4 unrolled peel rounds, survivors' within-core
     // degree.
     // Same undirected closure; 4 unrolled BFS relaxations from the

@@ -1132,7 +1132,7 @@ object SqlSurface {
     "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate",
     "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
     "seq_markov_prediction", "llm_js_divergence", "llm_length_profile",
-    "llm_ngram_containment")
+    "llm_ngram_containment", "llm_dedup_threshold_curve")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1181,7 +1181,7 @@ object SqlSurface {
     "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate",
     "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
     "seq_markov_prediction", "llm_js_divergence", "llm_length_profile",
-    "llm_ngram_containment")
+    "llm_ngram_containment", "llm_dedup_threshold_curve")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
     * parsing bare numeric literals as DECIMAL where the builder used
@@ -1530,7 +1530,8 @@ object SqlSurface {
       "llm_dedup_cc" -> "connected components — oracle uses WITH RECURSIVE … UNION (distinct), which Spark 4 recursive CTEs don't support (UNION ALL only)",
       "llm_semdedup_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
       "llm_cluster_sample" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
-      "graph_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc")
+      "graph_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
+      "graph_cc_sizes" -> "same recursive-CTE UNION limitation as llm_dedup_cc")
     val vectorDialect = Seq(
       "llm_mmr_rerank" -> "the greedy MMR selection loop is a typed flatMapGroups (imperative per-group state) — not single-statement SQL; the oracle replays it with QUALIFY recursion")
     // r17: the former gate-divergent category is EMPTY — all three

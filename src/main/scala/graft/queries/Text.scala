@@ -734,6 +734,46 @@ object Text {
         greatest(col("cont_a"), col("cont_b")) >= 0.8 && col("jaccard") < 0.5)
   }
 
+  /** Near-dup threshold sensitivity curve — the calibration read
+    * behind picking the Jaccard cut every dedup pipeline hardcodes
+    * (Lee et al. use 0.8; RefinedWeb 0.85; the right value is
+    * corpus-dependent): for each candidate threshold, how many
+    * verified pairs and how many distinct docs would a dedup pass at
+    * that cut touch. A curve with a knee says the threshold matters; a
+    * flat one says the dup mass is unambiguous.
+    *
+    * Scale shape: the verified-pair frame is [[verifiedBigramPairsOf]]
+    * verbatim (banded LSH, never all-pairs); the 5-row threshold
+    * literal broadcasts into a non-equi join (≤ 5× the PAIR frame,
+    * never the corpus), and every rollup is pair-bounded. Thresholds
+    * with zero qualifying pairs stay visible via the left join (the
+    * srm silent-vanish rule).
+    *
+    * Determinism: bigram_jac is already 1e-6-quantized, so >= against
+    * the literal thresholds has no float boundary. */
+  private[graft] def dedupThresholdCurveOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = verifiedBigramPairsOf(docs)
+    val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+    val qual = pairs.join(broadcast(ths),
+      pairs("bigram_jac") >= ths("threshold"))
+    val cnt = qual.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docsIn = qual
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_dup_docs"))
+    ths.join(cnt, Seq("threshold"), "left")
+      .join(docsIn, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+      .orderBy("threshold")
+  }
+
+  val llmDedupThresholdCurve: Q = (s, dir) =>
+    dedupThresholdCurveOf(Tables.t(s, dir, "documents"))
+
   val llmNgramContainment: Q = (s, dir) => {
     val hashed = hashedWordsOf(Tables.t(s, dir, "documents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -6728,6 +6768,7 @@ object Text {
     "llm_js_divergence" -> llmJsDivergence,
     "llm_length_profile" -> llmLengthProfile,
     "llm_ngram_containment" -> llmNgramContainment,
+    "llm_dedup_threshold_curve" -> llmDedupThresholdCurve,
     "llm_mmr_rerank" -> llmMmrRerank,
     "llm_collocations" -> llmCollocations,
     "llm_textrank" -> llmTextrank,
@@ -7389,6 +7430,39 @@ object Text {
          |    len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
          |FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Threshold curve: the jaccard chain + a 5-row threshold frame;
+    // zero-pair thresholds stay visible via the left joins; the
+    // threshold column CASTs to DOUBLE (a bare VALUES decimal would
+    // type-mismatch the builder's double).
+    "llm_dedup_threshold_curve" -> {
+      s"""WITH $minhashPairsCtes,
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |g AS (
+         |  SELECT doc_id, ${hashGramSql(2)} AS g
+         |  FROM ($wordHashSql) t),
+         |j AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(FLOOR((len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0 /
+         |      len(list_distinct(list_concat(a.g, b.g))))*1000000.0+0.5) AS DOUBLE)/1000000.0 AS bigram_jac
+         |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
+         |  JOIN g b ON b.doc_id = c.doc_b),
+         |th AS (SELECT CAST(t AS DOUBLE) AS threshold
+         |  FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t)),
+         |q AS (SELECT th.threshold, j.doc_a, j.doc_b
+         |  FROM j JOIN th ON j.bigram_jac >= th.threshold),
+         |c AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM q GROUP BY 1),
+         |d AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT DISTINCT threshold, d FROM (
+         |      SELECT threshold, doc_a AS d FROM q
+         |      UNION ALL SELECT threshold, doc_b FROM q) u0) u
+         |  GROUP BY 1)
+         |SELECT th.threshold,
+         |  CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+         |FROM th LEFT JOIN c USING (threshold) LEFT JOIN d USING (threshold)
+         |ORDER BY threshold""".stripMargin
+    },
     // Containment: the ngram_jaccard chain with asymmetric |A∩B|/|A|
     // read-outs; embedded = high max-containment at low Jaccard, off
     // the already-quantized values (no float boundary).

@@ -169,6 +169,23 @@ class GraphSpec extends SparkSpec {
     assert(got.contains(0L), "zero-in-degree nodes must be visible")
   }
 
+  test("graph_cc_sizes aggregates graph_cc's labels exactly") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val labels = SparkEntry.queries("graph_cc")(spark, sfDir).collect()
+      .map(r => r.getLong(1))
+    val n = labels.length
+    val want = labels.groupBy(identity).values.map(_.size)
+      .groupBy(identity).map { case (size, comps) =>
+        size.toLong -> ((comps.size.toLong, size.toLong * comps.size,
+          q6(size.toDouble * comps.size / n))) }
+    val got = SparkEntry.queries("graph_cc_sizes")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == want)
+    // every node lands in exactly one component
+    assert(got.values.map(_._2).sum == n)
+  }
+
   test("graph_labelprop replays 3 synchronous driver-side rounds") {
     val got = SparkEntry.queries("graph_labelprop")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

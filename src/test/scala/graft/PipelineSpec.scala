@@ -1552,6 +1552,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupThresholdCurve: counts agree with the verified-pair frame and decrease monotonically") {
+    val pairs = SparkEntry.queries("llm_ngram_jaccard")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = SparkEntry.queries("llm_dedup_threshold_curve")(spark, sfDir)
+      .collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(0.5, 0.6, 0.7, 0.8, 0.9))
+    got.foreach { case (t, (np, nd)) =>
+      val q = pairs.filter(_._3 >= t)
+      assert(np == q.length, s"pairs at $t")
+      assert(nd == q.flatMap(p => Seq(p._1, p._2)).distinct.length,
+        s"docs at $t")
+    }
+    // monotone: raising the cut can only shrink the dup mass
+    val byT = got.toSeq.sortBy(_._1).map(_._2)
+    assert(byT.zip(byT.tail).forall { case ((p1, d1), (p2, d2)) =>
+      p2 <= p1 && d2 <= d1 })
+  }
+
   test("jsDivergence: planted slices hit closed-form values; fixture row replays exactly") {
     import spark.implicits._
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
