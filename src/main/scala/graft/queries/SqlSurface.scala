@@ -1132,7 +1132,13 @@ object SqlSurface {
     "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate",
     "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
     "seq_markov_prediction", "llm_js_divergence", "llm_length_profile",
-    "llm_ngram_containment", "llm_dedup_threshold_curve")
+    "llm_ngram_containment", "llm_dedup_threshold_curve",
+    // r19 ADVICE: duck-skipped queries are rightly absent from
+    // `translated`, but recentAdditions ALSO feeds the determinism and
+    // scale-curve per-commit samples — a new name must be listed here
+    // even when it has no surface text, or it dodges every per-commit
+    // gate until the close-of-round full sweep by md5 luck.
+    "graph_cc_sizes")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",

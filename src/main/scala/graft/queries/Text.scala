@@ -5691,7 +5691,17 @@ object Text {
       // differing projections break canonical equality for stage reuse
       // (the lm_kn measured case), so the cache barrier wins.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count() // eager: concurrent consumers race the cache
+    // Eager materialization (concurrent consumers race the cache), doubled
+    // as the precondition gate (r19 ADVICE): the documented all-one-parity
+    // edge used to fail DIFFERENTLY per engine — the Spark crossJoin of an
+    // empty slice frame emits zero rows while the DuckDB oracle's scalar
+    // subqueries emit one row of NULLs. Fail loudly instead, the
+    // attributionMarkovOf convention; one cheap job over the cached frame.
+    val parities = words.select("slice").distinct().collect()
+      .map(_.getInt(0)).sorted
+    require(parities.sameElements(Array(0, 1)),
+      s"sketch_setops: both doc_id parities must be present to define the " +
+        s"two corpus slices (found: ${parities.mkString(",")})")
     val hashed = words.select(col("slice"), col("w"),
       (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("double")
         / lit(281474976710656.0)).as("h"))
@@ -5817,8 +5827,19 @@ object Text {
         size(filter(col("ws"), w => array_contains(kwArr, w))).as("n_kw"),
         size(col("ws")).as("n_words"))
       .select(col("source"),
-        dround(lit(5.0) * col("n_sym") / col("n_chars")
-          + lit(2.0) * col("n_kw") / col("n_words"), 6).as("score"))
+        // zero-denominator guard (r19 ADVICE): an empty text has
+        // n_chars = 0 — unguarded, Spark yields NULL (silently dropping
+        // the doc from code_docs/avg_score while n_docs still counts it)
+        // where DuckDB's IEEE double division yields Infinity; both
+        // ratios score 0.0 instead, matching the ngramJaccard/
+        // ngramContainment zero-denominator convention. n_words cannot
+        // be 0 (split of "" is [""]) but gets the same guard so the
+        // builder and oracle never diverge on a degenerate tokenizer.
+        dround(when(col("n_chars") === 0, lit(0.0))
+            .otherwise(lit(5.0) * col("n_sym") / col("n_chars"))
+          + when(col("n_words") === 0, lit(0.0))
+            .otherwise(lit(2.0) * col("n_kw") / col("n_words")), 6)
+          .as("score"))
     scored.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score") >= thresh, 1L).otherwise(0L)).as("code_docs"),
@@ -5973,8 +5994,21 @@ object Text {
       .filter(length(col("w")) > 0)
       .groupBy("slice", "w").agg(count(lit(1)).as("c"))
     val tot = counts.groupBy().agg(
-      sum(when(col("slice") === 0, col("c")).otherwise(0L)).as("na"),
-      sum(when(col("slice") === 1, col("c")).otherwise(0L)).as("nb"))
+        sum(when(col("slice") === 0, col("c")).otherwise(0L)).as("na0"),
+        sum(when(col("slice") === 1, col("c")).otherwise(0L)).as("nb"))
+      // In-plan precondition gate (r19 ADVICE): an all-one-parity corpus
+      // has no second distribution — unguarded, na or nb is 0 and the
+      // two engines fail DIFFERENTLY (Spark nulls through the division,
+      // DuckDB IEEE-divides). Fail loudly instead. assert_true rides
+      // inside the projection of a column the query actually consumes
+      // (coalesce(assert_true(...), na) ≡ na when the check passes), so
+      // column pruning cannot optimize the check away.
+      .select(
+        coalesce(assert_true(col("na0") > 0 && col("nb") > 0,
+          lit("js_divergence: both doc_id parities must be present — " +
+            "an all-one-parity corpus has no second distribution")),
+          col("na0")).as("na"),
+        col("nb"))
     val ca = counts.filter(col("slice") === 0).select(col("w"), col("c").as("ca"))
     val cb = counts.filter(col("slice") === 1).select(col("w"), col("c").as("cb"))
     ca.join(cb, Seq("w"), "full_outer")
@@ -9138,7 +9172,7 @@ object Text {
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
          |  FROM documents),
          |sc AS (SELECT source,
-         |    ${oRound("5.0 * CAST(n_sym AS DOUBLE) / n_chars + 2.0 * CAST(n_kw AS DOUBLE) / n_words", 6)} AS score
+         |    ${oRound("CASE WHEN n_chars = 0 THEN 0.0 ELSE 5.0 * CAST(n_sym AS DOUBLE) / n_chars END + CASE WHEN n_words = 0 THEN 0.0 ELSE 2.0 * CAST(n_kw AS DOUBLE) / n_words END", 6)} AS score
          |  FROM s)
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)

@@ -166,12 +166,20 @@ class ExtensionsSpec extends SparkSpec {
         .partitionBy("k").orderBy(col("v"), col("id"))
       val top = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       val plan = top.queryExecution.executedPlan
-      val s = plan.toString
-      assert(s.contains("TopKPerKeyPartial"), s"partial phase missing:\n$s")
-      // partial sits BELOW the exchange, final above it
-      assert(s.indexOf("TopKPerKeyExec") < s.indexOf("Exchange") &&
-        s.indexOf("Exchange") < s.indexOf("TopKPerKeyPartial"),
-        s"phases not split around the exchange:\n$s")
+      // partial sits BELOW the exchange, final above it. Walk the typed
+      // preorder traversal (parent before child) rather than indexOf on
+      // the plan STRING: plan strings print nodeName (which strips the
+      // trailing "Exec"), so "TopKPerKeyExec" never appears and
+      // "TopKPerKey" would prefix-match the partial too (r19 ADVICE —
+      // the old string check was vacuously true).
+      val phases = plan.collect {
+        case _: graft.plans.TopKPerKeyExec => "final"
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          "exchange"
+        case _: graft.plans.TopKPerKeyPartialExec => "partial"
+      }
+      assert(phases == Seq("final", "exchange", "partial"),
+        s"phases not split around the exchange: $phases\n$plan")
       // collect THIS queryExecution (a .select would plan a fresh one
       // whose metrics the captured `plan` object never sees)
       val got = top.collect()
