@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -7,7 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Grouped top-k pushdown — the full custom-operator ladder (SURVEY.md
   * §2.10 / builder-brief option (c)): a `Rule[LogicalPlan]` rewrites the
@@ -24,20 +28,34 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * but NO sort — at 100 TB this removes the dominant n·log n term and the
   * spill pressure of sort-based windowing for top-k queries.
   *
-  * Memory bound, stated precisely: a HOT KEY costs nothing extra — its
+  * Memory posture, stated precisely: a HOT KEY costs nothing extra — its
   * heap never holds more than k rows however many billions stream
   * through it (ExtensionsSpec drives 1M wide rows through one key under
   * a heap that could not hold them). What the operator retains per
-  * partition is exactly its OUTPUT for that partition (≤ k rows per
-  * distinct key), so the only way to exceed memory is an output that
-  * would not fit either — a high-distinct-key partition, mitigated by
-  * raising shuffle partitions (keys redistribute; per-key cost is
-  * unaffected). Unlike WindowExec this operator does NOT spill: that is
-  * the deliberate trade — the rewrite only fires on literal small k,
-  * where retained-equals-output makes a spill path dead weight. If a
-  * spilling variant is ever needed, fall back is trivial (the rewrite
-  * is a Rule; removing it re-plans the same query as WindowExec, which
-  * spills).
+  * partition is its OUTPUT for that partition (≤ k rows per distinct
+  * key) — bounded for value-domain keys, but PARTITION-SIZED when the
+  * key is data-sized (keys ≈ rows: tf-idf per-doc tops, dedup keepers).
+  * The r19 verdict flagged exactly that adopter class, so retention is
+  * now bounded on BOTH phases instead of documented away:
+  *
+  *  - The PARTIAL (map-side) phase watches its distinct-keys/seen ratio
+  *    over a sample prefix and abandons the heaps for pass-through when
+  *    the pre-pass is not cutting the shuffle (keys > half of seen, the
+  *    keys≈rows signature) or when retention hits the absolute cap.
+  *    Always safe — the final phase re-ranks whatever reaches it; the
+  *    bail merely forfeits a map-side reduction that wasn't happening.
+  *  - The FINAL phase caps retention at `spark.graft.topk.maxRetained`
+  *    rows; past the cap it hands the partition to an
+  *    [[UnsafeExternalRowSorter]] (the spilling sort machinery
+  *    `SortExec` itself rides) ordered on (keys, order) and streams
+  *    ranks off the grouped runs — exactly the WindowExec shape, chosen
+  *    ONLY on partitions where retained-equals-output stopped being a
+  *    memory bound. Small-k/value-domain adopters never hit either
+  *    path and keep the sort-free plan.
+  *
+  * Both bailouts surface as SQLMetrics (`passThroughParts`,
+  * `spilledParts`) so a plan that silently degraded to sort is visible
+  * in the UI and assertable in tests.
   *
   * All registered via [[graft.GraftExtensions]]; semantics are covered by
   * the oracle gate because the test session runs with the extension on.
@@ -55,36 +73,72 @@ case class TopKPerKeyNode(
     copy(child = newChild)
 }
 
-/** The bounded per-key heap pass shared by the partial and final
-  * phases: one LinkedHashMap of k+1-capacity max-heaps (head = worst
-  * retained row), hot keys cost nothing beyond their k retained rows. */
-private[plans] object TopKHeaps {
-  def run(it: Iterator[InternalRow], kLocal: Int,
-      partExprs: Seq[Expression], sortOrder: Seq[SortOrder],
-      childOutput: Seq[Attribute])
-  : java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
-    val keyProj = UnsafeProjection.create(partExprs, childOutput)
-    val ord = GenerateOrdering.generate(
-      sortOrder.map(BindReferences.bindReference(_, childOutput)))
-    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    val cmp = new java.util.Comparator[InternalRow] {
-      override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+/** Session-conf knobs shared by both phases (read at doExecute time on
+  * the driver, so tests and tuning sessions can set them per-query). */
+private[plans] object TopKConf {
+  val MaxRetainedKey = "spark.graft.topk.maxRetained"
+  val SampleRowsKey = "spark.graft.topk.partialSampleRows"
+  val MaxRetainedDefault = 4000000L
+  val SampleRowsDefault = 4096L
+}
+
+/** The bounded per-key heap pass shared by the partial and final phases:
+  * one LinkedHashMap of k+1-capacity max-heaps (head = worst retained
+  * row), hot keys cost nothing beyond their k retained rows. Tracks
+  * `seen`/`retained` so callers can bail when retention stops being a
+  * reduction. */
+private[plans] final class TopKHeaps(
+    kLocal: Int, partExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder], childOutput: Seq[Attribute]) {
+
+  private val keyProj = UnsafeProjection.create(partExprs, childOutput)
+  private[plans] val ord = GenerateOrdering.generate(
+    sortOrder.map(BindReferences.bindReference(_, childOutput)))
+  private val cmp = new java.util.Comparator[InternalRow] {
+    override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+  }
+  private[plans] val heaps =
+    new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+  var seen = 0L
+  var retained = 0L
+
+  def insert(row: InternalRow): Unit = {
+    seen += 1
+    val key = keyProj(row)
+    var pq = heaps.get(key)
+    if (pq == null) {
+      pq = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp)
+      heaps.put(key.copy(), pq)
     }
-    while (it.hasNext) {
-      val row = it.next()
-      val key = keyProj(row)
-      var pq = heaps.get(key)
-      if (pq == null) {
-        pq = new java.util.PriorityQueue[InternalRow](kLocal + 1, cmp)
-        heaps.put(key.copy(), pq)
-      }
-      if (pq.size() < kLocal) {
-        pq.add(row.copy())
-      } else if (ord.compare(row, pq.peek()) < 0) {
-        pq.poll(); pq.add(row.copy())
+    if (pq.size() < kLocal) {
+      pq.add(row.copy())
+      retained += 1
+    } else if (ord.compare(row, pq.peek()) < 0) {
+      pq.poll(); pq.add(row.copy())
+    }
+  }
+
+  /** Retained rows, heap order (callers re-rank). */
+  def retainedIterator: Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+  }
+
+  /** Retained rows ranked 1..k per key (drains the heaps). */
+  def rankedIterator(rnAttr: Attribute): Iterator[InternalRow] = {
+    val outProj = UnsafeProjection.create(childOutput :+ rnAttr, childOutput :+ rnAttr)
+    val rnRow = new GenericInternalRow(1)
+    val joined = new JoinedRow
+    import scala.jdk.CollectionConverters._
+    heaps.values().iterator().asScala.flatMap { pq =>
+      val rows = new Array[InternalRow](pq.size())
+      var i = rows.length - 1
+      while (i >= 0) { rows(i) = pq.poll(); i -= 1 } // drain: worst-first → reverse fill
+      rows.iterator.zipWithIndex.map { case (r, idx) =>
+        rnRow.setInt(0, idx + 1)
+        outProj(joined(r, rnRow))
       }
     }
-    heaps
   }
 }
 
@@ -97,7 +151,15 @@ private[plans] object TopKHeaps {
   * one reducer (r18 verdict item 4). Emits retained rows unranked;
   * the final phase re-heaps and assigns rn. Correct because any row
   * in a key's GLOBAL top-k is necessarily in the top-k of its own
-  * input partition. */
+  * input partition.
+  *
+  * Data-sized keys (r19 verdict item 1): after `partialSampleRows`
+  * rows, a distinct-keys/seen ratio above 1/2 means nearly every row is
+  * its own key and the pre-pass cannot reduce the shuffle — abandon the
+  * heaps and PASS THROUGH (emit what is held, then stream the rest
+  * untouched; the final phase re-ranks, so this is always correct). An
+  * absolute `maxRetained` cap backstops inputs whose retention only
+  * degrades late. */
 case class TopKPerKeyPartialExec(
     k: Int,
     partitionExprs: Seq[Expression],
@@ -109,16 +171,38 @@ case class TopKPerKeyPartialExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "passThroughParts" -> SQLMetrics.createMetric(sparkContext,
+      "partitions bailed to pass-through (data-sized keys)"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val childOutput = child.output
     val partExprs = partitionExprs
     val sortOrder = order
+    val sampleRows = conf.getConfString(
+      TopKConf.SampleRowsKey, TopKConf.SampleRowsDefault.toString).toLong
+    val maxRetained = conf.getConfString(
+      TopKConf.MaxRetainedKey, TopKConf.MaxRetainedDefault.toString).toLong
+    val passThroughParts = longMetric("passThroughParts")
     child.execute().mapPartitions({ it =>
-      val heaps = TopKHeaps.run(it, kLocal, partExprs, sortOrder, childOutput)
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { pq =>
-        pq.iterator().asScala // heap order is fine — the final phase re-ranks
+      val h = new TopKHeaps(kLocal, partExprs, sortOrder, childOutput)
+      var bail = false
+      while (it.hasNext && !bail) {
+        h.insert(it.next())
+        // keys/seen — not retained/seen — is the discriminator: a
+        // few-keys × large-k partition legitimately retains its whole
+        // sample prefix while the heaps fill, but its KEY count
+        // plateaus immediately; only data-sized keys track `seen`.
+        bail = (h.seen >= sampleRows && h.heaps.size().toLong * 2 > h.seen) ||
+          h.retained > maxRetained
+      }
+      if (bail && it.hasNext) {
+        passThroughParts += 1
+        h.retainedIterator ++ it // final phase re-ranks; no copies for the rest
+      } else {
+        if (bail) passThroughParts += 1
+        h.retainedIterator
       }
     }, preservesPartitioning = true)
   }
@@ -142,25 +226,76 @@ case class TopKPerKeyExec(
     else ClusteredDistribution(partitionExprs) :: Nil
 
   // deliberately NO requiredChildOrdering — avoiding the sort is the point
+  // on the heap path; the spill fallback sorts ONLY the partitions whose
+  // retention tripped the cap.
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "spilledParts" -> SQLMetrics.createMetric(sparkContext,
+      "partitions handed to the spilling sort (retention cap hit)"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val childOutput = child.output
     val partExprs = partitionExprs
     val sortOrder = order
+    val rn = rnAttr
+    val maxRetained = conf.getConfString(
+      TopKConf.MaxRetainedKey, TopKConf.MaxRetainedDefault.toString).toLong
+    val spilledParts = longMetric("spilledParts")
     child.execute().mapPartitions ({ it =>
-      val heaps = TopKHeaps.run(it, kLocal, partExprs, sortOrder, childOutput)
-      val outProj = UnsafeProjection.create(childOutput :+ rnAttr, childOutput :+ rnAttr)
-      val rnRow = new GenericInternalRow(1)
-      val joined = new JoinedRow
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { pq =>
-        val rows = new Array[InternalRow](pq.size())
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = pq.poll(); i -= 1 } // drain: worst-first → reverse fill
-        rows.iterator.zipWithIndex.map { case (r, idx) =>
-          rnRow.setInt(0, idx + 1)
-          outProj(joined(r, rnRow))
+      val h = new TopKHeaps(kLocal, partExprs, sortOrder, childOutput)
+      var overflow = false
+      while (it.hasNext && !overflow) {
+        h.insert(it.next())
+        overflow = h.retained > maxRetained
+      }
+      if (!overflow) {
+        h.rankedIterator(rn)
+      } else {
+        // Data-sized keys: retained-equals-output is no longer a memory
+        // bound. Hand the partition to the spilling external sorter on
+        // (keys, order) and stream row_number off the grouped runs —
+        // the WindowExec shape, paid only where the heap posture broke.
+        spilledParts += 1
+        val schema = StructType(childOutput.map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        val fullOrd = GenerateOrdering.generate(
+          (partExprs.map(SortOrder(_, Ascending)) ++ sortOrder)
+            .map(BindReferences.bindReference(_, childOutput)))
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            p.value = 0L; p.isNull = false; p
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, fullOrd, PrefixComparators.LONG, prefixComputer,
+          4L * 1024 * 1024, false)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        val held = h.retainedIterator
+        while (held.hasNext) sorter.insertRow(toUnsafe(held.next()))
+        h.heaps.clear()
+        while (it.hasNext) sorter.insertRow(toUnsafe(it.next()))
+        val keyProj = UnsafeProjection.create(partExprs, childOutput)
+        val outProj = UnsafeProjection.create(childOutput :+ rn, childOutput :+ rn)
+        val rnRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        var curKey: UnsafeRow = null
+        var rank = 0
+        sorter.sort().flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy(); rank = 1
+          } else {
+            rank += 1
+          }
+          if (rank <= kLocal) {
+            rnRow.setInt(0, rank)
+            Some(outProj(joined(row, rnRow)))
+          } else None
         }
       }
     }, preservesPartitioning = true)

@@ -199,6 +199,79 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("data-sized keys: partial passes through, final spills, answer exact") {
+    // r19 verdict item 1: on a keys≈rows frame (the llm_tfidf_top /
+    // llm_dedup_rows shape) the heap posture's retained-equals-output
+    // argument stops bounding memory. The partial phase must bail to
+    // pass-through (its distinct-key ratio trips within the sample
+    // prefix) and the final phase must hand retention past the cap to
+    // the spilling sorter — both observed via SQLMetrics — while the
+    // ranked answer stays exactly the window semantics.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.topk.maxRetained", "1000")
+    spark.conf.set("spark.graft.topk.partialSampleRows", "256")
+    try {
+      val n = 200000L
+      // 50k distinct keys × 4 rows each — per shuffle partition the
+      // final phase retains ~6k rows, far past the 1k cap
+      val df = spark.range(n).select(
+        (col("id") % 50000L).as("k"),
+        pmod(hash(col("id")), lit(9973)).as("v"),
+        col("id").as("o"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v"), col("o"))
+      val top = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      val plan = top.queryExecution.executedPlan
+      val got = top.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      val partial = plan.collect {
+        case p: graft.plans.TopKPerKeyPartialExec => p }.head
+      val fin = plan.collect { case p: graft.plans.TopKPerKeyExec => p }.head
+      assert(partial.metrics("passThroughParts").value > 0,
+        "partial phase never bailed to pass-through on a keys≈rows frame")
+      assert(fin.metrics("spilledParts").value > 0,
+        "final phase never handed retention past the cap to the sorter")
+      // exact window semantics: per key the 3 (v, o)-smallest rows,
+      // ranked 1..3 — recomputed independently driver-side
+      val expected = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).iterator.flatMap { case (k, rows) =>
+          rows.sortBy(t => (t._2, t._3)).take(3).zipWithIndex
+            .map { case ((_, v, o), i) => (k, v, o, i + 1) }
+        }.toArray.sortBy(t => (t._1, t._4))
+      assert(got.length === expected.length)
+      assert(got.sortBy(t => (t._1, t._4)).toSeq === expected.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.graft.topk.maxRetained")
+      spark.conf.unset("spark.graft.topk.partialSampleRows")
+    }
+  }
+
+  test("value-domain keys stay on the heap path (no spill, no pass-through)") {
+    // the common adopter shape must NOT regress to sort: few keys,
+    // small k — both bailout metrics stay zero
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(100000L).select(
+        (col("id") % 37L).as("k"),
+        pmod(hash(col("id")), lit(9973)).as("v"),
+        col("id").as("o"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v"), col("o"))
+      val top = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val plan = top.queryExecution.executedPlan
+      assert(top.collect().length === 37 * 5)
+      val partial = plan.collect {
+        case p: graft.plans.TopKPerKeyPartialExec => p }.head
+      val fin = plan.collect { case p: graft.plans.TopKPerKeyExec => p }.head
+      assert(partial.metrics("passThroughParts").value === 0,
+        "value-domain keys should never bail the partial phase")
+      assert(fin.metrics("spilledParts").value === 0,
+        "value-domain keys should never trip the final retention cap")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("TopKRewrite leaves rank()/unfiltered windows untouched") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
