@@ -82,9 +82,16 @@ object Tables {
       case _ => raw
     }
 
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    // Hive-style variable substitution for the SQL surface
+    // (spark.sql.variable.substitute, on by default): texts that must
+    // bind to the file-source relation directly — `_metadata` hidden
+    // columns don't resolve through a temp view — spell the path as
+    // parquet.`${graft.dir}/...` instead of a view name.
+    spark.conf.set("graft.dir", sfDir)
     names.foreach { n =>
       val df = if (n == "events") events(spark, sfDir) else t(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
+  }
 }

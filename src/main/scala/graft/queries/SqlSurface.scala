@@ -116,6 +116,27 @@ object SqlSurface {
        |  LATERAL VIEW explode(sequence(0, 7)) t AS m""".stripMargin
 
   private val custom: Map[String, String] = Map(
+    // r20 (verdict item 6, exclusion re-audit): two former justified-
+    // exclusions whose reasons conflated the ORACLE gap with the SURFACE
+    // gap. The surface gate compares text-vs-BUILDER, so an absent DuckDB
+    // twin never blocked a text; and Spark inherits Hive's ${var}
+    // substitution (spark.sql.variable.substitute, default on), so a
+    // text CAN bind the file-source relation directly — which is exactly
+    // what `_metadata` needs (it does not resolve through a temp view;
+    // pinned in HiveCompatSpec). `graft.dir` is set by Tables.registerAll.
+    "fn_hash_extra" ->
+      """SELECT c_custkey, sha1(c_name) AS sha1_v, crc32(c_name) AS crc32_v,
+        |  hash(c_name, c_custkey) AS murmur_v, xxhash64(c_name) AS xx64_v,
+        |  soundex(c_name) AS sdx_v
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
+    "fn_block_offset" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT _metadata.file_block_start) AS n_blocks,
+        |  MIN(_metadata.file_block_start) AS min_block_offset,
+        |  MIN(_metadata.file_block_start) >= 0
+        |    AND MAX(_metadata.file_block_start) < MIN(_metadata.file_size)
+        |    AS offsets_in_file
+        |FROM parquet.`${graft.dir}/lineitem.parquet`""".stripMargin,
     // r17: the §2.4 EWAH index UDAF family as SQL text — runs the actual
     // registered ewah_bitmap/and/or/empty functions (registerCompat), not
     // the oracle's COUNT DISTINCT reconstruction, mirroring the builder
@@ -1138,7 +1159,12 @@ object SqlSurface {
     // scale-curve per-commit samples — a new name must be listed here
     // even when it has no surface text, or it dodges every per-commit
     // gate until the close-of-round full sweep by md5 luck.
-    "graph_cc_sizes")
+    "graph_cc_sizes",
+    // r20: the two exclusion→surface conversions must ride every
+    // per-commit surface sample until a full sweep has gated them.
+    "fn_hash_extra", "fn_block_offset",
+    // r20: the v3 capstone.
+    "llm_corpus_pipeline_v3")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1226,6 +1252,11 @@ object SqlSurface {
     // spelling is parser-neutral.
     "llm_corpus_pipeline_v2" ->
       patch(duckToSpark(graft.SparkEntry.oracleSql("llm_corpus_pipeline_v2")),
+        "'#|\\.\\.\\.'", "'#|[.][.][.]'"),
+    // v3 carries the same gopher symbol-regex fragment, so the same
+    // backslash-escape patch applies.
+    "llm_corpus_pipeline_v3" ->
+      patch(duckToSpark(graft.SparkEntry.oracleSql("llm_corpus_pipeline_v3")),
         "'#|\\.\\.\\.'", "'#|[.][.][.]'"))
 
   /** name → runnable Spark SQL text. */
@@ -1510,7 +1541,34 @@ object SqlSurface {
     * "gate-divergent" = a translated text runs but fails exact-row
     * equality with the builder (usually a 1e-6 quantizer boundary where
     * the oracle text's double path differs from the builder's), and a
-    * surface entry that doesn't match its builder is worse than none. */
+    * surface entry that doesn't match its builder is worse than none.
+    *
+    * r20 re-audit (verdict item 6): every remaining exclusion was
+    * re-checked against the CURRENT engine (Spark 4.1) rather than the
+    * capability snapshot its justification was written under. Two
+    * converted to surface texts (`fn_hash_extra`, `fn_block_offset` —
+    * see `custom`: their old reasons conflated oracle absence / view
+    * resolution with surface absence). The rest hold, each against a
+    * named 4.1 capability:
+    *  - recursive-CTE family: Spark 4.1's WITH RECURSIVE supports
+    *    UNION ALL only; min-label/frontier convergence NEEDS distinct
+    *    accumulation to terminate on cyclic graphs (UNION ALL path
+    *    enumeration diverges) — still excluded, reason current.
+    *  - src/sink + lifecycle (MERGE, MV): Spark 4.x SQL scripting
+    *    (BEGIN…END compound statements) could in principle spell a
+    *    write→read-back as one script, but a script is a session-state
+    *    program, not the single-statement query surface this module
+    *    models (and `spark.sql` on a script returns only the last
+    *    statement's frame, leaving the write half ungated on failure) —
+    *    still excluded, reason re-grounded.
+    *  - streaming: entry is readStream/writeStream by definition;
+    *    Spark 4.1 has no batch-SQL spelling of a streaming lifecycle.
+    *  - iterative (BPE train/encode, PCA): analyzer iteration cap /
+    *    measured ~60 s CTE-inlining planning blowup — engine-version
+    *    facts re-confirmed on 4.1 (caps unchanged).
+    *  - llm_mmr_rerank / llm_multimodal_decode: imperative per-group
+    *    state and JVM binary parsing; no VARIANT or scripting feature
+    *    in 4.1 changes either. */
   val excluded: Map[String, String] = {
     val srcSink = Seq("src_avro_roundtrip", "src_csv_malformed",
       "src_csv_roundtrip", "src_json_roundtrip", "src_rcfile_roundtrip",
@@ -1518,7 +1576,9 @@ object SqlSurface {
       "sink_orc_roundtrip", "sink_partitioned_parquet",
       "sink_sharded_export")
       .map(_ -> ("the write/read round-trip IS the operator; " +
-        "reconstruction oracle"))
+        "reconstruction oracle (r20: SQL scripting could chain " +
+        "INSERT OVERWRITE DIRECTORY + read-back but is a program, " +
+        "not a single-statement surface)"))
     val streams = Seq("stream_dedup_first", "stream_enrich",
       "stream_interval_join", "stream_session", "stream_sliding",
       "stream_stateful_sessions", "stream_topk_types", "stream_tumbling",
@@ -1527,13 +1587,13 @@ object SqlSurface {
         "readStream/writeStream (twins in StreamingSpec), not a batch " +
         "SQL string"))
     val lifecycle = Seq(
-      "merge_upsert" -> "MERGE table-lifecycle op; reconstruction oracle predicts the post-merge table",
+      "merge_upsert" -> "MERGE table-lifecycle op; reconstruction oracle predicts the post-merge table (r20: Spark 4.1 MERGE INTO still requires a row-level-ops v2 table; none exists offline)",
       "mv_rebuild" -> "materialized-view build/use/rebuild lifecycle; reconstruction oracle")
     val iterative = Seq(
-      "llm_bpe_train" -> "iterative merge-training loop; the unrolled oracle text blows Spark's analyzer iteration cap",
+      "llm_bpe_train" -> "iterative merge-training loop; the unrolled oracle text blows Spark's analyzer iteration cap (re-confirmed on 4.1)",
       "llm_pca_project" -> "unrolled power-iteration CTE chain re-expands per reference under Spark CTE inlining (~60 s of planning per run, measured; the builder iterates driver-side over the bounded dxd covariance artifact — the documented scale path)",
       "llm_bpe_encode" -> "applies the trained merge table iteratively; same unrolled-text analyzer cap",
-      "llm_dedup_cc" -> "connected components — oracle uses WITH RECURSIVE … UNION (distinct), which Spark 4 recursive CTEs don't support (UNION ALL only)",
+      "llm_dedup_cc" -> "connected components — oracle uses WITH RECURSIVE … UNION (distinct); Spark 4.1 recursive CTEs are UNION ALL only, and label propagation needs distinct accumulation to terminate on cycles",
       "llm_semdedup_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
       "llm_cluster_sample" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
       "graph_cc" -> "same recursive-CTE UNION limitation as llm_dedup_cc",
@@ -1547,10 +1607,10 @@ object SqlSurface {
     // reading bare numeric literals as DECIMAL (D-suffix fix) and
     // consuming backslash escapes in string literals (character-class
     // regex fix) — see `custom` / `translatedPatched`.
+    // r20: the former `syntax` category shrank to one — fn_block_offset
+    // and fn_hash_extra converted to surface texts (see `custom`).
     val syntax = Seq(
-      "fn_block_offset" -> "the _metadata hidden column attaches to the file-source relation and does not resolve through a temp VIEW (pinned in HiveCompatSpec); the reader API is the entry",
-      "llm_multimodal_decode" -> "the decode stage is a typed mapPartitions over binary payloads (PNG/JPEG header parse in JVM code) — no SQL surface exists by design",
-      "fn_hash_extra" -> "no oracle exists (sha1/crc32/murmur3/xxhash64/soundex absent from the oracle engine); exact values pinned in FunctionsSpec")
+      "llm_multimodal_decode" -> "the decode stage is a typed mapPartitions over binary payloads (PNG/JPEG header parse in JVM code) — no SQL surface exists by design")
     (srcSink ++ streams ++ lifecycle ++ iterative ++ vectorDialect ++
       syntax).toMap
   }

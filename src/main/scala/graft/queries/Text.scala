@@ -2650,6 +2650,111 @@ object Text {
        |   ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8 AND
        |   stop_words >= $minStops""".stripMargin
 
+  /** Shared r19-signal CTE chains (r20): the standalone oracles and the
+    * v3 capstone build from the SAME fragments with their own CTE names
+    * — one definition, no drift (the lmBitsCtes/gopher precedent).
+    * Each ends in the names given; callers add their own gate CTE. */
+  /** Jelinek-Mercer bigram LM ending in `<md>(w1, w2, p)` plus the
+    * doc-bigram stream `<bg>(doc_id, w1, w2)` ([[lmPerplexityOf]]). */
+  private def pplModelCtes(wt: String, bg: String, c12: String,
+      c1: String, cu: String, bt: String, md: String): String =
+    s"""$wt AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |$bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+       |        FROM $wt WHERE len(ws) >= 2) t),
+       |$c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |  FROM $bg GROUP BY 1, 2),
+       |$c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+       |  FROM $c12 GROUP BY 1),
+       |$cu AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cu
+       |  FROM $c12 GROUP BY 1),
+       |$bt AS (SELECT CAST(SUM(c12) AS BIGINT) AS bt FROM $c12),
+       |$md AS (SELECT $c12.w1, $c12.w2,
+       |    0.9 * CAST($c12.c12 AS DOUBLE) / $c1.c1
+       |      + 0.1 * CAST($cu.cu AS DOUBLE) / (SELECT bt FROM $bt) AS p
+       |  FROM $c12 JOIN $c1 USING (w1) JOIN $cu USING (w2))""".stripMargin
+
+  /** Per-doc code-score chain ending in `<sc>(source, score)`
+    * ([[codeDetectOf]]'s per-row heuristic). */
+  private def codeScoreCtes(s: String, sc: String): String =
+    s"""$s AS (SELECT source,
+       |    CAST(length(text) - length(translate(text, '{}();=<>[]', ''))
+       |      AS BIGINT) AS n_sym,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> w IN ('def','class','import','return','function','var',
+       |        'val','if','else','for','while','int','void','public',
+       |        'static'))) AS BIGINT) AS n_kw,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |  FROM documents),
+       |$sc AS (SELECT source,
+       |    ${oRound("CASE WHEN n_chars = 0 THEN 0.0 ELSE 5.0 * CAST(n_sym AS DOUBLE) / n_chars END + CASE WHEN n_words = 0 THEN 0.0 ELSE 2.0 * CAST(n_kw AS DOUBLE) / n_words END", 6)} AS score
+       |  FROM $s)""".stripMargin
+
+  /** Lexicon topic-mix chain ending in `<ce>(source, topic, n_docs)` and
+    * `<tt>(source, n_src)` ([[topicMixOf]]). */
+  private def topicMixCtes(t: String, hh: String, dt: String, dt2: String,
+      lab: String, ce: String, tt: String): String =
+    s"""$t AS (SELECT doc_id, CASE w
+       |      WHEN 'join' THEN 'relational' WHEN 'scan' THEN 'relational'
+       |      WHEN 'filter' THEN 'relational' WHEN 'sort' THEN 'relational'
+       |      WHEN 'merge' THEN 'relational' WHEN 'group' THEN 'relational'
+       |      WHEN 'agg' THEN 'relational' WHEN 'query' THEN 'relational'
+       |      WHEN 'order' THEN 'relational'
+       |      WHEN 'row' THEN 'storage' WHEN 'column' THEN 'storage'
+       |      WHEN 'table' THEN 'storage' WHEN 'batch' THEN 'storage'
+       |      WHEN 'part' THEN 'storage' WHEN 'line' THEN 'storage'
+       |      WHEN 'key' THEN 'storage' WHEN 'value' THEN 'storage'
+       |      WHEN 'data' THEN 'storage'
+       |      WHEN 'hash' THEN 'execution' WHEN 'vector' THEN 'execution'
+       |      WHEN 'stream' THEN 'execution' WHEN 'window' THEN 'execution'
+       |      WHEN 'spark' THEN 'execution' WHEN 'dup' THEN 'execution'
+       |      WHEN 'small' THEN 'scale' WHEN 'big' THEN 'scale'
+       |      WHEN 'fast' THEN 'scale' WHEN 'slow' THEN 'scale'
+       |      END AS topic
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) x),
+       |$hh AS (SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM $t WHERE topic IS NOT NULL GROUP BY 1, 2),
+       |$dt AS (SELECT doc_id, MIN({'nc': -c, 'p': topic}) AS best
+       |  FROM $hh GROUP BY 1),
+       |$dt2 AS (SELECT doc_id, best.p AS topic FROM $dt),
+       |$lab AS (SELECT d.source, COALESCE($dt2.topic, 'other') AS topic
+       |  FROM documents d LEFT JOIN $dt2 USING (doc_id)),
+       |$ce AS (SELECT source, topic, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM $lab GROUP BY 1, 2),
+       |$tt AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src
+       |  FROM $ce GROUP BY 1)""".stripMargin
+
+  /** Containment chain over the banded-LSH `pairs` frame (callers
+    * prepend [[minhashPairsCtes]]) ending in `<j2>(doc_a, doc_b, n_a,
+    * n_b, n_inter, cont_a, cont_b, jaccard)`
+    * ([[ngramContainmentFromHashed]]). */
+  private def containmentCtes(cand: String, g: String, j: String,
+      j2: String): String =
+    s"""$cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+       |$g AS (
+       |  SELECT doc_id, ${hashGramSql(2)} AS g
+       |  FROM ($wordHashSql) t),
+       |$j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_filter(a.g, x -> list_contains(b.g, x))) AS ni,
+       |    len(a.g) AS n_a, len(b.g) AS n_b
+       |  FROM $cand c JOIN $g a ON a.doc_id = c.doc_a
+       |  JOIN $g b ON b.doc_id = c.doc_b),
+       |$j2 AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |    CAST(ni AS BIGINT) AS n_inter,
+       |    CASE WHEN n_a = 0 THEN 0.0
+       |      ELSE ${oRound("ni * 1.0 / n_a", 6)} END AS cont_a,
+       |    CASE WHEN n_b = 0 THEN 0.0
+       |      ELSE ${oRound("ni * 1.0 / n_b", 6)} END AS cont_b,
+       |    CASE WHEN n_a + n_b = 0 THEN 0.0
+       |      ELSE ${oRound("ni * 1.0 / (n_a + n_b - ni)", 6)} END AS jaccard
+       |  FROM $j)""".stripMargin
+
   /** DuckDB twin of [[qualityCol]] over a text column reference. */
   private def qualitySql(textRef: String): String = {
     val wsE = s"string_split($textRef, ' ')"
@@ -6262,6 +6367,65 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Capstone #4 (r20) — v2's manifest with the r19 signal families
+    * folded in as gates, each the SAME injectable core as its standalone
+    * oracle-checked operator (the shared-CTE no-drift discipline):
+    *
+    *  - perplexity ceiling (ppl ≤ 31.0, inside the fixture's 26–38
+    *    spread): [[lmPerplexityOf]] — CCNet's LM filter, here against
+    *    the corpus's own bigram JM model; prices word ORDER where v2's
+    *    unigram avg_bits gate prices vocabulary.
+    *  - code-composition bound (source code_frac ≤ 0.1):
+    *    [[codeDetectOf]] — a prose corpus must not silently absorb a
+    *    code-heavy source; fixture sources are pure prose so this gate
+    *    passes everything, which is the honest reading of an audit
+    *    bound (the gate is live; the corpus is clean).
+    *  - topic-composition bound (max single-topic share ≤ 0.75 per
+    *    source): [[topicMixOf]] — a topic-collapsed source skews the
+    *    mix however correct its docs look individually.
+    *  - containment sub-document drop: [[ngramContainmentFromHashed]]
+    *    over the SAME banded-LSH candidates — a doc ≥ 80%-contained in
+    *    another at low Jaccard is a sub-document (Broder containment);
+    *    the CONTAINED side drops, the host survives.
+    *
+    * Scale shape: the doc-level gates stay id-keyed semi/anti joins;
+    * both composition bounds collapse to source-keyed frames that
+    * BROADCAST (≤ #sources rows); the containment chain is the
+    * bucketed candidate machinery, never all-pairs. Nothing in the
+    * composition adds a corpus-wide window or a driver collect. */
+  val llmCorpusPipelineV3: Q = (s, dir) => {
+    val d = Tables.t(s, dir, "documents")
+    val gopherKeep = gopherRulesOf(d, minWords = 20, minStops = 1)
+      .filter(col("keep")).select("doc_id")
+    val lmKeep = lmQualityOf(d)
+      .filter(col("avg_bits") <= 5.2).select("doc_id")
+    val pplKeep = lmPerplexityOf(d.select("doc_id", "text"))
+      .filter(col("ppl") <= 31.0).select("doc_id")
+    val codeOkSrc = codeDetectOf(d.select("source", "text"))
+      .filter(col("code_frac") <= 0.1).select("source")
+    val topicOkSrc = topicMixOf(d.select("doc_id", "source", "text"))
+      .groupBy("source").agg(max(col("share")).as("max_share"))
+      .filter(col("max_share") <= 0.75).select("source")
+    val hashed = hashedWordsOf(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = signaturesFromHashed(hashed)
+    val embedded = ngramContainmentFromHashed(hashed, minhashCandidates(sets))
+      .filter(col("embedded"))
+      .select(when(col("cont_a") >= col("cont_b"), col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+    hygieneBase(d)
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .join(lmKeep, Seq("doc_id"), "left_semi")
+      .join(pplKeep, Seq("doc_id"), "left_semi")
+      .join(broadcast(codeOkSrc), Seq("source"), "left_semi")
+      .join(broadcast(topicOkSrc), Seq("source"), "left_semi")
+      .join(embedded, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        dround(qualityCol(split(col("text"), " ")), 6).as("quality"))
+      .filter(col("quality") >= 0.5 && col("lang").isin("en", "de"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ r13b corpus curation
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
@@ -6832,6 +6996,7 @@ object Text {
     "llm_source_stats" -> llmSourceStats,
     "llm_corpus_pipeline" -> llmCorpusPipeline,
     "llm_corpus_pipeline_v2" -> llmCorpusPipelineV2,
+    "llm_corpus_pipeline_v3" -> llmCorpusPipelineV3,
     "llm_winnow" -> llmWinnow,
     "llm_bpe_merges" -> llmBpeMerges,
     "llm_bpe_train" -> llmBpeTrain,
@@ -7502,27 +7667,7 @@ object Text {
     // the already-quantized values (no float boundary).
     "llm_ngram_containment" -> {
       s"""WITH $minhashPairsCtes,
-         |cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
-         |g AS (
-         |  SELECT doc_id, ${hashGramSql(2)} AS g
-         |  FROM ($wordHashSql) t),
-         |j AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    len(list_filter(a.g, x -> list_contains(b.g, x))) AS ni,
-         |    len(a.g) AS n_a, len(b.g) AS n_b
-         |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
-         |  JOIN g b ON b.doc_id = c.doc_b),
-         |j2 AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-         |    CAST(ni AS BIGINT) AS n_inter,
-         |    CASE WHEN n_a = 0 THEN 0.0
-         |      ELSE ${oRound("ni * 1.0 / n_a", 6)} END AS cont_a,
-         |    CASE WHEN n_b = 0 THEN 0.0
-         |      ELSE ${oRound("ni * 1.0 / n_b", 6)} END AS cont_b,
-         |    CASE WHEN n_a + n_b = 0 THEN 0.0
-         |      ELSE ${oRound("ni * 1.0 / (n_a + n_b - ni)", 6)} END AS jaccard
-         |  FROM j)
+         |${containmentCtes("cand", "g", "j", "j2")}
          |SELECT doc_a, doc_b, n_a, n_b, n_inter, cont_a, cont_b, jaccard,
          |  (GREATEST(cont_a, cont_b) >= 0.8 AND jaccard < 0.5) AS embedded
          |FROM j2 ORDER BY doc_a, doc_b""".stripMargin
@@ -7630,6 +7775,49 @@ object Text {
          |WHERE $corpusPipelineWhere
          |  AND d.doc_id IN (SELECT doc_id FROM gop)
          |  AND d.doc_id IN (SELECT doc_id FROM lmq)
+         |ORDER BY d.doc_id""".stripMargin,
+    // v3 (r20): v2 plus the r19 signal gates — perplexity ceiling,
+    // code/topic composition bounds, containment sub-document drop —
+    // every CTE from the SAME shared fragments as the standalone
+    // oracles (pplModelCtes / codeScoreCtes / topicMixCtes /
+    // minhashPairsCtes + containmentCtes).
+    "llm_corpus_pipeline_v3" ->
+      s"""WITH $corpusPipelineCtes,
+         |gd AS ($gopherSplitSql),
+         |gr AS (SELECT doc_id, $gopherRuleColsSql FROM gd),
+         |gop AS (SELECT doc_id FROM gr WHERE ${gopherKeepCondSql(20, 1)}),
+         |${lmBitsCtes("lws", "lf", "lt", "lb")},
+         |lmq AS (SELECT doc_id FROM lb GROUP BY doc_id
+         |        HAVING $lmAvgBitsSql <= 5.2),
+         |${pplModelCtes("pwt", "pbg", "pc12", "pc1", "pcu", "pbt", "pmd")},
+         |pplk AS (SELECT pbg.doc_id FROM pbg JOIN pmd USING (w1, w2)
+         |         GROUP BY pbg.doc_id
+         |         HAVING ${oRound(s"exp((${oSum("-ln(p)", 9)}) / COUNT(*))", 6)} <= 31.0),
+         |${codeScoreCtes("cds", "cdsc")},
+         |ckeep AS (SELECT source FROM cdsc GROUP BY source
+         |          HAVING ${oRound("CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} <= 0.1),
+         |${topicMixCtes("tmt", "tmh", "tmd", "tmd2", "tmlab", "tmce", "tmtt")},
+         |tmsh AS (SELECT tmce.source,
+         |           ${oRound("CAST(tmce.n_docs AS DOUBLE) / tmtt.n_src", 6)} AS share
+         |         FROM tmce JOIN tmtt USING (source)),
+         |tkeep AS (SELECT source FROM tmsh GROUP BY source
+         |          HAVING MAX(share) <= 0.75),
+         |$minhashPairsCtes,
+         |${containmentCtes("ccand", "cgr", "cjn", "cj2")},
+         |cemb AS (SELECT CASE WHEN cont_a >= cont_b THEN doc_a
+         |                     ELSE doc_b END AS doc_id
+         |         FROM cj2
+         |         WHERE GREATEST(cont_a, cont_b) >= 0.8 AND jaccard < 0.5)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  ${oRound(qualitySql("d.text"), 6)} AS quality
+         |FROM documents d
+         |WHERE $corpusPipelineWhere
+         |  AND d.doc_id IN (SELECT doc_id FROM gop)
+         |  AND d.doc_id IN (SELECT doc_id FROM lmq)
+         |  AND d.doc_id IN (SELECT doc_id FROM pplk)
+         |  AND d.source IN (SELECT source FROM ckeep)
+         |  AND d.source IN (SELECT source FROM tkeep)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cemb)
          |ORDER BY d.doc_id""".stripMargin,
     "llm_source_stats" -> {
       s"""WITH q AS (
@@ -9161,19 +9349,7 @@ object Text {
     // filter; all ratios are exact-count divisions with CAST AS DOUBLE
     // hoisted before the division (the decimal-literal trap).
     "llm_code_detect" ->
-      s"""WITH s AS (SELECT source,
-         |    CAST(length(text) - length(translate(text, '{}();=<>[]', ''))
-         |      AS BIGINT) AS n_sym,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |      w -> w IN ('def','class','import','return','function','var',
-         |        'val','if','else','for','while','int','void','public',
-         |        'static'))) AS BIGINT) AS n_kw,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
-         |  FROM documents),
-         |sc AS (SELECT source,
-         |    ${oRound("CASE WHEN n_chars = 0 THEN 0.0 ELSE 5.0 * CAST(n_sym AS DOUBLE) / n_chars END + CASE WHEN n_words = 0 THEN 0.0 ELSE 2.0 * CAST(n_kw AS DOUBLE) / n_words END", 6)} AS score
-         |  FROM s)
+      s"""WITH ${codeScoreCtes("s", "sc")}
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS code_docs,
@@ -9184,36 +9360,7 @@ object Text {
     // builder's broadcast join), argmax = the window-free
     // min(struct(-c, topic)) idiom, shares from a per-source total join.
     "llm_topic_mix" ->
-      s"""WITH t AS (SELECT doc_id, CASE w
-         |      WHEN 'join' THEN 'relational' WHEN 'scan' THEN 'relational'
-         |      WHEN 'filter' THEN 'relational' WHEN 'sort' THEN 'relational'
-         |      WHEN 'merge' THEN 'relational' WHEN 'group' THEN 'relational'
-         |      WHEN 'agg' THEN 'relational' WHEN 'query' THEN 'relational'
-         |      WHEN 'order' THEN 'relational'
-         |      WHEN 'row' THEN 'storage' WHEN 'column' THEN 'storage'
-         |      WHEN 'table' THEN 'storage' WHEN 'batch' THEN 'storage'
-         |      WHEN 'part' THEN 'storage' WHEN 'line' THEN 'storage'
-         |      WHEN 'key' THEN 'storage' WHEN 'value' THEN 'storage'
-         |      WHEN 'data' THEN 'storage'
-         |      WHEN 'hash' THEN 'execution' WHEN 'vector' THEN 'execution'
-         |      WHEN 'stream' THEN 'execution' WHEN 'window' THEN 'execution'
-         |      WHEN 'spark' THEN 'execution' WHEN 'dup' THEN 'execution'
-         |      WHEN 'small' THEN 'scale' WHEN 'big' THEN 'scale'
-         |      WHEN 'fast' THEN 'scale' WHEN 'slow' THEN 'scale'
-         |      END AS topic
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |        FROM documents) x),
-         |hh AS (SELECT doc_id, topic, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM t WHERE topic IS NOT NULL GROUP BY 1, 2),
-         |dt AS (SELECT doc_id, MIN({'nc': -c, 'p': topic}) AS best
-         |  FROM hh GROUP BY 1),
-         |dt2 AS (SELECT doc_id, best.p AS topic FROM dt),
-         |lab AS (SELECT d.source, COALESCE(dt2.topic, 'other') AS topic
-         |  FROM documents d LEFT JOIN dt2 USING (doc_id)),
-         |ce AS (SELECT source, topic, CAST(COUNT(*) AS BIGINT) AS n_docs
-         |  FROM lab GROUP BY 1, 2),
-         |tt AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src
-         |  FROM ce GROUP BY 1)
+      s"""WITH ${topicMixCtes("t", "hh", "dt", "dt2", "lab", "ce", "tt")}
          |SELECT ce.source, ce.topic, ce.n_docs,
          |  ${oRound("CAST(ce.n_docs AS DOUBLE) / tt.n_src", 6)} AS share
          |FROM ce JOIN tt USING (source) ORDER BY source, topic""".stripMargin,
@@ -9221,22 +9368,7 @@ object Text {
     // CAST AS DOUBLE hoisted; -ln p quantized at 1e-9 before the exact
     // per-doc sum; bt rides a scalar subquery.
     "llm_lm_perplexity" ->
-      s"""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |  FROM documents),
-         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-         |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-         |        FROM wt WHERE len(ws) >= 2) t),
-         |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-         |  FROM bg GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
-         |  FROM c12 GROUP BY 1),
-         |cu AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cu
-         |  FROM c12 GROUP BY 1),
-         |bt AS (SELECT CAST(SUM(c12) AS BIGINT) AS bt FROM c12),
-         |md AS (SELECT c12.w1, c12.w2,
-         |    0.9 * CAST(c12.c12 AS DOUBLE) / c1.c1
-         |      + 0.1 * CAST(cu.cu AS DOUBLE) / (SELECT bt FROM bt) AS p
-         |  FROM c12 JOIN c1 USING (w1) JOIN cu USING (w2))
+      s"""WITH ${pplModelCtes("wt", "bg", "c12", "c1", "cu", "bt", "md")}
          |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |  ${oRound(s"(${oSum("-ln(p)", 9)}) / COUNT(*)", 6)} AS cross_entropy,
          |  ${oRound(s"exp((${oSum("-ln(p)", 9)}) / COUNT(*))", 6)} AS ppl
