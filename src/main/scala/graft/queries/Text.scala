@@ -6408,7 +6408,10 @@ object Text {
       .filter(col("max_share") <= 0.75).select("source")
     val hashed = hashedWordsOf(d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count() // eager: candidates + grams consume it concurrently
     val sets = signaturesFromHashed(hashed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
     val embedded = ngramContainmentFromHashed(hashed, minhashCandidates(sets))
       .filter(col("embedded"))
       .select(when(col("cont_a") >= col("cont_b"), col("doc_a"))

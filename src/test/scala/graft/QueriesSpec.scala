@@ -552,6 +552,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("v3 capstone: the r19 signal gates only remove docs, and do remove some") {
+    // v3 = v2 ∧ (ppl ceiling ∧ code bound ∧ topic bound ∧ ¬embedded), so
+    // the v3 manifest must be a STRICT subset of v2's at fixture scale
+    // (the ppl and topic gates bite at both sf0.001 and sf0.01 — probed
+    // before the bounds were pinned; the code and containment gates are
+    // live but pass the clean prose fixture). The subset check proves the
+    // composition wiring; the gate semantics have their own oracles.
+    val v2 = SparkEntry.queries("llm_corpus_pipeline_v2")(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val v3 = SparkEntry.queries("llm_corpus_pipeline_v3")(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(v3.nonEmpty, "v3 manifest must keep docs")
+    assert(v3.subsetOf(v2), s"v3 kept docs v2 dropped: ${(v3 -- v2).take(5)}")
+    assert(v3.size < v2.size,
+      s"the new gates must filter at fixture scale (v2=${v2.size}, v3=${v3.size})")
+  }
+
   test("chunk scrub removes cross-doc duplicate chunks and reassembles the rest") {
     import spark.implicits._
     // 20-word template block shared by docs 1 and 2, unique tails —
