@@ -638,6 +638,114 @@ object Sequences {
   val seqHoltWinters: Q = (s, dir) =>
     holtWintersOf(Tables.events(s, dir).select("event_type", "ts"))
 
+  /** Mann-Kendall trend test per event-type daily series (Mann 1945;
+    * Kendall 1975) — the nonparametric "is this metric drifting"
+    * monitor every long-running pipeline wants beside [[seqAnomaly]]'s
+    * point z-score and [[seqChangepoint]]'s CUSUM: S = Σ_{i<j}
+    * sign(y_j − y_i) over the daily counts, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 (counts
+    * data ties constantly — the correction is load-bearing, not
+    * decorative), continuity-corrected z, and the 5%-level trend call.
+    *
+    * Scale shape: ONE corpus-sized pass (the two-phase (type, day)
+    * count); the pairwise S is a self-join of the PRE-AGGREGATED daily
+    * frame with itself — days² pairs bounded by the calendar span,
+    * never by event count — and the tie term is a (type, y) count over
+    * the same bounded frame. Types with a single day have no pair and
+    * drop in BOTH engines (inner join on the pair aggregate).
+    *
+    * Determinism: S and the tie term are exact integer sums; var_s
+    * quantizes at 1e-6 before the sqrt, z at 1e-6 after it, so the
+    * 1.96 trend boundary has no float edge. */
+  private[graft] def mannKendallOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("double").as("y"))
+    val a = daily.select(col("event_type"),
+      col("day").as("day_a"), col("y").as("y_a"))
+    val b = daily.select(col("event_type"),
+      col("day").as("day_b"), col("y").as("y_b"))
+    val sStat = a.join(b, Seq("event_type"))
+      .filter(col("day_a") < col("day_b"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("y_b") - col("y_a"))).cast("long").as("s_stat"))
+    val nDays = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy("event_type", "y")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie_term"))
+    nDays.join(sStat, "event_type").join(ties, "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        dround((col("n_days") * (col("n_days") - 1)
+            * (lit(2L) * col("n_days") + 5) - col("tie_term"))
+          .cast("double") / 18.0, 6).as("var_s"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var_s"),
+        dround(when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6).as("z"))
+      .withColumn("trend", when(col("z") > 1.96, lit("increasing"))
+        .when(col("z") < -1.96, lit("decreasing"))
+        .otherwise(lit("none")))
+      .orderBy("event_type")
+  }
+
+  val seqMannKendall: Q = (s, dir) =>
+    mannKendallOf(Tables.events(s, dir).select("event_type", "ts"))
+
+  /** Theil-Sen robust trend line per event-type daily series (Theil
+    * 1950; Sen 1968) — the slope ESTIMATE beside [[mannKendallOf]]'s
+    * significance CALL (the classical pairing: MK says whether, Sen
+    * says how fast): slope = median of all pairwise day-rate slopes
+    * (breakdown point 29%, immune to the spikes [[seqAnomaly]] flags),
+    * intercept = median(y) − slope · median(day).
+    *
+    * Scale shape: [[mannKendallOf]]'s exactly — the pairwise slopes
+    * come off the same bounded pre-aggregated self-join, and the
+    * medians are exact interpolating percentiles over days- or
+    * pairs-sized frames (the agg_percentile cross-engine precedent).
+    *
+    * Determinism: each pairwise slope quantizes at 1e-9; the even-count
+    * median midpoint is the same IEEE (a+b)/2 in both engines; slope
+    * and intercept round at 1e-6. */
+  private[graft] def theilSenOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("double").as("y"))
+    val a = daily.select(col("event_type"),
+      col("day").as("day_a"), col("y").as("y_a"))
+    val b = daily.select(col("event_type"),
+      col("day").as("day_b"), col("y").as("y_b"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("day_a") < col("day_b"))
+      .select(col("event_type"),
+        dround((col("y_b") - col("y_a"))
+          / (col("day_b") - col("day_a")).cast("double"), 9).as("sl"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(sl, 0.5)").as("slope_med"))
+    val meds = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("percentile(y, 0.5)").as("y_med"),
+        expr("percentile(day, 0.5)").as("day_med"))
+    meds.join(slopes, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        dround(col("slope_med"), 6).as("slope"),
+        dround(col("y_med") - col("slope_med") * col("day_med"), 6)
+          .as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val seqTheilSen: Q = (s, dir) =>
+    theilSenOf(Tables.events(s, dir).select("event_type", "ts"))
+
   /** STL-lite seasonal decomposition (Cleveland et al. 1990's
     * trend/seasonal/remainder split, with moving-average smoothers in
     * place of loess so both engines replay it exactly): per series,
@@ -1363,6 +1471,8 @@ object Sequences {
     "seq_did" -> seqDid,
     "seq_forecast_holt" -> seqForecastHolt,
     "seq_holt_winters" -> seqHoltWinters,
+    "seq_mann_kendall" -> seqMannKendall,
+    "seq_theil_sen" -> seqTheilSen,
     "seq_stl_decompose" -> seqStlDecompose,
     "seq_entropy_rate" -> seqEntropyRate,
     "seq_interarrival" -> seqInterarrival,
@@ -1582,6 +1692,61 @@ object Sequences {
          |  ${oRound(s"l + 7 * b + (${sAt("(n + 6) % 7")})", 6)} AS fc_7
          |FROM st WHERE t = n ORDER BY event_type""".stripMargin
     },
+    // Mann-Kendall: exact integer S and tie sums off the bounded
+    // (type, day) self-join; var quantized at 1e-6 before the sqrt, z
+    // at 1e-6 after, so the 1.96 trend call has no float edge.
+    "seq_mann_kendall" ->
+      s"""WITH dc AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(COUNT(*) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT a.event_type,
+         |    CAST(SUM(CASE WHEN b.y > a.y THEN 1
+         |                  WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+         |      AS s_stat
+         |  FROM dc a JOIN dc b
+         |    ON a.event_type = b.event_type AND a.day < b.day
+         |  GROUP BY 1),
+         |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+         |  FROM dc GROUP BY 1),
+         |tg AS (SELECT event_type, y, COUNT(*) AS t FROM dc GROUP BY 1, 2),
+         |tt AS (SELECT event_type,
+         |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+         |  FROM tg GROUP BY 1),
+         |v AS (SELECT n.event_type, n.n_days, s.s_stat,
+         |    ${oRound("CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - tt.tie_term AS DOUBLE) / 18.0", 6)} AS var_s
+         |  FROM n JOIN s USING (event_type) JOIN tt USING (event_type)),
+         |z AS (SELECT event_type, n_days, s_stat, var_s,
+         |    ${oRound("CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s) WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s) ELSE 0.0 END", 6)} AS z
+         |  FROM v)
+         |SELECT event_type, n_days, s_stat, var_s, z,
+         |  CASE WHEN z > 1.96 THEN 'increasing'
+         |       WHEN z < -1.96 THEN 'decreasing'
+         |       ELSE 'none' END AS trend
+         |FROM z ORDER BY event_type""".stripMargin,
+    // Theil-Sen: pairwise slopes quantized at 1e-9 off the same bounded
+    // self-join; medians are exact interpolating percentiles (the
+    // agg_percentile precedent); slope/intercept round at 1e-6.
+    "seq_theil_sen" ->
+      s"""WITH dc AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    CAST(COUNT(*) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2),
+         |sl AS (SELECT a.event_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    quantile_cont(${oRound("(b.y - a.y) / CAST(b.day - a.day AS DOUBLE)", 9)}, 0.5) AS slope_med
+         |  FROM dc a JOIN dc b
+         |    ON a.event_type = b.event_type AND a.day < b.day
+         |  GROUP BY 1),
+         |md AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    quantile_cont(y, 0.5) AS y_med,
+         |    quantile_cont(day, 0.5) AS day_med
+         |  FROM dc GROUP BY 1)
+         |SELECT md.event_type, md.n_days, sl.n_pairs,
+         |  ${oRound("sl.slope_med", 6)} AS slope,
+         |  ${oRound("md.y_med - sl.slope_med * md.day_med", 6)} AS intercept
+         |FROM md JOIN sl USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     // STL-lite: trend = centered 7-day MA over the calendar-bounded
     // (type, day) frame (integer-valued daily counts -> exact window
     // sums), seasonal = dow mean of the detrended series at the

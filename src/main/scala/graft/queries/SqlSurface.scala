@@ -1163,8 +1163,9 @@ object SqlSurface {
     // r20: the two exclusion→surface conversions must ride every
     // per-commit surface sample until a full sweep has gated them.
     "fn_hash_extra", "fn_block_offset",
-    // r20: the v3 capstone.
-    "llm_corpus_pipeline_v3")
+    // r20: the v3 capstone and the late additions.
+    "llm_corpus_pipeline_v3",
+    "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1213,7 +1214,8 @@ object SqlSurface {
     "seq_holt_winters", "seq_stl_decompose", "seq_entropy_rate",
     "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
     "seq_markov_prediction", "llm_js_divergence", "llm_length_profile",
-    "llm_ngram_containment", "llm_dedup_threshold_curve")
+    "llm_ngram_containment", "llm_dedup_threshold_curve",
+    "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
     * parsing bare numeric literals as DECIMAL where the builder used

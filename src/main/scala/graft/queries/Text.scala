@@ -919,6 +919,75 @@ object Text {
   val llmNdcgEval: Q = (s, dir) =>
     ndcgEvalOf(Tables.t(s, dir, "embeddings"))
 
+  /** ROUGE-1/2 overlap between paired texts (Lin, ACL-WS 2004) — the
+    * summarization-eval staple beside [[ndcgEvalOf]]'s retrieval
+    * metric: clipped multiset n-gram matches give precision, recall
+    * and F1 per (candidate, reference) pair. Fixture binding: each
+    * consecutive doc pair (even doc_id = reference, odd = candidate);
+    * a production caller passes its (summary, reference) columns and
+    * the arithmetic is identical.
+    *
+    * Scale shape: the pair frame is ONE co-partitioned equi-join on
+    * doc_id+1 (never all-pairs); one explode per side per gram width
+    * into two-phase (pair_id, gram) counts; the clipped intersection
+    * is an equi-join on (pair_id, gram) — everything keyed by pair_id,
+    * totals read off per-row array sizes (no extra aggregate).
+    *
+    * Determinism: matches and totals are exact integer sums; P/R
+    * quantize at 1e-6 before F1's fixed-shape (2PR)/(P+R), which
+    * quantizes again; zero denominators score 0.0 (the codeDetectOf
+    * convention). */
+  private[graft] def rougeOverlapOf(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val pairs = w.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("pair_id"), col("ws").as("rws"))
+      .join(w.select((col("doc_id") - 1).as("pair_id"), col("ws").as("cws")),
+        "pair_id")
+    def grams(c: Column, n: Int): Column =
+      if (n == 1) c
+      else when(size(c) >= n, transform(sequence(lit(1), size(c) - (n - 1)),
+          i => concat_ws(" ", element_at(c, i), element_at(c, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    def counts(src: String, n: Int, as: String): DataFrame = pairs
+      .select(col("pair_id"), explode(grams(col(src), n)).as("g"))
+      .groupBy("pair_id", "g").agg(count(lit(1)).as(as))
+    def matched(n: Int): DataFrame =
+      counts("cws", n, "cc").join(counts("rws", n, "cr"), Seq("pair_id", "g"))
+        .groupBy("pair_id")
+        .agg(sum(least(col("cc"), col("cr"))).as(s"m$n"))
+    def pr(m: Column, tot: Column): Column =
+      when(tot === 0, lit(0.0))
+        .otherwise(dround(m.cast("double") / tot, 6))
+    def f1(p: Column, r: Column): Column =
+      when(p + r === 0.0, lit(0.0))
+        .otherwise(dround(lit(2.0) * p * r / (p + r), 6))
+    val sized = pairs
+      .select(col("pair_id"),
+        size(col("cws")).cast("long").as("n_cand1"),
+        greatest(size(col("cws")) - 1, lit(0)).cast("long").as("n_cand2"),
+        size(col("rws")).cast("long").as("n_ref1"),
+        greatest(size(col("rws")) - 1, lit(0)).cast("long").as("n_ref2"))
+      .join(matched(1), Seq("pair_id"), "left")
+      .join(matched(2), Seq("pair_id"), "left")
+      .select(col("pair_id"), col("n_cand1"), col("n_ref1"),
+        coalesce(col("m1"), lit(0L)).as("m1"),
+        coalesce(col("m2"), lit(0L)).as("m2"),
+        col("n_cand2"), col("n_ref2"))
+    sized
+      .select(col("pair_id"), col("n_cand1"), col("n_ref1"), col("m1"), col("m2"),
+        pr(col("m1"), col("n_cand1")).as("r1_p"),
+        pr(col("m1"), col("n_ref1")).as("r1_r"),
+        pr(col("m2"), col("n_cand2")).as("r2_p"),
+        pr(col("m2"), col("n_ref2")).as("r2_r"))
+      .select(col("pair_id"), col("n_cand1"), col("n_ref1"), col("m1"), col("m2"),
+        col("r1_p"), col("r1_r"), f1(col("r1_p"), col("r1_r")).as("r1_f"),
+        col("r2_p"), col("r2_r"), f1(col("r2_p"), col("r2_r")).as("r2_f"))
+      .orderBy("pair_id")
+  }
+
+  val llmRougeOverlap: Q = (s, dir) =>
+    rougeOverlapOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+
   /** MMR diversity reranking (Carbonell & Goldstein, SIGIR 1998):
     * greedily re-order a retrieval pool so each pick maximizes
     * `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — relevance traded against
@@ -6912,6 +6981,7 @@ object Text {
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_ndcg_eval" -> llmNdcgEval,
+    "llm_rouge_overlap" -> llmRougeOverlap,
     "llm_embed_quantize" -> llmEmbedQuantize,
     "llm_random_proj" -> llmRandomProj,
     "llm_pca_project" -> llmPcaProject,
@@ -8076,6 +8146,55 @@ object Text {
          |       ELSE 0.0 END AS ndcg
          |FROM p LEFT JOIN ic ON ic.q_id = p.q_id
          |ORDER BY p.q_id""".stripMargin,
+    // ROUGE-1/2: clipped multiset matches = SUM(LEAST(cc, cr)) off the
+    // (pair_id, gram) two-phase counts; totals read off list lengths;
+    // P/R quantize at 1e-6 before the fixed-shape F1, zero denominators
+    // score 0.0 (the codeDetectOf convention).
+    "llm_rouge_overlap" -> {
+      def gramsSql(src: String) =
+        s"CASE WHEN len($src) >= 2 THEN list_transform(range(len($src) - 1), i -> $src[i + 1] || ' ' || $src[i + 2]) ELSE [] END"
+      def prSql(m: String, tot: String) =
+        s"CASE WHEN $tot = 0 THEN 0.0 ELSE ${oRound(s"CAST($m AS DOUBLE) / $tot", 6)} END"
+      def f1Sql(p: String, r: String) =
+        s"CASE WHEN $p + $r = 0.0 THEN 0.0 ELSE ${oRound(s"2.0 * $p * $r / ($p + $r)", 6)} END"
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS pair_id, a.ws AS rws, b.ws AS cws
+         |  FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 2 = 0),
+         |c1 AS (SELECT pair_id, g, COUNT(*) AS cc FROM
+         |  (SELECT pair_id, unnest(cws) AS g FROM p) t GROUP BY 1, 2),
+         |r1 AS (SELECT pair_id, g, COUNT(*) AS cr FROM
+         |  (SELECT pair_id, unnest(rws) AS g FROM p) t GROUP BY 1, 2),
+         |m1 AS (SELECT pair_id, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS m1
+         |  FROM c1 JOIN r1 USING (pair_id, g) GROUP BY 1),
+         |c2 AS (SELECT pair_id, g, COUNT(*) AS cc FROM
+         |  (SELECT pair_id, unnest(${gramsSql("cws")}) AS g FROM p) t
+         |  GROUP BY 1, 2),
+         |r2 AS (SELECT pair_id, g, COUNT(*) AS cr FROM
+         |  (SELECT pair_id, unnest(${gramsSql("rws")}) AS g FROM p) t
+         |  GROUP BY 1, 2),
+         |m2 AS (SELECT pair_id, CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS m2
+         |  FROM c2 JOIN r2 USING (pair_id, g) GROUP BY 1),
+         |sz AS (SELECT p.pair_id,
+         |    CAST(len(cws) AS BIGINT) AS n_cand1,
+         |    CAST(GREATEST(len(cws) - 1, 0) AS BIGINT) AS n_cand2,
+         |    CAST(len(rws) AS BIGINT) AS n_ref1,
+         |    CAST(GREATEST(len(rws) - 1, 0) AS BIGINT) AS n_ref2,
+         |    CAST(COALESCE(m1.m1, 0) AS BIGINT) AS m1,
+         |    CAST(COALESCE(m2.m2, 0) AS BIGINT) AS m2
+         |  FROM p LEFT JOIN m1 USING (pair_id) LEFT JOIN m2 USING (pair_id)),
+         |pr AS (SELECT pair_id, n_cand1, n_ref1, m1, m2,
+         |    ${prSql("m1", "n_cand1")} AS r1_p,
+         |    ${prSql("m1", "n_ref1")} AS r1_r,
+         |    ${prSql("m2", "n_cand2")} AS r2_p,
+         |    ${prSql("m2", "n_ref2")} AS r2_r
+         |  FROM sz)
+         |SELECT pair_id, n_cand1, n_ref1, m1, m2,
+         |  r1_p, r1_r, ${f1Sql("r1_p", "r1_r")} AS r1_f,
+         |  r2_p, r2_r, ${f1Sql("r2_p", "r2_r")} AS r2_f
+         |FROM pr ORDER BY pair_id""".stripMargin
+    },
     // Hard-negative mining: the cosine_topk pairing carried with labels;
     // per-query rank over the same-label frame (keep 1 = the positive)
     // and the different-label frame (keep 3 = the hard negatives);
