@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** §2.4 aggregation surface: the complete Hive 2.3.10 builtin-UDAF registry
@@ -335,7 +336,68 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS, as a query — the
+    * per-column profile Hive's ColumnStatsTask materializes into the
+    * metastore (count / nulls / NDV / min / max, plus length stats for
+    * strings), here emitted as one row per profiled lineitem column so
+    * the stats themselves ride the oracle gate.
+    *
+    * Scale shape: one single-column aggregate per profiled column,
+    * UNION ALL'd — each branch's parquet scan prunes to exactly its own
+    * column (ReadSchema one field), so total IO equals one 8-column
+    * scan while every branch keeps its own typed min/max and an exact
+    * single-column NDV with NO Expand blowup (a one-pass 8-way
+    * count-distinct would Expand the scan 8×). At 100 TB the NDV
+    * column swaps to approx_count_distinct (the agg_approx_ndv HLL
+    * path); exact here so the oracle hash-gates the values.
+    *
+    * Determinism: counts exact; numeric min/max quantize at 1e-6
+    * (timestamps profile as exact epoch seconds — small enough that
+    * the 1e-6 quantizer's scaled long cannot overflow); string
+    * branches report length stats and NULL numerics. */
+  val aggTableProfile: Q = (s, dir) => {
+    val li = Tables.t(s, dir, "lineitem")
+    def num(c: String, v: Column): DataFrame =
+      li.select(v.as("v")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("ndv"),
+        dround(min(col("v")).cast("double"), 6).as("min_num"),
+        dround(max(col("v")).cast("double"), 6).as("max_num"),
+        lit(null).cast("long").as("min_len"),
+        lit(null).cast("long").as("max_len"))
+        .select(lit(c).as("col_name"), col("*"))
+    def str(c: String): DataFrame =
+      li.select(col(c).as("v")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("ndv"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        min(length(col("v"))).cast("long").as("min_len"),
+        max(length(col("v"))).cast("long").as("max_len"))
+        .select(lit(c).as("col_name"), col("*"))
+    Seq(
+      num("l_orderkey", col("l_orderkey")),
+      num("l_partkey", col("l_partkey")),
+      num("l_quantity", col("l_quantity")),
+      num("l_extendedprice", col("l_extendedprice")),
+      num("l_discount", col("l_discount")),
+      // l_shipdate is TIMESTAMP_NTZ; the cast is value-preserving under
+      // the session's pinned UTC. Profiled as epoch SECONDS: micros ×
+      // dround's 1e6 scale would overflow Spark's BIGINT floor (DuckDB's
+      // FLOOR stays double — a silent cross-engine clamp, caught by the
+      // oracle gate when this was first spelled in micros).
+      num("l_shipdate",
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 1000000")),
+      str("l_returnflag"),
+      str("l_linestatus"))
+      .reduce(_.union(_))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_table_profile" -> aggTableProfile,
     "agg_mode" -> aggMode,
     "agg_pivot" -> aggPivot,
     "agg_basic" -> aggBasic,
@@ -358,6 +420,42 @@ object Aggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Table profile: one single-column aggregate per branch, UNION ALL
+    // — numeric min/max quantized at 1e-6, timestamps as exact unix
+    // micros, strings as length stats with NULL numerics.
+    "agg_table_profile" -> {
+      def numSql(c: String, v: String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(COUNT(DISTINCT $v) AS BIGINT) AS ndv,
+           |  ${oRound(s"CAST(MIN($v) AS DOUBLE)", 6)} AS min_num,
+           |  ${oRound(s"CAST(MAX($v) AS DOUBLE)", 6)} AS max_num,
+           |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len
+           |FROM lineitem""".stripMargin
+      def strSql(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(MIN(length($c)) AS BIGINT) AS min_len,
+           |  CAST(MAX(length($c)) AS BIGINT) AS max_len
+           |FROM lineitem""".stripMargin
+      Seq(
+        numSql("l_orderkey", "l_orderkey"),
+        numSql("l_partkey", "l_partkey"),
+        numSql("l_quantity", "l_quantity"),
+        numSql("l_extendedprice", "l_extendedprice"),
+        numSql("l_discount", "l_discount"),
+        // the CAST is a no-op in DuckDB (already a naive TIMESTAMP) but
+        // load-bearing in the translated Spark surface text, where the
+        // parquet column is TIMESTAMP_NTZ and unix_micros wants TIMESTAMP
+        numSql("l_shipdate", "epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 1000000"),
+        strSql("l_returnflag"),
+        strSql("l_linestatus"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY col_name")
+    },
     // The three sketch aggregates are SELF-GATING (see their scaladocs):
     // the oracle recomputes the exact side and pins the in-envelope
     // booleans TRUE, so sketch drift becomes a hash mismatch.

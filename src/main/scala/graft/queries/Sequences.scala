@@ -746,6 +746,44 @@ object Sequences {
   val seqTheilSen: Q = (s, dir) =>
     theilSenOf(Tables.events(s, dir).select("event_type", "ts"))
 
+  /** Winsorized metric mean per event type — the outlier-capping
+    * preprocessing every experimentation platform applies before the
+    * mean that [[seqCuped]]/[[seqDid]] then difference (a single whale
+    * user otherwise owns the treatment effect): values clamp to the
+    * type's own [p01, p99] band, and the output carries both means plus
+    * the capped-tail counts so the analyst sees HOW MUCH the cap moved.
+    *
+    * Scale shape: one two-phase percentile aggregate over the corpus
+    * (bounded output: one row per type), broadcast back into a
+    * single-pass clamp + mean — two corpus passes, no window, no sort.
+    *
+    * Determinism: the percentile bounds are exact interpolating
+    * percentiles (the agg_percentile precedent) and the clamp compares
+    * raw doubles against those exact bounds; both means ride the
+    * [[davg]] quantized-sum discipline, the reported bounds round at
+    * 1e-6 AFTER the clamp used the exact values. */
+  private[graft] def winsorizedMeanOf(events: DataFrame): DataFrame = {
+    val vals = events.select(col("event_type"), col("value"))
+    val bounds = vals.groupBy("event_type").agg(
+      expr("percentile(value, 0.01)").as("p01"),
+      expr("percentile(value, 0.99)").as("p99"))
+    vals.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("value"), col("p01"), col("p99"),
+        least(greatest(col("value"), col("p01")), col("p99")).as("w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        davg(col("value"), 6).as("raw_mean"),
+        davg(col("w"), 6).as("wins_mean"),
+        sum(when(col("value") < col("p01"), 1L).otherwise(0L)).as("n_cap_lo"),
+        sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_cap_hi"),
+        dround(min(col("p01")), 6).as("p01"),
+        dround(min(col("p99")), 6).as("p99"))
+      .orderBy("event_type")
+  }
+
+  val seqWinsorizedMean: Q = (s, dir) =>
+    winsorizedMeanOf(Tables.events(s, dir).select("event_type", "value"))
+
   /** STL-lite seasonal decomposition (Cleveland et al. 1990's
     * trend/seasonal/remainder split, with moving-average smoothers in
     * place of loess so both engines replay it exactly): per series,
@@ -1473,6 +1511,7 @@ object Sequences {
     "seq_holt_winters" -> seqHoltWinters,
     "seq_mann_kendall" -> seqMannKendall,
     "seq_theil_sen" -> seqTheilSen,
+    "seq_winsorized_mean" -> seqWinsorizedMean,
     "seq_stl_decompose" -> seqStlDecompose,
     "seq_entropy_rate" -> seqEntropyRate,
     "seq_interarrival" -> seqInterarrival,
@@ -1747,6 +1786,25 @@ object Sequences {
          |  ${oRound("md.y_med - sl.slope_med * md.day_med", 6)} AS intercept
          |FROM md JOIN sl USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // Winsorized mean: exact interpolating percentile bounds, raw
+    // doubles clamped against the EXACT bounds, both means on the
+    // quantized-sum discipline, bounds reported at 1e-6.
+    "seq_winsorized_mean" ->
+      s"""WITH b AS (SELECT event_type,
+         |    quantile_cont(value, 0.01) AS p01,
+         |    quantile_cont(value, 0.99) AS p99
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${oAvg("e.value", 6)} AS raw_mean,
+         |  ${oAvg("LEAST(GREATEST(e.value, b.p01), b.p99)", 6)} AS wins_mean,
+         |  CAST(SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cap_lo,
+         |  CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cap_hi,
+         |  ${oRound("MIN(b.p01)", 6)} AS p01,
+         |  ${oRound("MIN(b.p99)", 6)} AS p99
+         |FROM events e JOIN b USING (event_type)
+         |GROUP BY 1 ORDER BY e.event_type""".stripMargin,
     // STL-lite: trend = centered 7-day MA over the calendar-bounded
     // (type, day) frame (integer-valued daily counts -> exact window
     // sums), seasonal = dow mean of the detrended series at the

@@ -1165,7 +1165,8 @@ object SqlSurface {
     "fn_hash_extra", "fn_block_offset",
     // r20: the v3 capstone and the late additions.
     "llm_corpus_pipeline_v3",
-    "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen")
+    "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen",
+    "agg_table_profile", "seq_winsorized_mean")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1215,7 +1216,8 @@ object SqlSurface {
     "graph_clustering_coeff", "graph_degree_dist", "seq_interarrival",
     "seq_markov_prediction", "llm_js_divergence", "llm_length_profile",
     "llm_ngram_containment", "llm_dedup_threshold_curve",
-    "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen")
+    "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen",
+    "agg_table_profile", "seq_winsorized_mean")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
     * parsing bare numeric literals as DECIMAL where the builder used
