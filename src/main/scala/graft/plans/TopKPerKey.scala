@@ -201,7 +201,9 @@ case class TopKPerKeyPartialExec(
         passThroughParts += 1
         h.retainedIterator ++ it // final phase re-ranks; no copies for the rest
       } else {
-        if (bail) passThroughParts += 1
+        // a bail decision landing on the partition's LAST row passed
+        // nothing through — the output is identical to the no-bail
+        // outcome, so the metric must not count it (r20 review)
         h.retainedIterator
       }
     }, preservesPartitioning = true)
@@ -275,9 +277,17 @@ case class TopKPerKeyExec(
         Option(TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
         val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
-        val held = h.retainedIterator
-        while (held.hasNext) sorter.insertRow(toUnsafe(held.next()))
-        h.heaps.clear()
+        // Drain each heap INTO the sorter as it is consumed and drop it
+        // immediately: copying all retained rows first and clearing after
+        // would transiently hold ~2× maxRetained (heap copies + sorter
+        // pages) at exactly the memory-pressure moment the spill exists
+        // to relieve; this bounds the overlap to one queue (r20 review).
+        val heapIt = h.heaps.values().iterator()
+        while (heapIt.hasNext) {
+          val pq = heapIt.next()
+          while (!pq.isEmpty) sorter.insertRow(toUnsafe(pq.poll()))
+          heapIt.remove()
+        }
         while (it.hasNext) sorter.insertRow(toUnsafe(it.next()))
         val keyProj = UnsafeProjection.create(partExprs, childOutput)
         val outProj = UnsafeProjection.create(childOutput :+ rn, childOutput :+ rn)

@@ -421,8 +421,10 @@ object Aggregates {
 
   val oracleSql: Map[String, String] = Map(
     // Table profile: one single-column aggregate per branch, UNION ALL
-    // — numeric min/max quantized at 1e-6, timestamps as exact unix
-    // micros, strings as length stats with NULL numerics.
+    // — numeric min/max quantized at 1e-6, timestamps as exact epoch
+    // SECONDS (micros would overflow Spark's BIGINT floor in the 1e-6
+    // quantizer — see the builder comment), strings as length stats
+    // with NULL numerics.
     "agg_table_profile" -> {
       def numSql(c: String, v: String) =
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,

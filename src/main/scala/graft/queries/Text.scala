@@ -939,10 +939,20 @@ object Text {
     * convention). */
   private[graft] def rougeOverlapOf(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // Persist barrier: five consumers (four gram-count frames + the
+    // size frame) re-derive the scan + split + pair join otherwise —
+    // their differing projections defeat exchange reuse (the
+    // sketch_setops precedent). A/B'd per the module rule (7-repeat
+    // sf0.1 micros): 1.110 → 1.040 s median, 1.018 → 0.886 min — a
+    // modest win here because the shared subtree is scan-light at
+    // fixture scale; the five-fold scan elimination is what matters
+    // at 100 TB.
     val pairs = w.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("pair_id"), col("ws").as("rws"))
       .join(w.select((col("doc_id") - 1).as("pair_id"), col("ws").as("cws")),
         "pair_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager: the five consumers would race the cache
     def grams(c: Column, n: Int): Column =
       if (n == 1) c
       else when(size(c) >= n, transform(sequence(lit(1), size(c) - (n - 1)),

@@ -128,11 +128,15 @@ class HiveCompatSpec extends SparkSpec {
     assert(row.getAs[Boolean]("offsets_in_file"))
   }
 
-  test("fn_block_offset SQL-surface exclusion rationale still holds") {
+  test("fn_block_offset's path-based surface spelling is still load-bearing") {
     // `_metadata` is a file-source hidden column; Spark does not expose it
-    // through a temp VIEW node, which is why fn_block_offset sits on the
-    // SqlSurface.excluded list (the reader API is the entry). If a future
-    // Spark version resolves it here, promote the query to the surface.
+    // through a temp VIEW node. That is why the r20 surface text (see
+    // SqlSurface.custom) must bind the file-source relation DIRECTLY via
+    // Hive-style variable substitution — parquet.`${graft.dir}/…` — rather
+    // than the registered `lineitem` view every other text uses. If a
+    // future Spark version resolves _metadata through views, the path
+    // spelling (and Tables.registerAll's graft.dir conf) can simplify to
+    // the plain view reference.
     Tables.registerAll(spark, sfDir)
     val resolved =
       try {
@@ -141,6 +145,7 @@ class HiveCompatSpec extends SparkSpec {
           .collect(); true
       } catch { case _: org.apache.spark.sql.AnalysisException => false }
     assert(!resolved,
-      "_metadata now resolves through views — move fn_block_offset into the SQL surface")
+      "_metadata now resolves through views — simplify fn_block_offset's " +
+        "surface text from parquet.`${graft.dir}/…` to the lineitem view")
   }
 }
