@@ -504,6 +504,68 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Sampled-seed harmonic + closeness centrality (Boldi & Vigna,
+    * "Axioms for Centrality", 2014 — harmonic = Σ 1/d is the
+    * disconnection-safe form; closeness = n/Σd reported beside it) —
+    * the centrality family's distance member beside rank
+    * (pagerank/HITS) and degree (kcore): how near a node sits to
+    * everything else. Exact all-pairs closeness is O(N·E); the
+    * standard scale path is BFS from a SAMPLE of seeds (here the 5
+    * md5-smallest doc_ids — the `ivfSeeds` fixed-k deterministic
+    * sampling idiom) with a bounded radius (4 rounds, the [[bfs]]
+    * convention) — so the metric is radius-4 harmonic centrality,
+    * documented truncation rather than silent.
+    *
+    * Scale shape: ONE multi-source frontier keyed (seed, node) rides
+    * the same 4 checkpointed shuffle rounds as [[bfs]] — frontier ≤
+    * k × N rows, edges persisted once; at 1000 executors this is
+    * textbook multi-source BFS (each round: one join + one min-agg).
+    *
+    * Determinism: distances are exact ints; each 1/d term quantizes at
+    * 1e-9 before the exact sum; closeness divides two exact integers
+    * as doubles and rounds at 1e-6. */
+  val harmonicCentrality: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val edges = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val seeds = ids
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(5).select(col("doc_id").as("sd"))
+    var dist = seeds.select(col("sd"), col("sd").as("u"), lit(0).as("d"))
+    for (_ <- 1 to 4) {
+      dist = ckpt(dist
+        .unionAll(und.join(dist, "u")
+          .select(col("sd"), col("v").as("u"), (col("d") + 1).as("d")))
+        .groupBy("sd", "u").agg(min(col("d")).as("d")))
+    }
+    dist.filter(col("d") > 0)
+      .groupBy("sd")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("d")).cast("long").as("sum_dist"),
+        dsum(lit(1.0) / col("d"), 9).as("harm_raw"))
+      .select(col("sd").as("seed"), col("n_reached"), col("sum_dist"),
+        dround(col("harm_raw"), 6).as("harmonic"),
+        dround(col("n_reached").cast("double") / col("sum_dist"), 6)
+          .as("closeness"))
+      .orderBy("seed")
+  }
+
   /** Connected components over the residue-partitioned link subgraph —
     * the remaining classic graph primitive beside rank (pagerank/HITS),
     * degree (kcore), community (labelprop), counting (triangles) and
@@ -666,7 +728,8 @@ object Graph {
     "graph_assortativity" -> assortativity,
     "graph_reciprocity" -> reciprocity,
     "graph_kcore" -> kcore,
-    "graph_bfs" -> bfs
+    "graph_bfs" -> bfs,
+    "graph_harmonic_centrality" -> harmonicCentrality
   )
 
   private def hitsAuthSql(prevH: String, cur: String): String =
@@ -713,6 +776,16 @@ object Graph {
        |    SELECT und.v AS u, p.d + 1 AS d
        |    FROM und JOIN $prev p ON p.u = und.u) t
        |  GROUP BY u)""".stripMargin
+
+  /** Multi-source [[bfsRoundSql]]: the frontier carries its seed. */
+  private def msBfsRoundSql(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT sd, u, MIN(d) AS d FROM (
+       |    SELECT sd, u, d FROM $prev
+       |    UNION ALL
+       |    SELECT p.sd, und.v AS u, p.d + 1 AS d
+       |    FROM und JOIN $prev p ON p.u = und.u) t
+       |  GROUP BY sd, u)""".stripMargin
 
   private def kcoreRoundSql(prev: String, cur: String): String =
     s"""$cur AS MATERIALIZED (
@@ -794,6 +867,35 @@ object Graph {
          |SELECT ids.doc_id, CAST(COALESCE(d4.d, -1) AS INT) AS dist
          |FROM ids LEFT JOIN d4 ON d4.u = ids.doc_id
          |ORDER BY ids.doc_id""".stripMargin
+    },
+    // Harmonic/closeness from 5 md5-sampled seeds: the bfs chain with a
+    // seed-keyed frontier; 1/d terms quantized at 1e-9 before the exact
+    // sum, closeness = two exact integers divided as doubles at 1e-6.
+    "graph_harmonic_centrality" -> {
+      val rounds = (1 to 4)
+        .map(k => msBfsRoundSql(s"d${k - 1}", s"d$k")).mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |und AS (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |sds AS MATERIALIZED (
+         |  SELECT doc_id AS sd FROM ids
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 5),
+         |d0 AS (SELECT sd, sd AS u, 0 AS d FROM sds),
+         |$rounds
+         |SELECT sd AS seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  CAST(SUM(d) AS BIGINT) AS sum_dist,
+         |  ${oRound(oSum("1.0 / d", 9), 6)} AS harmonic,
+         |  ${oRound("CAST(COUNT(*) AS DOUBLE) / SUM(d)", 6)} AS closeness
+         |FROM d4 WHERE d > 0 GROUP BY sd ORDER BY seed""".stripMargin
     },
     "graph_kcore" -> {
       val rounds = (1 to 4)

@@ -1166,7 +1166,8 @@ object SqlSurface {
     // r20: the v3 capstone and the late additions.
     "llm_corpus_pipeline_v3",
     "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen",
-    "agg_table_profile", "seq_winsorized_mean")
+    "agg_table_profile", "seq_winsorized_mean",
+    "graph_harmonic_centrality")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1217,7 +1218,8 @@ object SqlSurface {
     "seq_markov_prediction", "llm_js_divergence", "llm_length_profile",
     "llm_ngram_containment", "llm_dedup_threshold_curve",
     "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen",
-    "agg_table_profile", "seq_winsorized_mean")
+    "agg_table_profile", "seq_winsorized_mean",
+    "graph_harmonic_centrality")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
     * parsing bare numeric literals as DECIMAL where the builder used
