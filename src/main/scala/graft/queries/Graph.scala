@@ -566,6 +566,98 @@ object Graph {
       .orderBy("seed")
   }
 
+  /** Sampled-source betweenness dependency (Brandes, "A Faster
+    * Algorithm for Betweenness Centrality", 2001; sampled-pivot
+    * approximation per Bader et al. 2007) — the LAST classic
+    * centrality beside rank/degree/distance: how much shortest-path
+    * traffic RIDES THROUGH a node. Exact betweenness is O(N·E); the
+    * scale path is Brandes from a pivot SAMPLE (the same 5
+    * md5-smallest seeds as [[harmonicCentrality]]) with the bounded
+    * radius-4 horizon: forward multi-source BFS counting shortest
+    * paths σ level by level, then the backward dependency sweep
+    * δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)) unrolled from the
+    * deepest level. Reported score = Σ_seeds δ — the sampled
+    * dependency mass, the quantity the approximation literature scales
+    * up by N/k.
+    *
+    * Scale shape: the forward phase is [[harmonicCentrality]]'s
+    * multi-source frontier PLUS a σ sum per level (each round: one
+    * join + one two-phase agg + one anti-join against the visited
+    * set, checkpointed); the backward phase is 4 more
+    * level-restricted joins of (seed, node)-keyed frames with the
+    * edge list — every frame ≤ k × N rows, no all-pairs anything.
+    *
+    * Determinism: σ are exact integer path counts; each backward term
+    * σ_v/σ_w · (1 + δ_w) quantizes at 1e-9 before its exact sum
+    * ([[dsum]]), so the division chains cannot drift cross-engine;
+    * the final per-node score rounds at 1e-6. */
+  val betweennessSampled: Q = (s, dir) => {
+    val ids = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val nDf = ids.agg(count(lit(1)).cast("long").as("n"))
+    val raw = ids.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array((1 to OutDeg).map(lit): _*)).as("i"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
+          16, 10).cast("long"), col("n")).as("dst"))
+    val edges = raw
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val seeds = ids
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(5).select(col("doc_id").as("sd"))
+    // forward: levels(sd, u, d, sig) — σ = #shortest s→u paths
+    var all = ckpt(seeds.select(col("sd"), col("sd").as("u"),
+      lit(0).as("d"), lit(1L).as("sig")))
+    for (k <- 1 to 4) {
+      val next = und
+        .join(all.filter(col("d") === k - 1), "u")
+        .select(col("sd"), col("v").as("u"), col("sig"))
+        .join(all.select(col("sd"), col("u")), Seq("sd", "u"), "left_anti")
+        .groupBy("sd", "u")
+        .agg(sum(col("sig")).cast("long").as("sig"))
+        .select(col("sd"), col("u"), lit(k).as("d"), col("sig"))
+      all = ckpt(all.unionAll(next))
+    }
+    // backward: δ at the deepest level is 0; each shallower level sums
+    // σ_v/σ_w · (1 + δ_w) over its successors w (d_w = d_v + 1)
+    var delta = all.filter(col("d") === 4)
+      .select(col("sd"), col("u"), col("sig"), lit(0.0).as("dep"))
+    var acc = delta
+    for (k <- 3 to 0 by -1) {
+      val lvl = all.filter(col("d") === k)
+      val contrib = lvl
+        .join(und, "u")
+        .select(col("sd"), col("u"), col("sig"), col("v"))
+        .join(delta.select(col("sd"), col("u").as("v"),
+          col("sig").as("sig_w"), col("dep").as("dep_w")), Seq("sd", "v"))
+        .groupBy("sd", "u")
+        .agg(dsum(col("sig").cast("double") / col("sig_w")
+          * (lit(1.0) + col("dep_w")), 9).as("dep"))
+      delta = ckpt(lvl.select(col("sd"), col("u"), col("sig"))
+        .join(contrib, Seq("sd", "u"), "left")
+        .select(col("sd"), col("u"), col("sig"),
+          coalesce(col("dep"), lit(0.0)).as("dep")))
+      acc = acc.unionAll(delta)
+    }
+    acc.filter(col("u") =!= col("sd"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("n_seeds"),
+        dsum(col("dep"), 9).as("dep_raw"))
+      .filter(col("dep_raw") > 0)
+      .select(col("u").as("doc_id"), col("n_seeds"),
+        dround(col("dep_raw"), 6).as("betweenness"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over the residue-partitioned link subgraph —
     * the remaining classic graph primitive beside rank (pagerank/HITS),
     * degree (kcore), community (labelprop), counting (triangles) and
@@ -729,7 +821,8 @@ object Graph {
     "graph_reciprocity" -> reciprocity,
     "graph_kcore" -> kcore,
     "graph_bfs" -> bfs,
-    "graph_harmonic_centrality" -> harmonicCentrality
+    "graph_harmonic_centrality" -> harmonicCentrality,
+    "graph_betweenness_sampled" -> betweennessSampled
   )
 
   private def hitsAuthSql(prevH: String, cur: String): String =
@@ -786,6 +879,33 @@ object Graph {
        |    SELECT p.sd, und.v AS u, p.d + 1 AS d
        |    FROM und JOIN $prev p ON p.u = und.u) t
        |  GROUP BY sd, u)""".stripMargin
+
+  /** Forward Brandes level: σ sums from the previous level, restricted
+    * to nodes not yet visited (lall = the accumulated visited set). */
+  private def brandesFwdSql(k: Int): String =
+    s"""l$k AS MATERIALIZED (
+       |  SELECT sd, u, CAST(SUM(sig) AS BIGINT) AS sig FROM (
+       |    SELECT p.sd, und.v AS u, p.sig
+       |    FROM und JOIN l${k - 1} p ON p.u = und.u) t
+       |  WHERE NOT EXISTS (SELECT 1 FROM lall${k - 1} x
+       |                    WHERE x.sd = t.sd AND x.u = t.u)
+       |  GROUP BY sd, u),
+       |lall$k AS MATERIALIZED (
+       |  SELECT sd, u FROM lall${k - 1}
+       |  UNION ALL SELECT sd, u FROM l$k)""".stripMargin
+
+  /** Backward Brandes level: δ(v) = Σ_succ σ_v/σ_w · (1 + δ_w), each
+    * term quantized at 1e-9 before the exact sum; no-successor nodes
+    * keep δ = 0 via the left join. */
+  private def brandesBwdSql(k: Int): String =
+    s"""b$k AS MATERIALIZED (
+       |  SELECT l.sd, l.u, l.sig, COALESCE(c.dep, 0.0) AS dep
+       |  FROM l$k l LEFT JOIN (
+       |    SELECT l2.sd, l2.u,
+       |      ${oSum("CAST(l2.sig AS DOUBLE) / w.sig * (1.0 + w.dep)", 9)} AS dep
+       |    FROM l$k l2 JOIN und ON und.u = l2.u
+       |    JOIN b${k + 1} w ON w.sd = l2.sd AND w.u = und.v
+       |    GROUP BY l2.sd, l2.u) c ON c.sd = l.sd AND c.u = l.u)""".stripMargin
 
   private def kcoreRoundSql(prev: String, cur: String): String =
     s"""$cur AS MATERIALIZED (
@@ -867,6 +987,43 @@ object Graph {
          |SELECT ids.doc_id, CAST(COALESCE(d4.d, -1) AS INT) AS dist
          |FROM ids LEFT JOIN d4 ON d4.u = ids.doc_id
          |ORDER BY ids.doc_id""".stripMargin
+    },
+    // Brandes sampled betweenness: forward σ levels (exact integer path
+    // counts, per-level visited-set exclusion), backward δ sweep with
+    // per-term 1e-9 quantization, per-node score = Σ_seeds δ at 1e-6.
+    "graph_betweenness_sampled" -> {
+      val fwd = (1 to 4).map(brandesFwdSql).mkString(",\n")
+      val bwd = (3 to 0 by -1).map(brandesBwdSql).mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+         |raw AS (
+         |  SELECT ids.doc_id AS src,
+         |    (('0x' || substr(md5(ids.doc_id || ':' || t.i), 1, 8))::BIGINT
+         |      % (SELECT n FROM nn)) AS dst
+         |  FROM ids, (VALUES (1), (2), (3)) AS t(i)),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+         |und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
+         |        UNION ALL SELECT b, a FROM edges),
+         |sds AS MATERIALIZED (
+         |  SELECT doc_id AS sd FROM ids
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 5),
+         |l0 AS (SELECT sd, sd AS u, CAST(1 AS BIGINT) AS sig FROM sds),
+         |lall0 AS (SELECT sd, u FROM l0),
+         |$fwd,
+         |b4 AS (SELECT sd, u, sig, 0.0 AS dep FROM l4),
+         |$bwd,
+         |allb AS (SELECT sd, u, dep FROM b0
+         |  UNION ALL SELECT sd, u, dep FROM b1
+         |  UNION ALL SELECT sd, u, dep FROM b2
+         |  UNION ALL SELECT sd, u, dep FROM b3
+         |  UNION ALL SELECT sd, u, dep FROM b4)
+         |SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_seeds,
+         |  ${oRound(oSum("dep", 9), 6)} AS betweenness
+         |FROM allb WHERE u != sd
+         |GROUP BY u HAVING ${oSum("dep", 9)} > 0
+         |ORDER BY doc_id""".stripMargin
     },
     // Harmonic/closeness from 5 md5-sampled seeds: the bfs chain with a
     // seed-keyed frontier; 1/d terms quantized at 1e-9 before the exact

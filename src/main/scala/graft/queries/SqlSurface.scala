@@ -1167,7 +1167,7 @@ object SqlSurface {
     "llm_corpus_pipeline_v3",
     "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen",
     "agg_table_profile", "seq_winsorized_mean",
-    "graph_harmonic_centrality")
+    "graph_harmonic_centrality", "graph_betweenness_sampled")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1219,7 +1219,7 @@ object SqlSurface {
     "llm_ngram_containment", "llm_dedup_threshold_curve",
     "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen",
     "agg_table_profile", "seq_winsorized_mean",
-    "graph_harmonic_centrality")
+    "graph_harmonic_centrality", "graph_betweenness_sampled")
 
   /** r17: translated texts whose ONLY builder divergence was Spark
     * parsing bare numeric literals as DECIMAL where the builder used
