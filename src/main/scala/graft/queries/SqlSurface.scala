@@ -1167,7 +1167,10 @@ object SqlSurface {
     "llm_corpus_pipeline_v3",
     "llm_rouge_overlap", "seq_mann_kendall", "seq_theil_sen",
     "agg_table_profile", "seq_winsorized_mean",
-    "graph_harmonic_centrality", "graph_betweenness_sampled")
+    "graph_harmonic_centrality", "graph_betweenness_sampled",
+    // r20: excluded-from-surface (srcSink) but the determinism/scale
+    // samples must still gate it per-commit.
+    "src_parquet_evolution")
 
   private val translated: Seq[String] = Seq(
     "fn_cast", "fn_collection", "fn_context_ngrams", "fn_lambda",
@@ -1577,7 +1580,8 @@ object SqlSurface {
     *    in 4.1 changes either. */
   val excluded: Map[String, String] = {
     val srcSink = Seq("src_avro_roundtrip", "src_csv_malformed",
-      "src_csv_roundtrip", "src_json_roundtrip", "src_rcfile_roundtrip",
+      "src_csv_roundtrip", "src_json_roundtrip", "src_parquet_evolution",
+      "src_rcfile_roundtrip",
       "src_regex_text", "src_sequencefile", "src_xml_roundtrip",
       "sink_orc_roundtrip", "sink_partitioned_parquet",
       "sink_sharded_export")

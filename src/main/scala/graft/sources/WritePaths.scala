@@ -58,6 +58,32 @@ object WritePaths {
       .orderBy("n_nationkey")
   }
 
+  /** Parquet schema evolution (Hive's ALTER TABLE ADD COLUMNS over an
+    * existing partitioned table — old partitions keep the narrow
+    * schema, new ones carry the added column, and a read must unify):
+    * write region twice into one dataset root — batch 1 without, batch
+    * 2 with an `r_tier` column — then read with `mergeSchema`. The
+    * unified frame carries the superset schema with NULL fill on the
+    * old batch, exactly Hive's evolved-table read semantics.
+    *
+    * Scale note: mergeSchema footer-merges at planning time (cost per
+    * FILE, not per row); production tables pin the merged schema in the
+    * catalog instead of re-inferring per query — the read here is the
+    * capability check, not the steady-state pattern. */
+  val srcParquetEvolution: Q = (s, dir) => {
+    val out = tmp("region_evo", dir)
+    val r = Tables.t(s, dir, "region")
+      .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+    r.coalesce(1).write.mode("overwrite").parquet(s"$out/batch=1")
+    r.withColumn("r_tier",
+        when(col("r_regionkey") < 2, lit("core")).otherwise(lit("tail")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .select(col("r_regionkey"), col("r_name"), col("r_tier"),
+        col("batch").cast("int").as("batch"))
+      .orderBy("batch", "r_regionkey")
+  }
+
   /** JSON round-trip + from_json/to_json (DelimitedJSONSerDe shape). */
   val srcJsonRoundtrip: Q = (s, dir) => {
     val out = tmp("region_json", dir)
@@ -348,6 +374,7 @@ object WritePaths {
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_xml_roundtrip" -> srcXmlRoundtrip,
     "src_json_roundtrip" -> srcJsonRoundtrip,
+    "src_parquet_evolution" -> srcParquetEvolution,
     "src_regex_text" -> srcRegexText,
     "src_csv_malformed" -> srcCsvMalformed,
     "src_sequencefile" -> srcSequenceFile,
@@ -375,6 +402,19 @@ object WritePaths {
     "src_json_roundtrip" ->
       """SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    // Reconstruction oracle: batch 1 reads back with NULL in the added
+    // column, batch 2 with the computed tier — the evolved-read unify.
+    "src_parquet_evolution" ->
+      """WITH r AS (SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name
+        |           FROM region)
+        |SELECT * FROM (
+        |  SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS r_tier,
+        |    CAST(1 AS INT) AS batch FROM r
+        |  UNION ALL
+        |  SELECT r_regionkey, r_name,
+        |    CASE WHEN r_regionkey < 2 THEN 'core' ELSE 'tail' END,
+        |    CAST(2 AS INT) FROM r) t
+        |ORDER BY batch, r_regionkey""".stripMargin,
     "src_regex_text" ->
       "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey",
     "src_sequencefile" ->
