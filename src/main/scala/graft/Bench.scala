@@ -117,6 +117,15 @@ object Bench {
       // prior rounds (repeats 2+ reuse the canonical-plan cache entry, so
       // medians stay round-over-round comparable).
       spark.catalog.clearCache()
+      // clearCache() empties only the Dataset CacheManager; the iterative
+      // graph/cc queries' localCheckpoint() blocks are RDD-level persists
+      // it never touches, and they accumulated in the block manager for
+      // the rest of the session (r20: with the betweenness/harmonic
+      // additions the leak grew measurable — the late-alphabet v3 capstone
+      // read 11.3 s in-suite vs 3.9 standalone). Nothing legitimately
+      // persists ACROSS queries, so drop every surviving RDD block too.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (times.exists(_ < 0)) Seq.empty[Double] else times)
     }
     // Full per-query detail for humans — prefix-tagged so the driver's

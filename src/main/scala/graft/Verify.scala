@@ -37,8 +37,12 @@ object Verify {
       // Release this query's persisted intermediates (the load-bearing
       // cache barriers in the gram/signature queries are never
       // unpersisted) so a full-surface dump doesn't accumulate
-      // MEMORY_AND_DISK entries across all ~130 queries.
+      // MEMORY_AND_DISK entries across all ~130 queries. RDD-level
+      // localCheckpoint blocks are NOT in the Dataset CacheManager —
+      // drop them too (the Bench cleanup twin).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
