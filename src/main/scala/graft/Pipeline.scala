@@ -23,18 +23,33 @@ import graft.queries.{MmFeat, MmRow, Text}
   * [[minhashCandidatePairs]] — materialize small id/bucket-only
   * intermediates via `persist` (load-bearing barriers against a
   * filter-pushdown recompute pathology and against multi-consumer
-  * re-hashing — measured, see [[graft.queries.Text]]), and nothing
-  * unpersists them when your terminal action completes. Long-lived
-  * sessions invoking these in a loop should call [[releaseCaches]] (or
-  * `spark.catalog.clearCache()`) between invocations, exactly as
-  * graft's own Bench/Verify drivers do.
+  * re-hashing — measured, see [[graft.queries.Text]]), and the
+  * iterative operators ([[connectedComponents]], [[nearDupClusters]],
+  * [[semDedupClusters]], [[clusterSample]]) additionally leave
+  * RDD-level `localCheckpoint()` blocks that `spark.catalog
+  * .clearCache()` alone never frees (it empties only the Dataset
+  * CacheManager). Nothing unpersists either kind when your terminal
+  * action completes. Long-lived sessions invoking these in a loop
+  * should call [[releaseCaches]] between invocations, exactly as
+  * graft's own Bench/Verify drivers do — a bare `clearCache()` is NOT
+  * sufficient for the checkpointing operators and accumulates
+  * block-manager blocks without bound.
   */
 object Pipeline {
 
-  /** Release the persisted intermediates left by prior operator calls
-    * (everything in this session's CacheManager). Call between loop
-    * iterations in long-lived sessions; see the cache contract above. */
-  def releaseCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
+  /** Release the persisted intermediates left by prior operator calls:
+    * everything in this session's CacheManager AND every surviving
+    * RDD-level block (the iterative operators' `localCheckpoint()`
+    * blocks live there, invisible to `clearCache()` — the r20
+    * measurement-harness finding, a 3× late-query inflation in-suite).
+    * Call between loop iterations in long-lived sessions; see the
+    * cache contract above. Safe by the same argument as Bench/Verify:
+    * no graft operator legitimately persists ACROSS invocations. */
+  def releaseCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 
   /** Per-doc minhash signature table (12-value signature + exact
     * shingle-id set) — the persisted state schema of the dedup family.

@@ -2001,13 +2001,24 @@ object Text {
   private val pqKs = 32
 
   /** Left-fold squared L2 distance between two sub-dim arrays — the
-    * sequential-order spelling both engines share. */
+    * sequential-order spelling both engines share.
+    *
+    * Spelled as a STATICALLY UNROLLED `+` chain, not an
+    * `aggregate(transform(...))` fold: higher-order lambdas evaluate
+    * interpreted per element outside whole-stage codegen (the
+    * catalogued simhash finding), and this expression runs O(N·M·Ks)
+    * times in the encode argmin — the r21 profile read the single
+    * HOF-fold encode stage at 2.1 s/repeat in llm_ann_pq. The chain is
+    * bit-identical to the fold: `reduceLeft(+)` associates
+    * ((t1+t2)+t3)… exactly like the fold's ((0.0+t1)+t2)… (0.0+t1 ≡ t1
+    * for every square — squares are never -0.0, and NaN/Inf propagate
+    * the same), so the quantized-long distances the oracle replays are
+    * unchanged. */
   private def pqDist2(xs: Column, cs: Column, subDim: Int): Column =
-    aggregate(
-      transform(sequence(lit(1), lit(subDim)),
-        j => (element_at(xs, j) - element_at(cs, j)) *
-             (element_at(xs, j) - element_at(cs, j))),
-      lit(0.0), (acc, t) => acc + t)
+    (1 to subDim).map { j =>
+      (element_at(xs, j) - element_at(cs, j)) *
+        (element_at(xs, j) - element_at(cs, j))
+    }.reduceLeft(_ + _)
 
   /** (id, m, xs) subvector rows of a (idCol, v) frame. */
   private def pqSubvectors(frame: DataFrame, idCol: String,
@@ -2151,7 +2162,10 @@ object Text {
   }
 
   val llmAnnPq: Q = (s, dir) =>
-    pqTopk(Tables.t(s, dir, "embeddings")
+    // fanOut: the encode argmin's O(N·M·Ks) sub-distances are derived
+    // scan-side; a small embeddings input planned single-task (profiled
+    // 2.1 s on one core, r21). Round-robin — see fanOut's scaladoc.
+    pqTopk(fanOut(Tables.t(s, dir, "embeddings"))
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
 
   /** IVF-PQ — the two index families composed the way production
@@ -2270,6 +2284,11 @@ object Text {
 
   val llmAnnIvfPq: Q = (s, dir) => {
     graft.functions.VectorExpressions.register(s)
+    // NO fanOut here, deliberately (A/B'd r21): unlike llm_ann_pq, this
+    // pipeline re-derives `corpus` in MANY subtrees (assignment, resid,
+    // seeds, training sample, encode, exact rerank), and the fan-out
+    // exchange + extra 32-partition stages measured 4.8 s min vs 2.8 s
+    // without, same window. The pqDist2 codegen unroll carries the win.
     ivfPqTopk(Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")))
   }
@@ -6628,7 +6647,12 @@ object Text {
   }
 
   val llmSuffixDedup: Q = (s, dir) =>
-    suffixDupOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+    // fanOut: the (depth × position) slice-key build is the most
+    // CPU-expensive per-row derivation in the repo (~30 MB of gram keys
+    // from a ~3 MB scan); on a small input it planned single-task —
+    // 2 × 3.2–3.6 s serialized (profiled r21). See fanOut's scaladoc.
+    suffixDupOf(fanOut(Tables.t(s, dir, "documents"))
+      .select("doc_id", "text"))
 
   /** The dedup ACTION on [[suffixDupOf]]'s signal: remove every
     * NON-FIRST occurrence of a duplicated `spanW`-word span and

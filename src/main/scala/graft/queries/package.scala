@@ -56,4 +56,49 @@ package object queries {
     val p = pow10(scale)
     s"CAST(FLOOR(($e)*$p+0.5) AS DOUBLE)/$p"
   }
+
+  /** Scale-adaptive scan fan-out for CPU-heavy per-row derivations
+    * (guide §2: make partitioning scale-adaptive, derive it from the
+    * input, never a local-mode constant).
+    *
+    * A FileSourceScan plans one partition per file split; a small input
+    * (locally: single-row-group fixture parquet) therefore runs the
+    * whole scan-side projection chain — per-word md5 hashing, gram
+    * explodes, slice/string builds, vector dot products — on ONE task
+    * while the rest of the cluster idles (measured: llm_suffix_dedup's
+    * two 30 MB gram map stages each ran 3.2–3.6 s single-task, ~7 s of
+    * its 4.7 s wall with 31 cores idle). At 100 TB the same scan plans
+    * thousands of splits and needs no help.
+    *
+    * Rule, derived from the PLANNED scan parallelism (not a constant):
+    * if the frame already plans at least half the session's default
+    * parallelism, pass it through untouched (the at-scale branch — the
+    * helper is a no-op exactly when the scan parallelizes naturally);
+    * otherwise hash-repartition on `key` to the session's parallelism.
+    * By construction the repartition only ever fires when the input is
+    * a handful of splits, so the extra exchange moves at most a few
+    * split-sizes of bytes — trivial where it fires, absent where it
+    * would not be. Hash-on-key (not round-robin) keeps the exchange
+    * deterministic under retries (SPARK-38388 posture) and skips the
+    * sort-before-repartition a keyless round-robin pays. */
+  def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, key)
+  }
+
+  /** Round-robin [[fanOut]] — for pipelines whose downstream groupBys
+    * include the row key: a hash-on-key fan-out SATISFIES those
+    * groupBys' clustering, Catalyst then drops their exchanges, and the
+    * multi-consumed projection that used to be deduped through one
+    * reused exchange is recomputed once per consumer (measured on
+    * llm_suffix_dedup: hash fan-out tripled the gram build). Round-robin
+    * preserves no clustering, so the original exchange — and its AQE
+    * stage reuse — stays, just fed by a parallel map stage. Retry safety
+    * comes from Spark's sort-before-repartition default (SPARK-23207). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
 }

@@ -1635,6 +1635,18 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.forall { case (_, a, b, c, _) => a <= b && b <= c })
   }
 
+  test("releaseCaches frees localCheckpoint RDD blocks, not just the CacheManager") {
+    // nearDupClusters runs the star-contraction CC, whose per-round
+    // checkpoints are RDD-level persists invisible to clearCache() —
+    // the r20 leak class. The facade's release must sweep them too.
+    Pipeline.nearDupClusters(docs).collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "precondition: the CC rounds should have left checkpoint blocks")
+    Pipeline.releaseCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseCaches left RDD-level blocks behind")
+  }
+
   test("wordpieceTokenCount and multimodalFeatures expose the typed cores") {
     assert(Pipeline.wordpieceTokenCount("thing") === 2)
     import spark.implicits._
