@@ -170,6 +170,11 @@ object Aggregates {
     * MISMATCH, not an unchecked shrug. Both sketches are deterministic
     * for fixed data — the gate cannot flake. */
   val aggPercentileApprox: Q = (s, dir) => {
+    // NO fanOut, deliberately (A/B'd r21, same window): the sketch pass
+    // profiles ~1.7 s single-task on a single-split input, but fanning
+    // out reads 2.12/1.86 vs 2.19/1.92 [med/min] — a wash; the 600k-row
+    // repartition + 32 partial value→count buffers cost what the
+    // parallel build saves. Left in the catalogued shape.
     Tables.t(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(

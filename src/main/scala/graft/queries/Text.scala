@@ -118,6 +118,15 @@ object Text {
     * re-running the md5 pass per feature family (r15's ngram_jaccard paid
     * it twice — two scans, two persists of duplicate work). */
   private[graft] def hashedWordsOf(docs: DataFrame): DataFrame =
+    // NO fanOut here, deliberately (A/B'd r21, same stormy window): the
+    // md5 pass is sub-second at fixture scale, and fanning it out made
+    // every family member ~2× SLOWER (minhash_lsh 0.55→1.14,
+    // ngram_jaccard 0.91→1.90, threshold_curve 2.74→5.0, v3 5.3→12.5)
+    // — the added exchange, extra 32-task stages, and 32×-wider shuffle
+    // block matrix on every downstream join cost more than the
+    // parallelism bought. fanOut pays only where a SINGLE stage is
+    // multi-second single-task (suffix_dedup's gram build, ann_pq's
+    // encode argmin).
     docs.select(col("doc_id"), wordHashCol.as("hs"))
 
   /** [[signaturesOf]] from a pre-built [[hashedWordsOf]] frame: shingle
@@ -510,6 +519,15 @@ object Text {
     // split clusters — so throw instead.
     val maxIter = 60
     while (!converged && iter < maxIter) {
+      // The inner ckpt on largeStar STAYS (re-A/B'd r21): dropping it in
+      // favor of AQE exchange reuse (smallStar's two consumers both sit
+      // above largeStar's distinct() exchange — the r15 BM25 rule) read
+      // NET WORSE same-window (5-query CC micro total 18.4 s vs 17.5
+      // with the ckpt; graph_cc 3.63 vs 3.42, cc_sizes 3.68 vs 3.21,
+      // cluster_sample 4.55 vs 4.04) — the fatter single job loses more
+      // to planning/AQE re-optimization than the extra materialization
+      // job costs. Negative result recorded so later rounds don't
+      // re-try it.
       val (next, n) =
         ckptCounted(smallStar(ckpt(largeStar(edges))), s"cc_round_$iter")
       // The observed counts are a plateau PREFILTER only; the authoritative
@@ -564,6 +582,10 @@ object Text {
     * per-element, outside codegen. */
   private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String,
       bits: Int): DataFrame = {
+    // NO fanOut (A/B'd r21, same window): the word explode + votes map
+    // stage is fast enough that the extra exchange is a wash here
+    // (simhash 1.02/0.66 fanned vs 0.96/0.71 plain; neardup 2.31/1.97
+    // vs 2.19/1.87 [med/min]).
     val words = Tables.t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long"))
@@ -4639,6 +4661,9 @@ object Text {
   }
 
   val llmTextrank: Q = (s, dir) =>
+    // NO fanOut (A/B'd r21, same window): 2.94/2.62 fanned vs 3.15/2.48
+    // plain [med/min] — a wash; the pair explode feeds the (a, b)
+    // count exchange whose 5 downstream iterations dominate.
     textrankOf(Tables.t(s, dir, "documents"))
 
   /** Character-n-gram language ID (Cavnar & Trenkle 1994, "N-Gram-Based
@@ -4723,7 +4748,9 @@ object Text {
   }
 
   val llmCharngramLangid: Q = (s, dir) =>
-    charLangIdOf(Tables.t(s, dir, "documents"))
+    // fanOut: the per-char trigram-concat lambdas explode ~500 chars/doc
+    // interpreted; single-task on a single-split scan (r21 profile).
+    charLangIdOf(fanOut(Tables.t(s, dir, "documents")))
 
   /** Per-document character-distribution entropy, in the engine's
     * integer bin-length surrogate (Σ cᵢ·(bits(L) − bits(cᵢ))/L over the
@@ -6340,7 +6367,9 @@ object Text {
   }
 
   val llmCdcChunks: Q = (s, dir) =>
-    cdcChunksOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+    // fanOut: base's per-word md5 + rolling-hash flag transforms are
+    // HOF-interpreted and built single-task on a single-split scan.
+    cdcChunksOf(fanOut(Tables.t(s, dir, "documents")).select("doc_id", "text"))
       .orderBy("doc_id")
 
   /** Cross-document repeated-span REMOVAL with text reconstruction —
@@ -6564,7 +6593,10 @@ object Text {
         array_max(col("fps")).as("fp_max"))
 
   val llmWinnow: Q = (s, dir) =>
-    winnowOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
+    // fanOut at the REGISTERED query only — winnowOf's core stays
+    // shuffle-free (PlanSpec pins it); the per-position min-slide HOFs
+    // ran single-task on a single-split scan (r21 profile).
+    winnowOf(fanOut(Tables.t(s, dir, "documents")).select("doc_id", "text"))
       .orderBy("doc_id")
 
   /** Exact duplicated-substring detection over word-level suffix
