@@ -393,6 +393,14 @@ object Aggregates {
       // dround's 1e6 scale would overflow Spark's BIGINT floor (DuckDB's
       // FLOOR stays double — a silent cross-engine clamp, caught by the
       // oracle gate when this was first spelled in micros).
+      // POSITIVE-EPOCH assumption (r20 ADVICE): Spark `DIV` truncates
+      // toward zero while DuckDB `//` floors, so this spelling (and the
+      // day-bucket DIVs in seq_mann_kendall/seq_theil_sen) diverges by 1
+      // for PRE-1970 timestamps. Every fixture date is post-1970 and the
+      // profile targets business tables, where negative epochs are data
+      // corruption the profiler SHOULD surface; a floor-consistent
+      // spelling (FLOOR(us/1e6) on double) would also lose exactness
+      // past 2^53 µs. Assumption documented rather than respelled.
       num("l_shipdate",
         expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 1000000")),
       str("l_returnflag"),

@@ -426,6 +426,12 @@ object Graph {
       .select(col("src"),
         pmod(conv(substring(md5(concat_ws(":", col("src"), col("i"))), 1, 8),
           16, 10).cast("long"), col("n")).as("dst"))
+    // und stays the unionAll-of-orientations over the distinct'd edge
+    // frame (re-A/B'd r21): a single distinct over the pre-symmetrized
+    // pairs would cache 32 instead of 64 partitions (half the tiny
+    // tasks per round), but it measured WORSE same-window (kcore
+    // 6.44/4.73 vs 4.93/4.34 [med/min]) — the wider distinct costs more
+    // than the halved task count saves. Negative result recorded.
     val edges = raw
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

@@ -6521,6 +6521,12 @@ object Text {
     * bucketed candidate machinery, never all-pairs. Nothing in the
     * composition adds a corpus-wide window or a driver collect. */
   val llmCorpusPipelineV3: Q = (s, dir) => {
+    // NO fanOut on the shared input (A/B'd r21): the capstone's gate
+    // subtrees DO serialize single-task on a single-split scan, but
+    // they overlap across the five gates, and fanning the input out
+    // read min 9.4 s vs the 4.0 s floor — the same mechanism as the
+    // hashedWordsOf family A/B (v3 5.3→12.5 there): the containment
+    // chain's many cache consumers each pay the wider shuffle matrix.
     val d = Tables.t(s, dir, "documents")
     val gopherKeep = gopherRulesOf(d, minWords = 20, minStops = 1)
       .filter(col("keep")).select("doc_id")
@@ -6751,6 +6757,12 @@ object Text {
   }
 
   val llmSuffixScrub: Q = (s, dir) =>
+    // NO fanOut (A/B'd r21, same window): unlike the dedup twin (-22%),
+    // fanning out read 3.56/2.72 vs 1.46/1.36 [med/min] — HERE the gram
+    // pass lands in a persist whose cache already bounds the recompute,
+    // and the extra exchange + 32-partition cache consumers (covered
+    // collect_set, wsDocs re-join) cost 2.4× what the parallel build
+    // saved.
     suffixScrubOf(Tables.t(s, dir, "documents").select("doc_id", "text"))
 
   /** BPE merge-candidate counting (Sennrich/Haddow/Birch, ACL 2016 §3.2 —
