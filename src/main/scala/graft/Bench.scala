@@ -156,7 +156,18 @@ object Bench {
     "llm_dedup_incremental", "llm_dedup_cc",
     "llm_contamination", "llm_repetition", "llm_corpus_pipeline",
     "stream_tumbling", "stream_stateful_sessions",
-    "merge_upsert", "sink_partitioned_parquet")
+    "merge_upsert", "sink_partitioned_parquet",
+    // r22 additions (r21 verdict item 2: round-touched queries must
+    // appear in the contract line so the driver's PERF comparison can
+    // verify per-query claims; additions-only — names above never move).
+    // Touched queries whose TWIN already sits in the headline ride the
+    // twin instead of a slot: llm_suffix_scrub shares llm_suffix_dedup's
+    // slice-gram kernel, graph_cc shares llm_dedup_cc's CC core. Line
+    // budget re-checked in BenchFormatSpec: 36 legacy + 6 additions at
+    // worst-case spreads + full wide/failed caps stays under the
+    // driver's 2000-char tail capture with the sbt epilogue.
+    "llm_suffix_dedup", "llm_cdc_chunks", "llm_charngram_langid",
+    "llm_winnow", "llm_dedup_threshold_curve", "llm_corpus_pipeline_v3")
 
   private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -223,8 +234,11 @@ object Bench {
       .mkString("[", ",", "]")
     val wideNames = results.collect {
       case (k, ts) if ts.nonEmpty && ts.min > 0 && ts.max / ts.min > 2.5 => k }
-    val wide = (wideNames.take(6).map("\"" + _ + "\"") ++
-      (if (wideNames.size > 6) Seq("\"(+" + (wideNames.size - 6) + " more)\"") else Nil))
+    // cap 6 → 3 in r22: the cap exists ONLY to bound the line in stormy
+    // runs, and the 8 headline additions need that budget back — the
+    // full wide list still lands in BENCH-FULL via the spreads
+    val wide = (wideNames.take(3).map("\"" + _ + "\"") ++
+      (if (wideNames.size > 3) Seq("\"(+" + (wideNames.size - 3) + " more)\"") else Nil))
       .mkString("[", ",", "]")
     val load = s"[${num(loadLaunch)},${num(loadFinish)}]"
     val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum

@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("parse_url_tuple"),
       new ExpressionInfo(classOf[ParseUrlTupleGen].getName, "parse_url_tuple"),
       (exprs: Seq[Expression]) => ParseUrlTupleGen(exprs)))
+    // native text-hash kernels (word_hashes/hash_grams/minhash_sig/...):
+    // the codegen replacements for the interpreted HOF lambdas in the
+    // dedup/signature family — see graft.functions.TextHashOps
+    graft.functions.TextHashFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.TextHashOps", name),
+        builder))
+    }
     // grouped top-k pushdown: optimizer rewrite + planner strategy
     // (the full custom-operator ladder — see graft.plans.TopKPerKey)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)

@@ -37,14 +37,24 @@ case class MmrOut(q_id: Long, step: Int, vec_id: Long, mmr: Double)
 object Text {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Native text-hash functions resolve via the session registry —
+    * GraftExtensions sessions have them; the Pipeline library path over a
+    * caller-built session gets them here. Idempotent, one registry put
+    * per name — call at every helper entry that uses wordHashCol /
+    * hashGramCol / the other [[graft.functions.TextHashOps]] kernels
+    * (same defensive-registration precedent as Pipeline's dot_product). */
+  private def reg(df: DataFrame): DataFrame = {
+    graft.functions.TextHashFunctions.register(df.sparkSession)
+    df
+  }
 
-  private val P = 2147483647L // 2^31-1
+
+  // single definition with the native kernels (graft.functions.TextHashOps):
+  // a base/seed change lands in the Column twins, the codegen kernels and
+  // the DuckDB oracle SQL together or not at all
+  private val P = graft.functions.TextHashOps.P // 2^31-1
   /** MinHash seed pairs (aᵢ, bᵢ) — 12 hashes = 4 bands × 3 rows. */
-  private val seeds: Seq[(Long, Long)] = Seq(
-    (1000003L, 12345L), (1000033L, 54321L), (1000211L, 11111L),
-    (1000231L, 22222L), (1000249L, 33333L), (1000253L, 44444L),
-    (1000273L, 55555L), (1000289L, 66666L), (1000291L, 77777L),
-    (1000303L, 88888L), (1000313L, 99999L), (1000333L, 10101L))
+  private val seeds: Seq[(Long, Long)] = graft.functions.TextHashOps.SEEDS
   private val bands = 4
   private val rowsPerBand = 3
   /** Hot-bucket cap for LSH pair generation (see minhashDupPairs). Far
@@ -56,15 +66,23 @@ object Text {
     * 28-bit word hashes — never materializes shingle strings. Products stay
     * < 2^49 and the mod-P reduction keeps minhash arithmetic (a·sid + b)
     * < 2^51, overflow-safe in both engines. */
-  private val (b1, b2, b3) = (1000003L, 1000033L, 1000211L)
+  private val (b1, b2, b3) = (graft.functions.TextHashOps.B1,
+    graft.functions.TextHashOps.B2, graft.functions.TextHashOps.B3)
 
-  /** Word-hash array per doc: one codegen'd md5 per word, materialized as a
-    * single array column. Kept as its OWN projection step — the alias is
+  /** Word-hash array per doc: one md5 per word, materialized as a single
+    * array column. Kept as its OWN projection step — the alias is
     * non-cheap and referenced repeatedly downstream, so CollapseProject
-    * leaves it in place and the md5 pass runs exactly once per row. */
+    * leaves it in place and the md5 pass runs exactly once per row.
+    *
+    * r22: the interpreted `transform(split(text, " "), w =>
+    * conv(substring(md5(w), 1, 7), 16, 10).cast("long"))` HOF became the
+    * fused native kernel (bit-identity argument and the original
+    * formulation at [[graft.functions.TextHashOps.wordHashesFromText]];
+    * equivalence pinned by TextHashExpressionsSpec) — per-element
+    * interpreted eval with three string allocations per word became one
+    * static codegen call per row. */
   private def wordHashCol: Column =
-    transform(split(col("text"), " "),
-      w => conv(substring(md5(w), 1, 7), 16, 10).cast("long"))
+    call_function("word_hashes_text", col("text"))
 
   /** Fixed 2^16 hashed vocabulary bucket of a word — the DSIR paper's
     * hashed-features mechanism (Xie et al., arXiv:2302.03169): the
@@ -85,14 +103,13 @@ object Text {
     * single definition keeps every gram consumer (shingles, jaccard,
     * contamination, repetition) and its DuckDB twin [[hashGramSql]] in
     * lock-step — a base/width change lands everywhere or nowhere. */
-  private def hashGramCol(width: Int, distinct: Boolean = true): Column = {
-    val coefs = Seq(b1, b2, b3, 1L)
-    val grams = transform(sequence(lit(0), size(col("hs")) - width),
-      i => (0 until width)
-        .map(j => element_at(col("hs"), i + j + 1) * coefs(j))
-        .reduce(_ + _) % P)
-    if (distinct) array_distinct(grams) else grams
-  }
+  private def hashGramCol(width: Int, distinct: Boolean = true): Column =
+    // r22: the interpreted `transform(sequence(0, size(hs)-width), i =>
+    // (Σ_j element_at(hs, i+j+1) * coefs(j)) % P)` (+ array_distinct) HOF
+    // became the native kernel — original formulation and bit-identity
+    // argument at [[graft.functions.TextHashOps.hashGrams]], equivalence
+    // pinned by TextHashExpressionsSpec
+    call_function("hash_grams", col("hs"), lit(width), lit(distinct))
 
   /** Distinct 3-word shingle ids from a word-hash array column `hs` —
     * pure per-row array arithmetic (requires size(hs) >= 3). */
@@ -127,18 +144,25 @@ object Text {
     // parallelism bought. fanOut pays only where a SINGLE stage is
     // multi-second single-task (suffix_dedup's gram build, ann_pq's
     // encode argmin).
-    docs.select(col("doc_id"), wordHashCol.as("hs"))
+    reg(docs).select(col("doc_id"), wordHashCol.as("hs"))
 
   /** [[signaturesOf]] from a pre-built [[hashedWordsOf]] frame: shingle
     * ids and all 12 minhash values are per-row array arithmetic above
     * `hs` — no rescan, no re-hash. */
   private[graft] def signaturesFromHashed(hashed: DataFrame): DataFrame = {
-    val mhCols = seeds.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("sh"), sid => (lit(a) * sid + lit(b)) % lit(P))).as(s"mh$i")
-    }
-    hashed
+    // r22: the 12 interpreted `array_min(transform(sh, sid =>
+    // (a*sid + b) % P))` passes became ONE native pass over `sh`
+    // ([[graft.functions.TextHashOps.minHashSig]] — same seeds, same
+    // arithmetic, same array_min null/empty semantics; equivalence pinned
+    // by TextHashExpressionsSpec). `mhs` is a non-cheap alias referenced
+    // 12 times, so CollapseProject keeps the pass in its own projection.
+    val mhCols = seeds.indices.map(i =>
+      element_at(col("mhs"), i + 1).as(s"mh$i"))
+    reg(hashed)
       .filter(size(col("hs")) >= 3)
       .select(col("doc_id"), shingleSetCol.as("sh"))
+      .select(col("doc_id"), col("sh"),
+        call_function("minhash_sig", col("sh")).as("mhs"))
       .select(col("doc_id") +: col("sh") +: mhCols: _*)
   }
 
@@ -379,7 +403,7 @@ object Text {
     * one two-phase min-agg on the gram id, one co-partitioned join on
     * the same key. */
   private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
-    val grams = docs
+    val grams = reg(docs)
       .select(col("doc_id"), wordHashCol.as("hs"))
       .filter(size(col("hs")) >= 4)
       .select(col("doc_id"), explode(hashGramCol(4)).as("g"))
@@ -664,7 +688,7 @@ object Text {
   private[graft] def ngramJaccardFromHashed(hashed: DataFrame, pairs: DataFrame): DataFrame = {
     val gramSet = when(size(col("hs")) >= 2, hashGramCol(2))
       .otherwise(array().cast("array<long>"))
-    val g = hashed.select(col("doc_id"), gramSet.as("g"))
+    val g = reg(hashed).select(col("doc_id"), gramSet.as("g"))
     val sizes = g.select(col("doc_id"), size(col("g")).as("n"))
     val p = pairs.select(col("doc_a"), col("doc_b"))
     val ex = g.select(col("doc_id"), explode(col("g")).as("g"))
@@ -727,7 +751,7 @@ object Text {
       pairs: DataFrame): DataFrame = {
     val gramSet = when(size(col("hs")) >= 2, hashGramCol(2))
       .otherwise(array().cast("array<long>"))
-    val g = hashed.select(col("doc_id"), gramSet.as("g"))
+    val g = reg(hashed).select(col("doc_id"), gramSet.as("g"))
     val sizes = g.select(col("doc_id"), size(col("g")).as("n"))
     val p = pairs.select(col("doc_a"), col("doc_b"))
     val ex = g.select(col("doc_id"), explode(col("g")).as("g"))
@@ -4690,30 +4714,19 @@ object Text {
     // profile and the doc-top groupBys — unpersisted it scans and
     // re-explodes the whole corpus twice (measured median 3.06 → 1.33 s
     // in-micro at sf0.1, REPEATS=5)
-    val grams = docs
+    // r22: the trigram build — `split(text, "")` into a char array plus
+    // an interpreted `transform(sequence(1, n-2), i => concat(cs[i],
+    // cs[i+1], cs[i+2]))` — became ONE native pass (original formulation,
+    // the split-semantics argument and the code-point offset walk at
+    // [[graft.functions.TextHashOps.charTrigrams]]; pinned by
+    // TextHashExpressionsSpec). Keeps the winning r21 shape (linear
+    // per-row work, NO char-stream shuffle — window-lead shuffles every
+    // char, substr-over-range is O(len²)/row) minus the interpreted
+    // per-element eval and the char-array materialization.
+    val grams = reg(docs)
       .filter(length(col("text")) >= 3)
-      // char array materialized ONCE per row (3 references inside the
-      // lambda keep the alias from collapsing into the scan), then
-      // O(1) element_at — the substr(i, 3) spelling re-scans the
-      // UTF8String to the code-point offset per element, O(len²)/row
-      // (the llm_char_entropy lesson: 5.11 → 0.61 s there)
-      // bound by length(text), NOT size(cs): the empty-regex split
-      // appends a trailing "" under Spark's limit=-1, so size(cs) can
-      // read len+1 and the last "trigram" would be 2 chars. Shape A/B
-      // (REPEATS=7, sf0.1, medians): substr-over-range 1.79 (O(len²)
-      // per row — the llm_char_entropy lesson), this element_at
-      // transform 1.83, window-lead over posexplode 1.66 — all within
-      // weather locally because the gram groupBys dominate here, so
-      // the tie-break is the 100 TB shape: linear per-row work and NO
-      // char-stream shuffle (window-lead shuffles every char on
-      // doc_id; substr is quadratic in doc length).
       .select(col("doc_id"), col("lang"),
-        split(col("text"), "").as("cs"), length(col("text")).as("n"))
-      .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), col("n") - 2),
-          i => concat(element_at(col("cs"), i),
-            element_at(col("cs"), i + 1),
-            element_at(col("cs"), i + 2)))).as("g"))
+        explode(call_function("char_trigrams", col("text"))).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams.count() // eager: concurrent consumers would race the cache
     val profW = org.apache.spark.sql.expressions.Window
@@ -5409,7 +5422,7 @@ object Text {
     // CollapseProject multi-reference guard does not protect filter
     // pushdown substitution). Caching (doc_id, gram-ids) is also the
     // honest 100 TB shape: 8-byte ids, reused by both branches.
-    val g = docs
+    val g = reg(docs)
       .select(col("doc_id"), wordHashCol.as("hs"))
       .filter(size(col("hs")) >= 4)
       .select(col("doc_id"), gram4.as("g"))
@@ -5449,7 +5462,7 @@ object Text {
   private[graft] def contaminationStream(stream: DataFrame,
       evalDocs: DataFrame): DataFrame = {
     val gram4 = hashGramCol(4)
-    val evalGrams = evalDocs
+    val evalGrams = reg(evalDocs)
       .select(col("doc_id"), wordHashCol.as("hs"))
       .filter(size(col("hs")) >= 4)
       .select(gram4.as("g"))
@@ -5638,7 +5651,7 @@ object Text {
     // pathology as llmContamination (see the comment there): without the
     // cache barrier the explode branch's inferred size(bg) > 0 filter
     // inlines the md5 word-hash array per bigram element at the scan.
-    val base = docs
+    val base = reg(docs)
       .select(col("doc_id"), wordHashCol.as("hs"))
       .filter(size(col("hs")) >= 2)
       .select(col("doc_id"), size(col("hs")).as("n_words"),
@@ -6314,21 +6327,20 @@ object Text {
     * per (doc, chunk) — executor-sized groups by construction; the
     * cross-doc count is a two-phase agg on the 16-byte chunk hash. */
   private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
-    val D = 16L
     // load-bearing persist — the explode sits above the md5 word-hash
     // projection (the InferFiltersFromGenerate pathology; see
     // llmContamination)
-    val base = docs
+    // r22: the per-word md5 HOF and the rolling-hash flag HOF (the
+    // r21-verdict lead item — 6 interpreted lambdas in the after-plan)
+    // became the native kernels; original formulations and bit-identity
+    // arguments at [[graft.functions.TextHashOps.wordHashes]] /
+    // [[graft.functions.TextHashOps.cdcFlags]] (D = CDC_D = 16, same
+    // b1/b2/b3/P), pinned by TextHashExpressionsSpec
+    val base = reg(docs)
       .filter(size(split(col("text"), " ")) >= 1)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("hs", transform(col("ws"),
-        w => conv(substring(md5(w), 1, 7), 16, 10).cast("long")))
-      .withColumn("fl", transform(sequence(lit(1), size(col("ws"))), p =>
-        when(p >= 3 && p < size(col("ws")),
-          ((element_at(col("hs"), p - 2) * b1 +
-            element_at(col("hs"), p - 1) * b2 +
-            element_at(col("hs"), p) * b3) % P % D === 0).cast("int"))
-          .otherwise(lit(0))))
+      .withColumn("hs", call_function("word_hashes", col("ws")))
+      .withColumn("fl", call_function("cdc_flags", col("hs")))
       .select(col("doc_id"), col("ws"), col("fl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // eager, same cache-race rationale as llmNgramJaccard
@@ -6581,7 +6593,7 @@ object Text {
   private val winnowW = 4
 
   private[graft] def winnowOf(docs: DataFrame): DataFrame =
-    docs
+    reg(docs)
       // length gate on the SPLIT, not the hash array: size(hs) would push
       // the whole md5 word-hash transform into the scan filter and pay
       // the hash pass twice per row (size(split) ≡ size(hs) — the
@@ -6589,12 +6601,18 @@ object Text {
       .filter(size(split(col("text"), " ")) >= lit(winnowW + 2))
       .select(col("doc_id"), wordHashCol.as("hs"))
       .select(col("doc_id"), hashGramCol(3, distinct = false).as("g"))
+      // r22: the interpreted min-slide HOF `transform(sequence(0,
+      // size(g)-W), i => array_min(slice(g, i+1, W)))` became the native
+      // kernel (original formulation and bit-identity argument at
+      // [[graft.functions.TextHashOps.slidingMin]]; pinned by
+      // TextHashExpressionsSpec) — no per-position slice allocation
       .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(0), size(col("g")) - winnowW),
-          i => array_min(slice(col("g"), i + 1, lit(winnowW))))).as("fps"))
+        call_function("sliding_min", col("g"), lit(winnowW))).as("fps"))
+      // r22: `aggregate(fps, 0L, (a, x) => a + x)` → native exact fold
+      // ([[graft.functions.TextHashOps.longArraySum]])
       .select(col("doc_id"),
         size(col("fps")).cast("int").as("n_fp"),
-        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"),
+        call_function("long_array_sum", col("fps")).as("fp_sum"),
         array_min(col("fps")).as("fp_min"),
         array_max(col("fps")).as("fp_max"))
 
@@ -6647,14 +6665,20 @@ object Text {
 
   private[graft] def suffixDupOf(docs: DataFrame): DataFrame = {
     // every (depth, position) emits its literal d-word slice as the key
-    val keyed = docs
+    // r22: the interpreted slice-key HOF `transform(sequence(1,
+    // size(ws)-d+1), p => array_join(slice(ws, p, d), " "))` became the
+    // native kernel (original formulation at
+    // [[graft.functions.TextHashOps.sliceJoinGrams]]; pinned by
+    // TextHashExpressionsSpec) — one allocation per gram instead of a
+    // slice array + interpreted join per position. The `when(size >= d,
+    // ...).otherwise(array())` guard folds in: the kernel yields empty
+    // below d.
+    val keyed = reg(docs)
       .select(col("doc_id"), split(col("text"), " ").as("ws"),
         explode(array(sfxDepths.map(lit): _*)).as("d"))
       .select(col("doc_id"), col("d"),
-        explode(when(size(col("ws")) >= col("d"),
-            transform(sequence(lit(1), size(col("ws")) - col("d") + 1),
-              p => array_join(slice(col("ws"), p, col("d")), " ")))
-          .otherwise(array())).as("key"))
+        explode(call_function("slice_join_grams", col("ws"), col("d")))
+          .as("key"))
     // A position is duplicated at depth d iff its key occurs >= 2 times
     // corpus-wide: two-phase (d, key, doc) count, then duplicated keys
     // join back as an equi-join on (d, key) — NOT a window partitioned
@@ -6714,12 +6738,13 @@ object Text {
     * `doc_id*1e6+pos` key would silently collide once a document
     * exceeds 1M words; struct comparison is exact at any size). */
   private[graft] def suffixScrubOf(docs: DataFrame, spanW: Int = 8): DataFrame = {
-    val wsDocs = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val wsDocs = reg(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // r22: same slice-key HOF → native kernel swap as [[suffixDupOf]]
+    // (see [[graft.functions.TextHashOps.sliceJoinGrams]])
     val grams = wsDocs
       .filter(size(col("ws")) >= spanW)
-      .select(col("doc_id"), posexplode(transform(
-          sequence(lit(1), size(col("ws")) - spanW + 1),
-          p => array_join(slice(col("ws"), p, lit(spanW)), " ")))
+      .select(col("doc_id"), posexplode(
+          call_function("slice_join_grams", col("ws"), lit(spanW)))
         .as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
       // Persist barrier over the gram projection: both the stats agg and
