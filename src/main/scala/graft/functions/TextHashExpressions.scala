@@ -73,6 +73,25 @@ case class WordHashesFromText(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `md5_prefix(string, n) -> long` — scalar md5 hex-prefix bucketing
+  * (see [[TextHashOps.md5Prefix]]). */
+case class Md5Prefix(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashExpr.requireType(child,
+      child.dataType == StringType && n >= 1 && n <= 15,
+      "string with n in 1..15")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix"
+  override protected def nullSafeEval(in: Any): Any =
+    TextHashOps.md5Prefix(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.md5Prefix($c, $n);")
+  override protected def withNewChildInternal(c: Expression): Md5Prefix =
+    copy(child = c)
+}
+
 /** `hash_grams(array<long>, width, distinct) -> array<long>` — windowed
   * hash n-gram ids (see [[TextHashOps.hashGrams]]). */
 case class HashGrams(child: Expression, width: Int, distinct: Boolean)
@@ -187,10 +206,13 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** `slice_join_grams(array<string>, d) -> array<string>` — every d-word
-  * window space-joined (see [[TextHashOps.sliceJoinGrams]]). */
-case class SliceJoinGrams(left: Expression, right: Expression)
+/** `slice_join_grams(array<string>, d[, sep]) -> array<string>` — every
+  * d-word window joined on `sep` (default a single space; see
+  * [[TextHashOps.sliceJoinGrams]]). */
+case class SliceJoinGrams(left: Expression, right: Expression, sep: String)
     extends BinaryExpression {
+  private lazy val sepU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(sep)
   override def checkInputDataTypes(): TypeCheckResult =
     TextHashExpr.requireType(left,
       TextHashExpr.isStringArray(left) && right.dataType == IntegerType,
@@ -199,10 +221,13 @@ case class SliceJoinGrams(left: Expression, right: Expression)
   override def prettyName: String = "slice_join_grams"
   override protected def nullSafeEval(ws: Any, d: Any): Any =
     TextHashOps.sliceJoinGrams(ws.asInstanceOf[ArrayData],
-      d.asInstanceOf[Int])
+      d.asInstanceOf[Int], sepU8)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, d) =>
-      s"${ev.value} = graft.functions.TextHashOps.sliceJoinGrams($a, $d);")
+    nullSafeCodeGen(ctx, ev, (a, d) => {
+      val sepRef = ctx.addReferenceObj("sjgSep", sepU8,
+        "org.apache.spark.unsafe.types.UTF8String")
+      s"${ev.value} = graft.functions.TextHashOps.sliceJoinGrams($a, $d, $sepRef);"
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SliceJoinGrams =
     copy(left = newLeft, right = newRight)
@@ -231,6 +256,9 @@ object TextHashFunctions {
     "hash_grams" -> { es: Seq[Expression] =>
       require(es.size == 3, "hash_grams(hs, width, distinct)")
       HashGrams(es.head, litInt(es(1), "width"), litBool(es(2), "distinct")) },
+    "md5_prefix" -> { es: Seq[Expression] =>
+      require(es.size == 2, "md5_prefix(s, nHexChars)")
+      Md5Prefix(es.head, litInt(es(1), "nHexChars")) },
     "minhash_sig" -> { es: Seq[Expression] =>
       require(es.size == 1, "minhash_sig(shingles)"); MinHashSig(es.head) },
     "sliding_min" -> { es: Seq[Expression] =>
@@ -243,8 +271,14 @@ object TextHashFunctions {
     "char_trigrams" -> { es: Seq[Expression] =>
       require(es.size == 1, "char_trigrams(text)"); CharTrigrams(es.head) },
     "slice_join_grams" -> { es: Seq[Expression] =>
-      require(es.size == 2, "slice_join_grams(ws, d)")
-      SliceJoinGrams(es.head, es(1)) })
+      require(es.size == 2 || es.size == 3, "slice_join_grams(ws, d[, sep])")
+      val sep = if (es.size == 3) es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType)
+          if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"sep must be a string literal, got $other")
+      } else " "
+      SliceJoinGrams(es.head, es(1), sep) })
 
   /** Register every text-hash function as a session temp function —
     * the no-extensions path ([[graft.Pipeline]] over caller sessions);

@@ -66,6 +66,30 @@ object TextHashOps {
       ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)
   }
 
+  /** Twin of the scalar md5 hex-prefix bucketing idiom
+    * `conv(substring(md5(s), 1, n), 16, 10).cast("long")` (the
+    * catalogued cross-engine idiom — vocabBucket, simhash word hash,
+    * sampling keys): the first n hex chars of the digest are the top
+    * 4n bits, read big-endian nibble by nibble. n <= 15 keeps the value
+    * under 2^60 — no unsigned-parse edge. */
+  def md5Prefix(s: UTF8String, n: Int): Long = {
+    val md = md5Local.get()
+    val b = s.getBytes
+    md.reset()
+    md.update(b, 0, b.length)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < n) {
+      val nib =
+        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf
+        else d(i >> 1) & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
   /** Twin of `transform(ws, w => conv(substring(md5(w),1,7),16,10)
     * .cast("long"))` over an array<string>. Null elements map to null
     * (the lambda's null propagation). */
@@ -361,14 +385,15 @@ object TextHashOps {
   }
 
   /** Twin of `transform(sequence(1, size(ws)-d+1), p =>
-    * array_join(slice(ws, p, d), " "))`: every d-word window joined on a
-    * single space, one allocation per gram. Callers guard size >= d (the
+    * array_join(slice(ws, p, d), sep))`: every d-word window joined on
+    * `sep` (the suffix family's space; BPE's pair sentinel), one
+    * allocation per gram. Callers guard size >= d (the
     * suffix family wraps the original in `when(size >= d, ...)
     * .otherwise(array())`); smaller arrays yield empty, so the guard can
     * drop at the swap site. array_join's null-skip (null word joins as
     * nothing, separator elided) is preserved on the never-hit null path
     * via UTF8String.concatWs. */
-  def sliceJoinGrams(ws: ArrayData, d: Int): ArrayData = {
+  def sliceJoinGrams(ws: ArrayData, d: Int, sep: UTF8String): ArrayData = {
     val n = ws.numElements()
     val m = n - d + 1
     if (d <= 0 || m <= 0) return new GenericArrayData(Array.empty[Any])
@@ -382,17 +407,21 @@ object TextHashOps {
     }
     val out = new Array[Any](m)
     if (!hasNull) {
+      val sepBytes = sep.getBytes
       val lens = new Array[Int](n + 1)
       i = 0
       while (i < n) { lens(i + 1) = lens(i) + words(i).numBytes; i += 1 }
       i = 0
       while (i < m) {
-        val total = lens(i + d) - lens(i) + (d - 1)
+        val total = lens(i + d) - lens(i) + (d - 1) * sepBytes.length
         val buf = new Array[Byte](total)
         var pos = 0
         var j = i
         while (j < i + d) {
-          if (j > i) { buf(pos) = ' '.toByte; pos += 1 }
+          if (j > i) {
+            System.arraycopy(sepBytes, 0, buf, pos, sepBytes.length)
+            pos += sepBytes.length
+          }
           val w = words(j)
           w.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
           pos += w.numBytes
@@ -402,7 +431,6 @@ object TextHashOps {
         i += 1
       }
     } else {
-      val sep = UTF8String.fromString(" ")
       i = 0
       while (i < m) {
         out(i) = UTF8String.concatWs(

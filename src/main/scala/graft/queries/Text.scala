@@ -92,7 +92,12 @@ object Text {
     * billions of distinct URLs/typos/code tokens — is not). First 16
     * md5 bits; [[vocabBucketSql]] is the bit-identical DuckDB twin. */
   private def vocabBucket(w: Column): Column =
-    conv(substring(md5(w), 1, 4), 16, 10).cast("long")
+    // r22: the codegen'd-but-allocation-heavy `conv(substring(md5(w), 1,
+    // 4), 16, 10).cast("long")` chain (hex string + substring + decimal
+    // string per word occurrence) became the native scalar kernel —
+    // bit-identity at [[graft.functions.TextHashOps.md5Prefix]], pinned
+    // by TextHashExpressionsSpec
+    call_function("md5_prefix", w, lit(4))
   private val vocabBucketSql: String = "('0x' || substr(md5(w), 1, 4))::BIGINT"
 
   /** Windowed hash n-gram ids over the word-hash array column `hs`:
@@ -342,7 +347,12 @@ object Text {
     * persist barrier the candidate join needs (the caller-facing pair
     * source for verify stages like [[ngramJaccardOf]]). */
   private[graft] def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val sets = signaturesOf(docs)
+    // r22: project `sh` OUT before the persist — minhashCandidates' three consumers
+    // consume only (doc_id, mh*) band columns, and the shingle array is
+    // the cache's fattest column (it scales with doc length where the 12
+    // mh longs are fixed); caching it inflated the materialization job
+    // and every single-task consumer scan of the 1-partition cache
+    val sets = signaturesOf(docs).drop("sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sets.count()
     minhashCandidates(sets)
@@ -552,6 +562,17 @@ object Text {
       // to planning/AQE re-optimization than the extra materialization
       // job costs. Negative result recorded so later rounds don't
       // re-try it.
+      // K=2 checkpoint cadence (two star rounds per OUTER materialization,
+      // the r21-verdict item-5 second attempt) A/B'd WORSE r22 same-window
+      // (REPEATS=5, sf0.1 medians): graph_cc 5.81 vs 3.53, graph_cc_sizes
+      // 4.75 vs 3.53, llm_dedup_cc 3.75 vs 2.74, llm_semdedup_cc /
+      // llm_cluster_sample a wash — same mechanism as r21's inner-ckpt
+      // removal: each un-materialized round REFERENCES its input 2-3×
+      // (sym union + min join), so the fused pair's plan is ~4-6× fatter
+      // and planning/AQE re-optimization cost more than the one skipped
+      // checkpoint job saved. Fixpoint IS stable under both stars
+      // (largeStar(F)=F, smallStar(F)=F), so the variant was semantically
+      // sound — just slower. Recorded so K>1 isn't re-tried.
       val (next, n) =
         ckptCounted(smallStar(ckpt(largeStar(edges))), s"cc_round_$iter")
       // The observed counts are a plateau PREFILTER only; the authoritative
@@ -610,9 +631,10 @@ object Text {
     // stage is fast enough that the extra exchange is a wash here
     // (simhash 1.02/0.66 fanned vs 0.96/0.71 plain; neardup 2.31/1.97
     // vs 2.19/1.87 [med/min]).
-    val words = Tables.t(s, dir, "documents")
+    val words = reg(Tables.t(s, dir, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 7), 16, 10).cast("long"))
+      // r22: same scalar md5-prefix chain -> native kernel (md5_prefix)
+      .withColumn("h", call_function("md5_prefix", col("w"), lit(7)))
     val votes = (0 until bits).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
     }
@@ -723,7 +745,13 @@ object Text {
     val hashed = hashedWordsOf(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.count() // eager: one md5 pass before the concurrent consumers
-    val sets = signaturesFromHashed(hashed)
+    // r22: project `sh` OUT before the persist — the candidate join's three consumers
+    // consume only (doc_id, mh*) band columns, and the shingle array is
+    // the cache's fattest column (it scales with doc length where the 12
+    // mh longs are fixed); caching it inflated the materialization job
+    // and every single-task consumer scan of the 1-partition cache
+    // (the jaccard verify re-derives bigrams from `hashed`, never sh)
+    val sets = signaturesFromHashed(hashed).drop("sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sets.count()
     ngramJaccardFromHashed(hashed, minhashCandidates(sets))
@@ -824,7 +852,12 @@ object Text {
     val hashed = hashedWordsOf(Tables.t(s, dir, "documents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.count() // eager: candidates + grams consume it concurrently
-    val sets = signaturesFromHashed(hashed)
+    // r22: project `sh` OUT before the persist — the candidate join's three consumers
+    // consume only (doc_id, mh*) band columns, and the shingle array is
+    // the cache's fattest column (it scales with doc length where the 12
+    // mh longs are fixed); caching it inflated the materialization job
+    // and every single-task consumer scan of the 1-partition cache
+    val sets = signaturesFromHashed(hashed).drop("sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sets.count()
     ngramContainmentFromHashed(hashed, minhashCandidates(sets))
@@ -2957,7 +2990,7 @@ object Text {
     // recompute the per-occurrence md5 — a pure projection, so there is
     // no exchange for ReuseExchange to dedup (the same measured rule as
     // ngramJaccardOf's gram sets); 16 bytes/row, MEMORY_AND_DISK.
-    val words = docs
+    val words = reg(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), vocabBucket(col("w")).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3006,7 +3039,7 @@ object Text {
     // Spark is the DESCENDING [1, 0] (not empty like DuckDB's range), so
     // an unguarded transform would element_at index 2 of a 1-word array
     // and crash the job. The filter keeps the documented drop-semantics.
-    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val ws = reg(docs).select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
     val pairs = ws
       .select(col("doc_id"), explode(transform(
@@ -3089,7 +3122,7 @@ object Text {
   private[graft] def ccnetBucketsOf(docs: DataFrame): DataFrame = {
     // same persist rationale as lmQualityOf: the per-occurrence md5
     // projection feeds both the count table and the scoring join
-    val words = docs
+    val words = reg(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), vocabBucket(col("w")).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3159,7 +3192,7 @@ object Text {
     * no position and are absent. */
   private[graft] def lmTrigramOf(docs: DataFrame,
       isTrain: Column => Column): DataFrame = {
-    val train = docs.filter(isTrain(col("doc_id")))
+    val train = reg(docs).filter(isTrain(col("doc_id")))
     val t3 = trigramPositions(train)
       .select(vocabBucket(concat_ws("_", col("p.w1"), col("p.w2"), col("p.w3"))).as("b3"))
       .groupBy("b3").agg(count(lit(1)).as("c3"))
@@ -3273,7 +3306,7 @@ object Text {
     * sort. */
   private[graft] def dsirSelectOf(docs: DataFrame,
       isTarget: Column => Column): DataFrame = {
-    val words = docs
+    val words = reg(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), vocabBucket(col("w")).as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3342,7 +3375,7 @@ object Text {
   private[graft] def qualityClassifierOf(docs: DataFrame,
       epochs: Int = 3,
       positive: Column = col("lang") === "en"): DataFrame = {
-    val labeled = docs.select(col("doc_id"),
+    val labeled = reg(docs).select(col("doc_id"),
       when(positive, 1L).otherwise(-1L).as("y"))
     val postings = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -3739,7 +3772,7 @@ object Text {
       poolK: Int = 20, topK: Int = 5): DataFrame = {
     val lex = bm25Of(docs, isQuery, poolK)
       .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
-    val vecs = docs
+    val vecs = reg(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), (vocabBucket(col("w")) % 64).as("dim"))
       .groupBy("doc_id", "dim").agg(count(lit(1)).as("v"))
@@ -6554,7 +6587,12 @@ object Text {
     val hashed = hashedWordsOf(d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     hashed.count() // eager: candidates + grams consume it concurrently
-    val sets = signaturesFromHashed(hashed)
+    // r22: project `sh` OUT before the persist — the candidate join's three consumers
+    // consume only (doc_id, mh*) band columns, and the shingle array is
+    // the cache's fattest column (it scales with doc length where the 12
+    // mh longs are fixed); caching it inflated the materialization job
+    // and every single-task consumer scan of the 1-partition cache
+    val sets = signaturesFromHashed(hashed).drop("sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sets.count()
     val embedded = ngramContainmentFromHashed(hashed, minhashCandidates(sets))
@@ -6845,7 +6883,7 @@ object Text {
     * sym_b, cnt). */
   private[graft] def bpeTrainOf(docs: DataFrame, steps: Int = 10): DataFrame = {
     val spark = docs.sparkSession
-    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+    val vocab = reg(docs).select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(col("wc"),
@@ -6857,16 +6895,16 @@ object Text {
     var step = 1
     var dry = false
     while (step <= steps && !dry) {
-      // syms lands in its own column (multi-referenced in the pair
-      // lambda → protected from CollapseProject inlining); 1-symbol
-      // words guard to array() — sequence(1, 0) is DESCENDING in Spark
+      // r22: the adjacent-pair HOF `transform(sequence(1, size-1), i =>
+      // concat(syms[i], SEP, syms[i+1]))` is slice_join_grams(syms, 2,
+      // SEP) exactly — the native kernel with the pair sentinel as the
+      // join separator (the size>=2 guard folds in: empty below d); see
+      // [[graft.functions.TextHashOps.sliceJoinGrams]], pinned by
+      // TextHashExpressionsSpec's custom-separator case
       val top = cur
         .select(col("wc"), bpeSyms(col("s")).as("syms"))
-        .select(col("wc"), explode(when(size(col("syms")) >= 2,
-          transform(sequence(lit(1), size(col("syms")) - 1),
-            i => concat(element_at(col("syms"), i), lit(bpeSep),
-              element_at(col("syms"), i + 1))))
-          .otherwise(array())).as("pr"))
+        .select(col("wc"), explode(call_function("slice_join_grams",
+          col("syms"), lit(2), lit(bpeSep))).as("pr"))
         .groupBy("pr").agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("pr").asc)
         .limit(1).collect()

@@ -78,27 +78,35 @@ package object queries {
     * By construction the repartition only ever fires when the input is
     * a handful of splits, so the extra exchange moves at most a few
     * split-sizes of bytes — trivial where it fires, absent where it
-    * would not be. Hash-on-key (not round-robin) keeps the exchange
-    * deterministic under retries (SPARK-38388 posture) and skips the
-    * sort-before-repartition a keyless round-robin pays. */
-  def fanOut(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
-    else df.repartition(target, key)
-  }
-
-  /** Round-robin [[fanOut]] — for pipelines whose downstream groupBys
-    * include the row key: a hash-on-key fan-out SATISFIES those
-    * groupBys' clustering, Catalyst then drops their exchanges, and the
+    * would not be.
+    *
+    * The r21 keyed (hash-on-key) overload was REMOVED in r22 (advice
+    * item): every call site uses this round-robin form, and the r21
+    * measurements showed hash-on-key regressing by SATISFYING downstream
+    * groupBy clusterings — Catalyst drops their exchanges and the
     * multi-consumed projection that used to be deduped through one
     * reused exchange is recomputed once per consumer (measured on
     * llm_suffix_dedup: hash fan-out tripled the gram build). Round-robin
     * preserves no clustering, so the original exchange — and its AQE
-    * stage reuse — stays, just fed by a parallel map stage. Retry safety
-    * comes from Spark's sort-before-repartition default (SPARK-23207). */
+    * stage reuse — stays, just fed by a parallel map stage.
+    *
+    * Contract (pinned by PlanSpec): wrap RAW TABLE SCANS ONLY — the
+    * partition probe below plans the subtree a second time, which is
+    * cheap for a bare scan and wrong above anything expensive; and the
+    * helper must stay an identity when `parts * 2 >= defaultParallelism`
+    * (the at-scale branch — a production scan plans thousands of
+    * splits and must gain no exchange). Retry determinism rides
+    * `spark.sql.execution.sortBeforeRepartition` staying at its default
+    * (true, SPARK-23207): a session that disables it gets
+    * nondeterministic row placement under task retry for the fanned
+    * queries — do not disable it in sessions that run these. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
+    // toRdd shares the frame's existing QueryExecution instead of
+    // building a second deserialized-plan RDD per call (advice item:
+    // df.rdd constructed a whole extra QueryExecution just to read the
+    // planned partition count, even on the at-scale pass-through branch)
+    if (df.queryExecution.toRdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)
   }
 }

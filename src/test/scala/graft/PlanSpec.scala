@@ -14,6 +14,27 @@ class PlanSpec extends SparkSpec {
   private def planString(df: org.apache.spark.sql.DataFrame): String =
     executedPlan(df).toString
 
+  test("fanOut contract: identity at scale, round-robin exchange below parallelism") {
+    import org.apache.spark.sql.functions.col
+    // at-scale branch: a frame already planning >= half the session's
+    // defaultParallelism must pass through UNTOUCHED (same reference —
+    // a production scan plans thousands of splits and must gain no
+    // exchange; the r21 verdict asked for this pin)
+    val par = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0L, 1000L, 1L, par).toDF("doc_id")
+    assert(graft.queries.fanOut(wide) eq wide,
+      "fanOut must be an identity when the input already parallelizes")
+    // below-parallelism branch: the single-split fixture scan gains one
+    // keyless (round-robin) repartition to the session parallelism
+    val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    assert(docs.queryExecution.toRdd.getNumPartitions * 2 < par,
+      "fixture precondition: single-split scan")
+    val fanned = graft.queries.fanOut(docs)
+    assert(planString(fanned.select(col("doc_id")))
+      .contains(s"RoundRobinPartitioning($par)"),
+      "fanOut below parallelism must round-robin to defaultParallelism")
+  }
+
   test("q1: filter is pushed into the parquet scan") {
     val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
     val s = df.queryExecution.sparkPlan.toString

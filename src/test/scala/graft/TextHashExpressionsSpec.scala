@@ -75,6 +75,19 @@ class TextHashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("md5_prefix == conv(substring(md5(s), 1, n), 16, 10) cast long, n in {4,7,8,12}") {
+    for (n <- Seq(4, 7, 8, 12)) {
+      assertColsEqual(corpus,
+        call_function("md5_prefix", col("text"), lit(n)),
+        conv(substring(md5(col("text")), 1, n), 16, 10).cast("long"))
+      // and over individual words (the hot per-occurrence shape)
+      assertColsEqual(
+        corpus.select(explode(split(col("text"), " ")).as("w")),
+        call_function("md5_prefix", col("w"), lit(n)),
+        conv(substring(md5(col("w")), 1, n), 16, 10).cast("long"))
+    }
+  }
+
   test("hash_grams yields empty below width (the guarded domain's edge)") {
     val r = spark.sql(
       "SELECT hash_grams(array(1L, 2L), 3, true) AS g").collect().head
@@ -158,5 +171,17 @@ class TextHashExpressionsSpec extends SparkSpec {
       assertColsEqual(base,
         call_function("slice_join_grams", col("ws"), lit(d)), ho)
     }
+  }
+
+  test("slice_join_grams with a custom separator == the adjacent-pair concat HOF") {
+    val sep = "\u0003" // the BPE pair sentinel
+    val base = corpus.select(split(col("text"), " ").as("ws"))
+    val ho = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(sep),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    assertColsEqual(base,
+      call_function("slice_join_grams", col("ws"), lit(2), lit(sep)), ho)
   }
 }
