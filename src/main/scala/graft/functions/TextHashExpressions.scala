@@ -172,6 +172,50 @@ case class LongArraySum(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `char_len_sum(array<string>) -> int` — per-word code-point count sum
+  * (see [[TextHashOps.charLenSum]]). */
+case class CharLenSum(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashExpr.requireType(child, TextHashExpr.isStringArray(child),
+      "array<string>")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_len_sum"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else TextHashOps.charLenSum(v.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Integer $boxed = graft.functions.TextHashOps.charLenSum($c);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.intValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): CharLenSum =
+    copy(child = c)
+}
+
+/** `count_alpha_words(array<string>) -> int` — words containing an ASCII
+  * letter (see [[TextHashOps.countAlphaWords]]). */
+case class CountAlphaWords(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashExpr.requireType(child, TextHashExpr.isStringArray(child),
+      "array<string>")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_alpha_words"
+  override protected def nullSafeEval(in: Any): Any =
+    TextHashOps.countAlphaWords(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHashOps.countAlphaWords($c);")
+  override protected def withNewChildInternal(c: Expression): CountAlphaWords =
+    copy(child = c)
+}
+
 /** `cdc_flags(array<long>) -> array<int>` — content-defined-chunking
   * boundary flags (see [[TextHashOps.cdcFlags]]). */
 case class CdcFlags(child: Expression) extends UnaryExpression {
@@ -266,6 +310,11 @@ object TextHashFunctions {
       SlidingMin(es.head, litInt(es(1), "w")) },
     "long_array_sum" -> { es: Seq[Expression] =>
       require(es.size == 1, "long_array_sum(a)"); LongArraySum(es.head) },
+    "char_len_sum" -> { es: Seq[Expression] =>
+      require(es.size == 1, "char_len_sum(ws)"); CharLenSum(es.head) },
+    "count_alpha_words" -> { es: Seq[Expression] =>
+      require(es.size == 1, "count_alpha_words(ws)")
+      CountAlphaWords(es.head) },
     "cdc_flags" -> { es: Seq[Expression] =>
       require(es.size == 1, "cdc_flags(hs)"); CdcFlags(es.head) },
     "char_trigrams" -> { es: Seq[Expression] =>

@@ -384,6 +384,49 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Twin of `aggregate(transform(ws, w => length(w)), 0, (a, x) => a + x)`
+    * — the Gopher mean-word-length numerator: sum of per-word code-point
+    * counts, accumulated in INT exactly like the original's int-typed
+    * fold (same wrap on overflow), null word poisons the fold (length
+    * of null is null, null + x stays null). */
+  def charLenSum(ws: ArrayData): Integer = {
+    val n = ws.numElements()
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (ws.isNullAt(i)) return null
+      s += ws.getUTF8String(i).numChars()
+      i += 1
+    }
+    Integer.valueOf(s)
+  }
+
+  /** Twin of `size(filter(ws, w => w.rlike("[a-zA-Z]")))` — the Gopher
+    * alpha-word count: words containing at least one ASCII letter. An
+    * ASCII letter can only occur as a standalone UTF-8 byte (never
+    * inside a multi-byte sequence), so the byte scan IS the regex find;
+    * a null word's rlike is null, which `filter` drops — not counted. */
+  def countAlphaWords(ws: ArrayData): Int = {
+    val n = ws.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!ws.isNullAt(i)) {
+        val b = ws.getUTF8String(i).getBytes
+        var j = 0
+        var found = false
+        while (j < b.length && !found) {
+          val v = b(j)
+          found = (v >= 'a' && v <= 'z') || (v >= 'A' && v <= 'Z')
+          j += 1
+        }
+        if (found) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
   /** Twin of `transform(sequence(1, size(ws)-d+1), p =>
     * array_join(slice(ws, p, d), sep))`: every d-word window joined on
     * `sep` (the suffix family's space; BPE's pair sentinel), one

@@ -3508,11 +3508,18 @@ object Text {
       minWords: Int = 50, minStops: Int = 2): DataFrame = {
     val ws = split(col("text"), " ")
     val lines = split(col("text"), "\n")
-    docs
+    reg(docs)
       .select(col("doc_id"), col("text"), ws.as("ws"), lines.as("ls"))
       .select(col("doc_id"),
         size(col("ws")).as("n_words"),
-        dround(aggregate(transform(col("ws"), w => length(w)), lit(0), _ + _)
+        // r22: `aggregate(transform(ws, length), 0, +)` and
+        // `size(filter(ws, rlike("[a-zA-Z]")))` — interpreted per-word
+        // lambdas — became native kernels (bit-identity arguments at
+        // [[graft.functions.TextHashOps.charLenSum]] /
+        // [[graft.functions.TextHashOps.countAlphaWords]]; pinned by
+        // TextHashExpressionsSpec). The per-LINE bullet/ellipsis filters
+        // stay HOFs (a handful of lines per doc).
+        dround(call_function("char_len_sum", col("ws"))
           .cast("double") / size(col("ws")), 6).as("mean_word_len"),
         dround(regexp_count(col("text"), lit("#|\\.\\.\\."))
           .cast("double") / size(col("ws")), 6).as("symbol_ratio"),
@@ -3522,7 +3529,7 @@ object Text {
           .cast("double") / size(col("ls")), 6).as("ellipsis_ratio"),
         // case-insensitive like the paper: sentence-initial "The" and
         // ALL-CAPS text must count toward both rules
-        dround(size(filter(col("ws"), w => w.rlike("[a-zA-Z]")))
+        dround(call_function("count_alpha_words", col("ws"))
           .cast("double") / size(col("ws")), 6).as("alpha_word_ratio"),
         // array_intersect already dedups its result
         size(array_intersect(transform(col("ws"), w => lower(w)),

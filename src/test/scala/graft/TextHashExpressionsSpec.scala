@@ -173,6 +173,16 @@ class TextHashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("char_len_sum == aggregate(transform(ws, length), 0, +); count_alpha_words == size(filter(rlike))") {
+    val base = corpus.select(split(col("text"), " ").as("ws"))
+    assertColsEqual(base,
+      call_function("char_len_sum", col("ws")),
+      aggregate(transform(col("ws"), w => length(w)), lit(0), _ + _))
+    assertColsEqual(base,
+      call_function("count_alpha_words", col("ws")),
+      size(filter(col("ws"), w => w.rlike("[a-zA-Z]"))))
+  }
+
   test("slice_join_grams with a custom separator == the adjacent-pair concat HOF") {
     val sep = "\u0003" // the BPE pair sentinel
     val base = corpus.select(split(col("text"), " ").as("ws"))
